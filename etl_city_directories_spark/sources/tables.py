@@ -1,0 +1,50 @@
+"""Parquet table source.
+
+The driver's synthetic star schema (TPC-H-ish + events/documents/
+embeddings) is the engine's standing corpus; see TESTDATA.md. Reads are
+plain ``spark.read.parquet`` so Catalyst gets pushdown/pruning for
+free — plan assertions in tests/test_plans.py verify filters and
+projections actually reach the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as int64 nanos (see session.py nanosAsLong); convert
+        # to a real timestamp at micro precision, matching the DuckDB
+        # oracle's nanos→TIMESTAMP truncation.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can use spark.sql."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
