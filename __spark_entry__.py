@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_city_directories_spark.operators import relational
+from etl_city_directories_spark.operators import relational, shaping, temporal, windows
 
-_MODULES = [relational]
+_MODULES = [relational, windows, temporal, shaping]
 
 
 def entry(spark: SparkSession) -> DataFrame:

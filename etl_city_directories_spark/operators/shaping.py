@@ -1,0 +1,149 @@
+"""Shaping operators: pivot, rollup hierarchies, semi/anti joins,
+JSON field extraction.
+
+Pivot uses an explicit value list so the plan is a single-pass
+conditional aggregation (no extra distinct-values job — essential at
+scale, where a pivot without a value list triggers a full scan just to
+discover columns). Semi/anti joins use Spark's dedicated join types so
+the build side stays a broadcast hash when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.functions.numeric import dec2, money_sum, ratio
+from etl_city_directories_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event matrix: one column per event type (conditional agg)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("day")
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (returnflag, linestatus) with grouping id."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            money_sum(dec2("l_quantity"), "sum_qty"),
+            money_sum(dec2("l_extendedprice"), "sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left anti join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one urgent order (left semi join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+        ).select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a JSON field from the event props payload and aggregate.
+
+    get_json_object is a JVM-side expression — the JSON never reaches
+    Python. At 100 TB this is a pure map-side projection.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            ratio(F.sum("k"), F.count(F.lit(1)), "avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "q_pivot": q_pivot,
+    "q_rollup": q_rollup,
+    "q_anti_join": q_anti_join,
+    "q_semi_join": q_semi_join,
+    "q_json_extract": q_json_extract,
+}
+
+ORACLES = {
+    "q_pivot": """
+        SELECT
+          strftime(ts, '%Y-%m-%d') AS day,
+          COUNT(*) FILTER (event_type = 'click') AS click,
+          COUNT(*) FILTER (event_type = 'error') AS error,
+          COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+          COUNT(*) FILTER (event_type = 'signup') AS signup,
+          COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY day
+    """,
+    "q_rollup": """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          GROUPING(l_returnflag, l_linestatus)::BIGINT AS grp_id,
+          SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+          SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+          COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+    "q_json_extract": """
+        SELECT
+          event_type,
+          ROUND(SUM(json_extract(props, '$.k')::BIGINT)::DOUBLE / COUNT(*), 4) AS avg_k,
+          MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
+          MIN(json_extract(props, '$.k')::BIGINT) AS min_k,
+          COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

@@ -1,0 +1,170 @@
+"""Temporal operators: tumbling-window rollup, as-of join, range join.
+
+As-of join is implemented Spark-first with the union + last-non-null
+window trick: both sides are tagged, unioned, sorted once per key, and
+the right side's latest values are carried forward with
+``last(..., ignorenulls=True)``. This is a single shuffle on the key —
+no range-BNL join, no per-row lookup — and it scales linearly in
+events-per-key, which is exactly how a 100 TB as-of join must run.
+
+Range join uses the equi-key (user) as the shuffle key with the time
+range as a post-join filter; Spark plans a sort-merge join on the
+equi-part, so cost is bounded by per-user event counts, not |L|×|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.functions.numeric import dec2, money_sum
+from etl_city_directories_spark.sources.tables import load_table
+
+RANGE_HOURS = 24
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling rollup of the event stream (batch twin of the
+    streaming variant in streaming/)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(dec2("value"), "total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the latest purchase by the same user at ts <= click ts.
+
+    union + tag + last-ignorenulls over (user_id, ts, tag): purchases
+    (tag 0) sort before clicks (tag 1) at equal ts, so an equal-ts
+    purchase is visible to the click — standard as-of (>=) semantics.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("p_ts_us"),
+        dec2("value").cast("double").alias("p_value"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("p_ts_us"),
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id",
+        "tag",
+        "event_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.last("p_ts_us", ignorenulls=True).over(w).alias("purchase_ts_us"),
+        F.last("p_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "click_ts_us", "purchase_ts_us", "purchase_value"
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-user within 24h after each signup (interval range join).
+
+    Equi-join on user_id carries the shuffle; the time-interval
+    predicate filters inside the sort-merge join. Left join keeps
+    signups with zero follow-on activity.
+    """
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.unix_micros("ts").alias("s_us"),
+    )
+    upper = F.col("s_us") + F.lit(RANGE_HOURS * 3600 * 1_000_000)
+    others = events.select(
+        "user_id", F.unix_micros("ts").alias("e_us"), dec2("value").alias("e_value")
+    )
+    joined = signups.join(
+        others,
+        (F.col("s_user") == F.col("user_id"))
+        & (F.col("e_us") > F.col("s_us"))
+        & (F.col("e_us") <= upper),
+        "left",
+    )
+    return (
+        joined.groupBy("signup_id", "s_user", "s_us")
+        .agg(
+            F.count("e_us").alias("n_following"),
+            F.round(
+                F.coalesce(F.sum("e_value").cast("double"), F.lit(0.0)), 2
+            ).alias("value_following"),
+        )
+        .select(
+            "signup_id",
+            F.col("s_user").alias("user_id"),
+            F.col("s_us").alias("signup_ts_us"),
+            "n_following",
+            "value_following",
+        )
+    )
+
+
+QUERIES = {
+    "q_tumbling_window": q_tumbling_window,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+}
+
+ORACLES = {
+    "q_tumbling_window": """
+        SELECT
+          epoch_us(date_trunc('hour', ts)) AS bucket_start_us,
+          event_type,
+          COUNT(*) AS n_events,
+          SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_asof_join": """
+        SELECT
+          c.event_id,
+          c.user_id,
+          epoch_us(c.ts) AS click_ts_us,
+          epoch_us(p.ts) AS purchase_ts_us,
+          p.value::DECIMAL(18,2)::DOUBLE AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "q_range_join": f"""
+        SELECT
+          s.event_id AS signup_id,
+          s.user_id,
+          epoch_us(s.ts) AS signup_ts_us,
+          COUNT(e.ts) AS n_following,
+          ROUND(COALESCE(SUM(e.value::DECIMAL(18,2))::DOUBLE, 0.0), 2) AS value_following
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        LEFT JOIN events e
+          ON e.user_id = s.user_id
+          AND e.ts > s.ts
+          AND e.ts <= s.ts + INTERVAL {RANGE_HOURS} HOURS
+        GROUP BY s.event_id, s.user_id, s.ts
+    """,
+}

@@ -34,9 +34,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ts arrives as int64 nanos (see session.py nanosAsLong); convert
         # to a real timestamp at micro precision, matching the DuckDB
         # oracle's nanos→TIMESTAMP truncation.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double
+        # precision, so float division corrupts the microsecond digits.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
