@@ -13,9 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_city_directories_spark.operators import relational, shaping, temporal, windows
+from etl_city_directories_spark.operators import (
+    citydir,
+    ingest,
+    relational,
+    shaping,
+    temporal,
+    windows,
+)
 
-_MODULES = [relational, windows, temporal, shaping]
+_MODULES = [relational, windows, temporal, shaping, citydir, ingest]
 
 
 def entry(spark: SparkSession) -> DataFrame:

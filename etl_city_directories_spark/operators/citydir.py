@@ -1,0 +1,654 @@
+"""City-directories ETL surface, re-expressed Spark-first.
+
+Reference behavior (see /root/reference/city-directories.js):
+  parse   — OCR line text cleanup: dot-run collapse (:245), page/year
+            windowing (:191-200)
+  entry   — text → {subjects, occupations, locations[]} (entry-parser.js;
+            the reference shells out per line to an external Python CRF —
+            here the same contract is a pure JVM regex/array expression,
+            no Python in the hot path)
+  geocode — every parsed location joined against a historical address
+            dataset (:272-323) → found/address/street or failure log
+  transform — st:Person object assembly with makeId year.page.bbox
+            (:261-270), validity interval (:416-417), Point/MultiPoint
+            geometry (:325-336), st:in relations (:395-399)
+
+The driver's ``documents`` table plays the OCR-line corpus (SURVEY §3):
+directory/page/year/bbox surrogates and the entry line itself are
+derived deterministically from ``doc_id``/``source`` with expressions
+both Spark and the DuckDB oracle evaluate identically, so the oracle
+replays the full pipeline bit-for-bit.
+
+Scale notes: every step is a map-side column expression over the
+corpus; the only joins are against tiny generated dims (directories,
+addresses) which broadcast. No Python UDFs anywhere; the whole surface
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.sources.tables import load_table
+
+NAMES = (
+    "Smith John", "Brown Wm. H", "Miller Chas", "Johnson Thos. B",
+    "Davis Geo. W", "Wilson Jas", "Taylor Robt", "Anderson Saml",
+    "Thomas Edw. J", "Jackson Benj", "White Danl", "Harris Fredk",
+)
+OCCS = (
+    "carpenter", "grocer", "clerk", "tailor",
+    "smith", "porter", "mason", "printer",
+)
+STREETS = (
+    "Broadway", "Elm", "Pearl", "Water", "Cherry",
+    "Mulberry", "Greenwich", "Chambers", "Canal", "Orchard",
+)
+
+# geocode dim: address exists unless house number is divisible by 13
+# (models the reference's geocoder misses, :303-308)
+GEOCODE_MISS_MOD = 13
+MIN_YEAR = 1855
+MAX_YEAR = 1885
+
+_LOC_RE = "^(h )?[0-9]"
+
+
+def _sql_list(items) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
+
+
+# ---------------------------------------------------------------------------
+# shared line derivation — Spark side
+# ---------------------------------------------------------------------------
+
+def lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One directory-entry line per document, with directory surrogates.
+
+    Mirrors the LINES_CTE below expression-for-expression; all
+    deterministic arithmetic on doc_id so DuckDB replays it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    name = F.element_at(F.array(*[F.lit(x) for x in NAMES]), (d % 12 + 1).cast("int"))
+    occ = F.element_at(F.array(*[F.lit(x) for x in OCCS]), (d % 8 + 1).cast("int"))
+    street = F.element_at(
+        F.array(*[F.lit(x) for x in STREETS]), (d % 10 + 1).cast("int")
+    )
+    home_street = F.element_at(
+        F.array(*[F.lit(x) for x in STREETS]), ((d * 3) % 10 + 1).cast("int")
+    )
+    house_num = (d * 7) % 300 + 1
+    home_num = (d * 11) % 300 + 1
+    year_lo = (d % 41 + 1849).cast("int")
+    year_raw = F.when(
+        d % 7 == 0,
+        F.concat(
+            year_lo.cast("string"),
+            F.lit("/"),
+            F.lpad(((year_lo + 1) % 100).cast("string"), 2, "0"),
+        ),
+    ).otherwise(year_lo.cast("string"))
+    # OCR dot-run noise on every 5th doc; home segment on every 3rd
+    occ_noisy = F.when(d % 5 == 0, F.concat(occ, F.lit("..."))).otherwise(occ)
+    home_seg = F.when(
+        d % 3 == 0,
+        F.concat(F.lit(", h "), home_num.cast("string"), F.lit(" "), home_street),
+    ).otherwise(F.lit(""))
+    raw_line = F.concat(
+        name, F.lit(",  "), occ_noisy, F.lit(", "),
+        house_num.cast("string"), F.lit(" "), street, home_seg,
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", "([0-9]+)", 1).cast("int").alias("dir_id"),
+        (d % 120 + 1).cast("int").alias("page_num"),
+        year_lo.alias("year_lo"),
+        year_raw.alias("year_raw"),
+        ((d * 13) % 900).cast("int").alias("bx0"),
+        ((d * 29) % 1300).cast("int").alias("by0"),
+        raw_line.alias("raw_line"),
+    )
+
+
+def _clean(col: Column) -> Column:
+    """Reference cleanup: collapse dot runs (city-directories.js:245)
+    then normalize whitespace runs."""
+    return F.trim(F.regexp_replace(F.regexp_replace(col, r"\.+", "."), "  +", " "))
+
+
+def _segments(clean: Column) -> Column:
+    return F.split(clean, ", ")
+
+
+def _locs(segs: Column) -> Column:
+    loc = F.filter(segs, lambda x: x.rlike(_LOC_RE))
+    return F.transform(loc, lambda x: F.regexp_replace(x, "^h ", ""))
+
+
+def _occs(segs: Column) -> Column:
+    return F.filter(
+        segs,
+        lambda x, i: (i > 0) & ~x.rlike(_LOC_RE),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared line derivation — DuckDB side (CTE prefix reused by every oracle)
+# ---------------------------------------------------------------------------
+
+LINES_CTE = f"""
+  lines AS (
+    SELECT
+      doc_id,
+      source,
+      CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS dir_id,
+      CAST(doc_id % 120 + 1 AS INT) AS page_num,
+      CAST(doc_id % 41 + 1849 AS INT) AS year_lo,
+      CASE WHEN doc_id % 7 = 0
+           THEN (doc_id % 41 + 1849) || '/' ||
+                lpad(CAST((doc_id % 41 + 1850) % 100 AS VARCHAR), 2, '0')
+           ELSE CAST(doc_id % 41 + 1849 AS VARCHAR)
+      END AS year_raw,
+      CAST((doc_id * 13) % 900 AS INT) AS bx0,
+      CAST((doc_id * 29) % 1300 AS INT) AS by0,
+      list_extract({_sql_list(NAMES)}, CAST(doc_id % 12 + 1 AS INT))
+        || ',  ' ||
+      list_extract({_sql_list(OCCS)}, CAST(doc_id % 8 + 1 AS INT))
+        || CASE WHEN doc_id % 5 = 0 THEN '...' ELSE '' END
+        || ', ' || CAST((doc_id * 7) % 300 + 1 AS VARCHAR) || ' ' ||
+      list_extract({_sql_list(STREETS)}, CAST(doc_id % 10 + 1 AS INT))
+        || CASE WHEN doc_id % 3 = 0
+                THEN ', h ' || CAST((doc_id * 11) % 300 + 1 AS VARCHAR) || ' ' ||
+                     list_extract({_sql_list(STREETS)}, CAST((doc_id * 3) % 10 + 1 AS INT))
+                ELSE '' END
+      AS raw_line
+    FROM documents
+  ),
+  cleaned AS (
+    SELECT *,
+      trim(regexp_replace(regexp_replace(raw_line, '\\.+', '.', 'g'), '  +', ' ', 'g')) AS clean_line
+    FROM lines
+  ),
+  parsed AS (
+    SELECT *,
+      string_split(clean_line, ', ') AS segs,
+      list_transform(
+        list_filter(string_split(clean_line, ', '), x -> regexp_matches(x, '{_LOC_RE}')),
+        x -> regexp_replace(x, '^h ', '')
+      ) AS locs,
+      [x FOR x IN string_split(clean_line, ', ')[2:] IF NOT regexp_matches(x, '{_LOC_RE}')]
+        AS occs
+    FROM cleaned
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.A queries
+# ---------------------------------------------------------------------------
+
+def cd_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-run collapse + whitespace normalize (city-directories.js:245)."""
+    return lines_df(spark, sf_dir).select(
+        "doc_id", "raw_line", _clean(F.col("raw_line")).alias("clean_line")
+    )
+
+
+def cd_parse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry-parser contract: text → subject / occupation / locations.
+
+    First comma segment is the subject; segments that look like
+    '<num> <street>' or 'h <num> <street>' are locations (home marker
+    stripped); remaining non-first segments are occupations.
+    """
+    clean = _clean(F.col("raw_line"))
+    segs = _segments(clean)
+    locs = _locs(segs)
+    occs = _occs(segs)
+    return lines_df(spark, sf_dir).select(
+        "doc_id",
+        F.trim(F.try_element_at(segs, F.lit(1))).alias("subject"),
+        F.try_element_at(occs, F.lit(1)).alias("occupation"),
+        F.try_element_at(locs, F.lit(1)).alias("loc1"),
+        F.try_element_at(locs, F.lit(2)).alias("loc2"),
+        F.size(locs).cast("bigint").alias("n_locations"),
+    )
+
+
+def cd_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'1850/51' → [1850, 1851]; plain years map to themselves
+    (city-directories.js:123-128, :416-417)."""
+    lines = lines_df(spark, sf_dir)
+    is_split = F.col("year_raw").contains("/")
+    return lines.select(
+        "doc_id",
+        "year_raw",
+        F.col("year_lo").alias("valid_since"),
+        F.when(is_split, F.col("year_lo") + 1)
+        .otherwise(F.col("year_lo"))
+        .cast("int")
+        .alias("valid_until"),
+    )
+
+
+def cd_make_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """makeId: '{year|y1-y2}.{pageNum}.{bbox joined by -}'
+    (city-directories.js:261-270)."""
+    lines = lines_df(spark, sf_dir)
+    year_part = F.when(
+        F.col("year_raw").contains("/"),
+        F.concat(
+            F.col("year_lo").cast("string"),
+            F.lit("-"),
+            (F.col("year_lo") + 1).cast("string"),
+        ),
+    ).otherwise(F.col("year_lo").cast("string"))
+    bbox = F.concat_ws(
+        "-",
+        F.col("bx0").cast("string"),
+        F.col("by0").cast("string"),
+        (F.col("bx0") + 250).cast("string"),
+        (F.col("by0") + 18).cast("string"),
+    )
+    return lines.select(
+        "doc_id",
+        F.concat(
+            year_part, F.lit("."), F.col("page_num").cast("string"), F.lit("."), bbox
+        ).alias("entry_id"),
+    )
+
+
+def directories_dim(spark: SparkSession) -> DataFrame:
+    """Tiny manifest dim (one row per directory volume) — broadcast side."""
+    return spark.range(0, 20).select(
+        F.col("id").cast("int").alias("dir_id"),
+        (F.col("id") % 10 + 5).cast("int").alias("start_page"),
+        (110 - F.col("id") % 13).cast("int").alias("end_page"),
+        (F.col("id") % 3 + 1).cast("int").alias("column_count"),
+    )
+
+
+def cd_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory/page windowing: minYear/maxYear on the volume,
+    [startPage, endPage] on the page (city-directories.js:191-200)."""
+    lines = lines_df(spark, sf_dir)
+    dirs = directories_dim(spark)
+    return (
+        lines.join(F.broadcast(dirs), "dir_id")
+        .filter(
+            (F.col("year_lo") >= MIN_YEAR)
+            & (F.col("year_lo") <= MAX_YEAR)
+            & (F.col("page_num") >= F.col("start_page"))
+            & (F.col("page_num") <= F.col("end_page"))
+        )
+        .select("doc_id", "dir_id", "page_num", "year_lo", "start_page", "end_page")
+    )
+
+
+def addresses_dim(spark: SparkSession) -> DataFrame:
+    """Historical address dim: every street × house number 1..300,
+    minus numbers divisible by GEOCODE_MISS_MOD (geocoder misses)."""
+    streets = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(STREETS)], ["street_idx", "street_name"]
+    )
+    return (
+        streets.select(
+            "street_idx",
+            "street_name",
+            F.explode(F.sequence(F.lit(1), F.lit(300))).alias("house_num"),
+        )
+        .filter(F.col("house_num") % GEOCODE_MISS_MOD != 0)
+        .select(
+            (F.col("street_idx") * 1000 + F.col("house_num"))
+            .cast("bigint")
+            .alias("address_id"),
+            F.concat_ws(
+                " ", F.col("house_num").cast("string"), F.col("street_name")
+            ).alias("address_name"),
+            F.col("street_name"),
+            F.concat(F.lit("S"), F.col("street_idx").cast("string")).alias("street_id"),
+            F.col("street_idx").cast("double").alias("geom_x"),
+            F.col("house_num").cast("double").alias("geom_y"),
+        )
+    )
+
+
+def _exploded_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _clean(F.col("raw_line"))
+    locs = _locs(_segments(clean))
+    return lines_df(spark, sf_dir).select(
+        "doc_id",
+        "year_raw",
+        "year_lo",
+        "page_num",
+        "bx0",
+        "by0",
+        F.posexplode(locs).alias("loc_idx", "loc_value"),
+    )
+
+
+def cd_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-location geocode: broadcast-join parsed addresses against the
+    address dim → found / address / street, or miss (:272-323).
+
+    At 100 TB the corpus side streams; the dim (all NYC historical
+    addresses ≈ millions of rows) broadcasts or, if too large, becomes
+    a shuffle-free bucketed join on address_name.
+    """
+    locs = _exploded_locations(spark, sf_dir)
+    dim = addresses_dim(spark)
+    joined = locs.join(
+        F.broadcast(dim), locs.loc_value == dim.address_name, "left"
+    )
+    return joined.select(
+        "doc_id",
+        F.col("loc_idx").cast("bigint").alias("loc_idx"),
+        "loc_value",
+        F.col("address_id").isNotNull().alias("found"),
+        "address_id",
+        "street_name",
+        "street_id",
+    )
+
+
+def _person_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed + geocoded person rows (shared by transform/relations)."""
+    clean = _clean(F.col("raw_line"))
+    segs = _segments(clean)
+    locs = _locs(segs)
+    occs = _occs(segs)
+    lines = lines_df(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "year_raw",
+        "year_lo",
+        "page_num",
+        "bx0",
+        "by0",
+        clean.alias("text"),
+        F.trim(F.try_element_at(segs, F.lit(1))).alias("name"),
+        F.try_element_at(occs, F.lit(1)).alias("occupation"),
+        locs.alias("locs"),
+    )
+    year_part = F.when(
+        F.col("year_raw").contains("/"),
+        F.concat(
+            F.col("year_lo").cast("string"),
+            F.lit("-"),
+            (F.col("year_lo") + 1).cast("string"),
+        ),
+    ).otherwise(F.col("year_lo").cast("string"))
+    bbox = F.concat_ws(
+        "-",
+        F.col("bx0").cast("string"),
+        F.col("by0").cast("string"),
+        (F.col("bx0") + 250).cast("string"),
+        (F.col("by0") + 18).cast("string"),
+    )
+    return lines.withColumn(
+        "entry_id",
+        F.concat(
+            year_part, F.lit("."), F.col("page_num").cast("string"), F.lit("."), bbox
+        ),
+    )
+
+
+def cd_transform_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st:Person assembly (city-directories.js:409-430): id, name,
+    validity interval, provenance uuids, geometry Point/MultiPoint."""
+    base = _person_base(spark, sf_dir)
+    exploded = base.select(
+        "doc_id", F.posexplode_outer("locs").alias("loc_idx", "loc_value")
+    )
+    dim = addresses_dim(spark)
+    geo = (
+        exploded.join(F.broadcast(dim), exploded.loc_value == dim.address_name, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("address_id").alias("n_geocoded"),
+            F.count("loc_value").cast("bigint").alias("n_locations"),
+            # deterministic order: locations in entry order
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("address_id").isNotNull(),
+                        F.struct("loc_idx", "geom_x", "geom_y"),
+                    )
+                )
+            ).alias("pts"),
+        )
+        .select(
+            "doc_id",
+            "n_locations",
+            "n_geocoded",
+            F.when(F.col("n_geocoded") == 0, F.lit(None).cast("string"))
+            .when(
+                F.col("n_geocoded") == 1,
+                F.concat(
+                    F.lit("POINT("),
+                    F.col("pts")[0]["geom_x"].cast("int").cast("string"),
+                    F.lit(" "),
+                    F.col("pts")[0]["geom_y"].cast("int").cast("string"),
+                    F.lit(")"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("MULTIPOINT("),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.col("pts"),
+                            lambda p: F.concat(
+                                p["geom_x"].cast("int").cast("string"),
+                                F.lit(" "),
+                                p["geom_y"].cast("int").cast("string"),
+                            ),
+                        ),
+                    ),
+                    F.lit(")"),
+                )
+            )
+            .alias("geometry"),
+        )
+    )
+    is_split = F.col("year_raw").contains("/")
+    return (
+        base.join(geo, "doc_id")
+        .select(
+            F.col("entry_id"),
+            F.lit("st:Person").alias("type"),
+            "name",
+            F.col("year_lo").alias("valid_since"),
+            F.when(is_split, F.col("year_lo") + 1)
+            .otherwise(F.col("year_lo"))
+            .cast("int")
+            .alias("valid_until"),
+            F.md5(F.col("source")).alias("volume_uuid"),
+            F.md5(F.col("doc_id").cast("string")).alias("page_uuid"),
+            "page_num",
+            "text",
+            "occupation",
+            "n_locations",
+            "n_geocoded",
+            "geometry",
+        )
+    )
+
+
+def cd_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st:in person→address relations, one per found geocode (:395-399)."""
+    base = _person_base(spark, sf_dir)
+    exploded = base.select(
+        "entry_id", F.explode("locs").alias("loc_value")
+    )
+    dim = addresses_dim(spark)
+    return (
+        exploded.join(F.broadcast(dim), exploded.loc_value == dim.address_name)
+        .select(
+            F.col("entry_id").alias("rel_from"),
+            F.col("address_id").alias("rel_to"),
+            F.lit("st:in").alias("rel_type"),
+        )
+    )
+
+
+QUERIES = {
+    "cd_clean_text": cd_clean_text,
+    "cd_parse_entries": cd_parse_entries,
+    "cd_year_normalize": cd_year_normalize,
+    "cd_make_id": cd_make_id,
+    "cd_page_filter": cd_page_filter,
+    "cd_geocode": cd_geocode,
+    "cd_transform_objects": cd_transform_objects,
+    "cd_relations": cd_relations,
+}
+
+_ADDR_CTE = f"""
+  addresses AS (
+    SELECT
+      (street_idx * 1000 + house_num)::BIGINT AS address_id,
+      house_num || ' ' || street_name AS address_name,
+      street_name,
+      'S' || street_idx AS street_id,
+      street_idx::DOUBLE AS geom_x,
+      house_num::DOUBLE AS geom_y
+    FROM (
+      SELECT * FROM (VALUES {", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(STREETS))})
+        AS t(street_idx, street_name)
+    ) streets
+    CROSS JOIN (SELECT unnest(generate_series(1, 300)) AS house_num)
+    WHERE house_num % {GEOCODE_MISS_MOD} != 0
+  )
+"""
+
+_YEAR_PART = """CASE WHEN year_raw LIKE '%/%'
+       THEN year_lo || '-' || (year_lo + 1)
+       ELSE CAST(year_lo AS VARCHAR) END"""
+_BBOX = "bx0 || '-' || by0 || '-' || (bx0 + 250) || '-' || (by0 + 18)"
+
+ORACLES = {
+    "cd_clean_text": f"""
+        WITH {LINES_CTE}
+        SELECT doc_id, raw_line, clean_line FROM cleaned
+    """,
+    "cd_parse_entries": f"""
+        WITH {LINES_CTE}
+        SELECT
+          doc_id,
+          trim(segs[1]) AS subject,
+          occs[1] AS occupation,
+          locs[1] AS loc1,
+          locs[2] AS loc2,
+          len(locs)::BIGINT AS n_locations
+        FROM parsed
+    """,
+    "cd_year_normalize": f"""
+        WITH {LINES_CTE}
+        SELECT
+          doc_id,
+          year_raw,
+          year_lo AS valid_since,
+          CASE WHEN year_raw LIKE '%/%' THEN year_lo + 1 ELSE year_lo END::INT AS valid_until
+        FROM lines
+    """,
+    "cd_make_id": f"""
+        WITH {LINES_CTE}
+        SELECT
+          doc_id,
+          {_YEAR_PART} || '.' || page_num || '.' || {_BBOX} AS entry_id
+        FROM lines
+    """,
+    "cd_page_filter": f"""
+        WITH {LINES_CTE},
+        dirs AS (
+          SELECT
+            i::INT AS dir_id,
+            (i % 10 + 5)::INT AS start_page,
+            (110 - i % 13)::INT AS end_page
+          FROM (SELECT unnest(generate_series(0, 19)) AS i)
+        )
+        SELECT doc_id, dir_id, page_num, year_lo, start_page, end_page
+        FROM lines JOIN dirs USING (dir_id)
+        WHERE year_lo >= {MIN_YEAR} AND year_lo <= {MAX_YEAR}
+          AND page_num >= start_page AND page_num <= end_page
+    """,
+    "cd_geocode": f"""
+        WITH {LINES_CTE},
+        {_ADDR_CTE},
+        exploded AS (
+          SELECT doc_id, unnest(locs) AS loc_value,
+                 generate_subscripts(locs, 1) - 1 AS loc_idx
+          FROM parsed
+        )
+        SELECT
+          doc_id,
+          loc_idx::BIGINT AS loc_idx,
+          loc_value,
+          address_id IS NOT NULL AS found,
+          address_id,
+          street_name,
+          street_id
+        FROM exploded LEFT JOIN addresses ON loc_value = address_name
+    """,
+    "cd_transform_objects": f"""
+        WITH {LINES_CTE},
+        {_ADDR_CTE},
+        exploded AS (
+          SELECT doc_id, unnest(locs) AS loc_value,
+                 generate_subscripts(locs, 1) - 1 AS loc_idx
+          FROM parsed
+        ),
+        geo AS (
+          SELECT
+            p.doc_id,
+            count(e.loc_value)::BIGINT AS n_locations,
+            count(a.address_id) AS n_geocoded,
+            list_sort(list([e.loc_idx::INT, a.geom_x::INT, a.geom_y::INT])
+                      FILTER (a.address_id IS NOT NULL)) AS pts
+          FROM parsed p
+          LEFT JOIN exploded e ON p.doc_id = e.doc_id
+          LEFT JOIN addresses a ON e.loc_value = a.address_name
+          GROUP BY p.doc_id
+        )
+        SELECT
+          {_YEAR_PART} || '.' || page_num || '.' || {_BBOX} AS entry_id,
+          'st:Person' AS type,
+          trim(segs[1]) AS name,
+          year_lo AS valid_since,
+          CASE WHEN year_raw LIKE '%/%' THEN year_lo + 1 ELSE year_lo END::INT AS valid_until,
+          md5(source) AS volume_uuid,
+          md5(CAST(p.doc_id AS VARCHAR)) AS page_uuid,
+          page_num,
+          clean_line AS text,
+          occs[1] AS occupation,
+          g.n_locations,
+          g.n_geocoded,
+          CASE
+            WHEN g.n_geocoded = 0 THEN NULL
+            WHEN g.n_geocoded = 1 THEN
+              'POINT(' || pts[1][2] || ' ' || pts[1][3] || ')'
+            ELSE
+              'MULTIPOINT(' ||
+              array_to_string(list_transform(pts, x -> x[2] || ' ' || x[3]), ',') || ')'
+          END AS geometry
+        FROM parsed p JOIN geo g ON p.doc_id = g.doc_id
+    """,
+    "cd_relations": f"""
+        WITH {LINES_CTE},
+        {_ADDR_CTE},
+        exploded AS (
+          SELECT doc_id, year_raw, year_lo, page_num, bx0, by0,
+                 unnest(locs) AS loc_value
+          FROM parsed
+        )
+        SELECT
+          {_YEAR_PART} || '.' || page_num || '.' || {_BBOX} AS rel_from,
+          address_id AS rel_to,
+          'st:in' AS rel_type
+        FROM exploded JOIN addresses ON loc_value = address_name
+    """,
+}

@@ -1,0 +1,77 @@
+"""Rows-only ingestion queries: hOCR archive parse, manifest parse,
+NDJSON sink round-trip. Non-SQL-expressible (binary archives, HTML,
+filesystem side effects) → no ORACLES entries; covered by pytest
+fixtures (tests/test_sources.py) and the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import tarfile
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.sources.hocr import parse_hocr_lines, read_hocr_pages
+from etl_city_directories_spark.sources.manifest import read_manifest
+from etl_city_directories_spark.sources.ndjson import read_ndjson, write_ndjson
+
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "tests", "fixtures")
+_UUID = "c6725860-7ce9-0134-fb06-00505686a51c"
+
+
+def fixture_archive() -> str:
+    """Build the reference-layout tar.gz from the committed .hocr fixture
+    (lazily, under /tmp — fixtures stay text in git)."""
+    out = os.path.join(tempfile.gettempdir(), f"{_UUID}.tar.gz")
+    if not os.path.exists(out):
+        hocr = open(os.path.join(FIXTURES, "sample.hocr"), "rb").read()
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            info = tarfile.TarInfo(name=f"{_UUID}/25.56886389.{_UUID}.processed.hocr")
+            info.size = len(hocr)
+            tf.addfile(info, io.BytesIO(hocr))
+            junk = b"not ocr"
+            info2 = tarfile.TarInfo(name=f"{_UUID}/readme.txt")
+            info2.size = len(junk)
+            tf.addfile(info2, io.BytesIO(junk))
+        tmp = out + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(gzip.compress(buf.getvalue()))
+        os.replace(tmp, out)
+    return out
+
+
+def hocr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar.gz → pages → column-assigned OCR lines (reference parse step)."""
+    pages = read_hocr_pages(spark, fixture_archive())
+    return parse_hocr_lines(pages, column_count=2).orderBy("line_index")
+
+
+def manifest_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML manifest table → typed directory rows (reference :108-133)."""
+    return read_manifest(spark, os.path.join(FIXTURES, "manifest.html"))
+
+
+def ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write objects as NDJSON, read back, count per type — exercises the
+    reference's output contract (objects/logs/relations files)."""
+    from etl_city_directories_spark.operators.citydir import cd_relations
+
+    rels = cd_relations(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ndjson_sink")
+    write_ndjson(rels, path)
+    back = read_ndjson(spark, path)
+    return back.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n")).orderBy("rel_type")
+
+
+QUERIES = {
+    "hocr_parse": hocr_parse,
+    "manifest_parse": manifest_parse,
+    "ndjson_sink": ndjson_sink,
+}
+
+ORACLES: dict[str, str] = {}

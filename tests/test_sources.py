@@ -1,0 +1,92 @@
+"""Fixture-based unit tests for the non-SQL-expressible sources:
+hOCR tar.gz ingestion, manifest HTML parsing, NDJSON round-trip."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.operators.ingest import (
+    FIXTURES,
+    fixture_archive,
+    hocr_parse,
+    manifest_parse,
+)
+from etl_city_directories_spark.sources.hocr import (
+    assign_columns,
+    extract_lines,
+    read_hocr_pages,
+)
+from etl_city_directories_spark.sources.manifest import parse_manifest_html
+from etl_city_directories_spark.sources.ndjson import read_ndjson, write_ndjson
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_extract_lines_fixture():
+    hocr = open(os.path.join(FIXTURES, "sample.hocr")).read()
+    lines = extract_lines(hocr)
+    assert len(lines) == 7
+    x0, y0, x1, y1, text = lines[0]
+    assert (x0, y0, x1, y1) == (100, 200, 920, 238)
+    assert text == "Smith John, carpenter, 25 Broadway"
+
+
+def test_assign_columns_two_columns():
+    hocr = open(os.path.join(FIXTURES, "sample.hocr")).read()
+    lines = extract_lines(hocr)
+    cols = assign_columns(lines, 2)
+    # lines at x~100 → col 0; x~1050 → col 1; indented (160) and stray
+    # (1500) → None, as the reference drops unaligned lines
+    assert cols == [0, 0, None, 0, 1, 1, None]
+
+
+def test_hocr_pages_skips_non_hocr_members(spark):
+    pages = read_hocr_pages(spark, fixture_archive()).collect()
+    assert len(pages) == 1
+    p = pages[0]
+    assert p.page_num == 25
+    assert p.image_id == "56886389"
+    assert p.page_uuid == "c6725860-7ce9-0134-fb06-00505686a51c"
+
+
+def test_hocr_parse_end_to_end(spark):
+    rows = hocr_parse(spark, SF).collect()
+    # 5 column-assigned lines survive; dot runs collapsed
+    assert len(rows) == 5
+    assert all(r.column_index in (0, 1) for r in rows)
+    texts = [r.text for r in rows]
+    assert "Brown Wm. grocer, 112 Elm" in texts  # 'Wm..' collapsed
+    assert all("..." not in t for t in texts)
+
+
+def test_manifest_parse_reference_semantics(spark):
+    rows = {r.uuid: r for r in manifest_parse(spark, SF).collect()}
+    # row with empty uuid and row with empty startPage are dropped (:130)
+    assert len(rows) == 4
+    split = rows["c6725860-7ce9-0134-fb06-00505686a51c"]
+    assert (split.year_start, split.year_end) == (1850, 1851)  # '1850/51'
+    plain = rows["a1b2c3d4-0000-0134-fb06-00505686a51c"]
+    assert (plain.year_start, plain.year_end) == (1855, 1855)
+    assert plain.column_count == 3
+
+
+def test_manifest_parser_pure():
+    rows = parse_manifest_html(open(os.path.join(FIXTURES, "manifest.html")).read())
+    assert [r["start_page"] for r in rows] == [17, 9, 21, 33]
+
+
+def test_ndjson_roundtrip(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+    path = str(tmp_path / "out")
+    write_ndjson(df, path)
+    back = read_ndjson(spark, path)
+    assert back.count() == 100
+    assert back.agg(F.sum("doubled")).collect()[0][0] == 9900
+    # NDJSON contract: one JSON object per line in part files
+    part = next(p for p in os.listdir(path) if p.startswith("part-"))
+    first = open(os.path.join(path, part)).readline().strip()
+    assert first.startswith("{") and first.endswith("}")
