@@ -15,14 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_city_directories_spark.operators import (
     citydir,
+    dedup,
     ingest,
     relational,
     shaping,
+    similarity,
     temporal,
+    textstats,
     windows,
 )
 
-_MODULES = [relational, windows, temporal, shaping, citydir, ingest]
+_MODULES = [
+    relational,
+    windows,
+    temporal,
+    shaping,
+    citydir,
+    ingest,
+    dedup,
+    similarity,
+    textstats,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

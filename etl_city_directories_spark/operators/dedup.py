@@ -1,0 +1,379 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four families, each with the scale-correct shape:
+
+- exact:   md5(normalized text) hash-groupBy — one shuffle on the hash,
+           map-side combine, no pairwise work at all.
+- minhash+LSH: shingle → 8 salted-md5 minhashes → 4 bands of 2 →
+           band-key self-join. The band key IS the shuffle key, so
+           candidate generation is O(collisions), never O(n²); exact
+           jaccard runs only on candidates.
+- ngram-jaccard: exact word-3-gram jaccard, pairs restricted to a
+           blocking key (lang, source) — the blocking key bounds the
+           quadratic blowup the way LSH bands do.
+- simhash: 64-bit sign-aggregated fingerprint (Arrow-batched pandas
+           UDF — genuinely bit-twiddly), candidates via 16-bit chunk
+           buckets, verify via Hamming distance (xor+bit_count).
+
+Minhash = lexicographic min of salted md5 hex — a valid minhash family
+that is bit-identical in Spark and DuckDB (SURVEY §4 determinism
+policy), so the whole LSH pipeline is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.sources.tables import load_table
+
+NUM_HASHES = 8
+NUM_BANDS = 4  # rows-per-band = 2
+LSH_VERIFY_THRESHOLD = 0.2
+NGRAM_REPORT_THRESHOLD = 0.05
+EMBED_COS_THRESHOLD = 0.35
+SIMHASH_HAMMING_MAX = 12
+
+
+# ---------------------------------------------------------------------------
+# shared text expressions (Spark) + CTE (DuckDB)
+# ---------------------------------------------------------------------------
+
+def norm_col() -> Column:
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+
+
+def shingles_col(norm: Column) -> Column:
+    """Distinct word-3-gram shingles (whole text if < 3 words)."""
+    w = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    return F.when(F.size(w) >= 3, F.array_distinct(grams)).otherwise(F.array(norm))
+
+
+SHINGLE_CTE = """
+  docs AS (
+    SELECT doc_id, lang, source,
+           trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+    FROM documents
+  ),
+  shingled AS (
+    SELECT doc_id, lang, source, norm,
+      CASE WHEN len(string_split(norm, ' ')) >= 3
+           THEN list_distinct([
+             array_to_string(string_split(norm, ' ')[i:i+2], ' ')
+             FOR i IN generate_series(1, len(string_split(norm, ' ')) - 2)
+           ])
+           ELSE [norm] END AS shingles
+    FROM docs
+  )
+"""
+
+
+def _shingled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_col()
+    return docs.select(
+        "doc_id", "lang", "source", norm.alias("norm"), shingles_col(norm).alias("shingles")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    return F.round(
+        F.size(F.array_intersect(a, b)).cast("double")
+        / F.size(F.array_union(a, b)).cast("double"),
+        4,
+    )
+
+
+_JACCARD_SQL = (
+    "ROUND(len(list_intersect({a}, {b}))::DOUBLE / "
+    "len(list_distinct(list_cat({a}, {b})))::DOUBLE, 4)"
+)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate sets by md5(normalized text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(norm_col()).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .withColumn("is_dup", F.col("n_docs") > 1)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup candidates, verified with exact jaccard."""
+    sh = _shingled_df(spark, sf_dir)
+    sigs = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(
+                F.transform(
+                    "shingles", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))
+                )
+            ).alias(f"sig{j}")
+            for j in range(1, NUM_HASHES + 1)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"sig{2 * b + 1}"), F.col(f"sig{2 * b + 2}")))
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram jaccard over (lang, source)-blocked pairs."""
+    sh = _shingled_df(spark, sf_dir)
+    a = sh.select(
+        "lang", "source", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        "lang", "source", F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "lang",
+            "source",
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_REPORT_THRESHOLD)
+    )
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label buckets.
+
+    Norms are precomputed per vector BEFORE the pair join (O(n) not
+    O(pairs)); the label acts as the blocking key. Dot products are
+    sequential left folds so Spark and DuckDB round identically.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.withColumn(
+        "nrm",
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMBED_COS_THRESHOLD)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash near-dup pairs (rows-only; no SQL oracle).
+
+    Fingerprint: per-word md5-derived 64-bit hash, sign-aggregated per
+    bit. Candidate generation splits the fingerprint into four 16-bit
+    chunks — near-dups within Hamming distance 16/4 share ≥1 chunk —
+    then verifies with xor + bit_count. Chunk buckets are the shuffle
+    key, so this scales like LSH, not like all-pairs.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    def _simhash64(texts):
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            acc = [0] * 64
+            for w in words:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for i in range(64):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            fp = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    fp |= 1 << i
+            # store as signed 64-bit
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — attach real annotation objects instead.
+    _simhash64.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    simhash64 = F.pandas_udf(_simhash64, LongType())
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simhash64(norm_col()).alias("fp")
+    )
+    chunks = docs.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, c2 = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            c2,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+    "dedup_simhash": dedup_simhash,
+}
+
+_SIG_COLS = ",\n      ".join(
+    f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS sig{j}"
+    for j in range(1, NUM_HASHES + 1)
+)
+_BAND_SELECTS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band_idx, md5(sig{2 * b + 1} || sig{2 * b + 2}) AS band_key FROM sigs"
+    for b in range(NUM_BANDS)
+)
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT
+          md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+          COUNT(*) AS n_docs,
+          MIN(doc_id) AS min_doc,
+          MAX(doc_id) AS max_doc,
+          COUNT(*) > 1 AS is_dup
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {SHINGLE_CTE},
+        sigs AS (
+          SELECT doc_id, shingles, {_SIG_COLS}
+          FROM shingled
+        ),
+        bands AS (
+{_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")} AS jaccard
+        FROM cand
+        JOIN shingled sa ON sa.doc_id = doc_a
+        JOIN shingled sb ON sb.doc_id = doc_b
+        WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")} >= {LSH_VERIFY_THRESHOLD}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {SHINGLE_CTE}
+        SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {_JACCARD_SQL.format(a="a.shingles", b="b.shingles")} AS jaccard
+        FROM shingled a JOIN shingled b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE {_JACCARD_SQL.format(a="a.shingles", b="b.shingles")} >= {NGRAM_REPORT_THRESHOLD}
+    """,
+    "dedup_embedding": f"""
+        WITH vecs AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                 list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               ROUND(
+                 list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+                             (p, q) -> p + q)
+                 / (sqrt(a.nrm) * sqrt(b.nrm)), 4) AS cos_sim
+        FROM vecs a JOIN vecs b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(
+                 list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+                             (p, q) -> p + q)
+                 / (sqrt(a.nrm) * sqrt(b.nrm)), 4) >= {EMBED_COS_THRESHOLD}
+    """,
+}

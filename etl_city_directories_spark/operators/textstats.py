@@ -1,0 +1,203 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All four are embarrassingly parallel map-side column expressions — no
+shuffle at all (the ideal 100 TB shape: whole-stage-codegen'd scans).
+Each has an exact DuckDB oracle; ratios follow the 4-dp rounding policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.operators.dedup import norm_col, shingles_col
+from etl_city_directories_spark.sources.tables import load_table
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "por"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _words(norm: Column) -> Column:
+    return F.split(norm, " ")
+
+
+def _hits(words: Column, lang: str) -> Column:
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(vocab, w))).cast("bigint")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic argmax tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = _words(norm)
+    cols = {lang: _hits(w, lang) for lang in LANG_ORDER}
+    best = F.greatest(*cols.values())
+    pred = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):  # earlier language wins ties
+        pred = F.when((cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[cols[lang].alias(f"{lang}_hits") for lang in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length, punctuation ratio, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = _words(norm)
+    n_chars = F.length(norm)
+    n_words = F.size(w)
+    punct = n_chars - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
+    punct_ratio = F.round(punct.cast("double") / n_chars.cast("double"), 4)
+    stop_ratio = F.round(
+        _hits(w, "en").cast("double") / n_words.cast("double"), 4
+    )
+    score = F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_norm"),
+        n_words.cast("bigint").alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letters / digits /
+    single non-alnum), per document and corpus-level ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_col()
+    ws = F.size(_words(norm)).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(norm, F.lit(_BPE_RE), 0)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / ws.cast("double"), 4).alias("tokens_per_word"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-gram min-hash document fingerprint (min md5 over 3-gram
+    shingles) — the rolling-hash fingerprint of SURVEY §2.C in its
+    cross-engine-deterministic form."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_col()
+    fp = F.array_min(F.transform(shingles_col(norm), lambda s: F.md5(s)))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("fp_bucket"),
+    )
+
+
+QUERIES = {
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+}
+
+_NORM = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
+_W = f"string_split({_NORM}, ' ')"
+
+
+def _hits_sql(lang: str) -> str:
+    vocab = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"len(list_filter({_W}, w -> list_contains({vocab}, w)))::BIGINT"
+
+
+_PRED = "CASE "
+for _lang in LANG_ORDER:
+    _others = ", ".join(f"{l}_hits" for l in LANG_ORDER)
+    _PRED += (
+        f"WHEN {_lang}_hits = greatest({_others}) AND {_lang}_hits > 0 "
+        f"THEN '{_lang}' "
+    )
+_PRED += "ELSE 'unknown' END"
+
+ORACLES = {
+    "text_lang_id": f"""
+        WITH hits AS (
+          SELECT doc_id, lang,
+            {", ".join(f"{_hits_sql(lang)} AS {lang}_hits" for lang in LANG_ORDER)}
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               {", ".join(f"{lang}_hits" for lang in LANG_ORDER)},
+               {_PRED} AS pred_lang
+        FROM hits
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+          SELECT doc_id,
+            length({_NORM}) AS n_chars_norm,
+            len({_W}) AS n_words,
+            length({_NORM}) - length(regexp_replace({_NORM}, '[^a-z0-9 ]', '', 'g'))
+              AS punct,
+            {_hits_sql("en")} AS en_hits
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id,
+            n_chars_norm::BIGINT AS n_chars_norm,
+            n_words::BIGINT AS n_words,
+            ROUND(punct::DOUBLE / n_chars_norm::DOUBLE, 4) AS punct_ratio,
+            ROUND(en_hits::DOUBLE / n_words::DOUBLE, 4) AS stopword_ratio
+          FROM t
+        )
+        SELECT doc_id, n_chars_norm, n_words, punct_ratio, stopword_ratio,
+          ROUND(
+            least(1.0, n_words::DOUBLE / 100.0) * 0.5
+            + (1.0 - punct_ratio) * 0.3
+            + least(stopword_ratio * 5.0, 1.0) * 0.2, 4) AS quality_score
+        FROM r
+    """,
+    "text_token_count": f"""
+        SELECT doc_id,
+          len({_W})::BIGINT AS ws_tokens,
+          len(regexp_extract_all({_NORM}, '{_BPE_RE}'))::BIGINT AS bpe_tokens,
+          ROUND(len(regexp_extract_all({_NORM}, '{_BPE_RE}'))::DOUBLE
+                / len({_W})::DOUBLE, 4) AS tokens_per_word
+        FROM documents
+    """,
+    "text_fingerprint": """
+        WITH docs AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+          FROM documents
+        ),
+        shingled AS (
+          SELECT doc_id,
+            CASE WHEN len(string_split(norm, ' ')) >= 3
+                 THEN list_distinct([
+                   array_to_string(string_split(norm, ' ')[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(string_split(norm, ' ')) - 2)
+                 ])
+                 ELSE [norm] END AS shingles
+          FROM docs
+        )
+        SELECT doc_id,
+               list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
+               substr(list_min(list_transform(shingles, s -> md5(s))), 1, 4) AS fp_bucket
+        FROM shingled
+    """,
+}
