@@ -17,6 +17,7 @@ from etl_city_directories_spark.operators import (
     citydir,
     dedup,
     ingest,
+    multimodal,
     relational,
     shaping,
     similarity,
@@ -24,6 +25,7 @@ from etl_city_directories_spark.operators import (
     textstats,
     windows,
 )
+from etl_city_directories_spark.streaming import stream_ops
 
 _MODULES = [
     relational,
@@ -35,6 +37,8 @@ _MODULES = [
     dedup,
     similarity,
     textstats,
+    multimodal,
+    stream_ops,
 ]
 
 

@@ -1,0 +1,227 @@
+"""Multimodal (binary-column) plumbing: image metadata + frame sampling.
+
+The engine treats image/audio/video as opaque ``binary`` columns with
+typed metadata, decoded by Arrow-batched ``mapInPandas`` UDFs — the
+100 TB shape is: binary payloads stay columnar end-to-end (parquet →
+Arrow → pandas bytes), decode is embarrassingly parallel map-side work
+with no shuffle, and the UDF emits a typed schema Catalyst can prune.
+
+The container has no image/audio libs (PIL/ffmpeg), so the decode step
+is a DETERMINISTIC FAKE over a synthetic container format (see
+``_payload_col``) — the Spark-side plumbing (binary schema, batch
+iteration, header parse, per-frame explode) is real and tested. A real
+deployment swaps ``_decode_pixels`` for the library call; the
+import-try gate shows where.
+
+Synthetic formats (all byte offsets big-endian):
+- IMG1: magic ``IMG1`` (4B) | width u32 | height u32 | channels u32 |
+  width*height pixel bytes.
+- VID1: magic ``VID1`` (4B) | n_frames u32 | frame_size u32 |
+  n_frames × frame_size frame bytes.
+
+Payloads are synthesized JVM-side from ``documents`` (md5-derived pixel
+bytes keyed on text, dimensions keyed on doc_id) so every stage before
+the UDF is whole-stage-codegen'd and the fixture needs no binary files
+on disk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_city_directories_spark.sources.tables import load_table
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+FRAME_SAMPLE_EVERY = 2
+
+
+def _hex_u32(n: Column) -> Column:
+    """8-hex-char (4-byte) big-endian encoding of a small int column."""
+    return F.lpad(F.hex(n), 8, "0")
+
+
+def _pixel_hex(n_bytes: Column) -> Column:
+    """Deterministic pixel bytes: a 32-byte-period md5 stream repeated to
+    n_bytes (period chosen to misalign with the 24-byte frame size so
+    sampled frames are distinct)."""
+    stream = F.concat(
+        F.md5(F.col("text")), F.md5(F.concat(F.col("text"), F.lit("#2")))
+    )
+    reps = (n_bytes * 2 / F.lit(64) + 1).cast("int")
+    return F.substring(F.repeat(stream, reps), 1, n_bytes * 2)
+
+
+def _image_payload() -> Column:
+    width = (F.col("doc_id") % 8 + 8).cast("int")
+    height = (F.col("doc_id") % 5 + 8).cast("int")
+    header = F.concat(
+        F.lit("494D4731"),  # "IMG1"
+        _hex_u32(width),
+        _hex_u32(height),
+        _hex_u32(F.lit(1)),
+    )
+    return F.unhex(F.concat(header, _pixel_hex(width * height)))
+
+
+def _video_payload() -> Column:
+    n_frames = (F.col("doc_id") % 5 + 4).cast("int")
+    frame_size = F.lit(24)
+    header = F.concat(
+        F.lit("56494431"),  # "VID1"
+        _hex_u32(n_frames),
+        _hex_u32(frame_size),
+    )
+    return F.unhex(F.concat(header, _pixel_hex(n_frames * frame_size)))
+
+
+def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary) pseudo-image table."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", _image_payload().alias("payload")
+    )
+
+
+def videos_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", _video_payload().alias("payload")
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode stubs (the part a real deployment replaces with PIL/ffmpeg)
+# ---------------------------------------------------------------------------
+
+def _decode_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Parse the IMG1 container. Real impl: PIL.Image.open(BytesIO(...))."""
+    if HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError("real image decode not wired in this container")
+    magic = payload[:4].decode("ascii")
+    width = int.from_bytes(payload[4:8], "big")
+    height = int.from_bytes(payload[8:12], "big")
+    channels = int.from_bytes(payload[12:16], "big")
+    return magic, width, height, channels, payload[16:]
+
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def _image_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            magic, width, height, channels, pixels = _decode_pixels(payload)
+            rows.append(
+                (
+                    int(doc_id),
+                    magic,
+                    width,
+                    height,
+                    channels,
+                    len(payload),
+                    round(sum(pixels) / len(pixels), 4),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
+        )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_mean", DoubleType()),
+    ]
+)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Every FRAME_SAMPLE_EVERY-th frame of each VID1 payload, exploded."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            n_frames = int.from_bytes(payload[4:8], "big")
+            frame_size = int.from_bytes(payload[8:12], "big")
+            body = payload[12:]
+            for i in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                frame = body[i * frame_size : (i + 1) * frame_size]
+                rows.append(
+                    (
+                        int(doc_id),
+                        n_frames,
+                        i,
+                        frame,
+                        round(sum(frame) / len(frame), 4),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stub feature extraction over the binary image column."""
+    return images_table(spark, sf_dir).mapInPandas(
+        _image_meta_batches, IMAGE_META_SCHEMA
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over the binary video column (1-in-N)."""
+    return (
+        videos_table(spark, sf_dir)
+        .mapInPandas(_frame_sample_batches, FRAME_SCHEMA)
+        .select(
+            "doc_id",
+            "n_frames",
+            "frame_idx",
+            F.md5(F.col("frame_bytes")).alias("frame_md5"),
+            "frame_mean",
+        )
+    )
+
+
+QUERIES = {
+    "mm_image_meta": mm_image_meta,
+    "mm_frame_sample": mm_frame_sample,
+}
+
+# rows-only per SURVEY §2.C: the binary container format is synthetic, so
+# replaying byte-level decode in SQL would test DuckDB's string ops, not
+# the engine. Exact-value pytest coverage lives in tests/test_multimodal.py.
+ORACLES: dict[str, str] = {}

@@ -1,0 +1,229 @@
+"""Structured Streaming operators: tumbling-window rollup and stateful
+gap sessionization.
+
+Both read the events table through the parquet *file-stream* source
+(``spark.readStream``) — the same code path a production deployment
+points at an arriving-files directory or Kafka — and both are exposed
+to the driver as batch-shaped entries: the query runs with
+``trigger(availableNow=True)`` into a memory sink, terminates, and the
+materialized sink table is returned. With a single availableNow pass
+the results equal the batch twins (``q_tumbling_window`` /
+``q_sessionize``), so BOTH entries are fully DuckDB-oracle-checked —
+stronger than the rows-only contract SURVEY §2.D promised.
+
+Scale notes:
+- The tumbling agg is a streaming state-store aggregation keyed on
+  (window, event_type): partial aggregation map-side, one shuffle on
+  the composite key, state partitioned by ``shuffle.partitions``. The
+  production variant adds ``withWatermark`` + append mode so state is
+  bounded; complete mode is used here because the memory sink must
+  materialize every window for the finite replay.
+- Sessionization is ``applyInPandasWithState`` keyed on user_id:
+  per-user state is one open session tuple (4 longs), independent of
+  history length — the same bound that lets a 1000-executor cluster
+  hold hundreds of millions of live sessions. Events arrive
+  Arrow-batched per (user, microbatch); closed sessions emit as soon
+  as the gap that closes them is seen (update mode).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    DoubleType,
+)
+
+from etl_city_directories_spark.functions.numeric import dec2
+
+SESSION_GAP_MIN = 30  # must match operators.windows.SESSION_GAP_MIN
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+# physical schema of events.parquet: ts is INT64 TIMESTAMP(NANOS),
+# surfaced as raw long (see session.py nanosAsLong) and converted here.
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events parquet (ts nanos → micros)."""
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly tumbling rollup (twin of q_tumbling_window)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    _run_to_table(agg, "stream_tumbling_agg_sink", "complete")
+    return spark.table("stream_tumbling_agg_sink")
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# open-session state: (session_seq, session_start_us, last_ts_us, n_events)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("session_seq", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this user's micro-batch into gap sessions.
+
+    Emits every session whose membership changed this batch: sessions
+    closed by a > gap step emit their final form; the still-open
+    session emits its current snapshot (update-mode semantics). State
+    carries only the open session across batches.
+    """
+    (user_id,) = key
+    ts_list: list[int] = []
+    for pdf in batches:
+        ts_list.extend(int(t) for t in pdf["ts_us"])
+    ts_list.sort()
+
+    if state.exists:
+        seq, start, last, n = state.get
+    else:
+        seq, start, last, n = 0, None, None, 0
+
+    out: list[tuple[int, int, int, int, int]] = []
+    for t in ts_list:
+        if last is None or t - last > _GAP_US:
+            if start is not None:
+                out.append((user_id, seq, start, last, n))
+            seq, start, n = seq + 1, t, 1
+        else:
+            n += 1
+        last = t
+    if start is not None:
+        out.append((user_id, seq, start, last, n))  # open-session snapshot
+        state.update((seq, start, last, n))
+
+    yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming gap sessionization (twin of q_sessionize)."""
+    events = events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        SESSION_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    _run_to_table(sessions, "stream_sessionize_sink", "update")
+    return spark.table("stream_sessionize_sink")
+
+
+QUERIES = {
+    "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_sessionize": stream_sessionize,
+}
+
+ORACLES = {
+    # identical to the batch twins: one availableNow pass over a finite
+    # source reproduces the batch answer exactly.
+    "stream_tumbling_agg": """
+        SELECT
+          epoch_us(date_trunc('hour', ts)) AS bucket_start_us,
+          event_type,
+          COUNT(*) AS n_events,
+          SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "stream_sessionize": f"""
+        WITH flagged AS (
+          SELECT
+            user_id, ts,
+            CASE
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_US} THEN 1
+              WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+              ELSE 0
+            END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+          SELECT
+            user_id, ts,
+            SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+          FROM flagged
+        )
+        SELECT
+          user_id,
+          session_seq::BIGINT AS session_seq,
+          epoch_us(MIN(ts)) AS session_start_us,
+          epoch_us(MAX(ts)) AS session_end_us,
+          COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+}
