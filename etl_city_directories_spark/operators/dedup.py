@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_city_directories_spark.sources.tables import load_table
+from etl_city_directories_spark.sources.tables import load_table, load_table_parallel
 
 NUM_HASHES = 8
 NUM_BANDS = 4  # rows-per-band = 2
@@ -75,7 +75,7 @@ SHINGLE_CTE = """
 
 
 def _shingled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     norm = norm_col()
     return docs.select(
         "doc_id", "lang", "source", norm.alias("norm"), shingles_col(norm).alias("shingles")
@@ -116,8 +116,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH near-dup candidates, verified with exact jaccard."""
-    sh = _shingled_df(spark, sf_dir)
+    """Banded-LSH near-dup candidates, verified with exact jaccard.
+
+    The shingle stage is persisted before the band self-join: the plan
+    references it four times (both band sides + both verify sides), and
+    a self-join does not reuse the exchange, so an unpersisted plan
+    would re-shingle the corpus 4×. This is the staged-materialization
+    every production LSH pipeline does (MLlib's MinHashLSH caches its
+    transformed dataset the same way); at 100 TB the persist becomes a
+    signature table written once and joined twice.
+    """
+    sh = _shingled_df(spark, sf_dir).persist()
     sigs = sh.select(
         "doc_id",
         "shingles",
@@ -140,7 +149,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_key"),
-    )
+    ).persist()  # both self-join sides read it; avoids 2× signature pass
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -164,7 +173,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram jaccard over (lang, source)-blocked pairs."""
-    sh = _shingled_df(spark, sf_dir)
+    sh = _shingled_df(spark, sf_dir).persist()  # both join sides read it
     a = sh.select(
         "lang", "source", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -192,7 +201,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(pairs)); the label acts as the blocking key. Dot products are
     sequential left folds so Spark and DuckDB round identically.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -200,7 +209,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn(
         "nrm",
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x),
-    )
+    ).persist()  # both pair-join sides read it
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -235,24 +244,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType
 
     def _simhash64(texts):
-        out = []
-        for t in texts:
+        """Vectorized sign-aggregation: the per-word md5 stays Python
+        (hashlib is C anyway) but the 64-bit unpack + ±1 fold runs as
+        one numpy matrix op per doc instead of a 64×words loop."""
+        bitpos = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for k, t in enumerate(texts):
             words = (t or "").lower().split()
-            acc = [0] * 64
-            for w in words:
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                for i in range(64):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            fp = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    fp |= 1 << i
-            # store as signed 64-bit
-            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            if not words:
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                    for w in words
+                ),
+                dtype=np.uint64,
+                count=len(words),
+            )
+            ones = ((h[:, None] >> bitpos) & np.uint64(1)).sum(axis=0)
+            fp = int((np.uint64(1) << bitpos[2 * ones > len(words)]).sum())
+            out[k] = fp - (1 << 64) if fp >= (1 << 63) else fp
         return pd.Series(out)
 
     # `from __future__ import annotations` stringifies hints, which
@@ -260,8 +276,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _simhash64.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     simhash64 = F.pandas_udf(_simhash64, LongType())
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", simhash64(norm_col()).alias("fp")
+    # persisted: the chunk self-join reads the UDF output twice
+    docs = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", simhash64(norm_col()).alias("fp"))
+        .persist()
     )
     chunks = docs.select(
         "doc_id",

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from etl_city_directories_spark.sources.tables import load_table
+from etl_city_directories_spark.sources.tables import load_table_parallel
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
@@ -95,13 +95,13 @@ def _video_payload() -> Column:
 
 def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload binary) pseudo-image table."""
-    return load_table(spark, sf_dir, "documents").select(
+    return load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", _image_payload().alias("payload")
     )
 
 
 def videos_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select(
+    return load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", _video_payload().alias("payload")
     )
 

@@ -20,21 +20,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_city_directories_spark.sources.tables import load_table
+from etl_city_directories_spark.sources.tables import load_table, load_table_parallel
 
 N_PROBES = 10
 TOP_K = 5
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # persisted: probe and corpus sides of the ANN joins share this
     return e.withColumn(
         "nrm", F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    ).persist()
 
 
 def _cos(va: Column, vb: Column, na: Column, nb: Column) -> Column:
@@ -69,7 +70,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("pn"),
     )
     pairs = (
-        load_table(spark, sf_dir, "embeddings")
+        load_table_parallel(spark, sf_dir, "embeddings")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.transform("embedding", lambda x: x.cast("double")).alias("cv"),

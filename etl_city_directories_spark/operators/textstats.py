@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.operators.dedup import norm_col, shingles_col
-from etl_city_directories_spark.sources.tables import load_table
+from etl_city_directories_spark.sources.tables import load_table_parallel
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to"),
@@ -37,7 +37,7 @@ def _hits(words: Column, lang: str) -> Column:
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID with deterministic argmax tie order."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     norm = norm_col()
     w = _words(norm)
     cols = {lang: _hits(w, lang) for lang in LANG_ORDER}
@@ -55,7 +55,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: length, punctuation ratio, stopword ratio."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     norm = norm_col()
     w = _words(norm)
     n_chars = F.length(norm)
@@ -84,7 +84,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens (letters / digits /
     single non-alnum), per document and corpus-level ratio."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     norm = norm_col()
     ws = F.size(_words(norm)).cast("bigint")
     bpe = F.size(F.regexp_extract_all(norm, F.lit(_BPE_RE), 0)).cast("bigint")
@@ -100,7 +100,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-gram min-hash document fingerprint (min md5 over 3-gram
     shingles) — the rolling-hash fingerprint of SURVEY §2.C in its
     cross-engine-deterministic form."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     norm = norm_col()
     fp = F.array_min(F.transform(shingles_col(norm), lambda s: F.md5(s)))
     return docs.select(

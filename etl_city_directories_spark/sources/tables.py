@@ -40,6 +40,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table, widening to full-core parallelism when the scan is
+    narrower than the cluster.
+
+    Small single-file tables arrive as one parquet row group = one scan
+    partition, which would serialize CPU-heavy per-row work (shingling,
+    minhashing, UDF decode) onto one core. At 100 TB the scan has
+    thousands of splits and this is a no-op; the guard only pays the
+    (tiny) round-robin shuffle when the input is narrower than the
+    executor pool.
+    """
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    key = (sf_dir, name, target)
+    if key not in _NARROW_SCAN:
+        # .rdd plan conversion is driver-side work; decide once per table
+        _NARROW_SCAN[key] = df.rdd.getNumPartitions() < target
+    if _NARROW_SCAN[key]:
+        df = df.repartition(target)
+    return df
+
+
+_NARROW_SCAN: dict[tuple[str, str, int], bool] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -1,0 +1,93 @@
+"""Plan-shape assertions (SURVEY §5): the physical plans Catalyst picks
+must be the plans we'd want on a 1000-executor cluster.
+
+These tests never execute a job — they inspect ``explain("formatted")``
+output — so regressions in pushdown/pruning/broadcast/codegen are
+caught even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = entry_mod.queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    """Tight-range filter must reach the parquet scan as PushedFilters."""
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan" in pushed or "GreaterThanOrEqual" in pushed, pushed
+
+
+def test_scan_prunes_columns(spark):
+    """A 2-column text op must not read the other document columns."""
+    plan = plan_of(QUERIES["text_token_count"](spark, SF))
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read, f"{unused} not pruned: {read}"
+
+
+def test_q5_broadcasts_dimensions(spark):
+    """6-way join: small dims (region/nation/supplier) broadcast, never
+    shuffle the fact table on a dim key."""
+    plan = plan_of(QUERIES["q5_local_supplier"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_ann_broadcasts_probe_side(spark):
+    plan = plan_of(QUERIES["ann_topk_bruteforce"](spark, SF))
+    assert "Broadcast" in plan
+
+
+def test_jvm_operators_have_no_python_eval(spark):
+    """Everything JVM-expressible must stay out of Python workers.
+    (Only dedup_simhash, mm_*, and streaming legitimately use Python.)"""
+    for name in (
+        "q1_pricing_summary",
+        "q_sessionize",
+        "q_asof_join",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_embedding",
+        "text_lang_id",
+        "text_fingerprint",
+        "cd_parse_entries",
+        "cd_geocode",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name} plan contains {marker}"
+
+
+def test_q1_uses_wholestage_codegen(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = plan_of(df)
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert "[codegen id :" in plan
+    # scan→filter→project→partial-agg must share one codegen span
+    assert "Filter [codegen id : 1]" in plan
+    assert "HashAggregate [codegen id : 1]" in plan
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    """hash-groupBy dedup must partial-aggregate map-side (two
+    HashAggregate levels around one exchange)."""
+    plan = plan_of(QUERIES["dedup_exact"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") >= 1
