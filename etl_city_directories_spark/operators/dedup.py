@@ -318,12 +318,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the verified
+    LSH near-dup pairs (cluster id = min doc_id in the component).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — a distributed
+    groupBy-min per round, converging in graph-diameter rounds (dup
+    clusters are shallow, so 2-4 rounds in practice). The driver loop
+    only orchestrates; all data movement is shuffles on node id.
+    ``localCheckpoint`` truncates lineage each round so the plan stays
+    O(1) deep. At extreme scale the round count drops further with the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce"), which this structure extends to.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while prev_sum is not None:
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:  # labels only ever decrease: fixpoint
+            break
+        prev_sum = new_sum
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
     "dedup_simhash": dedup_simhash,
+    "dedup_lsh_clusters": dedup_lsh_clusters,
 }
 
 _SIG_COLS = ",\n      ".join(
@@ -375,6 +441,51 @@ ORACLES = {
         FROM shingled a JOIN shingled b
           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         WHERE {_JACCARD_SQL.format(a="a.shingles", b="b.shingles")} >= {NGRAM_REPORT_THRESHOLD}
+    """,
+    "dedup_lsh_clusters": f"""
+        WITH RECURSIVE {SHINGLE_CTE},
+        sigs AS (
+          SELECT doc_id, shingles, {_SIG_COLS}
+          FROM shingled
+        ),
+        bands AS (
+{_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN shingled sa ON sa.doc_id = doc_a
+          JOIN shingled sb ON sb.doc_id = doc_b
+          WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")}
+                >= {LSH_VERIFY_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        full_reach AS (
+          SELECT s, d FROM reach
+          UNION
+          SELECT DISTINCT s, s FROM edges
+        ),
+        comp AS (
+          SELECT s AS doc_id, MIN(d) AS cluster_id FROM full_reach GROUP BY s
+        )
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
     """,
     "dedup_embedding": f"""
         WITH vecs AS (

@@ -166,6 +166,43 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape: each customer's max-value
+    order(s). Spark-first decorrelation: the per-customer MAX is a
+    window over the same shuffle the output needs — one pass, no
+    re-join of orders against an aggregated copy of itself."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("max_price", F.max(dec2("o_totalprice")).over(w))
+        .filter(dec2("o_totalprice") == F.col("max_price"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("max_price").cast("double").alias("max_price"),
+        )
+    )
+
+
+def q_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery shape: orders with at least one returned line,
+    counted per priority. The EXISTS compiles to a left-semi hash join
+    on orderkey — probe side never duplicates rows, so the aggregate
+    input stays |orders|-bounded at any lineitem fan-out."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -173,6 +210,8 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q_top_customers": q_top_customers,
     "q_distinct_users": q_distinct_users,
+    "q_corr_max_order": q_corr_max_order,
+    "q_exists_agg": q_exists_agg,
 }
 
 ORACLES = {
@@ -252,5 +291,26 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_corr_max_order": """
+        SELECT
+          o_custkey,
+          o_orderkey,
+          (SELECT MAX(o2.o_totalprice::DECIMAL(18,2)) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)::DOUBLE AS max_price
+        FROM orders o
+        WHERE o_totalprice::DECIMAL(18,2) =
+          (SELECT MAX(o2.o_totalprice::DECIMAL(18,2)) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "q_exists_agg": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
 }

@@ -110,11 +110,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PER_STRATUM = 5
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: K docs per (lang, source)
+    stratum, ranked by md5(doc_id). Hash-ranked sampling is the
+    scalable form — rerun-stable, no RNG state, no driver coordination;
+    one shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    skey = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(skey.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .select(
+            "lang",
+            "source",
+            "doc_id",
+            F.col("rn").cast("bigint").alias("sample_rank"),
+        )
+    )
+
+
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics: doc counts, token totals,
+    length moments — the rollup a pipeline operator dashboards. Pure
+    map-side expressions then one partial-aggregated shuffle."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    n_words = F.size(_words(norm)).cast("bigint")
+    n_chars = F.length(norm).cast("bigint")
+    return (
+        docs.select("lang", "source", n_words.alias("nw"), n_chars.alias("nc"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("total_tokens"),
+            F.round(F.sum("nw").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+            F.max("nc").alias("max_chars"),
+            F.min("nc").alias("min_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "sample_stratified": sample_stratified,
+    "text_corpus_stats": text_corpus_stats,
 }
 
 _NORM = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
@@ -199,5 +250,32 @@ ORACLES = {
                list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
                substr(list_min(list_transform(shingles, s -> md5(s))), 1, 4) AS fp_bucket
         FROM shingled
+    """,
+    "sample_stratified": f"""
+        SELECT lang, source, doc_id, sample_rank FROM (
+          SELECT lang, source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+                 ) AS sample_rank
+          FROM documents
+        ) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+    """,
+    "text_corpus_stats": f"""
+        WITH t AS (
+          SELECT lang, source,
+                 len({_W})::BIGINT AS nw,
+                 length({_NORM})::BIGINT AS nc
+          FROM documents
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(nw)::BIGINT AS total_tokens,
+               ROUND(SUM(nw)::DOUBLE / COUNT(*), 4) AS avg_tokens,
+               MAX(nc) AS max_chars,
+               MIN(nc) AS min_chars
+        FROM t
+        GROUP BY lang, source
+        ORDER BY lang, source
     """,
 }
