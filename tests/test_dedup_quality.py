@@ -1,0 +1,79 @@
+"""Dedup quality guarantees (SURVEY §5): the LSH approximation must
+actually find near-duplicates, not just run.
+
+Recall check: every pair the exact all-pairs jaccard scorer finds at
+high similarity must be surfaced by the banded-LSH candidate pipeline.
+With 8 minhashes in 4 bands of 2, P[candidate] = 1-(1-j²)⁴ (≈ 0.99 at
+j=0.8, ≈ 0.94 at j=0.6), so high-sim pairs missing from LSH output
+indicate a broken banding/signature, not statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.operators import dedup
+
+SF = "/root/testdata/sf0.01"
+HIGH_SIM = 0.8
+
+
+def _exact_pairs(spark, threshold: float) -> set[tuple[int, int]]:
+    """Brute-force all-pairs exact jaccard (test-only oracle)."""
+    sh = dedup._shingled_df(spark, SF).select("doc_id", "shingles").persist()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    rows = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dedup._jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .collect()
+    )
+    sh.unpersist()
+    return {(r.doc_a, r.doc_b) for r in rows}
+
+
+def test_lsh_finds_all_high_similarity_pairs(spark):
+    truth = _exact_pairs(spark, HIGH_SIM)
+    assert truth, "corpus should contain high-similarity pairs"
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF).collect()
+    }
+    missed = truth - lsh
+    recall = 1 - len(missed) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f}; missed {sorted(missed)[:5]}"
+
+
+def test_lsh_verification_removes_false_positives(spark):
+    """Everything LSH reports must genuinely clear the jaccard
+    threshold (the verify stage, not the banding, owns precision)."""
+    reported = dedup.dedup_minhash_lsh(spark, SF).collect()
+    assert reported
+    truth = _exact_pairs(spark, dedup.LSH_VERIFY_THRESHOLD)
+    for r in reported:
+        assert (r.doc_a, r.doc_b) in truth
+
+
+def test_clusters_are_consistent_with_pairs(spark):
+    """Every verified pair lands in one cluster; cluster id is the
+    component minimum; sizes agree with membership."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_minhash_lsh(spark, SF).collect()
+    ]
+    clusters = dedup.dedup_lsh_clusters(spark, SF).collect()
+    label = {r.doc_id: r.cluster_id for r in clusters}
+    size = {r.doc_id: r.cluster_size for r in clusters}
+    for a, b in pairs:
+        assert label[a] == label[b], f"pair ({a},{b}) split across clusters"
+    by_cluster: dict[int, set[int]] = {}
+    for doc, cl in label.items():
+        by_cluster.setdefault(cl, set()).add(doc)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
+        assert all(size[d] == len(members) for d in members)
