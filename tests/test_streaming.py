@@ -1,0 +1,122 @@
+"""Structured Streaming behavior beyond the single-batch driver check:
+state must carry across microbatches.
+
+The events table is split into time-ordered chunks written as separate
+files; ``maxFilesPerTrigger=1`` forces one microbatch per chunk, so
+sessions spanning a chunk boundary exercise the GroupState persistence
+path in ``_sessionize_group`` (open session resumed, extended, and
+re-emitted). Update-mode snapshots accumulate in the memory sink; the
+LATEST snapshot per (user, session) must equal the batch sessionizer.
+
+In-order arrival per user is a documented precondition (the time-based
+chunk split provides it, as an event-time-partitioned replay would at
+scale); out-of-order handling belongs to a watermarking layer, not the
+session operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.operators.windows import q_sessionize
+from etl_city_directories_spark.streaming.stream_ops import (
+    SESSION_SCHEMA,
+    _GAP_US,
+    _sessionize_group,
+)
+
+SF = "/root/testdata/sf0.001"
+N_CHUNKS = 3
+
+
+def _chunked_events_dir(spark) -> str:
+    """Split events into N_CHUNKS time-ordered parquet files."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_stream_chunks")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    from etl_city_directories_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .withColumn("chunk", F.ntile(N_CHUNKS).over(Window.orderBy("ts_us")))
+    )
+    pdf = ev.toPandas()
+    for i in range(1, N_CHUNKS + 1):
+        chunk = pdf[pdf["chunk"] == i][["user_id", "ts_us"]]
+        chunk_path = os.path.join(out, f"chunk_{i}.parquet")
+        chunk.to_parquet(chunk_path, index=False)
+        # file source processes by modification time: pin the order
+        os.utime(chunk_path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return out
+
+
+def test_sessionize_state_survives_microbatches(spark):
+    src_dir = _chunked_events_dir(spark)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state_schema = StructType(
+        [
+            StructField("session_seq", LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("last_ts_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        SESSION_SCHEMA,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("stream_multibatch_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    assert progress is not None and progress["batchId"] >= N_CHUNKS - 1, (
+        "expected one microbatch per chunk"
+    )
+
+    # latest snapshot per (user, session_seq): max n_events wins
+    snap = spark.table("stream_multibatch_sink").toPandas()
+    latest = (
+        snap.sort_values("n_events")
+        .groupby(["user_id", "session_seq"], as_index=False)
+        .last()
+    )
+    batch = q_sessionize(spark, SF).toPandas()
+    lt = {
+        (r.user_id, r.session_seq): (r.session_start_us, r.session_end_us, r.n_events)
+        for r in latest.itertuples(index=False)
+    }
+    bt = {
+        (r.user_id, r.session_seq): (r.session_start_us, r.session_end_us, r.n_events)
+        for r in batch.itertuples(index=False)
+    }
+    assert lt == bt
+
+
+def test_gap_constant_matches_batch_twin():
+    from etl_city_directories_spark.operators.windows import SESSION_GAP_MIN
+
+    assert _GAP_US == SESSION_GAP_MIN * 60 * 1_000_000
