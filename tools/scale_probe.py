@@ -1,0 +1,97 @@
+"""Scale probe: does each approximate operator's cost grow ~linearly?
+
+Builds a K× corpus in /tmp by replicating sf0.1 documents/embeddings
+with offset ids and per-copy text perturbation (copies of a doc are NOT
+near-dups of each other, so the true-pair count grows linearly — any
+super-linear runtime is algorithmic, not semantic). Runs the pair-
+generating operators at 1× and K× and prints the runtime ratio; a
+healthy LSH/blocked operator lands near K, an accidental all-pairs
+operator lands near K².
+
+Usage: python tools/scale_probe.py [K]   (default 10)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+BASE = "/root/testdata/sf0.1"
+PROBE_DIR = "/tmp/spark_graft_scale_probe"
+
+OPS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_lsh_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_ivf_bucketed",
+    "text_fingerprint",
+    "sample_stratified",
+]
+
+
+def build_corpus(k: int) -> str:
+    out = os.path.join(PROBE_DIR, f"x{k}")
+    if os.path.exists(out):
+        return out
+    os.makedirs(out)
+    con = duckdb.connect()
+    copies = " UNION ALL ".join(
+        f"""SELECT doc_id + {i * 1_000_000} AS doc_id,
+                   text || ' probecopy{i}' AS text,
+                   lang, source, n_chars
+            FROM read_parquet('{BASE}/documents.parquet')"""
+        for i in range(k)
+    )
+    con.execute(f"COPY ({copies}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    vcopies = " UNION ALL ".join(
+        f"""SELECT vec_id + {i * 1_000_000} AS vec_id, embedding, label
+            FROM read_parquet('{BASE}/embeddings.parquet')"""
+        for i in range(k)
+    )
+    con.execute(f"COPY ({vcopies}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    big = build_corpus(k)
+
+    import __spark_entry__ as m
+    from etl_city_directories_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = m.queries()
+    spark.read.parquet(f"{BASE}/documents.parquet").count()  # warm
+
+    print(f"{'operator':24} {'1x sec':>8} {f'{k}x sec':>8} {'ratio':>6}  verdict")
+    for name in OPS:
+        times = {}
+        for label, sf_dir in (("base", BASE), ("big", big)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            times[label] = time.perf_counter() - t0
+        ratio = times["big"] / times["base"]
+        verdict = "LINEAR-ish" if ratio <= 2.5 * k else "SUPER-LINEAR ⚠"
+        print(
+            f"{name:24} {times['base']:8.2f} {times['big']:8.2f} "
+            f"{ratio:6.1f}  {verdict}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
