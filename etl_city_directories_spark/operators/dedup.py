@@ -236,50 +236,42 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit simhash near-dup pairs (rows-only; no SQL oracle).
 
-    Fingerprint: per-word md5-derived 64-bit hash, sign-aggregated per
-    bit. Candidate generation splits the fingerprint into four 16-bit
-    chunks — near-dups within Hamming distance 16/4 share ≥1 chunk —
-    then verifies with xor + bit_count. Chunk buckets are the shuffle
-    key, so this scales like LSH, not like all-pairs.
+    Fingerprint: per-word 64-bit hash (JVM ``xxhash64`` inside a
+    ``transform``, so the hot hashing never leaves codegen),
+    sign-aggregated per bit in a numpy pandas UDF (one matrix op per
+    doc — Python only does the genuinely bit-twiddly fold). Candidate
+    generation splits the fingerprint into four 16-bit chunks —
+    near-dups within Hamming distance 16/4 share ≥1 chunk — then
+    verifies with xor + bit_count. Chunk buckets are the shuffle key,
+    so this scales like LSH, not like all-pairs.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType
 
-    def _simhash64(texts):
-        """Vectorized sign-aggregation: the per-word md5 stays Python
-        (hashlib is C anyway) but the 64-bit unpack + ±1 fold runs as
-        one numpy matrix op per doc instead of a 64×words loop."""
+    def _simhash_fold(word_hashes):
+        """±1-fold the per-word 64-bit hashes into one fingerprint."""
         bitpos = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(texts), dtype=np.int64)
-        for k, t in enumerate(texts):
-            words = (t or "").lower().split()
-            if not words:
+        out = np.zeros(len(word_hashes), dtype=np.int64)
+        for k, hs in enumerate(word_hashes):
+            if hs is None or len(hs) == 0:
                 continue
-            h = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                    for w in words
-                ),
-                dtype=np.uint64,
-                count=len(words),
-            )
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
             ones = ((h[:, None] >> bitpos) & np.uint64(1)).sum(axis=0)
-            fp = int((np.uint64(1) << bitpos[2 * ones > len(words)]).sum())
+            fp = int((np.uint64(1) << bitpos[2 * ones > len(hs)]).sum())
             out[k] = fp - (1 << 64) if fp >= (1 << 63) else fp
         return pd.Series(out)
 
     # `from __future__ import annotations` stringifies hints, which
     # pandas_udf can't resolve — attach real annotation objects instead.
-    _simhash64.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    simhash64 = F.pandas_udf(_simhash64, LongType())
+    _simhash_fold.__annotations__ = {"word_hashes": pd.Series, "return": pd.Series}
+    simhash_fold = F.pandas_udf(_simhash_fold, LongType())
 
+    word_hashes = F.transform(F.split(norm_col(), " "), lambda w: F.xxhash64(w))
     # persisted: the chunk self-join reads the UDF output twice
     docs = (
         load_table_parallel(spark, sf_dir, "documents")
-        .select("doc_id", simhash64(norm_col()).alias("fp"))
+        .select("doc_id", simhash_fold(word_hashes).alias("fp"))
         .persist()
     )
     chunks = docs.select(
