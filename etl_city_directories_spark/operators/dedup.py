@@ -310,6 +310,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as a corpus FILTER: the surviving documents (lowest doc_id
+    per exact-hash set) — what a training pipeline actually feeds
+    downstream. One shuffle on the hash; row_number instead of
+    groupBy+rejoin so the corpus passes through once."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", F.md5(norm_col()).alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "text_hash")
+    )
+
+
 def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified
     LSH near-dup pairs (cluster id = min doc_id in the component).
@@ -381,6 +398,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
     "dedup_simhash": dedup_simhash,
+    "dedup_keep_first": dedup_keep_first,
     "dedup_lsh_clusters": dedup_lsh_clusters,
 }
 
@@ -433,6 +451,17 @@ ORACLES = {
         FROM shingled a JOIN shingled b
           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
         WHERE {_JACCARD_SQL.format(a="a.shingles", b="b.shingles")} >= {NGRAM_REPORT_THRESHOLD}
+    """,
+    "dedup_keep_first": """
+        SELECT doc_id, lang, source, text_hash FROM (
+          SELECT doc_id, lang, source,
+                 md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                   ORDER BY doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn = 1
     """,
     "dedup_lsh_clusters": f"""
         WITH RECURSIVE {SHINGLE_CTE},

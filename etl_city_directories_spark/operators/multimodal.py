@@ -18,6 +18,8 @@ Synthetic formats (all byte offsets big-endian):
   width*height pixel bytes.
 - VID1: magic ``VID1`` (4B) | n_frames u32 | frame_size u32 |
   n_frames × frame_size frame bytes.
+- AUD1: magic ``AUD1`` (4B) | sample_rate u32 | n_samples u32 |
+  n_samples 8-bit PCM bytes.
 
 Payloads are synthesized JVM-side from ``documents`` (md5-derived pixel
 bytes keyed on text, dimensions keyed on doc_id) so every stage before
@@ -93,6 +95,17 @@ def _video_payload() -> Column:
     return F.unhex(F.concat(header, _pixel_hex(n_frames * frame_size)))
 
 
+def _audio_payload() -> Column:
+    sample_rate = F.lit(8000)
+    n_samples = (F.col("doc_id") % 64 + 64).cast("int")
+    header = F.concat(
+        F.lit("41554431"),  # "AUD1"
+        _hex_u32(sample_rate),
+        _hex_u32(n_samples),
+    )
+    return F.unhex(F.concat(header, _pixel_hex(n_samples)))
+
+
 def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload binary) pseudo-image table."""
     return load_table_parallel(spark, sf_dir, "documents").select(
@@ -103,6 +116,12 @@ def images_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def videos_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table_parallel(spark, sf_dir, "documents").select(
         "doc_id", _video_payload().alias("payload")
+    )
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", _audio_payload().alias("payload")
     )
 
 
@@ -190,6 +209,40 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
 
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("mean_amp", DoubleType()),
+    ]
+)
+
+
+def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """AUD1 header parse + amplitude stub (real impl: soundfile/librosa)."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            sample_rate = int.from_bytes(payload[4:8], "big")
+            n_samples = int.from_bytes(payload[8:12], "big")
+            pcm = payload[12:]
+            rows.append(
+                (
+                    int(doc_id),
+                    payload[:4].decode("ascii"),
+                    sample_rate,
+                    n_samples,
+                    round(n_samples * 1000.0 / sample_rate, 4),
+                    round(sum(abs(s - 128) for s in pcm) / len(pcm), 4),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------
@@ -216,9 +269,17 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-stub metadata extraction over the binary audio column."""
+    return audio_table(spark, sf_dir).mapInPandas(
+        _audio_meta_batches, AUDIO_META_SCHEMA
+    )
+
+
 QUERIES = {
     "mm_image_meta": mm_image_meta,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_meta": mm_audio_meta,
 }
 
 # rows-only per SURVEY §2.C: the binary container format is synthetic, so

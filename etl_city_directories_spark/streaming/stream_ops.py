@@ -179,9 +179,44 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_sessionize_sink")
 
 
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the set of distinct normalized-text
+    hashes, maintained as dropDuplicates state while documents arrive.
+
+    The state store is keyed on the hash (one entry per distinct doc —
+    the minimum any exact dedup must remember); a production deployment
+    bounds it with ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    when near-in-time duplicates are the target.
+    """
+    docs = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hashes = docs.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+        ).alias("text_hash")
+    ).dropDuplicates(["text_hash"])
+    _run_to_table(hashes, "stream_dedup_exact_sink", "append")
+    return spark.table("stream_dedup_exact_sink")
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sessionize": stream_sessionize,
+    "stream_dedup_exact": stream_dedup_exact,
 }
 
 ORACLES = {
@@ -225,5 +260,10 @@ ORACLES = {
           COUNT(*) AS n_events
         FROM sessions
         GROUP BY user_id, session_seq
+    """,
+    "stream_dedup_exact": """
+        SELECT DISTINCT
+          md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash
+        FROM documents
     """,
 }

@@ -63,6 +63,27 @@ def test_image_meta_matches_python_decode(spark):
         assert m.mean_pixel == round(sum(pixels) / len(pixels), 4)
 
 
+def test_audio_meta_matches_python_decode(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 4)
+        .collect()
+    }
+    metas = {
+        r.doc_id: r
+        for r in mm.mm_audio_meta(spark, SF).filter(F.col("doc_id") < 4).collect()
+    }
+    assert set(metas) == set(docs)
+    for doc_id, text in docs.items():
+        m = metas[doc_id]
+        n_samples = doc_id % 64 + 64
+        assert (m.format, m.sample_rate, m.n_samples) == ("AUD1", 8000, n_samples)
+        assert m.duration_ms == round(n_samples * 1000.0 / 8000, 4)
+        pcm = _expected_pixels(text, n_samples)
+        assert m.mean_amp == round(sum(abs(s - 128) for s in pcm) / len(pcm), 4)
+
+
 def test_frame_sample_stride_and_hashes(spark):
     docs = {
         r.doc_id: r.text
