@@ -1,0 +1,80 @@
+"""Plan audit: physical-plan shape summary for every query.
+
+Prints, per query: join strategies, exchange/sort counts, Python eval
+nodes, and flags the patterns that would hurt at 100 TB (cartesian
+product, broadcast-NLJ on a non-probe-capped side, Python eval in an
+operator that doesn't declare it). Streaming entries are skipped (the
+plan exists only while the query runs).
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as m
+from etl_city_directories_spark.session import get_spark
+
+# ops that legitimately run Python (pandas UDF / mapInPandas)
+PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta",
+             "hocr_parse"}
+# ops where a broadcast nested-loop join is the intended shape
+# (non-equi condition against a capped broadcast side)
+BNLJ_OK = {"ann_topk_bruteforce"}
+SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
+        "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
+
+MARKS = [
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+    "Exchange", "Sort ", "ArrowEvalPython", "BatchEvalPython",
+    "MapInPandas", "FlatMapGroupsInPandas",
+]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    flags_total = 0
+    for name, fn in sorted(m.queries().items()):
+        if name in SKIP:
+            continue
+        plan = plan_of(fn(spark, sf_dir))
+        counts = {mk.strip(): len(re.findall(re.escape(mk), plan)) for mk in MARKS}
+        counts = {k: v for k, v in counts.items() if v}
+        flags = []
+        if counts.get("CartesianProduct"):
+            flags.append("CARTESIAN")
+        if counts.get("BroadcastNestedLoopJoin") and name not in BNLJ_OK:
+            flags.append("BNLJ")
+        if (
+            any(counts.get(k) for k in
+                ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"))
+            and name not in PYTHON_OK
+        ):
+            flags.append("PYTHON")
+        flags_total += len(flags)
+        flag_str = (" ⚠ " + ",".join(flags)) if flags else ""
+        print(f"{name:24} {counts}{flag_str}")
+    print(f"\nflags: {flags_total}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
