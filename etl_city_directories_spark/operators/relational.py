@@ -203,8 +203,35 @@ def q_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-per-customer from returned items.
+
+    Filter on the fact side first (returnflag pushes to the lineitem
+    scan), broadcast customer+nation, one shuffle on custkey for the
+    aggregate, top-20 via TakeOrderedAndProject.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(revenue, "lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q10_returned_items": q10_returned_items,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -291,6 +318,19 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               SUM(l_extendedprice::DECIMAL(18,2)
+                   * (1.00 - l_discount::DECIMAL(18,2)))::DOUBLE AS lost_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey ASC
+        LIMIT 20
     """,
     "q_corr_max_order": """
         SELECT

@@ -126,10 +126,48 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → first click strictly after
+    signup → first purchase strictly after that click.
+
+    Each stage is a groupBy-min over a broadcast-joined anchor from the
+    previous stage — per-user state is one timestamp, shuffle keys stay
+    on user_id, and no window over the full event history is needed.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    click = (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(signup), "user_id")
+        .filter(F.col("ts_us") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(click), "user_id")
+        .filter(F.col("ts_us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
 QUERIES = {
     "q_tumbling_window": q_tumbling_window,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
+    "q_funnel": q_funnel,
 }
 
 ORACLES = {
@@ -166,5 +204,27 @@ ORACLES = {
           AND e.ts > s.ts
           AND e.ts <= s.ts + INTERVAL {RANGE_HOURS} HOURS
         GROUP BY s.event_id, s.user_id, s.ts
+    """,
+    "q_funnel": """
+        WITH s AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.signup_us
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+          GROUP BY e.user_id
+        )
+        SELECT
+          (SELECT COUNT(*) FROM s) AS n_signup,
+          (SELECT COUNT(*) FROM c) AS n_click_after,
+          (SELECT COUNT(*) FROM p) AS n_purchase_after
     """,
 }
