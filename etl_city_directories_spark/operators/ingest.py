@@ -56,6 +56,37 @@ def manifest_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_manifest(spark, os.path.join(FIXTURES, "manifest.html"))
 
 
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned read-back.
+
+    The 100 TB write path: ``repartition(partition_cols)`` before
+    ``partitionBy`` so each output partition is written by one task
+    (no small-files explosion — files per partition == 1 instead of
+    tasks × partitions), then a filtered read-back that Catalyst
+    prunes to the matching directories (PartitionFilters, verified in
+    tests/test_sources.py). Returns per-partition counts.
+    """
+    from etl_city_directories_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_partitioned_sink")
+    (
+        docs.repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write objects as NDJSON, read back, count per type — exercises the
     reference's output contract (objects/logs/relations files)."""
@@ -72,6 +103,15 @@ QUERIES = {
     "hocr_parse": hocr_parse,
     "manifest_parse": manifest_parse,
     "ndjson_sink": ndjson_sink,
+    "sink_partitioned": sink_partitioned,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    # the round-trip must preserve per-partition contents exactly
+    "sink_partitioned": """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+}

@@ -90,3 +90,33 @@ def test_ndjson_roundtrip(spark, tmp_path):
     part = next(p for p in os.listdir(path) if p.startswith("part-"))
     first = open(os.path.join(path, part)).readline().strip()
     assert first.startswith("{") and first.endswith("}")
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """Filtered read-back of the partitioned sink must scan only the
+    matching partition directories (PartitionFilters on lang)."""
+    import contextlib
+    import io
+    import tempfile
+
+    from etl_city_directories_spark.operators.ingest import sink_partitioned
+
+    sink_partitioned(spark, "/root/testdata/sf0.001")  # materialize
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_partitioned_sink")
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "lang" in pf[1].split("]", 1)[0]
+    # one file per partition: the pre-write repartition(lang) prevents
+    # the tasks-times-partitions small-file explosion
+    lang_dirs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert lang_dirs
+    for d in lang_dirs:
+        files = [
+            f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {files}"
