@@ -19,6 +19,7 @@ from etl_city_directories_spark.operators import (
     ingest,
     multimodal,
     relational,
+    relational_ext,
     shaping,
     similarity,
     temporal,
@@ -29,6 +30,7 @@ from etl_city_directories_spark.streaming import stream_ops
 
 _MODULES = [
     relational,
+    relational_ext,
     windows,
     temporal,
     shaping,

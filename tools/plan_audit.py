@@ -25,9 +25,11 @@ from etl_city_directories_spark.session import get_spark
 # ops that legitimately run Python (pandas UDF / mapInPandas)
 PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta",
              "hocr_parse"}
-# ops where a broadcast nested-loop join is the intended shape
-# (non-equi condition against a capped broadcast side)
-BNLJ_OK = {"ann_topk_bruteforce"}
+# ops where a broadcast nested-loop join is the intended shape:
+# non-equi condition against a capped broadcast side, or a 1-row
+# scalar-aggregate crossJoin (Spark's DataFrame idiom for a scalar
+# subquery — broadcasting one row is free at any scale)
+BNLJ_OK = {"ann_topk_bruteforce", "q22_idle_customers"}
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
 
