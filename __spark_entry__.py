@@ -20,6 +20,7 @@ from etl_city_directories_spark.operators import (
     multimodal,
     relational,
     relational_ext,
+    scale_ops,
     shaping,
     similarity,
     temporal,
@@ -31,6 +32,7 @@ from etl_city_directories_spark.streaming import stream_ops
 _MODULES = [
     relational,
     relational_ext,
+    scale_ops,
     windows,
     temporal,
     shaping,

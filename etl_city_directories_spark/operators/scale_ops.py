@@ -1,0 +1,232 @@
+"""Scale-pattern operators: the shapes that keep a 100 TB pipeline
+healthy — skew-salted aggregation, CUBE summaries, SCD-style upsert
+merge, sketch-based approximate distincts, and an explicit-schema CSV
+source roundtrip.
+
+Each is oracle-checked where exactly SQL-expressible; the HLL sketch
+is tolerance-checked against the exact answer in pytest instead
+(tests/test_scale_ops.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_city_directories_spark.functions.numeric import dec2, money_sum
+from etl_city_directories_spark.sources.tables import load_table
+
+N_SALTS = 16
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-salted aggregation: per-user event totals.
+
+    Phase 1 groups by (user_id, salt) where salt = hash(event_id) mod
+    16, so a hot user's rows spread over 16 reducers instead of one;
+    phase 2 folds the ≤16 partials per user. Decimal partials stay
+    exact, so the result is bit-identical to the unsalted plan the
+    oracle runs. At uniform skew this costs one extra tiny shuffle; at
+    pathological skew it caps any single reducer's input at 1/16 of
+    the hot key — the standard AQE-independent salting pattern.
+    """
+    events = load_table(spark, sf_dir, "events")
+    partial = (
+        events.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec2("value")).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (orderstatus, orderpriority) with grouping id
+    — all 2^2 grouping sets in one pass (partial-aggregated map-side,
+    one shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("grp_id"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(dec2("o_totalprice"), "total_price"),
+    )
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1-style MERGE: latest purchase value per user upserted into
+    the customer snapshot.
+
+    The change stream collapses to one row per key first (row_number
+    over ts DESC — one shuffle on the key, no growing state), then a
+    single full-outer join applies updates and inserts in one pass.
+    This is the batch-incremental pattern: at 100 TB the snapshot and
+    the collapsed delta shuffle once each on the same key, and AQE
+    handles the delta being ~1000× smaller.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        purchases.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            dec2("value").cast("double").alias("latest_value"),
+            F.unix_micros("ts").alias("updated_at_us"),
+        )
+    )
+    return (
+        customer.join(
+            latest, customer.c_custkey == latest.user_id, "full_outer"
+        )
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("custkey"),
+            "c_name",
+            dec2("c_acctbal").cast("double").alias("old_acctbal"),
+            F.coalesce(
+                "latest_value", dec2("c_acctbal").cast("double")
+            ).alias("new_balance"),
+            F.when(F.col("latest_value").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("was_updated"),
+            "updated_at_us",
+        )
+        .orderBy("custkey")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type (rsd
+    2%). At 100 TB this replaces the exact-distinct shuffle of every
+    user_id with fixed-size mergeable sketches — the only shuffle
+    payload is one ~kB sketch per group per partition. Tolerance-
+    checked against exact countDistinct in tests/test_scale_ops.py
+    (no SQL oracle: HLL estimates are engine-specific).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema CSV source: write documents as RFC-4180 CSV,
+    read back with a declared schema (no inference pass — at scale,
+    schema inference is a full extra scan), aggregate per lang.
+
+    quote-doubling escape + multiLine read makes embedded newlines /
+    quotes in `text` roundtrip losslessly; the oracle aggregates the
+    original parquet, so the check proves the CSV path is lossless.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv_roundtrip")
+    (
+        docs.write.mode("overwrite")
+        .options(header=True, escape='"', quoteAll=True)
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.options(header=True, escape='"', multiLine=True)
+        .schema(schema)
+        .csv(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES = {
+    "q_skew_salted_agg": q_skew_salted_agg,
+    "q_cube_status_priority": q_cube_status_priority,
+    "q_upsert_merge": q_upsert_merge,
+    "q_approx_distinct": q_approx_distinct,
+    "source_csv_roundtrip": source_csv_roundtrip,
+}
+
+ORACLES = {
+    # the salted two-phase plan must be bit-identical to the plain agg
+    "q_skew_salted_agg": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q_cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS grp_id,
+               COUNT(*) AS n_orders,
+               SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q_upsert_merge": """
+        WITH latest AS (
+          SELECT user_id,
+                 value::DECIMAL(18,2)::DOUBLE AS latest_value,
+                 epoch_us(ts) AS updated_at_us
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+          ) WHERE rn = 1
+        )
+        SELECT
+          COALESCE(c_custkey, user_id) AS custkey,
+          c_name,
+          c_acctbal::DECIMAL(18,2)::DOUBLE AS old_acctbal,
+          COALESCE(latest_value, c_acctbal::DECIMAL(18,2)::DOUBLE)
+            AS new_balance,
+          CASE WHEN latest_value IS NOT NULL THEN 1 ELSE 0 END::BIGINT
+            AS was_updated,
+          updated_at_us
+        FROM customer FULL OUTER JOIN latest ON c_custkey = user_id
+        ORDER BY custkey
+    """,
+    "source_csv_roundtrip": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS total_chars,
+               SUM(LENGTH(text))::BIGINT AS total_text_len
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+}
