@@ -213,10 +213,34 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_dedup_exact_sink")
 
 
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window counts: 1-hour windows every 30
+    minutes, so each event belongs to exactly two overlapping windows.
+
+    Same state-store aggregation as the tumbling variant, keyed on
+    (window, event_type) — the overlap factor multiplies state size by
+    duration/slide (2× here), which is the scale knob to watch: a
+    1h/30m slide doubles, a 1h/1m slide would 60× the state rows.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _run_to_table(agg, "stream_sliding_agg_sink", "complete")
+    return spark.table("stream_sliding_agg_sink")
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_exact": stream_dedup_exact,
+    "stream_sliding_agg": stream_sliding_agg,
 }
 
 ORACLES = {
@@ -265,5 +289,16 @@ ORACLES = {
         SELECT DISTINCT
           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash
         FROM documents
+    """,
+    # sliding 1h/30m: every event is in exactly the two windows whose
+    # starts are trunc30(ts) and trunc30(ts) - 30min
+    "stream_sliding_agg": """
+        SELECT
+          epoch_us(time_bucket(INTERVAL 30 MINUTES, ts)
+                   - k * INTERVAL 30 MINUTES) AS window_start_us,
+          event_type,
+          COUNT(*) AS n_events
+        FROM events CROSS JOIN (VALUES (0), (1)) offsets(k)
+        GROUP BY 1, 2
     """,
 }

@@ -120,3 +120,16 @@ def test_gap_constant_matches_batch_twin():
     from etl_city_directories_spark.operators.windows import SESSION_GAP_MIN
 
     assert _GAP_US == SESSION_GAP_MIN * 60 * 1_000_000
+
+
+def test_sliding_agg_overlap_invariant(spark):
+    """1h/30m sliding windows: every event lands in exactly two
+    windows, so total counted events must be 2 × |events|."""
+    from etl_city_directories_spark.sources.tables import load_table
+    from etl_city_directories_spark.streaming.stream_ops import stream_sliding_agg
+
+    slid = stream_sliding_agg(spark, SF).toPandas()
+    n_events = load_table(spark, SF, "events").count()
+    assert int(slid["n_events"].sum()) == 2 * n_events
+    # window starts are aligned to the 30-minute slide grid
+    assert (slid["window_start_us"] % (30 * 60 * 1_000_000) == 0).all()
