@@ -90,8 +90,42 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequence (collect_list → array_sort
+    → transform → array_join) — the sequence-analytics shape behind
+    session-path mining.
+
+    One shuffle on user_id; the ordered reconstruction happens inside
+    the aggregate (structs sorted by (ts, event_id) for a total order),
+    not via a global sort. Per-user memory is the user's own event
+    list — bounded by per-key cardinality, the same contract as
+    collect_list anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            )
+        )
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(seq, lambda s: s["event_type"]), ">"
+            ).alias("path"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q_pivot": q_pivot,
+    "q_event_paths": q_event_paths,
     "q_rollup": q_rollup,
     "q_anti_join": q_anti_join,
     "q_semi_join": q_semi_join,
@@ -99,6 +133,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_event_paths": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "q_pivot": """
         SELECT
           strftime(ts, '%Y-%m-%d') AS day,

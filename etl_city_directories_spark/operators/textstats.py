@@ -159,8 +159,37 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_TERMS_K = 20
+MIN_TERM_LEN = 4
+
+
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-K terms via explode (lateral view): normalize →
+    split → explode → filter → count, with document frequency.
+
+    The explode multiplies rows ~|words-per-doc|× BEFORE the shuffle,
+    but partial aggregation collapses each partition to its distinct
+    terms, so shuffle volume is O(vocabulary), not O(tokens) — the
+    property that makes corpus term-counting feasible at 100 TB. Top-K
+    via TakeOrderedAndProject (no global sort).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_words(norm_col())).alias("term"))
+        .filter(F.length("term") >= MIN_TERM_LEN)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(TOP_TERMS_K)
+    )
+
+
 QUERIES = {
     "text_lang_id": text_lang_id,
+    "text_top_terms": text_top_terms,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -187,6 +216,16 @@ for _lang in LANG_ORDER:
 _PRED += "ELSE 'unknown' END"
 
 ORACLES = {
+    "text_top_terms": f"""
+        SELECT term,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, UNNEST({_W}) AS term FROM documents)
+        WHERE LENGTH(term) >= {MIN_TERM_LEN}
+        GROUP BY term
+        ORDER BY n_occurrences DESC, term ASC
+        LIMIT {TOP_TERMS_K}
+    """,
     "text_lang_id": f"""
         WITH hits AS (
           SELECT doc_id, lang,
