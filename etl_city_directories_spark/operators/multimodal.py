@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -159,6 +160,9 @@ def _image_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload)
             magic, width, height, channels, pixels = _decode_pixels(payload)
+            # numpy fold, not a per-byte Python loop; integer sum is
+            # exact in float64 so the value matches the scalar form
+            mean_pixel = float(np.frombuffer(pixels, dtype=np.uint8).mean())
             rows.append(
                 (
                     int(doc_id),
@@ -167,7 +171,7 @@ def _image_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     height,
                     channels,
                     len(payload),
-                    round(sum(pixels) / len(pixels), 4),
+                    round(mean_pixel, 4),
                 )
             )
         yield pd.DataFrame(
@@ -195,15 +199,18 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             n_frames = int.from_bytes(payload[4:8], "big")
             frame_size = int.from_bytes(payload[8:12], "big")
             body = payload[12:]
+            frames = np.frombuffer(body, dtype=np.uint8).reshape(
+                n_frames, frame_size
+            )
+            means = frames.mean(axis=1)  # vectorized per-frame fold
             for i in range(0, n_frames, FRAME_SAMPLE_EVERY):
-                frame = body[i * frame_size : (i + 1) * frame_size]
                 rows.append(
                     (
                         int(doc_id),
                         n_frames,
                         i,
-                        frame,
-                        round(sum(frame) / len(frame), 4),
+                        body[i * frame_size : (i + 1) * frame_size],
+                        round(float(means[i]), 4),
                     )
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
@@ -229,7 +236,8 @@ def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             payload = bytes(payload)
             sample_rate = int.from_bytes(payload[4:8], "big")
             n_samples = int.from_bytes(payload[8:12], "big")
-            pcm = payload[12:]
+            pcm = np.frombuffer(payload[12:], dtype=np.uint8)
+            mean_amp = float(np.abs(pcm.astype(np.int32) - 128).mean())
             rows.append(
                 (
                     int(doc_id),
@@ -237,7 +245,7 @@ def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     sample_rate,
                     n_samples,
                     round(n_samples * 1000.0 / sample_rate, 4),
-                    round(sum(abs(s - 128) for s in pcm) / len(pcm), 4),
+                    round(mean_amp, 4),
                 )
             )
         yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
