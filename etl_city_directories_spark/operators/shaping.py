@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.functions.numeric import dec2, money_sum, ratio
-from etl_city_directories_spark.sources.tables import load_table
+from etl_city_directories_spark.sources.tables import (
+    load_table,
+    load_table_parallel,
+)
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
@@ -32,8 +35,13 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP (returnflag, linestatus) with grouping id."""
-    l = load_table(spark, sf_dir, "lineitem")
+    """GROUP BY ROLLUP (returnflag, linestatus) with grouping id.
+
+    Parallel scan: rollup EXPANDs every row ×3 grouping sets before the
+    partial agg, so map-side cost is 3× the scan — the widened scan
+    keeps that on all cores (no-op at real multi-split scale).
+    """
+    l = load_table_parallel(spark, sf_dir, "lineitem")
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
