@@ -341,7 +341,10 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star variant (Kiveris et al., "Connected
     Components in MapReduce"), which this structure extends to.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs.count()  # materialize once: both union branches below read the
+    # cache instead of re-running the whole minhash pipeline (Spark does
+    # not share the subtree between union branches)
     edges = (
         pairs.unionByName(
             pairs.select(
