@@ -77,3 +77,17 @@ def test_clusters_are_consistent_with_pairs(spark):
     for cl, members in by_cluster.items():
         assert cl == min(members)
         assert all(size[d] == len(members) for d in members)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Multi-table SRP-LSH must recover ≥70% of the exact top-5
+    neighbor pairs (deterministic: hyperplanes are md5-derived)."""
+    from etl_city_directories_spark.operators.similarity import (
+        ann_lsh_cosine,
+        ann_topk_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    bf = {(r.probe_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf).collect()}
+    lsh = {(r.probe_id, r.neighbor_id) for r in ann_lsh_cosine(spark, sf).collect()}
+    assert len(bf & lsh) / len(bf) >= 0.70
