@@ -91,3 +91,34 @@ def test_exact_dedup_partial_aggregates(spark):
     plan = plan_of(QUERIES["dedup_exact"](spark, SF))
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") >= 1
+
+
+def test_q14_month_filter_pushed_to_scan(spark):
+    """Q14's ship-month range must prune the lineitem scan."""
+    plan = plan_of(QUERIES["q14_promo_revenue"](spark, SF))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q18_joins_back_broadcast(spark):
+    """The HAVING-filtered orderkeys (tiny) must broadcast back onto
+    orders, not shuffle the fact side."""
+    plan = plan_of(QUERIES["q18_large_orders"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_funnel_single_window_exchange(spark):
+    """The chained-window funnel must plan exactly one shuffle for all
+    three window stages plus the per-user fold (no staged re-joins)."""
+    plan = plan_of(QUERIES["q_funnel"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_salted_agg_two_phase(spark):
+    """Salted aggregation: two HashAggregate pairs (partial+final per
+    phase), and the salt column must not survive into the output."""
+    df = QUERIES["q_skew_salted_agg"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "salt" not in df.columns
