@@ -183,9 +183,12 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     signs = _plane_signs()
     buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
+    # persisted: probe and corpus sides below are a self-join, and Spark
+    # recomputes the (expensive, 32-projection) bucket expressions per
+    # alias otherwise
     hashed = vecs.select(
         "vec_id", "v", "nrm", F.posexplode(buckets).alias("t", "bucket")
-    )
+    ).persist()
     probes = hashed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         "t",
