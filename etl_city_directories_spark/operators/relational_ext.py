@@ -274,7 +274,33 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    (non-urgent orders), including zero-order customers.
+
+    Orders pre-aggregate to one row per custkey BEFORE the join (the
+    fact table never joins row-for-row), then customer left-joins the
+    collapsed counts and the second aggregation is over the tiny
+    count-histogram domain. Two shuffles total, both key-collapsed.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("c_count"))
+    )
+
+
 QUERIES = {
+    "q13_order_count_dist": q13_order_count_dist,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q14_promo_revenue": q14_promo_revenue,
@@ -288,6 +314,17 @@ QUERIES = {
 _REV = "l_extendedprice::DECIMAL(18,2) * (1.00 - l_discount::DECIMAL(18,2))"
 
 ORACLES = {
+    "q13_order_count_dist": """
+        SELECT c_count, COUNT(*) AS n_custs
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY n_custs DESC, c_count DESC
+    """,
     "q7_nation_volume": f"""
         SELECT
           n1.n_name AS supp_nation,
