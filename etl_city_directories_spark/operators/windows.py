@@ -113,7 +113,76 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's purchase revenue credited
+    to their first-ever event type (first_value over the user's
+    timeline). One shuffle on user_id — the attribution window and the
+    per-user fold share it — then a tiny channel rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = events.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_channel"),
+        F.when(F.col("event_type") == "purchase", dec2("value"))
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("purchase_value"),
+    )
+    return (
+        attributed.groupBy("first_channel")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("purchase_value").cast("double").alias("attributed_revenue"),
+        )
+        .orderBy("first_channel")
+    )
+
+
+MOVING_AVG_DAYS = 7
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily purchase revenue (bounded ROWS
+    frame over the pre-aggregated daily series).
+
+    The raw stream collapses to one row per day FIRST (map-side
+    partial agg, one shuffle), so the window frame slides over
+    O(days) rows — never over raw events. The day series is a single
+    unpartitioned window, fine because |days| is tiny; a per-entity
+    moving average would partition by the entity key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(dec2("value")).alias("day_rev"))
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(-(MOVING_AVG_DAYS - 1), Window.currentRow)
+    )
+    # exact decimal frame-sum / frame-count, not windowed AVG(double):
+    # incremental double add/remove on the sliding frame can drift
+    # between engines; the decimal sum cannot
+    return daily.select(
+        "day",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.round(
+            F.sum("day_rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double"),
+            4,
+        ).alias("moving_avg_7d"),
+    ).orderBy("day")
+
+
 QUERIES = {
+    "q_first_touch": q_first_touch,
+    "q_moving_avg": q_moving_avg,
     "q_window_running": q_window_running,
     "q_window_rank": q_window_rank,
     "q_sessionize": q_sessionize,
@@ -121,6 +190,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_first_touch": """
+        WITH attributed AS (
+          SELECT user_id,
+                 FIRST_VALUE(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS first_channel,
+                 CASE WHEN event_type = 'purchase'
+                      THEN value::DECIMAL(18,2)
+                      ELSE 0.00::DECIMAL(18,2) END AS purchase_value
+          FROM events
+        )
+        SELECT first_channel,
+               COUNT(DISTINCT user_id) AS n_users,
+               SUM(purchase_value)::DOUBLE AS attributed_revenue
+        FROM attributed
+        GROUP BY first_channel
+        ORDER BY first_channel
+    """,
+    "q_moving_avg": f"""
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 SUM(value::DECIMAL(18,2)) AS day_rev
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1
+        )
+        SELECT day,
+               day_rev::DOUBLE AS day_revenue,
+               ROUND(
+                 SUM(day_rev) OVER w::DOUBLE / COUNT(*) OVER w, 4
+               ) AS moving_avg_7d
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN {MOVING_AVG_DAYS - 1} PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY day
+    """,
     "q_window_running": """
         SELECT
           o_custkey,
