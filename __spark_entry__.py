@@ -29,7 +29,18 @@ from etl_city_directories_spark.operators import (
 )
 from etl_city_directories_spark.streaming import stream_ops
 
+# Ordered so a budget-limited gate confirms the most surface first:
+# never-yet-verified modules (dedup/similarity/textstats/multimodal,
+# streaming) run BEFORE the round-1-green relational core and the
+# filesystem-sink tails (r01 gate halted mid-list at sink_partitioned,
+# leaving everything after it unverified).
 _MODULES = [
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+    stream_ops,
+    ingest,
     relational,
     relational_ext,
     scale_ops,
@@ -37,12 +48,6 @@ _MODULES = [
     temporal,
     shaping,
     citydir,
-    ingest,
-    dedup,
-    similarity,
-    textstats,
-    multimodal,
-    stream_ops,
 ]
 
 

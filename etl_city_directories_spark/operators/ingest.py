@@ -9,6 +9,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+import shutil
 import tarfile
 import tempfile
 
@@ -38,11 +39,27 @@ def fixture_archive() -> str:
             info2 = tarfile.TarInfo(name=f"{_UUID}/readme.txt")
             info2.size = len(junk)
             tf.addfile(info2, io.BytesIO(junk))
-        tmp = out + ".tmp"
+        # unique tmp name per process + atomic rename: concurrent
+        # builders never interleave writes, and readers only ever see a
+        # complete archive (content is deterministic, so last-wins is
+        # safe).
+        tmp = f"{out}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
             f.write(gzip.compress(buf.getvalue()))
         os.replace(tmp, out)
     return out
+
+
+def localize_result(df: DataFrame) -> DataFrame:
+    """Pin a *small* finalized result into a local DataFrame so the
+    temp sink directory backing it can be deleted before return.
+
+    Only for sink round-trip operators whose result is a tiny
+    per-partition summary (≤ dozens of rows): the round-trip itself ran
+    distributed; this is the deliberate finalize step, not a hot-path
+    collect.
+    """
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
 def hocr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +73,9 @@ def manifest_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_manifest(spark, os.path.join(FIXTURES, "manifest.html"))
 
 
-def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sink_partitioned(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
     """Partitioned parquet sink + partition-pruned read-back.
 
     The 100 TB write path: ``repartition(partition_cols)`` before
@@ -65,11 +84,18 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks × partitions), then a filtered read-back that Catalyst
     prunes to the matching directories (PartitionFilters, verified in
     tests/test_sources.py). Returns per-partition counts.
+
+    The sink lands in a unique-per-invocation temp dir (concurrent
+    gate/bench/pytest runs must not clobber each other) and is removed
+    after the summary localizes; pass ``path`` to keep the files for
+    inspection instead.
     """
     from etl_city_directories_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_partitioned_sink")
+    keep = path is not None
+    if path is None:
+        path = tempfile.mkdtemp(prefix="spark_graft_partitioned_sink_")
     (
         docs.repartition("lang")
         .write.mode("overwrite")
@@ -77,7 +103,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     back = spark.read.parquet(path)
-    return (
+    result = (
         back.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -85,18 +111,29 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    if keep:
+        return result
+    result = localize_result(result)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
 
 
 def ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write objects as NDJSON, read back, count per type — exercises the
-    reference's output contract (objects/logs/relations files)."""
+    reference's output contract (objects/logs/relations files).
+    Unique temp dir per invocation, removed after the count localizes."""
     from etl_city_directories_spark.operators.citydir import cd_relations
 
     rels = cd_relations(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_ndjson_sink")
+    path = tempfile.mkdtemp(prefix="spark_graft_ndjson_sink_")
     write_ndjson(rels, path)
     back = read_ndjson(spark, path)
-    return back.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n")).orderBy("rel_type")
+    result = (
+        back.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n")).orderBy("rel_type")
+    )
+    result = localize_result(result)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
 
 
 QUERIES = {

@@ -10,7 +10,7 @@ is tolerance-checked against the exact answer in pytest instead
 
 from __future__ import annotations
 
-import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -138,9 +138,13 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote-doubling escape + multiLine read makes embedded newlines /
     quotes in `text` roundtrip losslessly; the oracle aggregates the
     original parquet, so the check proves the CSV path is lossless.
+    Unique temp dir per invocation (concurrent runs), removed after
+    the summary localizes.
     """
+    from etl_city_directories_spark.operators.ingest import localize_result
+
     docs = load_table(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv_roundtrip")
+    path = tempfile.mkdtemp(prefix="spark_graft_csv_roundtrip_")
     (
         docs.write.mode("overwrite")
         .options(header=True, escape='"', quoteAll=True)
@@ -160,7 +164,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .csv(path)
     )
-    return (
+    result = (
         back.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -169,6 +173,9 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    result = localize_result(result)
+    shutil.rmtree(path, ignore_errors=True)
+    return result
 
 
 QUERIES = {

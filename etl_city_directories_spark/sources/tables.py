@@ -9,6 +9,8 @@ projections actually reach the scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,10 +31,17 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet's physical type is INT64 TIMESTAMP(NANOS), which
+        # Spark refuses to read unless nanos surface as raw longs. Set the
+        # conf here (runtime-settable), NOT only at session build time, so
+        # an externally-constructed vanilla SparkSession — e.g. the
+        # driver's correctness gate — can call any events query directly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as int64 nanos (see session.py nanosAsLong); convert
-        # to a real timestamp at micro precision, matching the DuckDB
+        # ts arrives as int64 nanos (per the conf above); convert to a
+        # real timestamp at micro precision, matching the DuckDB
         # oracle's nanos→TIMESTAMP truncation.
         # integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double
         # precision, so float division corrupts the microsecond digits.
@@ -53,7 +62,16 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     """
     df = load_table(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    key = (sf_dir, name, target)
+    # cache key includes mtime+size so a rewrite of the data under
+    # sf_dir (e.g. tools/scale_probe.py corpus replication) invalidates
+    # the cached narrow-scan decision instead of silently reusing it
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = (0, 0)
+    key = (sf_dir, name, target, stamp)
     if key not in _NARROW_SCAN:
         # .rdd plan conversion is driver-side work; decide once per table
         _NARROW_SCAN[key] = df.rdd.getNumPartitions() < target
@@ -62,7 +80,7 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     return df
 
 
-_NARROW_SCAN: dict[tuple[str, str, int], bool] = {}
+_NARROW_SCAN: dict[tuple, bool] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

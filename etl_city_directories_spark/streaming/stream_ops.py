@@ -64,6 +64,9 @@ _EVENTS_SCHEMA = StructType(
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream source over the events parquet (ts nanos → micros)."""
+    # Same vanilla-session guard as sources.tables.load_table: the
+    # INT64 TIMESTAMP(NANOS) physical type needs nanosAsLong to read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
@@ -176,7 +179,22 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     _run_to_table(sessions, "stream_sessionize_sink", "update")
-    return spark.table("stream_sessionize_sink")
+    # The memory sink in update mode APPENDS each microbatch's emits:
+    # with a multi-file source (or maxFilesPerTrigger) a session that
+    # spans microbatches appears once per batch, earlier rows being
+    # stale open-session snapshots. Keep only the final snapshot per
+    # (user_id, session_seq) — a no-op for the single-microbatch replay.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.desc("session_end_us"), F.desc("n_events")
+    )
+    return (
+        spark.table("stream_sessionize_sink")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 _DOCS_SCHEMA = StructType(

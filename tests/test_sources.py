@@ -92,17 +92,16 @@ def test_ndjson_roundtrip(spark, tmp_path):
     assert first.startswith("{") and first.endswith("}")
 
 
-def test_partitioned_sink_prunes_partitions(spark):
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     """Filtered read-back of the partitioned sink must scan only the
     matching partition directories (PartitionFilters on lang)."""
     import contextlib
     import io
-    import tempfile
 
     from etl_city_directories_spark.operators.ingest import sink_partitioned
 
-    sink_partitioned(spark, "/root/testdata/sf0.001")  # materialize
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_partitioned_sink")
+    path = str(tmp_path / "sink")
+    sink_partitioned(spark, "/root/testdata/sf0.001", path=path)  # materialize
     back = spark.read.parquet(path).filter(F.col("lang") == "en")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
