@@ -496,6 +496,53 @@ def cd_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cd_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's failure audit trail as first-class output rows.
+
+    city-directories.js emits ``{type: 'log'}`` objects for every
+    geocode miss (:400-404, :431-437) and for entries whose id cannot
+    be built (:355-364). Replaying the ETL without these loses the
+    audit trail. Two arms, unioned:
+
+    - ``geocode``: one row per location that found no address
+      (house numbers divisible by GEOCODE_MISS_MOD, the deterministic
+      miss model), carrying the line id + failing location.
+    - ``id``: rows whose makeId produced NULL — structurally possible
+      (missing year/page/bbox in real OCR), empty on this synthetic
+      corpus, but the arm is exercised end-to-end in both engines.
+
+    Same broadcast-join shape as cd_geocode; map-side otherwise.
+    """
+    base = _person_base(spark, sf_dir)
+    exploded = base.select(
+        "doc_id", "entry_id", F.posexplode("locs").alias("loc_idx", "loc_value")
+    )
+    dim = addresses_dim(spark)
+    misses = (
+        exploded.join(F.broadcast(dim), exploded.loc_value == dim.address_name, "left")
+        .filter(F.col("address_id").isNull())
+        .select(
+            F.lit("log").alias("type"),
+            F.lit("geocode").alias("log_kind"),
+            "doc_id",
+            "entry_id",
+            F.col("loc_idx").cast("bigint").alias("loc_idx"),
+            "loc_value",
+            F.concat(F.lit("Address not found: "), F.col("loc_value")).alias("error"),
+        )
+    )
+    id_errors = base.filter(F.col("entry_id").isNull()).select(
+        F.lit("log").alias("type"),
+        F.lit("id").alias("log_kind"),
+        "doc_id",
+        F.col("entry_id"),
+        F.lit(None).cast("bigint").alias("loc_idx"),
+        F.lit(None).cast("string").alias("loc_value"),
+        F.lit("Could not make ID").alias("error"),
+    )
+    return misses.unionByName(id_errors)
+
+
 QUERIES = {
     "cd_clean_text": cd_clean_text,
     "cd_parse_entries": cd_parse_entries,
@@ -505,6 +552,7 @@ QUERIES = {
     "cd_geocode": cd_geocode,
     "cd_transform_objects": cd_transform_objects,
     "cd_relations": cd_relations,
+    "cd_logs": cd_logs,
 }
 
 _ADDR_CTE = f"""
@@ -650,5 +698,40 @@ ORACLES = {
           address_id AS rel_to,
           'st:in' AS rel_type
         FROM exploded JOIN addresses ON loc_value = address_name
+    """,
+    "cd_logs": f"""
+        WITH {LINES_CTE},
+        {_ADDR_CTE},
+        exploded AS (
+          SELECT doc_id, year_raw, year_lo, page_num, bx0, by0,
+                 unnest(locs) AS loc_value,
+                 generate_subscripts(locs, 1) - 1 AS loc_idx
+          FROM parsed
+        )
+        SELECT
+          'log' AS type,
+          'geocode' AS log_kind,
+          doc_id,
+          {_YEAR_PART} || '.' || page_num || '.' || {_BBOX} AS entry_id,
+          loc_idx::BIGINT AS loc_idx,
+          loc_value,
+          'Address not found: ' || loc_value AS error
+        FROM exploded LEFT JOIN addresses ON loc_value = address_name
+        WHERE address_id IS NULL
+        UNION ALL
+        SELECT
+          'log' AS type,
+          'id' AS log_kind,
+          doc_id,
+          entry_id,
+          NULL::BIGINT AS loc_idx,
+          NULL::VARCHAR AS loc_value,
+          'Could not make ID' AS error
+        FROM (
+          SELECT doc_id,
+                 {_YEAR_PART} || '.' || page_num || '.' || {_BBOX} AS entry_id
+          FROM lines
+        ) ids
+        WHERE entry_id IS NULL
     """,
 }
