@@ -172,17 +172,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram jaccard over (lang, source)-blocked pairs."""
-    sh = _shingled_df(spark, sf_dir).persist()  # both join sides read it
-    a = sh.select(
-        "lang", "source", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    """Exact 3-gram jaccard scoring over LSH-generated candidates.
+
+    Exact math is the VERIFY stage, never the pair generator: candidate
+    pairs come from single-signature minhash bands (8 bands of 1 — the
+    high-recall banding for the low 0.05 report threshold: P[collide] =
+    1-(1-j)^8, so even j≈0.3 pairs are caught w.p. ~0.94) restricted to
+    the (lang, source) block, then exact jaccard scores only those. The
+    band key is the shuffle key — O(collisions), not O(n² per block) —
+    which is what survives a hot block at 100 TB. The DuckDB oracle
+    replays the identical candidate generation, so the threshold-filtered
+    output is bit-identical.
+    """
+    sh = _shingled_df(spark, sf_dir).persist()  # bands + both verify sides
+    bands = sh.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            "shingles",
+                            lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)),
+                        )
+                    )
+                    for j in range(1, NUM_HASHES + 1)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    ).persist()  # both self-join sides read it
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
     )
-    b = sh.select(
-        "lang", "source", F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "lang",
             "source",
@@ -195,12 +238,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within label buckets.
+    """Embedding-cosine near-dup pairs over SRP-LSH candidates.
 
-    Norms are precomputed per vector BEFORE the pair join (O(n) not
-    O(pairs)); the label acts as the blocking key. Dot products are
-    sequential left folds so Spark and DuckDB round identically.
+    Candidate pairs come from the same signed-random-projection buckets
+    ann_lsh_cosine uses (8 tables × 4 sign bits, deterministic md5
+    hyperplanes): two vectors are candidates iff they share a (table,
+    bucket) AND a label. Exact cosine then scores only candidates —
+    the (table, bucket) key is the shuffle key, so pair generation is
+    O(collisions), never O(n² per label block). For the 0.35 report
+    threshold, SRP collision prob per table is (1-θ/π)^4 ≈ 0.14 at the
+    threshold and rises steeply with cosine; 8 OR-ed tables catch ≥0.7
+    of borderline pairs and essentially all true near-dups. Norms are
+    precomputed per vector (O(n), not O(pairs)); dot products are
+    sequential left folds so Spark and DuckDB round identically, and
+    the oracle replays the identical buckets.
     """
+    from etl_city_directories_spark.operators.similarity import (
+        N_TABLES,
+        _bucket_expr,
+        _plane_signs,
+    )
+
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -209,26 +267,44 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn(
         "nrm",
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x),
-    ).persist()  # both pair-join sides read it
-    a, b = e.alias("a"), e.alias("b")
+    ).persist()  # bucket stage + both verify sides read it
+    signs = _plane_signs()
+    buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
+    hashed = e.select(
+        "vec_id", "label", F.posexplode(buckets).alias("t", "bucket")
+    ).persist()  # both self-join sides read it
+    ha, hb = hashed.alias("ha"), hashed.alias("hb")
+    cand = (
+        ha.join(
+            hb,
+            (F.col("ha.label") == F.col("hb.label"))
+            & (F.col("ha.t") == F.col("hb.t"))
+            & (F.col("ha.bucket") == F.col("hb.bucket"))
+            & (F.col("ha.vec_id") < F.col("hb.vec_id")),
+        )
+        .select(
+            F.col("ha.label").alias("label"),
+            F.col("ha.vec_id").alias("vec_a"),
+            F.col("hb.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+    cos = dot / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(cos, 4).alias("cos_sim"),
-        )
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", "label", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= EMBED_COS_THRESHOLD)
     )
 
@@ -413,6 +489,12 @@ _BAND_SELECTS = "\n      UNION ALL\n".join(
     f"      SELECT doc_id, {b} AS band_idx, md5(sig{2 * b + 1} || sig{2 * b + 2}) AS band_key FROM sigs"
     for b in range(NUM_BANDS)
 )
+# ngram scorer candidates: 8 single-signature bands (r=1, b=8) carrying
+# the (lang, source) blocking key
+_NGRAM_BAND_SELECTS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, lang, source, {j - 1} AS band_idx, sig{j} AS band_key FROM sigs"
+    for j in range(1, NUM_HASHES + 1)
+)
 
 ORACLES = {
     "dedup_exact": """
@@ -448,12 +530,28 @@ ORACLES = {
         WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")} >= {LSH_VERIFY_THRESHOLD}
     """,
     "dedup_ngram_jaccard": f"""
-        WITH {SHINGLE_CTE}
-        SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-               {_JACCARD_SQL.format(a="a.shingles", b="b.shingles")} AS jaccard
-        FROM shingled a JOIN shingled b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        WHERE {_JACCARD_SQL.format(a="a.shingles", b="b.shingles")} >= {NGRAM_REPORT_THRESHOLD}
+        WITH {SHINGLE_CTE},
+        sigs AS (
+          SELECT doc_id, lang, source, {_SIG_COLS}
+          FROM shingled
+        ),
+        bands AS (
+{_NGRAM_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.lang, a.source,
+                          a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        )
+        SELECT cand.lang, cand.source, doc_a, doc_b,
+               {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")} AS jaccard
+        FROM cand
+        JOIN shingled sa ON sa.doc_id = doc_a
+        JOIN shingled sb ON sb.doc_id = doc_b
+        WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")} >= {NGRAM_REPORT_THRESHOLD}
     """,
     "dedup_keep_first": """
         SELECT doc_id, lang, source, text_hash FROM (
@@ -511,23 +609,51 @@ ORACLES = {
                COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp
     """,
-    "dedup_embedding": f"""
+    "dedup_embedding": None,  # assembled below (needs similarity's bucket SQL)
+}
+
+
+def _embedding_oracle() -> str:
+    """SRP-LSH candidate generation + exact-cosine verify, mirroring
+    dedup_embedding: same deterministic hyperplane literals as
+    ann_lsh_cosine's oracle, with the label blocking key carried."""
+    from etl_city_directories_spark.operators.similarity import (
+        _bucket_sql,
+        _plane_signs,
+    )
+
+    hashed = "\n          UNION ALL\n".join(
+        f"          SELECT vec_id, label, {t} AS t, {_bucket_sql(signs_t)} AS bucket"
+        " FROM vecs"
+        for t, signs_t in enumerate(_plane_signs())
+    )
+    cos = (
+        "list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),"
+        " (p, q) -> p + q) / (sqrt(a.nrm) * sqrt(b.nrm))"
+    )
+    return f"""
         WITH vecs AS (
           SELECT vec_id, label, embedding::DOUBLE[] AS v,
                  list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                              (a, b) -> a + b) AS nrm
           FROM embeddings
+        ),
+        hashed AS (
+{hashed}
+        ),
+        cand AS (
+          SELECT DISTINCT ha.label, ha.vec_id AS vec_a, hb.vec_id AS vec_b
+          FROM hashed ha JOIN hashed hb
+            ON ha.label = hb.label AND ha.t = hb.t AND ha.bucket = hb.bucket
+           AND ha.vec_id < hb.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               ROUND(
-                 list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
-                             (p, q) -> p + q)
-                 / (sqrt(a.nrm) * sqrt(b.nrm)), 4) AS cos_sim
-        FROM vecs a JOIN vecs b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(
-                 list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
-                             (p, q) -> p + q)
-                 / (sqrt(a.nrm) * sqrt(b.nrm)), 4) >= {EMBED_COS_THRESHOLD}
-    """,
-}
+        SELECT vec_a, vec_b, cand.label,
+               ROUND({cos}, 4) AS cos_sim
+        FROM cand
+        JOIN vecs a ON a.vec_id = vec_a
+        JOIN vecs b ON b.vec_id = vec_b
+        WHERE ROUND({cos}, 4) >= {EMBED_COS_THRESHOLD}
+    """
+
+
+ORACLES["dedup_embedding"] = _embedding_oracle()

@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 BASE = "/root/testdata/sf0.1"
-PROBE_DIR = "/tmp/spark_graft_scale_probe"
+# v2: per-word markers / vector rotation (v1's ' probecopy{i}' suffix
+# left copies as near-dups of each other — 3-gram jaccard ≈ 0.9 — so
+# the TRUE pair count grew ~K² and every scorer looked super-linear)
+PROBE_DIR = "/tmp/spark_graft_scale_probe_v2"
 
 OPS = [
     "dedup_exact",
@@ -44,17 +47,37 @@ def build_corpus(k: int) -> str:
         return out
     os.makedirs(out)
     con = duckdb.connect()
+    # copy 0 is verbatim; copy i>0 suffixes EVERY word with a copy
+    # marker, so no 3-gram shingle (and no simhash word hash) is shared
+    # between copies — the true near-dup pair count stays linear in K
     copies = " UNION ALL ".join(
-        f"""SELECT doc_id + {i * 1_000_000} AS doc_id,
-                   text || ' probecopy{i}' AS text,
+        (
+            f"""SELECT doc_id AS doc_id, text, lang, source, n_chars
+            FROM read_parquet('{BASE}/documents.parquet')"""
+            if i == 0
+            else f"""SELECT doc_id + {i * 1_000_000} AS doc_id,
+                   array_to_string(
+                     list_transform(string_split(text, ' '), x -> x || '{chr(96 + i)}'),
+                     ' ') AS text,
                    lang, source, n_chars
             FROM read_parquet('{BASE}/documents.parquet')"""
+        )
         for i in range(k)
     )
     con.execute(f"COPY ({copies}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    # copy i rotates the embedding by i dims — rotations of these
+    # vectors are mutually near-orthogonal, so identical-vector K²
+    # blowup disappears while corpus size still scales K×
     vcopies = " UNION ALL ".join(
-        f"""SELECT vec_id + {i * 1_000_000} AS vec_id, embedding, label
+        (
+            f"""SELECT vec_id, embedding, label
             FROM read_parquet('{BASE}/embeddings.parquet')"""
+            if i == 0
+            else f"""SELECT vec_id + {i * 1_000_000} AS vec_id,
+                   list_concat(embedding[{i + 1}:], embedding[1:{i}]) AS embedding,
+                   label
+            FROM read_parquet('{BASE}/embeddings.parquet')"""
+        )
         for i in range(k)
     )
     con.execute(f"COPY ({vcopies}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
