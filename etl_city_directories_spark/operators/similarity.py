@@ -88,19 +88,123 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
-def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: probes search only their own coarse bucket."""
+# IVF coarse quantizer: K cells, trained with KMEANS_ITERS Lloyd
+# rounds from a deterministic md5-ranked seed set; probes search their
+# IVF_NPROBE nearest cells (the recall knob). Production tuning scales
+# K ~ sqrt(n) and nprobe with the recall target.
+N_CELLS = 8
+KMEANS_ITERS = 2
+IVF_NPROBE = 2
+
+
+def _dist2(v: Column, c: Column) -> Column:
+    """Squared L2 distance as a sequential left fold (bit-identical to
+    the DuckDB list_reduce fold)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_cells(spark: SparkSession, sf_dir: str, n_best: int = 1) -> DataFrame:
+    """Train the IVF coarse quantizer and assign every vector a cell.
+
+    Lloyd iterations expressed as DataFrame ops end-to-end:
+    - init: the N_CELLS vectors with the smallest md5(vec_id) — a
+      deterministic pseudo-random sample any engine can replay (no RNG
+      state). TakeOrdered top-K, not a global sort.
+    - assign: crossJoin(broadcast(centroids)) + row_number argmin over
+      (dist², cell id) — the centroid table is K rows, so this is a
+      map-side broadcast join; ties break on cell id in both engines.
+    - update: per-dimension centroid means with DECIMAL(27,6) sums —
+      decimal addition is associative, so shuffle order can't flip a
+      bit, and the DuckDB oracle reproduces the exact same centroids;
+      the mean itself divides as double.
+
+    Returns (vec_id, label, v, nrm, cell, cell_rank) with cell_rank ≤
+    n_best: rank 1 is the cell a vector BELONGS to; ranks 2..n_best are
+    the next-nearest cells (what an nprobe>1 probe also searches). At
+    100 TB: assignment is a broadcast map per round, the update is one
+    groupBy(cell, dim) shuffle of (K × dims) partials — Lloyd's the
+    classic MapReduce way.
+    """
     vecs = _vectors(spark, sf_dir)
+    seeds = (
+        vecs.select(
+            "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(N_CELLS)
+    )
+    w_seed = Window.orderBy("h")  # 8 rows post-limit; the window is tiny
+    cents = seeds.withColumn("cluster_id", F.row_number().over(w_seed)).select(
+        "cluster_id", F.col("v").alias("c")
+    )
+    w_arg = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    assigned = None
+    for it in range(KMEANS_ITERS):
+        final = it == KMEANS_ITERS - 1
+        assigned = (
+            vecs.select("vec_id", "v")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "v",
+                "cluster_id",
+                _dist2(F.col("v"), F.col("c")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") <= (n_best if final else 1))
+            .select(
+                "vec_id",
+                "v",
+                F.col("cluster_id").alias("cell"),
+                F.col("rn").cast("bigint").alias("cell_rank"),
+            )
+        )
+        if final:
+            break
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("c")
+            )
+            .withColumnRenamed("cell", "cluster_id")
+        )
+    return vecs.join(assigned.select("vec_id", "cell", "cell_rank"), "vec_id")
+
+
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means-trained coarse cells; each probe searches its
+    IVF_NPROBE nearest cells, the corpus lives in its rank-1 cell. The
+    cell id is the shuffle key — compared pairs drop by ~|cells|/nprobe
+    × vs brute force; recall vs brute force is asserted in
+    tests/test_dedup_quality.py. A probe's nprobe cells are distinct,
+    so no pair dedup is needed."""
+    vecs = kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE).persist()
     probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("label").alias("bucket"),
+        F.col("cell").alias("bucket"),
         F.col("v").alias("pv"),
         F.col("nrm").alias("pn"),
     )
     pairs = (
-        vecs.select(
+        vecs.filter(F.col("cell_rank") == 1)
+        .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("bucket"),
+            F.col("cell").alias("bucket"),
             F.col("v").alias("cv"),
             F.col("nrm").alias("cn"),
         )
@@ -259,6 +363,57 @@ def _hashed_sql() -> str:
     )
 
 
+_D2_SQL = (
+    "list_reduce(list_transform(list_zip(v.v, c.c), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])), (p, q) -> p + q)"
+)
+
+
+def _kmeans_ctes() -> str:
+    """CTE chain replaying kmeans_cells exactly: md5-ranked seeds,
+    then KMEANS_ITERS × (argmin assign [+ decimal-mean update])."""
+    ctes = [
+        f"""seeds AS (
+          SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM vecs ORDER BY h LIMIT {N_CELLS}
+        )""",
+        """cents0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY h) AS cluster_id, v AS c
+          FROM seeds
+        )""",
+    ]
+    for it in range(KMEANS_ITERS):
+        n_keep = IVF_NPROBE if it == KMEANS_ITERS - 1 else 1
+        ctes.append(f"""assign{it} AS (
+          SELECT vec_id, v, cell, rn AS cell_rank FROM (
+            SELECT v.vec_id, v.v, c.cluster_id AS cell,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {_D2_SQL}, c.cluster_id
+                   ) AS rn
+            FROM vecs v CROSS JOIN cents{it} c
+          ) WHERE rn <= {n_keep}
+        )""")
+        if it < KMEANS_ITERS - 1:
+            ctes.append(f"""cents{it + 1} AS (
+          SELECT cell AS cluster_id, list(val ORDER BY dim) AS c
+          FROM (
+            SELECT cell, dim,
+                   (SUM(x::DECIMAL(27,6)))::DOUBLE / COUNT(*) AS val
+            FROM (
+              SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+              FROM assign{it}
+            )
+            GROUP BY cell, dim
+          )
+          GROUP BY cell
+        )""")
+    ctes.append(f"""cells AS (
+          SELECT vec_id, cell, cell_rank FROM assign{KMEANS_ITERS - 1}
+        )""")
+    return ",\n        ".join(ctes)
+
+
 ORACLES = {
     "ann_lsh_cosine": f"""
         WITH {_VEC_CTE},
@@ -301,11 +456,20 @@ ORACLES = {
     """,
     "ann_ivf_bucketed": f"""
         WITH {_VEC_CTE},
+        {_kmeans_ctes()},
+        probe_cells AS (
+          SELECT vecs.*, cells.cell FROM vecs JOIN cells USING (vec_id)
+          WHERE vec_id < {N_PROBES}
+        ),
+        corpus AS (
+          SELECT vecs.*, cells.cell FROM vecs JOIN cells USING (vec_id)
+          WHERE cells.cell_rank = 1
+        ),
         pairs AS (
           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
                  ROUND({_COS.format(a="p", b="c")}, 6) AS cos_r6
-          FROM vecs p JOIN vecs c ON c.label = p.label AND c.vec_id != p.vec_id
-          WHERE p.vec_id < {N_PROBES}
+          FROM probe_cells p JOIN corpus c
+            ON c.cell = p.cell AND c.vec_id != p.vec_id
         ),
         ranked AS (
           SELECT *, ROW_NUMBER() OVER (

@@ -91,3 +91,28 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     bf = {(r.probe_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf).collect()}
     lsh = {(r.probe_id, r.neighbor_id) for r in ann_lsh_cosine(spark, sf).collect()}
     assert len(bf & lsh) / len(bf) >= 0.70
+
+
+def test_ann_ivf_kmeans_recall_vs_bruteforce(spark):
+    """The k-means-trained IVF (single-cell probe) must recover a
+    meaningful share of exact top-5 neighbors, and the trained cells
+    must form a proper partition of the corpus (deterministic: md5
+    seeds + decimal centroid math)."""
+    from etl_city_directories_spark.operators.similarity import (
+        N_CELLS,
+        ann_ivf_bucketed,
+        ann_topk_bruteforce,
+        kmeans_cells,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    members = kmeans_cells(spark, sf).filter(F.col("cell_rank") == 1)
+    counts = {
+        r.cell: r.n
+        for r in members.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == members.count()  # every vector assigned once
+    assert len(counts) >= N_CELLS // 2  # training didn't collapse
+    bf = {(r.probe_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf).collect()}
+    ivf = {(r.probe_id, r.neighbor_id) for r in ann_ivf_bucketed(spark, sf).collect()}
+    assert len(bf & ivf) / len(bf) >= 0.40  # nprobe=2 of 8 cells
