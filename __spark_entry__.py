@@ -18,6 +18,7 @@ from etl_city_directories_spark.operators import (
     dedup,
     ingest,
     multimodal,
+    partsupp,
     relational,
     relational_ext,
     scale_ops,
@@ -41,6 +42,7 @@ _MODULES = [
     multimodal,
     stream_ops,
     ingest,
+    partsupp,
     relational,
     relational_ext,
     scale_ops,

@@ -1,0 +1,370 @@
+"""Partsupp-shaped TPC-H coverage: Q2/Q9/Q11/Q16/Q20 query shapes.
+
+The driver corpus has no partsupp table, so one is DERIVED with the
+TPC-H foreign-key property: the distinct (l_partkey, l_suppkey) pairs
+of lineitem are the part-supplier offers, with availqty/supplycost
+computed deterministically from the keys — identical arithmetic in
+Spark and the DuckDB oracle, so every query is hash-checked end to end.
+At production scale partsupp is a real table and the derivation CTE
+drops out; every plan below treats it as a first-class fact.
+
+Scale notes common to all five: part/supplier/nation/region are dims →
+broadcast; the only big shuffles key on (partkey[, suppkey]); money
+math follows the decimal-exact policy (functions/numeric.py) so sums
+are shuffle-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.functions.numeric import dec2, money_sum
+from etl_city_directories_spark.sources.tables import load_table
+
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.0001
+Q16_SIZES = (1, 4, 9, 14, 19, 23, 28, 33)
+Q20_REGION = "EUROPE"
+
+
+def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: one row per distinct (l_partkey, l_suppkey).
+
+    availqty/supplycost are pure key arithmetic (supplycost exact at 2
+    decimal places: integer cents / 100.0 — the same IEEE divide in
+    both engines). One distinct-shuffle on the composite key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return (
+        li.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((pk * 31 + sk * 17) % 9999 + 1).cast("int").alias("ps_availqty"),
+            (((pk * 53 + sk * 29) % 100000 + 100) / F.lit(100.0)).alias(
+                "ps_supplycost"
+            ),
+        )
+    )
+
+
+PARTSUPP_CTE = """
+  partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           ((ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1)::INT AS ps_availqty,
+           ((ps_partkey * 53 + ps_suppkey * 29) % 100000 + 100) / 100.0
+             AS ps_supplycost
+    FROM (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+  )
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier in a region.
+
+    The correlated MIN subquery decorrelates to a window MIN over
+    p_partkey — one shuffle on partkey instead of a per-part rescan.
+    All four dims broadcast into the offers join; top-100 is
+    TakeOrdered, not a global sort.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
+    supp_geo = supplier.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            )
+        ),
+        supplier.s_nationkey == nation.n_nationkey,
+    )
+    offers = ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey).join(
+        F.broadcast(supp_geo), ps.ps_suppkey == supp_geo.s_suppkey
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("cost", dec2("ps_supplycost"))
+        .withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            dec2("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").cast("double").alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − supply cost) by supplier
+    nation and year, for a part-name pattern.
+
+    The part filter broadcasts into the lineitem scan FIRST (kills
+    ~7/8 of the fact before the partsupp join); lineitem⋈partsupp
+    shuffles on the composite key once; supplier/nation broadcast.
+    Profit stays decimal until the final cast.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = partsupp_df(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    profit = dec2("l_extendedprice") * (one - dec2("l_discount")) - dec2(
+        "ps_supplycost"
+    ) * dec2("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(money_sum(profit, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value for one nation's
+    suppliers, kept only where it exceeds a fraction of the global
+    total (group-HAVING over a global scalar).
+
+    The global total is re-aggregated from the per-part decimals (one
+    extra tiny shuffle over |parts| rows, no second fact scan) and
+    broadcast back as a 1-row cross join.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    val = dec2("ps_supplycost") * F.col("ps_availqty")
+    per_part = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(val).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * Q11_FRACTION
+        )
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    combo, excluding flagged suppliers via anti join.
+
+    The exclusion list (s_suppkey % 17 = 0 models the reference's
+    comment-pattern complaint filter) broadcasts as a left-anti; the
+    only big shuffle is the distinct-count on the grouping key.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 17 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(excl), ps.ps_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of a region holding excess stock of a
+    part family — availqty > half the 1996 shipped quantity for that
+    (part, supplier).
+
+    Semi-join chain: shipped quantities aggregate map-side first (one
+    shuffle on the composite key), the part-name filter broadcasts,
+    qualifying suppliers reach the supplier dim as a left-semi.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    part_fam = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
+    )
+    qualified = (
+        ps.join(F.broadcast(part_fam), ps.ps_partkey == part_fam.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(
+            F.col("ps_availqty").cast("double")
+            > F.col("qty_dec").cast("double") * 0.5
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
+    geo = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        supplier.join(qualified, supplier.s_suppkey == qualified.ps_suppkey, "left_semi")
+        .join(F.broadcast(geo), supplier.s_nationkey == geo.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q20_promotable_suppliers": q20_promotable_suppliers,
+}
+
+ORACLES = {
+    "q2_min_cost_supplier": f"""
+        WITH {PARTSUPP_CTE},
+        offers AS (
+          SELECT p_partkey, p_name, s_name, n_name,
+                 s_acctbal::DECIMAL(18,2) AS acct,
+                 ps_supplycost::DECIMAL(18,2) AS cost
+          FROM partsupp
+          JOIN part ON p_partkey = ps_partkey
+                   AND p_type = 'ECONOMY' AND p_size <= 10
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey AND r_name = '{Q20_REGION}'
+        )
+        SELECT acct::DOUBLE AS s_acctbal, s_name, n_name, p_partkey, p_name,
+               cost::DOUBLE AS ps_supplycost
+        FROM (
+          SELECT *, MIN(cost) OVER (PARTITION BY p_partkey) AS min_cost
+          FROM offers
+        )
+        WHERE cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q9_product_profit": f"""
+        WITH {PARTSUPP_CTE}
+        SELECT n_name AS nation,
+               year(l_shipdate)::INT AS o_year,
+               SUM(l_extendedprice::DECIMAL(18,2)
+                     * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))
+                   - ps_supplycost::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)
+                  )::DOUBLE AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    "q11_important_stock": f"""
+        WITH {PARTSUPP_CTE},
+        per_part AS (
+          SELECT ps_partkey,
+                 SUM(ps_supplycost::DECIMAL(18,2) * ps_availqty) AS value_dec
+          FROM partsupp
+          JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON n_nationkey = s_nationkey AND n_name = '{Q11_NATION}'
+          GROUP BY ps_partkey
+        )
+        SELECT ps_partkey, value_dec::DOUBLE AS part_value
+        FROM per_part,
+             (SELECT SUM(value_dec) AS total_dec FROM per_part) t
+        WHERE value_dec::DOUBLE > total_dec::DOUBLE * {Q11_FRACTION}
+        ORDER BY part_value DESC, ps_partkey
+    """,
+    "q16_supplier_cnt": f"""
+        WITH {PARTSUPP_CTE}
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand != 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+          AND ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_suppkey % 17 = 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q20_promotable_suppliers": f"""
+        WITH {PARTSUPP_CTE},
+        shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(l_quantity::DECIMAL(18,2)) AS qty_dec
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        qualified AS (
+          SELECT DISTINCT ps_suppkey
+          FROM partsupp
+          JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'red%'
+          JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE ps_availqty::DOUBLE > qty_dec::DOUBLE * 0.5
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = '{Q20_REGION}'
+        WHERE s_suppkey IN (SELECT ps_suppkey FROM qualified)
+        ORDER BY s_name
+    """,
+}
