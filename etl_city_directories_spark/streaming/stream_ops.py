@@ -254,11 +254,124 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_sliding_agg_sink")
 
 
+WATERMARK_DELAY_MIN = 30
+_WM_US = WATERMARK_DELAY_MIN * 60 * 1_000_000
+_HOUR_US = 3_600_000_000
+
+
+def _build_late_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Three-microbatch replay fixture for watermark semantics.
+
+    File 1: events below the corpus midpoint — after this batch the
+    watermark advances to W1 = max(file-1 ts) − delay. File 2: the
+    on-time remainder. File 3: late re-arrivals — copies of old events
+    whose windows are far below W1, so a correct watermark MUST drop
+    them. The late rows go in the THIRD batch because Spark's
+    late-record filter lags eviction by one batch (the chained-
+    stateful-operator semantics: batch N drops with the watermark of
+    batch N−2, evicts with N−1) — verified empirically; in a two-file
+    layout the late rows would arrive under late-threshold 0 and be
+    silently accepted. File mtimes force the batch order. Returns
+    (dir, split_us, w1_us); the caller removes the dir after replay.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    events = load_table_events_us(spark, sf_dir)
+    lo, hi = events.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    split_us = (lo + hi) // 2
+    f1 = events.filter(F.col("ts_us") < split_us)
+    w1_us = f1.agg(F.max("ts_us")).collect()[0][0] - _WM_US
+    f2 = events.filter(F.col("ts_us") >= split_us)
+    late = f1.filter(
+        (F.col("ts_us") < w1_us - _HOUR_US) & (F.col("event_id") % 97 == 0)
+    )
+
+    out = tempfile.mkdtemp(prefix="spark_graft_late_fixture_")
+
+    def _write(df, name: str, mtime: int) -> None:
+        tmp = os.path.join(out, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dest = os.path.join(out, name)
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (mtime, mtime))
+
+    _write(f1, "batch1.parquet", 1_000_000_000)
+    _write(f2, "batch2.parquet", 1_000_000_100)
+    _write(late, "batch3.parquet", 1_000_000_200)
+    return out, split_us, w1_us
+
+
+def load_table_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_city_directories_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode tumbling counts over a late-data replay.
+
+    ``withWatermark(30 min)`` + append mode: a window emits exactly
+    once, when the watermark passes its end, and late rows below the
+    watermark are DROPPED — the state store holds only windows within
+    the delay of the max seen event time, which is the bound that lets
+    a 1000-executor job run forever. The three-file fixture replays as
+    three microbatches (maxFilesPerTrigger=1): batch 1 sets the
+    watermark, batch 2 advances it, batch 3 carries deliberately-late
+    re-arrivals that the watermark must reject (see
+    _build_late_fixture for why late rows need their own batch). The
+    DuckDB oracle is the batch twin over the finalized windows (end ≤
+    final watermark = global max − delay) counting on-time rows only —
+    if the watermark failed to drop the late rows, duplicate window
+    emissions would break the hash match. tests/test_streaming.py
+    additionally asserts the late set is non-empty and overlaps
+    emitted windows — the drop is load-bearing, not vacuous.
+    """
+    import shutil
+
+    path, _split_us, _w1_us = _build_late_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    agg = (
+        stream.withWatermark("ts", f"{WATERMARK_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _run_to_table(agg, "stream_late_data_sink", "append")
+    result = spark.table("stream_late_data_sink")
+    rows = result.count()  # materialized in the memory sink
+    assert rows >= 0
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_sliding_agg": stream_sliding_agg,
+    "stream_late_data": stream_late_data,
 }
 
 ORACLES = {
@@ -307,6 +420,24 @@ ORACLES = {
         SELECT DISTINCT
           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash
         FROM documents
+    """,
+    # batch twin of the watermarked append replay: every window whose
+    # end <= the final watermark (global max ts − delay) emits exactly
+    # once with its full on-time count; the deliberately-late batch-3
+    # rows are dropped by the watermark, so they contribute nothing —
+    # if Spark failed to drop them, the re-created windows would emit
+    # duplicate rows and break the hash match
+    "stream_late_data": f"""
+        WITH wm AS (
+          SELECT MAX(epoch_us(ts)) - {_WM_US} AS w_us FROM events
+        )
+        SELECT epoch_us(date_trunc('hour', ts)) AS bucket_start_us,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        WHERE epoch_us(date_trunc('hour', ts)) + {_HOUR_US}
+                <= (SELECT w_us FROM wm)
+        GROUP BY 1, 2
     """,
     # sliding 1h/30m: every event is in exactly the two windows whose
     # starts are trunc30(ts) and trunc30(ts) - 30min

@@ -133,3 +133,47 @@ def test_sliding_agg_overlap_invariant(spark):
     assert int(slid["n_events"].sum()) == 2 * n_events
     # window starts are aligned to the 30-minute slide grid
     assert (slid["window_start_us"] % (30 * 60 * 1_000_000) == 0).all()
+
+
+def test_late_data_fixture_drop_is_load_bearing(spark):
+    """The watermark operator's late set must be non-empty and target
+    windows that DO get emitted — otherwise the late-drop check in the
+    stream_late_data oracle would pass vacuously."""
+    from etl_city_directories_spark.streaming.stream_ops import (
+        _HOUR_US,
+        _WM_US,
+        _build_late_fixture,
+        load_table_events_us,
+        stream_late_data,
+    )
+
+    events = load_table_events_us(spark, SF)
+    lo, hi = events.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    split_us = (lo + hi) // 2
+    f1 = events.filter(F.col("ts_us") < split_us)
+    w1_us = f1.agg(F.max("ts_us")).collect()[0][0] - _WM_US
+    late = f1.filter(
+        (F.col("ts_us") < w1_us - _HOUR_US) & (F.col("event_id") % 97 == 0)
+    )
+    late_buckets = {
+        r.b for r in late.select(
+            (F.floor(F.col("ts_us") / _HOUR_US) * _HOUR_US).alias("b")
+        ).distinct().collect()
+    }
+    assert late_buckets, "fixture produced no late rows"
+
+    before = {
+        d for d in os.listdir(tempfile.gettempdir())
+        if d.startswith("spark_graft_late_fixture_")
+    }
+    result = stream_late_data(spark, SF).toPandas()
+    emitted = set(result["bucket_start_us"])
+    # every late bucket is an emitted (finalized) window: the rows were
+    # dropped by the watermark, not absent from the output domain
+    assert late_buckets <= emitted
+    # and this invocation cleaned up its own fixture dir
+    after = {
+        d for d in os.listdir(tempfile.gettempdir())
+        if d.startswith("spark_graft_late_fixture_")
+    }
+    assert after <= before
