@@ -53,6 +53,34 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS beyond rollup/cube: a custom set mix
+    ((status, priority), (status), (priority)) — neither a rollup (no
+    grand total) nor a cube (not all 2² sets) — with grouping_id to
+    disambiguate the NULL-vs-subtotal rows.
+
+    Same execution shape as rollup: EXPAND ×|sets| before the partial
+    agg, one shuffle on the expanded keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec2("o_totalprice"), "total_price"),
+        )
+    )
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no orders (left anti join)."""
     customer = load_table(spark, sf_dir, "customer")
@@ -135,6 +163,7 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_event_paths": q_event_paths,
     "q_rollup": q_rollup,
+    "q_grouping_sets": q_grouping_sets,
     "q_anti_join": q_anti_join,
     "q_semi_join": q_semi_join,
     "q_json_extract": q_json_extract,
@@ -171,6 +200,20 @@ ORACLES = {
           COUNT(*) AS n_items
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_grouping_sets": """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS grp_id,
+          COUNT(*) AS n_orders,
+          SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority),
+          (o_orderstatus),
+          (o_orderpriority)
+        )
     """,
     "q_anti_join": """
         SELECT c_custkey, c_name, c_mktsegment
