@@ -218,6 +218,27 @@ def cd_parse_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cd_parse_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry-parser's full multi-valued contract: subjects[],
+    occupations[], locations[] surface whole — the reference keeps the
+    complete ``locations`` array on the output object even though it
+    projects ``subjects[0]``/``occupations[0]`` (city-directories.js:
+    376-379). Arrays serialize '|'-joined so the cross-engine hash is
+    representation-independent."""
+    clean = _clean(F.col("raw_line"))
+    segs = _segments(clean)
+    locs = _locs(segs)
+    occs = _occs(segs)
+    return lines_df(spark, sf_dir).select(
+        "doc_id",
+        F.trim(F.try_element_at(segs, F.lit(1))).alias("subjects_all"),
+        F.concat_ws("|", occs).alias("occupations_all"),
+        F.concat_ws("|", locs).alias("locations_all"),
+        F.size(occs).cast("bigint").alias("n_occupations"),
+        F.size(locs).cast("bigint").alias("n_locations"),
+    )
+
+
 def cd_year_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'1850/51' → [1850, 1851]; plain years map to themselves
     (city-directories.js:123-128, :416-417)."""
@@ -546,6 +567,7 @@ def cd_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cd_clean_text": cd_clean_text,
     "cd_parse_entries": cd_parse_entries,
+    "cd_parse_multi": cd_parse_multi,
     "cd_year_normalize": cd_year_normalize,
     "cd_make_id": cd_make_id,
     "cd_page_filter": cd_page_filter,
@@ -591,6 +613,17 @@ ORACLES = {
           occs[1] AS occupation,
           locs[1] AS loc1,
           locs[2] AS loc2,
+          len(locs)::BIGINT AS n_locations
+        FROM parsed
+    """,
+    "cd_parse_multi": f"""
+        WITH {LINES_CTE}
+        SELECT
+          doc_id,
+          trim(segs[1]) AS subjects_all,
+          array_to_string(occs, '|') AS occupations_all,
+          array_to_string(locs, '|') AS locations_all,
+          len(occs)::BIGINT AS n_occupations,
           len(locs)::BIGINT AS n_locations
         FROM parsed
     """,

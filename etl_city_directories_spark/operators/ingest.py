@@ -62,6 +62,84 @@ def localize_result(df: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame(df.collect(), df.schema)
 
 
+def cd_download(
+    spark: SparkSession, sf_dir: str, dest: str | None = None
+) -> DataFrame:
+    """The reference's download step re-expressed Spark-first
+    (city-directories.js:76-106 download/downloadCityDirectory,
+    :135-160 manifest fetch).
+
+    The manifest drives discovery: one expected ``{uuid}.tar.gz`` per
+    directory row. The remote base URL becomes a source directory read
+    through Spark's ``binaryFile`` source (the sandbox has no network;
+    pointing the same code at any Hadoop-compatible FS/HTTP mount is
+    config, not code). Fetch semantics preserved:
+
+    - found archives are copied into the dataset dir by the executor
+      that holds the bytes (``mapInPandas`` — one task per archive at
+      scale, no driver funnel);
+    - missing/failed archives produce the reference's error artifact —
+      an ``{uuid}.xml`` error file — and the row is marked ``error``
+      while the job keeps going (failures tolerated, :91-97).
+
+    Returns (uuid, filename, status, n_bytes) per manifest row.
+    Rows-only (filesystem side effects); layout asserted in
+    tests/test_sources.py.
+    """
+    import pandas as pd
+
+    keep = dest is not None
+    src = tempfile.mkdtemp(prefix="spark_graft_dl_src_")
+    shutil.copy(fixture_archive(), src)
+    if dest is None:
+        dest = tempfile.mkdtemp(prefix="spark_graft_dl_dest_")
+
+    manifest = read_manifest(spark, os.path.join(FIXTURES, "manifest.html")).select(
+        "uuid"
+    )
+    archives = (
+        spark.read.format("binaryFile")
+        .load(f"{src}/*.tar.gz")
+        .select(
+            F.regexp_extract(
+                F.col("path"), r"([0-9a-f-]+)\.tar\.gz$", 1
+            ).alias("uuid"),
+            "content",
+        )
+    )
+
+    def _fetch(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                fname = f"{row.uuid}.tar.gz"
+                if row.content is not None:
+                    with open(os.path.join(dest, fname), "wb") as f:
+                        f.write(row.content)
+                    out.append((row.uuid, fname, "downloaded", len(row.content)))
+                else:
+                    err_name = f"{row.uuid}.xml"
+                    with open(os.path.join(dest, err_name), "wb") as f:
+                        f.write(b"")
+                    out.append((row.uuid, err_name, "error", 0))
+            yield pd.DataFrame(
+                out, columns=["uuid", "filename", "status", "n_bytes"]
+            )
+
+    result = (
+        manifest.join(archives, "uuid", "left")
+        .mapInPandas(
+            _fetch, "uuid string, filename string, status string, n_bytes long"
+        )
+        .orderBy("uuid")
+    )
+    result = localize_result(result)
+    shutil.rmtree(src, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(dest, ignore_errors=True)
+    return result
+
+
 def hocr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tar.gz → pages → column-assigned OCR lines (reference parse step)."""
     pages = read_hocr_pages(spark, fixture_archive())
@@ -137,6 +215,7 @@ def ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "cd_download": cd_download,
     "hocr_parse": hocr_parse,
     "manifest_parse": manifest_parse,
     "ndjson_sink": ndjson_sink,

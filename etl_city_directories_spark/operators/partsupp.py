@@ -264,12 +264,62 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole latest shipper on
+    multi-supplier orders (the classic EXISTS / NOT-EXISTS double
+    correlated subquery), decorrelated to per-order window aggregates.
+
+    The reference plan self-joins lineitem twice; here both correlated
+    subqueries collapse into ONE shuffle on l_orderkey computing
+    max(shipdate), #distinct suppliers, and #distinct latest suppliers
+    per order — the qualifying predicate is then a row-local filter.
+    Adaptation to this corpus: l_receiptdate/commitdate don't exist, so
+    'kept waiting' = shipped last in the order (strictly later than
+    every other supplier's lines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = (
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(
+                        F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey")
+                    )
+                ).over(w)
+            ),
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.filter(
+            (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q9_product_profit": q9_product_profit,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_cnt": q16_supplier_cnt,
     "q20_promotable_suppliers": q20_promotable_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -366,5 +416,29 @@ ORACLES = {
         JOIN region ON r_regionkey = n_regionkey AND r_name = '{Q20_REGION}'
         WHERE s_suppkey IN (SELECT ps_suppkey FROM qualified)
         ORDER BY s_name
+    """,
+    "q21_waiting_suppliers": """
+        WITH base AS (
+          SELECT l_orderkey, l_suppkey, l_shipdate,
+                 MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+          FROM lineitem
+        ),
+        per_order AS (
+          SELECT *,
+                 COUNT(DISTINCT l_suppkey) OVER w2 AS n_supp,
+                 COUNT(DISTINCT CASE WHEN l_shipdate = max_ship
+                       THEN l_suppkey END) OVER w2 AS n_late_supp
+          FROM base
+          WINDOW w2 AS (PARTITION BY l_orderkey)
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM per_order
+          WHERE l_shipdate = max_ship AND n_supp > 1 AND n_late_supp = 1
+        )
+        JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
     """,
 }

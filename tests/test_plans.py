@@ -122,3 +122,37 @@ def test_salted_agg_two_phase(spark):
     plan = plan_of(df)
     assert plan.count("HashAggregate") >= 4, plan
     assert "salt" not in df.columns
+
+
+def test_partsupp_queries_broadcast_dims(spark):
+    """Q2/Q9: part/supplier/nation/region are dims — they must reach
+    the fact joins as broadcasts, never shuffle the fact on a dim key."""
+    for name, min_bcast in (("q2_min_cost_supplier", 2), ("q9_product_profit", 3)):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, f"{name}: {plan}"
+
+
+def test_q21_single_window_exchange(spark):
+    """The decorrelated Q21 must compute all three per-order window
+    aggregates (and the distinct) over ONE shuffle on l_orderkey — the
+    point of decorrelating the double EXISTS — with no fact self-join.
+    Remaining shuffles: the s_name groupBy and the output sort."""
+    import re
+
+    plan = plan_of(QUERIES["q21_waiting_suppliers"](spark, SF))
+    # detail-section lines '(N) Exchange' count each shuffle once
+    # (BroadcastExchange lines don't match)
+    shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert shuffles <= 3, f"{shuffles} shuffles: {plan}"
+    assert "SortMergeJoin" not in plan  # no lineitem self-join
+    assert plan.count("BroadcastHashJoin") >= 1  # supplier dim
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """IVF training: the K-row centroid table must broadcast into the
+    assignment (a map-side nested-loop over K rows), never shuffle the
+    vector corpus."""
+    from etl_city_directories_spark.operators.similarity import kmeans_cells
+
+    plan = plan_of(kmeans_cells(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan

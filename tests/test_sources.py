@@ -119,3 +119,24 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
             f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
         ]
         assert len(files) == 1, f"{d}: {files}"
+
+
+def test_cd_download_fetch_and_error_semantics(spark, tmp_path):
+    """Reference download contract: found archives land as
+    {uuid}.tar.gz; missing ones leave an {uuid}.xml error artifact and
+    the job keeps going (city-directories.js:91-97)."""
+    from etl_city_directories_spark.operators.ingest import _UUID, cd_download
+
+    dest = str(tmp_path / "dl")
+    os.makedirs(dest)
+    rows = {r.uuid: r for r in cd_download(spark, SF, dest=dest).collect()}
+    assert len(rows) == 4  # one per manifest row
+    ok = rows[_UUID]
+    assert ok.status == "downloaded" and ok.filename == f"{_UUID}.tar.gz"
+    assert ok.n_bytes > 0
+    assert os.path.exists(os.path.join(dest, ok.filename))
+    errors = [r for r in rows.values() if r.status == "error"]
+    assert len(errors) == 3
+    for r in errors:
+        assert r.filename.endswith(".xml")
+        assert os.path.exists(os.path.join(dest, r.filename))
