@@ -205,7 +205,9 @@ def ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     rels = cd_relations(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="spark_graft_ndjson_sink_")
     write_ndjson(rels, path)
-    back = read_ndjson(spark, path)
+    # explicit schema: at scale, JSON schema inference is a full extra
+    # scan of the sink before the real read
+    back = read_ndjson(spark, path, schema=rels.schema)
     result = (
         back.groupBy("rel_type").agg(F.count(F.lit(1)).alias("n")).orderBy("rel_type")
     )
