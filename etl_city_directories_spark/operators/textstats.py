@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_city_directories_spark.operators.dedup import norm_col, shingles_col
+from etl_city_directories_spark.operators.dedup import (
+    SHINGLE_CTE as _DEDUP_SHINGLE_CTE,
+    norm_col,
+    shingles_col,
+)
 from etl_city_directories_spark.sources.tables import load_table_parallel
 
 STOPWORDS = {
@@ -187,7 +191,121 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+EVAL_SOURCE = "src0"
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\b"
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride sliding-window chunking — how a training pipeline
+    turns documents into model-context-sized samples (64-token windows,
+    stride 48 → 16-token overlap).
+
+    Contract: window starts march by the stride up to the last FULL
+    window; documents shorter than one window yield one whole-doc
+    chunk. Pure map-side (split + sequence + slice) — zero shuffle,
+    the ideal 100 TB shape.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = _words(norm)
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), n - F.lit(CHUNK_TOKENS) + 1),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), F.lit(CHUNK_TOKENS))
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("w"),
+            n.cast("bigint").alias("doc_tokens"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            "doc_tokens",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        )
+    )
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails and phone-shaped numbers replaced
+    with typed placeholders, per-doc match counts reported.
+
+    JVM ``regexp_replace``/``regexp_extract_all`` end to end (patterns
+    restricted to the Java∩RE2 common dialect so the DuckDB oracle is
+    exact). The synthetic corpus is PII-free — the oracle verifies the
+    pass-through + zero counts on it; the regex behavior itself is
+    pinned by tests/test_textstats_quality.py on adversarial rows.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    redacted = F.regexp_replace(
+        F.regexp_replace(norm, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        F.size(F.regexp_extract_all(norm, F.lit(PII_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(norm, F.lit(PII_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: for every training document,
+    how many of its 3-gram shingles appear anywhere in the held-out
+    eval source — the overlap audit every LLM data pipeline runs
+    before training.
+
+    The shingle VALUE is the join key: both sides explode to
+    (shingle, doc) and meet in a hash join keyed on the shingle, so
+    cost is O(matching shingles), never train × eval. The distinct
+    eval-shingle set is small relative to the corpus → broadcast; at
+    larger eval sets the same join degrades gracefully to a shuffle
+    join on the shingle.
+    """
+    sh = _shingled(spark, sf_dir)
+    train = sh.filter(F.col("source") != EVAL_SOURCE).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    eval_shingles = (
+        sh.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", shingles_col(norm_col()).alias("shingles")
+    )
+
+
 QUERIES = {
+    "text_chunk": text_chunk,
+    "text_redact_pii": text_redact_pii,
+    "decontaminate": decontaminate,
     "text_lang_id": text_lang_id,
     "text_top_terms": text_top_terms,
     "text_quality_score": text_quality_score,
@@ -216,6 +334,49 @@ for _lang in LANG_ORDER:
 _PRED += "ELSE 'unknown' END"
 
 ORACLES = {
+    "text_chunk": f"""
+        WITH words AS (
+          SELECT doc_id, {_W} AS w, len({_W}) AS n FROM documents
+        ),
+        exploded AS (
+          SELECT doc_id, w, n,
+                 unnest(generate_series(1, greatest(1, n - {CHUNK_TOKENS} + 1),
+                                        {CHUNK_STRIDE})) AS s,
+                 generate_subscripts(generate_series(1, greatest(1, n - {CHUNK_TOKENS} + 1),
+                                                     {CHUNK_STRIDE}), 1) AS i
+          FROM words
+        )
+        SELECT doc_id,
+               n::BIGINT AS doc_tokens,
+               (i - 1)::BIGINT AS chunk_idx,
+               array_to_string(w[s:s + {CHUNK_TOKENS} - 1], ' ') AS chunk_text,
+               len(w[s:s + {CHUNK_TOKENS} - 1])::BIGINT AS chunk_tokens
+        FROM exploded
+    """,
+    "text_redact_pii": f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace({_NORM}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted_text,
+               len(regexp_extract_all({_NORM}, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all({_NORM}, '{PII_PHONE_RE}'))::BIGINT AS n_phones
+        FROM documents
+    """,
+    "decontaminate": f"""
+        WITH {_DEDUP_SHINGLE_CTE},
+        train AS (
+          SELECT doc_id, unnest(shingles) AS shingle
+          FROM shingled WHERE source != '{EVAL_SOURCE}'
+        ),
+        ev AS (
+          SELECT DISTINCT unnest(shingles) AS shingle
+          FROM shingled WHERE source = '{EVAL_SOURCE}'
+        )
+        SELECT doc_id, COUNT(*) AS n_shared_shingles
+        FROM train JOIN ev USING (shingle)
+        GROUP BY doc_id
+        HAVING COUNT(*) > 0
+        ORDER BY doc_id
+    """,
     "text_top_terms": f"""
         SELECT term,
                COUNT(*) AS n_occurrences,
