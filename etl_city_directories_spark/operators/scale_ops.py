@@ -178,7 +178,53 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: count/min/max/mean/stddev for every numeric
+    fact column in ONE scan (all 15 aggregates in a single partial-
+    aggregated pass, then ``stack`` unpivots to long form — at 100 TB a
+    per-column loop would scan the fact table |columns| times).
+
+    Mean and stddev derive from exact decimal sums (sum, sum-of-
+    squares), so shuffle order can't perturb a bit; the only double
+    math is the final fixed-order divide/sqrt, rounded 4dp.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        d = dec2(c)
+        n = F.count(F.lit(1))
+        s = F.sum(d).cast("double")
+        s2 = F.sum(d * d).cast("double")
+        aggs.extend(
+            [
+                n.alias(f"{c}_n"),
+                F.min(d).cast("double").alias(f"{c}_min"),
+                F.max(d).cast("double").alias(f"{c}_max"),
+                F.round(s / n, 4).alias(f"{c}_mean"),
+                F.round(
+                    F.sqrt((s2 - F.pow(s, F.lit(2)) / n) / (n - F.lit(1))), 4
+                ).alias(f"{c}_std"),
+            ]
+        )
+    stack_args = ", ".join(
+        f"'{c}', {c}_n, {c}_min, {c}_max, {c}_mean, {c}_std"
+        for c in _PROFILE_COLS
+    )
+    return (
+        l.agg(*aggs)
+        .selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " as (column_name, n, min_val, max_val, mean_val, std_val)"
+        )
+        .orderBy("column_name")
+    )
+
+
 QUERIES = {
+    "profile_numeric": profile_numeric,
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_cube_status_priority": q_cube_status_priority,
     "q_upsert_merge": q_upsert_merge,
@@ -186,7 +232,26 @@ QUERIES = {
     "source_csv_roundtrip": source_csv_roundtrip,
 }
 
+_PROFILE_ORACLE = "\n        UNION ALL\n".join(
+    f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n,
+               MIN({c}::DECIMAL(18,2))::DOUBLE AS min_val,
+               MAX({c}::DECIMAL(18,2))::DOUBLE AS max_val,
+               ROUND(SUM({c}::DECIMAL(18,2))::DOUBLE / COUNT(*), 4) AS mean_val,
+               ROUND(sqrt((SUM({c}::DECIMAL(18,2) * {c}::DECIMAL(18,2))::DOUBLE
+                           - POW(SUM({c}::DECIMAL(18,2))::DOUBLE, 2) / COUNT(*))
+                          / (COUNT(*) - 1)), 4) AS std_val
+        FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
 ORACLES = {
+    "profile_numeric": f"""
+        SELECT * FROM (
+        {_PROFILE_ORACLE}
+        ) ORDER BY column_name
+    """,
     # the salted two-phase plan must be bit-identical to the plain agg
     "q_skew_salted_agg": """
         SELECT user_id,

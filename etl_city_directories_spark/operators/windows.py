@@ -180,7 +180,39 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers bucketed by first-order month, then
+    counted per (cohort, month-offset) — the standard retention
+    triangle.
+
+    Two shuffles on o_custkey (first-order month, distinct activity
+    months) that AQE coalesces onto the same key, then one small
+    shuffle on the (cohort, offset) pair. months_between on
+    month-truncated dates is integral, so the offset is exact in both
+    engines.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    activity = o.distinct()
+    return (
+        activity.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+            F.round(F.months_between("m", "cohort_m"))
+            .cast("bigint")
+            .alias("month_offset"),
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
 QUERIES = {
+    "q_cohort_retention": q_cohort_retention,
     "q_first_touch": q_first_touch,
     "q_moving_avg": q_moving_avg,
     "q_window_running": q_window_running,
@@ -190,6 +222,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_cohort_retention": """
+        WITH months AS (
+          SELECT o_custkey, date_trunc('month', o_orderdate) AS m
+          FROM orders
+        ),
+        firsts AS (
+          SELECT o_custkey, MIN(m) AS cohort_m FROM months GROUP BY o_custkey
+        ),
+        activity AS (
+          SELECT DISTINCT o_custkey, m FROM months
+        )
+        SELECT strftime(cohort_m, '%Y-%m') AS cohort_month,
+               datediff('month', cohort_m, m)::BIGINT AS month_offset,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM activity JOIN firsts USING (o_custkey)
+        GROUP BY 1, 2
+        ORDER BY cohort_month, month_offset
+    """,
     "q_first_touch": """
         WITH attributed AS (
           SELECT user_id,

@@ -366,12 +366,41 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the
+    customer dim, rolled up per (market segment, event type).
+
+    The static side is a plain batch DataFrame broadcast into every
+    microbatch — the standard dimension-enrichment pattern (no state
+    store involved for the join itself; only the downstream agg is
+    stateful). At scale the dim either broadcasts or is published as a
+    Delta/parquet snapshot re-read per trigger.
+    """
+    from etl_city_directories_spark.sources.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(customer), ev.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+    )
+    _run_to_table(agg, "stream_static_join_sink", "complete")
+    return spark.table("stream_static_join_sink")
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_sliding_agg": stream_sliding_agg,
     "stream_late_data": stream_late_data,
+    "stream_static_join": stream_static_join,
 }
 
 ORACLES = {
@@ -437,6 +466,13 @@ ORACLES = {
         FROM events
         WHERE epoch_us(date_trunc('hour', ts)) + {_HOUR_US}
                 <= (SELECT w_us FROM wm)
+        GROUP BY 1, 2
+    """,
+    "stream_static_join": """
+        SELECT c_mktsegment, event_type,
+               COUNT(*) AS n_events,
+               SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
     """,
     # sliding 1h/30m: every event is in exactly the two windows whose
