@@ -299,7 +299,76 @@ def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHIP_MODES = ("MAIL", "SHIP", "AIR", "RAIL", "TRUCK", "FOB", "REG AIR")
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for a quarter, EXISTS a
+    line shipped >30 days after the order date.
+
+    The EXISTS becomes a left-semi join with the compound (key +
+    inequality) condition — one shuffle on orderkey, the quarter
+    filter pushes to the orders scan. Adaptation: the corpus has no
+    commit/receipt dates, so 'late line' = shipped 30+ days after
+    order placement.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-ship-mode counts of high- vs low-priority
+    orders (two conditional sums over one join).
+
+    The ship mode is a deterministic surrogate dim derived from the
+    line keys (the corpus has no l_shipmode); the lineitem year filter
+    pushes down, orders joins on orderkey once.
+    """
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in SHIP_MODES]),
+        ((F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 7 + 1).cast("int"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", mode.alias("l_shipmode"))
+        .filter(F.col("l_shipmode").isin("MAIL", "SHIP"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
 QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q12_shipmode_priority": q12_shipmode_priority,
     "q13_order_count_dist": q13_order_count_dist,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -313,7 +382,42 @@ QUERIES = {
 
 _REV = "l_extendedprice::DECIMAL(18,2) * (1.00 - l_discount::DECIMAL(18,2))"
 
+_MODE_LIST = ", ".join(f"'{m}'" for m in SHIP_MODES)
+
 ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= DATE '1996-07-01'
+          AND o_orderdate < DATE '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q12_shipmode_priority": f"""
+        WITH modes AS (
+          SELECT l_orderkey,
+                 list_extract([{_MODE_LIST}],
+                   CAST((l_orderkey * 3 + l_linenumber) % 7 + 1 AS INT))
+                   AS l_shipmode
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate < DATE '1998-01-01'
+        )
+        SELECT l_shipmode,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM modes JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipmode IN ('MAIL', 'SHIP')
+        GROUP BY l_shipmode
+        ORDER BY l_shipmode
+    """,
     "q13_order_count_dist": """
         SELECT c_count, COUNT(*) AS n_custs
         FROM (

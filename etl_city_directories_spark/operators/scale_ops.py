@@ -178,6 +178,72 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+N_BUCKETS = 8
+
+
+def q_bucketed_join(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """Bucketed-table co-located join: orders and lineitem written
+    ``bucketBy(8, key)`` + ``sortBy``, then joined with NO exchange on
+    either side — the 100 TB pattern for repeated fact-fact joins (pay
+    the shuffle once at write time, amortize it over every later
+    join). tests/test_plans.py asserts the join has no shuffle.
+
+    Pass ``path`` to keep the bucketed tables for inspection;
+    otherwise they land in a unique temp dir and are dropped after the
+    summary localizes.
+    """
+    from etl_city_directories_spark.operators.ingest import localize_result
+
+    keep = path is not None
+    if path is None:
+        path = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", dec2("l_extendedprice").alias("price")
+    )
+    (
+        orders.write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{path}/bkt_orders")
+        .mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        li.write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{path}/bkt_lineitem")
+        .mode("overwrite")
+        .saveAsTable("bkt_lineitem")
+    )
+    joined = bucketed_join_df(spark)
+    if keep:
+        return joined
+    result = localize_result(joined)
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    shutil.rmtree(path, ignore_errors=True)
+    return result
+
+
+def bucketed_join_df(spark: SparkSession) -> DataFrame:
+    """The exchange-free join over the registered bucketed tables."""
+    o = spark.table("bkt_orders")
+    l = spark.table("bkt_lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
 
 
@@ -224,6 +290,7 @@ def profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_bucketed_join": q_bucketed_join,
     "profile_numeric": profile_numeric,
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_cube_status_priority": q_cube_status_priority,
@@ -247,6 +314,15 @@ _PROFILE_ORACLE = "\n        UNION ALL\n".join(
 )
 
 ORACLES = {
+    # bucketing must not change the join result
+    "q_bucketed_join": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_lines,
+               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS total_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
     "profile_numeric": f"""
         SELECT * FROM (
         {_PROFILE_ORACLE}

@@ -156,3 +156,29 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
 
     plan = plan_of(kmeans_cells(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key: the SortMergeJoin
+    must read the buckets directly — zero Exchange (and zero extra
+    Sort) on the join inputs."""
+    import re
+
+    from etl_city_directories_spark.operators.scale_ops import q_bucketed_join
+
+    # disable auto-broadcast: at tiny SF Catalyst would (correctly)
+    # broadcast the small side, which proves nothing about bucketing
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_join(spark, SF, path=str(tmp_path / "bkt"))
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # only the groupBy and orderBy above the join may shuffle — an
+    # unbucketed plan would add one exchange per join input (4 total)
+    shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert shuffles <= 2, f"{shuffles} shuffles: {plan}"
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
