@@ -394,6 +394,52 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_static_join_sink")
 
 
+JOIN_WINDOW_MIN = 30
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's clicks within the preceding 30 minutes.
+
+    Both sides are watermarked streams; the join condition combines
+    the user equi-key with an event-time interval, which is what lets
+    Spark bound the join STATE — each side retains only rows within
+    watermark + interval, the eviction contract that makes an
+    unbounded two-stream join runnable forever on a cluster. Append
+    mode (the canonical stream-stream join mode): matches emit as
+    found; with the finite availableNow replay the inner join emits
+    exactly the batch interval-join result, so the DuckDB twin is
+    exact.
+    """
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MIN} MINUTES")
+        ),
+    ).select(
+        "p_user",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    _run_to_table(joined, "stream_stream_join_sink", "append")
+    return spark.table("stream_stream_join_sink")
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sessionize": stream_sessionize,
@@ -401,6 +447,7 @@ QUERIES = {
     "stream_sliding_agg": stream_sliding_agg,
     "stream_late_data": stream_late_data,
     "stream_static_join": stream_static_join,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLES = {
@@ -467,6 +514,16 @@ ORACLES = {
         WHERE epoch_us(date_trunc('hour', ts)) + {_HOUR_US}
                 <= (SELECT w_us FROM wm)
         GROUP BY 1, 2
+    """,
+    "stream_stream_join": f"""
+        SELECT p.user_id AS p_user,
+               epoch_us(p.ts) AS p_ts_us,
+               epoch_us(c.ts) AS c_ts_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL {JOIN_WINDOW_MIN} MINUTE
     """,
     "stream_static_join": """
         SELECT c_mktsegment, event_type,
