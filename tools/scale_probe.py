@@ -38,6 +38,8 @@ OPS = [
     "ann_ivf_bucketed",
     "text_fingerprint",
     "sample_stratified",
+    "decontaminate",
+    "text_chunk",
 ]
 
 
