@@ -29,7 +29,15 @@ PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta
 # non-equi condition against a capped broadcast side, or a 1-row
 # scalar-aggregate crossJoin (Spark's DataFrame idiom for a scalar
 # subquery — broadcasting one row is free at any scale)
-BNLJ_OK = {"ann_topk_bruteforce", "q22_idle_customers"}
+BNLJ_OK = {
+    "ann_topk_bruteforce",
+    "q22_idle_customers",
+    # k-means assignment: crossJoin(broadcast(K-row centroid table))
+    # is the intended map-side shape (asserted in tests/test_plans.py)
+    "ann_ivf_bucketed",
+    # 1-row global-total crossJoin (scalar-subquery idiom)
+    "q11_important_stock",
+}
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
 
