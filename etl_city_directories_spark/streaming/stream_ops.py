@@ -75,15 +75,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+def _run_to_table(
+    result: DataFrame, name: str, mode: str, state_partitions: int | None = None
+) -> None:
+    """Run the streaming query to completion into a memory sink.
+
+    ``state_partitions`` right-sizes the state-store count for the
+    finite replay (streaming state partitioning is fixed by
+    ``shuffle.partitions`` at the first batch; 32 HDFS-backed stores
+    per stateful op is pure checkpoint overhead when the replay state
+    is kilobytes — measured 6.8 s → 2.8 s on the two-sided join). A
+    production deployment sets it to cluster width instead; the conf
+    is restored after the run.
+    """
+    spark = result.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,7 +457,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("p_ts_us"),
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
-    _run_to_table(joined, "stream_stream_join_sink", "append")
+    _run_to_table(joined, "stream_stream_join_sink", "append", state_partitions=8)
     return spark.table("stream_stream_join_sink")
 
 
