@@ -123,7 +123,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    _run_to_table(agg, "stream_tumbling_agg_sink", "complete")
+    _run_to_table(agg, "stream_tumbling_agg_sink", "complete", state_partitions=8)
     return spark.table("stream_tumbling_agg_sink")
 
 
@@ -199,7 +199,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    _run_to_table(sessions, "stream_sessionize_sink", "update")
+    _run_to_table(sessions, "stream_sessionize_sink", "update", state_partitions=8)
     # The memory sink in update mode APPENDS each microbatch's emits:
     # with a multi-file source (or maxFilesPerTrigger) a session that
     # spans microbatches appears once per batch, earlier rows being
@@ -248,7 +248,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
         ).alias("text_hash")
     ).dropDuplicates(["text_hash"])
-    _run_to_table(hashes, "stream_dedup_exact_sink", "append")
+    _run_to_table(hashes, "stream_dedup_exact_sink", "append", state_partitions=8)
     return spark.table("stream_dedup_exact_sink")
 
 
@@ -271,7 +271,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_table(agg, "stream_sliding_agg_sink", "complete")
+    _run_to_table(agg, "stream_sliding_agg_sink", "complete", state_partitions=8)
     return spark.table("stream_sliding_agg_sink")
 
 
@@ -379,7 +379,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_table(agg, "stream_late_data_sink", "append")
+    _run_to_table(agg, "stream_late_data_sink", "append", state_partitions=8)
     result = spark.table("stream_late_data_sink")
     rows = result.count()  # materialized in the memory sink
     assert rows >= 0
@@ -411,7 +411,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("total_value"),
         )
     )
-    _run_to_table(agg, "stream_static_join_sink", "complete")
+    _run_to_table(agg, "stream_static_join_sink", "complete", state_partitions=8)
     return spark.table("stream_static_join_sink")
 
 
