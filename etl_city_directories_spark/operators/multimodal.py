@@ -284,13 +284,84 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption pairing + image-content dedup — the sample-prep
+    step of a multimodal training pipeline: every (image, caption) row
+    keyed by a content hash of the image payload, collapsed to one row
+    per distinct image with its caption count and the earliest
+    caption.
+
+    The content key is md5 over the full payload hex (header + pixel
+    stream), computed JVM-side before any UDF; the groupBy shuffles on
+    the key only. Unlike the decode stubs this IS oracle-checked: the
+    key derivation is deterministic string math both engines replay,
+    so the pairing/dedup logic gets the full hash-compare treatment.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    width = (F.col("doc_id") % 8 + 8).cast("int")
+    height = (F.col("doc_id") % 5 + 8).cast("int")
+    header = F.concat(
+        F.lit("494D4731"), _hex_u32(width), _hex_u32(height), _hex_u32(F.lit(1))
+    )
+    payload_hex = F.concat(header, _pixel_hex(width * height))
+    pairs = docs.select(
+        "doc_id",
+        F.col("text").alias("caption"),
+        F.md5(payload_hex).alias("image_key"),
+        (width * height).cast("bigint").alias("n_pixels"),
+    )
+    return (
+        pairs.groupBy("image_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_captions"),
+            F.min("doc_id").alias("first_doc"),
+            F.min_by("caption", "doc_id").alias("first_caption"),
+            F.max("n_pixels").alias("n_pixels"),
+        )
+        .orderBy("image_key")
+    )
+
+
 QUERIES = {
     "mm_image_meta": mm_image_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_meta": mm_audio_meta,
+    "mm_caption_pairs": mm_caption_pairs,
 }
 
-# rows-only per SURVEY §2.C: the binary container format is synthetic, so
-# replaying byte-level decode in SQL would test DuckDB's string ops, not
-# the engine. Exact-value pytest coverage lives in tests/test_multimodal.py.
-ORACLES: dict[str, str] = {}
+# The decode stubs are rows-only per SURVEY §2.C: the binary container
+# format is synthetic, so replaying byte-level decode in SQL would test
+# DuckDB's string ops, not the engine (exact-value pytest coverage in
+# tests/test_multimodal.py). mm_caption_pairs IS oracle-checked — its
+# content-key derivation is plain deterministic string math.
+ORACLES: dict[str, str] = {
+    "mm_caption_pairs": """
+        WITH pairs AS (
+          SELECT doc_id,
+                 text AS caption,
+                 md5(
+                   '494D4731'
+                   || printf('%08X', CAST(doc_id % 8 + 8 AS INT))
+                   || printf('%08X', CAST(doc_id % 5 + 8 AS INT))
+                   || '00000001'
+                   || substring(
+                        repeat(
+                          md5(text) || md5(text || '#2'),
+                          CAST((doc_id % 8 + 8) * (doc_id % 5 + 8) * 2 / 64.0
+                               + 1 AS INT)
+                        ), 1,
+                        (doc_id % 8 + 8) * (doc_id % 5 + 8) * 2)
+                 ) AS image_key,
+                 ((doc_id % 8 + 8) * (doc_id % 5 + 8))::BIGINT AS n_pixels
+          FROM documents
+        )
+        SELECT image_key,
+               COUNT(*) AS n_captions,
+               MIN(doc_id) AS first_doc,
+               arg_min(caption, doc_id) AS first_caption,
+               MAX(n_pixels) AS n_pixels
+        FROM pairs
+        GROUP BY image_key
+        ORDER BY image_key
+    """,
+}
