@@ -111,6 +111,35 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: the purchase-event change stream
+    becomes validity-interval rows per user — valid_from = event time,
+    valid_to = next change (NULL while current), is_current flag.
+
+    One shuffle on the key; the interval assembly is a single lead()
+    window pass (no self-join). This is the dimension-history twin of
+    q_upsert_merge's SCD1 snapshot.
+    """
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    return (
+        purchases.select(
+            "user_id",
+            dec2("value").cast("double").alias("attr_value"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.col("event_id"),
+        )
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(w))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .select(
+            "user_id", "attr_value", "valid_from_us", "valid_to_us", "is_current"
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type (rsd
     2%). At 100 TB this replaces the exact-distinct shuffle of every
@@ -295,6 +324,7 @@ QUERIES = {
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_cube_status_priority": q_cube_status_priority,
     "q_upsert_merge": q_upsert_merge,
+    "q_scd2_history": q_scd2_history,
     "q_approx_distinct": q_approx_distinct,
     "source_csv_roundtrip": source_csv_roundtrip,
 }
@@ -367,6 +397,20 @@ ORACLES = {
           updated_at_us
         FROM customer FULL OUTER JOIN latest ON c_custkey = user_id
         ORDER BY custkey
+    """,
+    "q_scd2_history": """
+        SELECT user_id,
+               value::DECIMAL(18,2)::DOUBLE AS attr_value,
+               epoch_us(ts) AS valid_from_us,
+               LEAD(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS valid_to_us,
+               LEAD(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) IS NULL AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY user_id, valid_from_us
     """,
     "source_csv_roundtrip": """
         SELECT lang,
