@@ -114,6 +114,72 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_WORD_MAX = 0.3
+
+
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-word fraction, duplicate-bigram fraction, and the
+    fraction of tokens covered by the single most frequent bigram,
+    plus the resulting keep/drop repetition flag.
+
+    (Rae et al. 2021, "Scaling Language Models" — the repetition
+    filters of Table A1, re-expressed over word tokens.) All four
+    signals are array expressions over the split token list — pure
+    map-side, zero shuffle, whole-stage-codegen'd. The per-doc
+    most-frequent-bigram scan is O(distinct_bigrams x bigrams) inside
+    one row; at 100 TB that stays embarrassingly parallel.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = _words(norm)
+    n = F.size(w)
+    grams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ng = F.size(grams)
+    dup_word_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n.cast("double"), 4
+    )
+    has_grams = F.col("ng") > 0
+    dup_bigram_frac = F.when(has_grams, F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(F.col("grams"))).cast("double")
+        / F.col("ng").cast("double"),
+        4,
+    )).otherwise(F.lit(0.0))
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("grams")),
+            lambda g: F.size(F.filter(F.col("grams"), lambda x: x == g)),
+        )
+    )
+    top_bigram_frac = F.when(has_grams, F.round(
+        top_cnt.cast("double") * 2.0 / F.col("n").cast("double"), 4
+    )).otherwise(F.lit(0.0))
+    return (
+        docs.select(
+            "doc_id", n.alias("n"), grams.alias("grams"), ng.alias("ng"),
+            dup_word_frac.alias("dup_word_frac"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_words"),
+            "dup_word_frac",
+            dup_bigram_frac.alias("dup_bigram_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_frac") > REP_TOP_BIGRAM_MAX)
+            | (F.col("dup_word_frac") > REP_DUP_WORD_MAX),
+        )
+    )
+
+
 SAMPLE_PER_STRATUM = 5
 
 
@@ -311,6 +377,7 @@ QUERIES = {
     "text_chunk": text_chunk,
     "text_redact_pii": text_redact_pii,
     "decontaminate": decontaminate,
+    "text_repetition_stats": text_repetition_stats,
     "text_lang_id": text_lang_id,
     "text_top_terms": text_top_terms,
     "text_quality_score": text_quality_score,
@@ -391,6 +458,38 @@ ORACLES = {
         GROUP BY term
         ORDER BY n_occurrences DESC, term ASC
         LIMIT {TOP_TERMS_K}
+    """,
+    "text_repetition_stats": f"""
+        WITH t AS (
+          SELECT doc_id, {_W} AS w, len({_W}) AS n FROM documents
+        ),
+        g AS (
+          SELECT doc_id, n,
+                 [w[i] || ' ' || w[i + 1] FOR i IN generate_series(1, n - 1)]
+                   AS grams,
+                 ROUND(1.0 - len(list_distinct(w))::DOUBLE / n::DOUBLE, 4)
+                   AS dup_word_frac
+          FROM t
+        )
+        SELECT doc_id,
+               n::BIGINT AS n_words,
+               dup_word_frac,
+               CASE WHEN len(grams) > 0
+                    THEN ROUND(1.0 - len(list_distinct(grams))::DOUBLE
+                               / len(grams)::DOUBLE, 4)
+                    ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN len(grams) > 0
+                    THEN ROUND(list_max(list_transform(list_distinct(grams),
+                           gr -> len(list_filter(grams, x -> x = gr))))::DOUBLE
+                         * 2.0 / n::DOUBLE, 4)
+                    ELSE 0.0 END AS top_bigram_frac,
+               (CASE WHEN len(grams) > 0
+                     THEN ROUND(list_max(list_transform(list_distinct(grams),
+                            gr -> len(list_filter(grams, x -> x = gr))))::DOUBLE
+                          * 2.0 / n::DOUBLE, 4)
+                     ELSE 0.0 END > {REP_TOP_BIGRAM_MAX}
+                OR dup_word_frac > {REP_DUP_WORD_MAX}) AS repetitive
+        FROM g
     """,
     "text_lang_id": f"""
         WITH hits AS (
