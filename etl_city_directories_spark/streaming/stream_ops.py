@@ -461,6 +461,133 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stream_join_sink")
 
 
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD1 snapshot maintenance via ``foreachBatch`` — the
+    canonical production merge pattern: each microbatch of purchase
+    events is collapsed map-side to its latest row per user, then
+    MERGEd into a persistent key→(last value, last ts, running count)
+    snapshot with a distributed read-modify-write (union + one
+    per-key aggregation), published as a new parquet version per
+    batch (the plain-parquet stand-in for a Delta/Iceberg MERGE).
+
+    The events corpus is split into two time-ordered files and
+    replayed with ``maxFilesPerTrigger=1`` so the merge provably runs
+    across multiple microbatches (batch 2's users overwrite batch 1's
+    values and the counts accumulate). State lives in the snapshot
+    table, not the state store — snapshot size is O(distinct keys),
+    merge cost per batch is one shuffle on the key; at 100 TB the
+    same code targets a Delta table and the per-batch collapse
+    bounds shuffle volume by |batch keys|, not |snapshot|.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from etl_city_directories_spark.sources.tables import load_table
+
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            dec2("value").cast("double").alias("value"),
+        )
+    )
+    lo, hi = purchases.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    split_us = (lo + hi) // 2
+
+    src = tempfile.mkdtemp(prefix="spark_graft_fbu_src_")
+
+    def _write(df: DataFrame, name: str, mtime: int) -> None:
+        tmp = os.path.join(src, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dest = os.path.join(src, name)
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (mtime, mtime))
+
+    _write(purchases.filter(F.col("ts_us") < split_us), "b1.parquet", 1_000_000_000)
+    _write(purchases.filter(F.col("ts_us") >= split_us), "b2.parquet", 1_000_000_100)
+
+    snap_root = tempfile.mkdtemp(prefix="spark_graft_fbu_snap_")
+    holder: dict[str, Any] = {"cur": None, "v": 0}
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("value", "ts_us", "event_id"),
+                    F.struct("ts_us", "event_id"),
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n_purchases"),
+            )
+            .select(
+                "user_id",
+                F.col("s.value").alias("last_value"),
+                F.col("s.ts_us").alias("last_ts_us"),
+                F.col("s.event_id").alias("last_event_id"),
+                "n_purchases",
+            )
+        )
+        if holder["cur"] is not None:
+            old = batch.sparkSession.read.parquet(holder["cur"])
+            delta = (
+                old.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("last_value", "last_ts_us", "last_event_id"),
+                        F.struct("last_ts_us", "last_event_id"),
+                    ).alias("s"),
+                    F.sum("n_purchases").alias("n_purchases"),
+                )
+                .select("user_id", "s.*", "n_purchases")
+            )
+        nxt = os.path.join(snap_root, f"v{holder['v']}")
+        delta.write.mode("overwrite").parquet(nxt)
+        holder["cur"], holder["v"] = nxt, holder["v"] + 1
+
+    stream_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    # right-size the per-batch merge shuffle for the finite replay
+    # (same rationale as _run_to_table's state_partitions)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert holder["v"] >= 2, "expected >=2 microbatches through the merge"
+
+    final = spark.read.parquet(holder["cur"]).orderBy("user_id")
+    # materialize before the snapshot dirs are removed (small: one row
+    # per distinct purchasing user — the deliberate finalize step)
+    result = spark.createDataFrame(final.collect(), final.schema)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(snap_root, ignore_errors=True)
+    return result
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_sessionize": stream_sessionize,
@@ -469,6 +596,7 @@ QUERIES = {
     "stream_late_data": stream_late_data,
     "stream_static_join": stream_static_join,
     "stream_stream_join": stream_stream_join,
+    "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
 }
 
 ORACLES = {
@@ -535,6 +663,30 @@ ORACLES = {
         WHERE epoch_us(date_trunc('hour', ts)) + {_HOUR_US}
                 <= (SELECT w_us FROM wm)
         GROUP BY 1, 2
+    """,
+    # batch twin of the two-microbatch foreachBatch merge: the final
+    # snapshot is exactly "latest purchase per user + total count"
+    "stream_foreachbatch_upsert": """
+        WITH p AS (
+          SELECT user_id,
+                 value::DECIMAL(18,2)::DOUBLE AS v,
+                 epoch_us(ts) AS ts_us,
+                 event_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+                 ) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT user_id,
+               v AS last_value,
+               ts_us AS last_ts_us,
+               event_id AS last_event_id,
+               cnt AS n_purchases
+        FROM p WHERE rn = 1
+        ORDER BY user_id
     """,
     "stream_stream_join": f"""
         SELECT p.user_id AS p_user,
