@@ -471,8 +471,28 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
+def dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup dedup as a corpus FILTER — the operation a training
+    pipeline actually applies: every document survives except non-
+    canonical members of a near-dup cluster (canonical = min doc_id =
+    the cluster id from dedup_lsh_clusters' connected components).
+
+    The loser set is tiny relative to the corpus (only clustered
+    near-dups), so the final subtraction is a broadcast anti join —
+    the corpus streams through map-side untouched. Everything upstream
+    is the banded-LSH pipeline: no all-pairs anywhere.
+    """
+    clusters = dedup_lsh_clusters(spark, sf_dir)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_near_keep_first": dedup_near_keep_first,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding": dedup_embedding,
@@ -564,51 +584,8 @@ ORACLES = {
           FROM documents
         ) WHERE rn = 1
     """,
-    "dedup_lsh_clusters": f"""
-        WITH RECURSIVE {SHINGLE_CTE},
-        sigs AS (
-          SELECT doc_id, shingles, {_SIG_COLS}
-          FROM shingled
-        ),
-        bands AS (
-{_BAND_SELECTS}
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
-        ),
-        pairs AS (
-          SELECT doc_a, doc_b
-          FROM cand
-          JOIN shingled sa ON sa.doc_id = doc_a
-          JOIN shingled sb ON sb.doc_id = doc_b
-          WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")}
-                >= {LSH_VERIFY_THRESHOLD}
-        ),
-        edges AS (
-          SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION
-          SELECT doc_b, doc_a FROM pairs
-        ),
-        reach AS (
-          SELECT s, d FROM edges
-          UNION
-          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-        ),
-        full_reach AS (
-          SELECT s, d FROM reach
-          UNION
-          SELECT DISTINCT s, s FROM edges
-        ),
-        comp AS (
-          SELECT s AS doc_id, MIN(d) AS cluster_id FROM full_reach GROUP BY s
-        )
-        SELECT doc_id, cluster_id,
-               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        FROM comp
-    """,
+    "dedup_lsh_clusters": None,  # assembled below from _CC_CTES
+    "dedup_near_keep_first": None,  # assembled below from _CC_CTES
     "dedup_embedding": None,  # assembled below (needs similarity's bucket SQL)
 }
 
@@ -657,3 +634,61 @@ def _embedding_oracle() -> str:
 
 
 ORACLES["dedup_embedding"] = _embedding_oracle()
+
+# shared recursive-CTE chain: banded LSH candidates → jaccard-verified
+# pairs → symmetric edges → transitive closure → min-label components
+_CC_CTES = f"""
+        WITH RECURSIVE {SHINGLE_CTE},
+        sigs AS (
+          SELECT doc_id, shingles, {_SIG_COLS}
+          FROM shingled
+        ),
+        bands AS (
+{_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN shingled sa ON sa.doc_id = doc_a
+          JOIN shingled sb ON sb.doc_id = doc_b
+          WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")}
+                >= {LSH_VERIFY_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        full_reach AS (
+          SELECT s, d FROM reach
+          UNION
+          SELECT DISTINCT s, s FROM edges
+        ),
+        comp AS (
+          SELECT s AS doc_id, MIN(d) AS cluster_id FROM full_reach GROUP BY s
+        )
+"""
+
+ORACLES["dedup_lsh_clusters"] = f"""{_CC_CTES}
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp
+    """
+
+ORACLES["dedup_near_keep_first"] = f"""{_CC_CTES}
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        LEFT JOIN comp ON comp.doc_id = d.doc_id AND comp.cluster_id <> d.doc_id
+        WHERE comp.doc_id IS NULL
+    """

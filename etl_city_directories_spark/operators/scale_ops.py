@@ -140,6 +140,56 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_CAT_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical twin of profile_numeric: per string column, row /
+    null / distinct counts plus the modal value — in ONE fact scan.
+
+    ``stack`` unpivots the scan to (column_name, val); the first
+    groupBy collapses to per-(column, value) counts with map-side
+    partial aggregation, so everything after it is O(distinct values),
+    not O(rows) — the property that keeps column profiling feasible on
+    a 100 TB fact table. Counts and the argmax-by-count both derive
+    from that one collapsed table (window over column_name).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    stack_args = ", ".join(f"'{c}', {c}" for c in _PROFILE_CAT_COLS)
+    stacked = o.selectExpr(
+        f"stack({len(_PROFILE_CAT_COLS)}, {stack_args}) as (column_name, val)"
+    )
+    vc = stacked.groupBy("column_name", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    wcol = Window.partitionBy("column_name")
+    wtop = Window.partitionBy("column_name").orderBy(
+        F.desc("cnt"), F.col("val").asc_nulls_last()
+    )
+    return (
+        vc.withColumn("n_rows", F.sum("cnt").over(wcol))
+        .withColumn(
+            "n_null",
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0)).over(
+                wcol
+            ),
+        )
+        .withColumn(
+            "n_distinct",
+            F.sum(F.when(F.col("val").isNotNull(), 1).otherwise(0)).over(wcol),
+        )
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "column_name",
+            "n_rows",
+            "n_null",
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.col("val").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+        )
+        .orderBy("column_name")
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type (rsd
     2%). At 100 TB this replaces the exact-distinct shuffle of every
@@ -325,6 +375,7 @@ QUERIES = {
     "q_cube_status_priority": q_cube_status_priority,
     "q_upsert_merge": q_upsert_merge,
     "q_scd2_history": q_scd2_history,
+    "profile_categorical": profile_categorical,
     "q_approx_distinct": q_approx_distinct,
     "source_csv_roundtrip": source_csv_roundtrip,
 }
@@ -397,6 +448,33 @@ ORACLES = {
           updated_at_us
         FROM customer FULL OUTER JOIN latest ON c_custkey = user_id
         ORDER BY custkey
+    """,
+    "profile_categorical": f"""
+        WITH s AS (
+          {" UNION ALL ".join(f"SELECT '{c}' AS column_name, {c} AS val FROM orders" for c in _PROFILE_CAT_COLS)}
+        ),
+        vc AS (
+          SELECT column_name, val, COUNT(*) AS cnt
+          FROM s GROUP BY column_name, val
+        ),
+        agg AS (
+          SELECT column_name, val, cnt,
+                 SUM(cnt) OVER (PARTITION BY column_name) AS n_rows,
+                 SUM(CASE WHEN val IS NULL THEN cnt ELSE 0 END)
+                   OVER (PARTITION BY column_name) AS n_null,
+                 SUM(CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY column_name) AS n_distinct,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY column_name
+                   ORDER BY cnt DESC, val ASC NULLS LAST
+                 ) AS rn
+          FROM vc
+        )
+        SELECT column_name, n_rows::BIGINT AS n_rows, n_null::BIGINT AS n_null,
+               n_distinct::BIGINT AS n_distinct,
+               val AS top_value, cnt AS top_count
+        FROM agg WHERE rn = 1
+        ORDER BY column_name
     """,
     "q_scd2_history": """
         SELECT user_id,

@@ -326,10 +326,182 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
+# Product quantization: M_SUB subspaces × K_SUB codewords → each
+# 64-dim vector compresses to M_SUB code ids. Codebooks train like
+# the IVF quantizer (md5-ranked seeds, decimal-exact Lloyd updates).
+# Production tuning: K_SUB=256 (one byte per subspace), OPQ rotation
+# before the split — all constant changes.
+M_SUB = 8
+K_SUB = 32
+PQ_UPDATES = 2  # Lloyd mean-updates after the seed assignment
+PQ_SHORTLIST = 80  # ADC candidates kept per probe for exact re-rank
+_SUB_DIM = N_DIMS // M_SUB
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns (cents, codes): cents = (sub, cluster_id, c[_SUB_DIM]),
+    codes = (vec_id, sub, code). Training mirrors kmeans_cells —
+    md5-ranked seed vectors (their slices seed every subspace), one
+    argmin assignment, one DECIMAL-mean update, final assignment =
+    the codes. Everything is DataFrame ops; the subspace axis is just
+    a column, so all M_SUB codebooks train in the SAME jobs (no
+    per-subspace loop over the data).
+    """
+    vecs = _vectors(spark, sf_dir)
+    subs = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), 1 + s * _SUB_DIM, _SUB_DIM)
+                    for s in range(M_SUB)
+                ]
+            )
+        ).alias("sub", "sv"),
+    ).persist()
+    seeds = (
+        vecs.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(K_SUB)
+    )
+    w_seed = Window.orderBy("h")
+    seed_ids = seeds.withColumn("cluster_id", F.row_number().over(w_seed)).select(
+        "vec_id", "cluster_id"
+    )
+    cents = subs.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub", "cluster_id", F.col("sv").alias("c")
+    )
+    w_arg = Window.partitionBy("vec_id", "sub").orderBy("d2", "cluster_id")
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(cents_df), "sub")
+            .select(
+                "vec_id",
+                "sub",
+                "sv",
+                "cluster_id",
+                _dist2(F.col("sv"), F.col("c")).alias("d2"),
+            )
+            .withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+        )
+
+    for _ in range(PQ_UPDATES):
+        cents = (
+            _assign(cents)
+            .select("sub", "cluster_id", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "cluster_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+            .groupBy("sub", "cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                    lambda s: s["val"],
+                ).alias("c")
+            )
+            # truncate lineage each round; read by next assign (+ LUT)
+            .localCheckpoint()
+        )
+    codes = _assign(cents).select("vec_id", "sub", F.col("cluster_id").alias("code"))
+    return cents, codes
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search"): the corpus is stored as M_SUB codebook ids per vector;
+    a probe precomputes a (sub, code) → partial-d² lookup table
+    against the codebooks, and a neighbor's approximate distance is
+    the SUM of M_SUB LUT hits — no corpus vector is ever touched at
+    query time.
+
+    The ADC pass keeps a PQ_SHORTLIST per probe; an exact-distance
+    re-rank of the shortlist produces the final top-k — the standard
+    two-stage PQ pipeline (quantized scan → exact re-rank of a tiny
+    candidate set). Recall vs exact brute force is asserted in
+    tests/test_dedup_quality.py.
+
+    Scale shape: the LUT is probes × M_SUB × K_SUB rows (tiny —
+    broadcast); the ADC scan is one broadcast hash join from the code
+    table to the LUT plus a groupBy(probe, neighbor) sum, so scan
+    cost is O(corpus × M_SUB) row operations on BYTE-sized codes
+    regardless of dimensionality — the property that makes
+    billion-vector ANN feasible; the re-rank touches only
+    probes × PQ_SHORTLIST raw vectors. Partial distances are summed
+    as DECIMAL so shuffle order can't perturb a bit and the DuckDB
+    oracle replays training, encoding, scoring, and re-rank exactly.
+    """
+    cents, codes = _pq_codebooks(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    lut = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "sub",
+            F.col("cluster_id").alias("code"),
+            _dist2(
+                F.slice(F.col("pv"), 1 + F.col("sub") * _SUB_DIM, _SUB_DIM),
+                F.col("c"),
+            )
+            .cast("decimal(27,12)")
+            .alias("pd2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= PQ_SHORTLIST)
+        .select("probe_id", "neighbor_id")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .join(
+            vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(_dist2(F.col("pv"), F.col("cv")), 6).alias("d2_r6"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d2_r6"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round("d2_r6", 4).alias("dist2"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_ivf_bucketed": ann_ivf_bucketed,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "ann_pq_adc": ann_pq_adc,
 }
 
 _VEC_CTE = """
@@ -418,6 +590,114 @@ def _kmeans_ctes() -> str:
     return ",\n        ".join(ctes)
 
 
+_SUB_D2 = (
+    "list_reduce(list_transform(list_zip(s.sv, c.c), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])), (p, q) -> p + q)"
+)
+
+_SUBS_VALUES = ", ".join(f"({s})" for s in range(M_SUB))
+
+
+def _pq_oracle() -> str:
+    """Replay PQ training, encoding, the probe LUT, and ADC scoring."""
+    slice_ = f"[(t.sub * {_SUB_DIM} + 1):(t.sub * {_SUB_DIM} + {_SUB_DIM})]"
+    final = f"cents{PQ_UPDATES}"
+    train_ctes = []
+    for it in range(PQ_UPDATES):
+        train_ctes.append(f"""assign{it} AS (
+          SELECT vec_id, sub, sv, cluster_id FROM (
+            SELECT s.vec_id, s.sub, s.sv, c.cluster_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.vec_id, s.sub
+                     ORDER BY {_SUB_D2}, c.cluster_id
+                   ) AS rn
+            FROM subs s JOIN cents{it} c ON c.sub = s.sub
+          ) WHERE rn = 1
+        )""")
+        train_ctes.append(f"""cents{it + 1} AS (
+          SELECT sub, cluster_id, list(val ORDER BY dim) AS c
+          FROM (
+            SELECT sub, cluster_id, dim,
+                   (SUM(x::DECIMAL(27,6)))::DOUBLE / COUNT(*) AS val
+            FROM (
+              SELECT sub, cluster_id, generate_subscripts(sv, 1) AS dim,
+                     unnest(sv) AS x
+              FROM assign{it}
+            )
+            GROUP BY sub, cluster_id, dim
+          )
+          GROUP BY sub, cluster_id
+        )""")
+    train_sql = ",\n        ".join(train_ctes)
+    return f"""
+        WITH {_VEC_CTE},
+        subs AS (
+          SELECT vec_id, t.sub, v{slice_} AS sv
+          FROM vecs CROSS JOIN (VALUES {_SUBS_VALUES}) t(sub)
+        ),
+        seeds AS (
+          SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM vecs ORDER BY h LIMIT {K_SUB}
+        ),
+        seed_ids AS (
+          SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h) AS cluster_id FROM seeds
+        ),
+        cents0 AS (
+          SELECT sub, cluster_id, sv AS c FROM subs JOIN seed_ids USING (vec_id)
+        ),
+        {train_sql},
+        codes AS (
+          SELECT vec_id, sub, cluster_id AS code FROM (
+            SELECT s.vec_id, s.sub, c.cluster_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.vec_id, s.sub
+                     ORDER BY {_SUB_D2}, c.cluster_id
+                   ) AS rn
+            FROM subs s JOIN {final} c ON c.sub = s.sub
+          ) WHERE rn = 1
+        ),
+        lut AS (
+          SELECT s.vec_id AS probe_id, s.sub, c.cluster_id AS code,
+                 ({_SUB_D2})::DECIMAL(27,12) AS pd2
+          FROM subs s JOIN {final} c ON c.sub = s.sub
+          WHERE s.vec_id < {N_PROBES}
+        ),
+        scored AS (
+          SELECT probe_id, codes.vec_id AS neighbor_id,
+                 ROUND((SUM(pd2))::DOUBLE, 6) AS adc_d2
+          FROM codes JOIN lut
+            ON lut.sub = codes.sub AND lut.code = codes.code
+          WHERE codes.vec_id != lut.probe_id
+          GROUP BY 1, 2
+        ),
+        shortlist AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY probe_id ORDER BY adc_d2 ASC, neighbor_id ASC
+            ) AS adc_rank
+            FROM scored
+          ) WHERE adc_rank <= {PQ_SHORTLIST}
+        ),
+        rerank AS (
+          SELECT sl.probe_id, sl.neighbor_id,
+                 ROUND(list_reduce(list_transform(list_zip(p.v, c.v),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])),
+                       (a, b) -> a + b), 6) AS d2_r6
+          FROM shortlist sl
+          JOIN vecs p ON p.vec_id = sl.probe_id
+          JOIN vecs c ON c.vec_id = sl.neighbor_id
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY d2_r6 ASC, neighbor_id ASC
+          ) AS rank
+          FROM rerank
+        )
+        SELECT probe_id, neighbor_id, ROUND(d2_r6, 4) AS dist2, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
 ORACLES = {
     "ann_lsh_cosine": f"""
         WITH {_VEC_CTE},
@@ -485,3 +765,5 @@ ORACLES = {
         FROM ranked WHERE rank <= {TOP_K}
     """,
 }
+
+ORACLES["ann_pq_adc"] = _pq_oracle()

@@ -229,6 +229,41 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_TEMP_ALPHA = 0.3
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: per-language sampling weights
+    p_temp ∝ n^α (α = 0.3), the standard multilingual rebalancing
+    trick (Conneau & Lample 2019, XLM) that up-samples low-resource
+    languages relative to their raw share.
+
+    One partial-aggregated groupBy to per-lang counts, then the
+    global normalizers (Σn, Σn^α) arrive via an empty-frame window —
+    the broadcast-a-scalar pattern (same shape as TPC-H Q11): the
+    per-lang table is tiny whatever the corpus size, so the second
+    stage is O(languages) regardless of scale. boost = p_temp/p_raw
+    is computed from unrounded doubles, all outputs rounded 4dp.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    n = F.col("n_docs").cast("double")
+    total = F.sum(n).over(w)
+    pow_total = F.sum(F.pow(n, F.lit(SAMPLE_TEMP_ALPHA))).over(w)
+    p_raw = n / total
+    p_temp = F.pow(n, F.lit(SAMPLE_TEMP_ALPHA)) / pow_total
+    return counts.select(
+        "lang",
+        "n_docs",
+        F.round(p_raw, 4).alias("p_raw"),
+        F.round(p_temp, 4).alias("p_temp"),
+        F.round(p_temp / p_raw, 4).alias("boost"),
+    ).orderBy("lang")
+
+
 TOP_TERMS_K = 20
 MIN_TERM_LEN = 4
 
@@ -378,6 +413,7 @@ QUERIES = {
     "text_redact_pii": text_redact_pii,
     "decontaminate": decontaminate,
     "text_repetition_stats": text_repetition_stats,
+    "sample_temperature": sample_temperature,
     "text_lang_id": text_lang_id,
     "text_top_terms": text_top_terms,
     "text_quality_score": text_quality_score,
@@ -458,6 +494,25 @@ ORACLES = {
         GROUP BY term
         ORDER BY n_occurrences DESC, term ASC
         LIMIT {TOP_TERMS_K}
+    """,
+    "sample_temperature": f"""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        t AS (
+          SELECT lang, n_docs,
+                 n_docs::DOUBLE AS n,
+                 SUM(n_docs::DOUBLE) OVER () AS total,
+                 SUM(pow(n_docs::DOUBLE, {SAMPLE_TEMP_ALPHA})) OVER () AS pow_total
+          FROM c
+        )
+        SELECT lang, n_docs,
+               ROUND(n / total, 4) AS p_raw,
+               ROUND(pow(n, {SAMPLE_TEMP_ALPHA}) / pow_total, 4) AS p_temp,
+               ROUND((pow(n, {SAMPLE_TEMP_ALPHA}) / pow_total) / (n / total), 4)
+                 AS boost
+        FROM t
+        ORDER BY lang
     """,
     "text_repetition_stats": f"""
         WITH t AS (

@@ -116,3 +116,48 @@ def test_ann_ivf_kmeans_recall_vs_bruteforce(spark):
     bf = {(r.probe_id, r.neighbor_id) for r in ann_topk_bruteforce(spark, sf).collect()}
     ivf = {(r.probe_id, r.neighbor_id) for r in ann_ivf_bucketed(spark, sf).collect()}
     assert len(bf & ivf) / len(bf) >= 0.40  # nprobe=2 of 8 cells
+
+
+def test_ann_pq_adc_recall_vs_bruteforce(spark):
+    """PQ-ADC with exact re-rank must recover ≥75% of the exact-L2
+    top-5 neighbors (measured 0.86 at shortlist 80; deterministic:
+    md5 seeds + decimal Lloyd + decimal ADC sums), and every corpus
+    vector must encode to exactly M_SUB codes."""
+    from etl_city_directories_spark.operators.similarity import (
+        M_SUB,
+        N_PROBES,
+        TOP_K,
+        _dist2,
+        _pq_codebooks,
+        _vectors,
+        ann_pq_adc,
+    )
+    from pyspark.sql import Window
+
+    sf = "/root/testdata/sf0.01"
+    _, codes = _pq_codebooks(spark, sf)
+    per_vec = codes.groupBy("vec_id").agg(F.count("*").alias("n"))
+    assert per_vec.filter(F.col("n") != M_SUB).count() == 0
+
+    vecs = _vectors(spark, sf)
+    probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
+    bf = {
+        (r.probe_id, r.neighbor_id)
+        for r in (
+            vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+            .join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "neighbor_id",
+                _dist2(F.col("pv"), F.col("cv")).alias("d2"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .collect()
+        )
+    }
+    pq = {(r.probe_id, r.neighbor_id) for r in ann_pq_adc(spark, sf).collect()}
+    assert len(bf & pq) / len(bf) >= 0.75
