@@ -182,7 +182,48 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_INTERVAL_MIN = 30
+_OVERLAP_US = OVERLAP_INTERVAL_MIN * 60 * 1_000_000
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type via a sweep line: each
+    event opens a 30-minute interval; +1/−1 boundary points, sorted,
+    prefix-summed — max prefix = max concurrent intervals.
+
+    The sweep line replaces the naive interval self-join (O(n²) in the
+    overlap count) with a union + ONE window pass over 2n points —
+    O(n log n) per key and a single shuffle on event_type. The window
+    uses the default RANGE frame, so tied boundary points share a
+    prefix value in both engines (closes sort before opens via the
+    delta sort key: half-open [s, s+30m) semantics).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t")
+    )
+    pts = ev.select("event_type", "t", F.lit(1).alias("delta")).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("t") + F.lit(_OVERLAP_US)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    return (
+        pts.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_intervals"),
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q_interval_overlap": q_interval_overlap,
     "q_tumbling_window": q_tumbling_window,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -190,6 +231,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_interval_overlap": f"""
+        WITH pts AS (
+          SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, epoch_us(ts) + {_OVERLAP_US}, -1 FROM events
+        ),
+        r AS (
+          SELECT event_type, delta,
+                 SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta)
+                   AS conc
+          FROM pts
+        )
+        SELECT event_type,
+               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_intervals,
+               MAX(conc)::BIGINT AS max_concurrent
+        FROM r
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q_tumbling_window": """
         SELECT
           epoch_us(date_trunc('hour', ts)) AS bucket_start_us,

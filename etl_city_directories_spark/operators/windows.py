@@ -180,6 +180,43 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+RANGE_FRAME_DAYS = 30
+
+
+def q_range_frame_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day order total per customer via a time-keyed RANGE
+    frame — the value-based window frame (vs q_moving_avg's ROWS
+    frame): the frame is defined by the ORDER-BY VALUE interval
+    [day-29, day], so it is insensitive to how many rows share a day
+    and needs no pre-aggregation to a daily series.
+
+    One shuffle on the customer key; the frame sum is exact decimal so
+    the sliding add/remove can't drift between engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(RANGE_FRAME_DAYS - 1), 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            day.cast("bigint").alias("day"),
+            dec2("o_totalprice").alias("p"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "day",
+            F.sum("p").over(w).cast("double").alias("trailing_total"),
+            F.count(F.lit(1)).over(w).alias("n_in_frame"),
+        )
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: customers bucketed by first-order month, then
     counted per (cohort, month-offset) — the standard retention
@@ -212,6 +249,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_range_frame_total": q_range_frame_total,
     "q_cohort_retention": q_cohort_retention,
     "q_first_touch": q_first_touch,
     "q_moving_avg": q_moving_avg,
@@ -222,6 +260,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_range_frame_total": f"""
+        SELECT o_custkey, o_orderkey,
+               (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
+               (SUM(o_totalprice::DECIMAL(18,2)) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+                  RANGE BETWEEN {RANGE_FRAME_DAYS - 1} PRECEDING
+                            AND CURRENT ROW
+               ))::DOUBLE AS trailing_total,
+               COUNT(*) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+                  RANGE BETWEEN {RANGE_FRAME_DAYS - 1} PRECEDING
+                            AND CURRENT ROW
+               ) AS n_in_frame
+        FROM orders
+    """,
     "q_cohort_retention": """
         WITH months AS (
           SELECT o_custkey, date_trunc('month', o_orderdate) AS m

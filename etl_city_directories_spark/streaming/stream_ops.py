@@ -461,6 +461,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_stream_join_sink")
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization with Spark's NATIVE ``session_window``
+    aggregation (vs stream_sessionize's hand-rolled
+    ``applyInPandasWithState``): the state store itself merges
+    per-key windows whose gap is under 30 minutes — no Python in the
+    loop, the whole operator runs as a JVM stateful aggregation.
+
+    session_window's end is last-event + gap, so session_end_us
+    subtracts the gap back to the last event time, making the output
+    comparable to the batch sessionize contract (same oracle shape,
+    no session_seq — the native operator identifies sessions by start
+    time, not ordinal). Complete mode over the finite replay; a
+    production deployment uses withWatermark + append so closed
+    sessions emit exactly once and state stays bounded by the gap.
+    """
+    sessions = (
+        events_stream(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("w.end")) - F.lit(_GAP_US)).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+    _run_to_table(
+        sessions, "stream_session_window_sink", "complete", state_partitions=8
+    )
+    return spark.table("stream_session_window_sink")
+
+
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD1 snapshot maintenance via ``foreachBatch`` — the
     canonical production merge pattern: each microbatch of purchase
@@ -597,6 +634,7 @@ QUERIES = {
     "stream_static_join": stream_static_join,
     "stream_stream_join": stream_stream_join,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
+    "stream_session_window": stream_session_window,
 }
 
 ORACLES = {
@@ -663,6 +701,37 @@ ORACLES = {
         WHERE epoch_us(date_trunc('hour', ts)) + {_HOUR_US}
                 <= (SELECT w_us FROM wm)
         GROUP BY 1, 2
+    """,
+    # same session membership as stream_sessionize (lag-gap batch
+    # twin), identified by (user, start) instead of ordinal seq
+    "stream_session_window": f"""
+        WITH flagged AS (
+          SELECT
+            user_id, ts,
+            CASE
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_GAP_US} THEN 1
+              WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+              ELSE 0
+            END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+          SELECT
+            user_id, ts,
+            SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+          FROM flagged
+        )
+        SELECT
+          user_id,
+          epoch_us(MIN(ts)) AS session_start_us,
+          epoch_us(MAX(ts)) AS session_end_us,
+          COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_seq
     """,
     # batch twin of the two-microbatch foreachBatch merge: the final
     # snapshot is exactly "latest purchase per user + total count"
