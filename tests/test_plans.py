@@ -182,3 +182,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert shuffles <= 2, f"{shuffles} shuffles: {plan}"
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_profile_categorical_single_scan(spark):
+    """The stack-unpivot profiler must read the fact table ONCE —
+    a per-column loop would show one scan per profiled column."""
+    import re
+
+    plan = plan_of(QUERIES["profile_categorical"](spark, SF))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"{scans} scans: {plan}"
+
+
+def test_interval_overlap_no_self_join(spark):
+    """The sweep line must be union + window — no interval self-join
+    (which would be O(n x overlap))."""
+    plan = plan_of(QUERIES["q_interval_overlap"](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "Window" in plan
+
+
+def test_pq_adc_scoring_broadcasts_lut(spark):
+    """PQ query path: the probe LUT and probe vectors must broadcast
+    into the code scan — the corpus must never shuffle on the
+    (sub, code) key."""
+    plan = plan_of(QUERIES["ann_pq_adc"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_range_frame_single_shuffle(spark):
+    """The RANGE-frame trailing total is one shuffle on the customer
+    key, then a single window pass."""
+    import re
+
+    plan = plan_of(QUERIES["q_range_frame_total"](spark, SF))
+    shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert shuffles == 1, f"{shuffles} shuffles: {plan}"
+    assert "Window" in plan
