@@ -190,6 +190,31 @@ def profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per event type (``percentile_approx``,
+    accuracy 10000) — at 100 TB this replaces q_percentiles' exact
+    per-group sort with a fixed-size mergeable sketch per partition:
+    shuffle volume is O(groups × sketch), independent of row count.
+
+    Rows-only driver check (sketch internals are engine-specific);
+    tests/test_scale_ops.py bounds the error against the exact
+    quantiles.
+    """
+    events = load_table(spark, sf_dir, "events")
+    acc = F.lit(10000)
+    v = dec2("value").cast("double")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx(v, F.lit(0.5), acc).alias("p50"),
+            F.percentile_approx(v, F.lit(0.9), acc).alias("p90"),
+            F.percentile_approx(v, F.lit(0.99), acc).alias("p99"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type (rsd
     2%). At 100 TB this replaces the exact-distinct shuffle of every
@@ -377,6 +402,7 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "profile_categorical": profile_categorical,
     "q_approx_distinct": q_approx_distinct,
+    "q_approx_quantiles": q_approx_quantiles,
     "source_csv_roundtrip": source_csv_roundtrip,
 }
 

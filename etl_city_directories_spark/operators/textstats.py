@@ -292,6 +292,48 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K distinguishing terms by TF-IDF (smooth
+    idf = ln(N/df) + 1) — the keyword-extraction pass of a corpus
+    pipeline.
+
+    Scale shape: explode → (doc, term) counts with map-side partial
+    aggregation; the document-frequency table is O(vocabulary) and
+    BROADCASTS into the tf table (no shuffle of the big side on the
+    term key); N arrives via a window over the tiny df table. Ranking
+    compares the 4-dp ROUNDED score (+ term tiebreak) so a last-ulp
+    ln() difference between engines can't flip a rank.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar; the corpus count is cheap & exact
+    tf = (
+        docs.select("doc_id", F.explode(_words(norm_col())).alias("term"))
+        .filter(F.length("term") >= MIN_TERM_LEN)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf").cast("double") * idf, 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 EVAL_SOURCE = "src0"
@@ -416,6 +458,7 @@ QUERIES = {
     "sample_temperature": sample_temperature,
     "text_lang_id": text_lang_id,
     "text_top_terms": text_top_terms,
+    "text_tfidf_topk": text_tfidf_topk,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -484,6 +527,32 @@ ORACLES = {
         GROUP BY doc_id
         HAVING COUNT(*) > 0
         ORDER BY doc_id
+    """,
+    "text_tfidf_topk": f"""
+        WITH w AS (
+          SELECT doc_id, UNNEST({_W}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM w WHERE LENGTH(term) >= {MIN_TERM_LEN}
+          GROUP BY doc_id, term
+        ),
+        dfreq AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*)::DOUBLE AS nd FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+                 ROUND(tf::DOUBLE * (ln((SELECT nd FROM n) / df::DOUBLE)
+                       + 1.0), 4) AS tfidf
+          FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, term, tf, df, tfidf, rk FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+          ) AS rk
+          FROM scored
+        ) WHERE rk <= {TFIDF_TOP_K}
     """,
     "text_top_terms": f"""
         SELECT term,

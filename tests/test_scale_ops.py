@@ -48,3 +48,34 @@ def test_salted_agg_matches_plain(spark):
         .collect()
     )
     assert salted == plain
+
+
+def test_approx_quantiles_within_tolerance(spark):
+    """percentile_approx at accuracy 10000 must land within 2% of the
+    exact per-group percentiles (tight: at this accuracy and corpus
+    size the sketch is near-exact)."""
+    from etl_city_directories_spark.functions.numeric import dec2
+    from etl_city_directories_spark.operators.scale_ops import q_approx_quantiles
+
+    approx = {r["event_type"]: r for r in q_approx_quantiles(spark, SF).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5)"
+            ).alias("p50"),
+            F.expr(
+                "percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.9)"
+            ).alias("p90"),
+            F.expr(
+                "percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.99)"
+            ).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, row in approx.items():
+        for q in ("p50", "p90", "p99"):
+            assert row[q] == pytest.approx(exact[etype][q], rel=0.02), (etype, q)
