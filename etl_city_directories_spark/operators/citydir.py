@@ -564,7 +564,41 @@ def cd_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misses.unionByName(id_errors)
 
 
+def cd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference pipeline in one call: the transform
+    step's single NDJSON output stream (city-directories.js:443-450
+    writes objects, logs, and relations into one file) re-expressed
+    as a union of the three typed row sets over a shared lineage —
+    parse → filter → geocode → transform, end to end.
+
+    Rows align on (row_type, row_id, ref, detail): st:Person objects
+    (id, name, geometry), st:in relations (from, to, type), and log
+    rows (line id, failing location, error). One job, shared scans —
+    Catalyst reuses the broadcast address dim across all three arms.
+    """
+    obj = cd_transform_objects(spark, sf_dir).select(
+        F.lit("object").alias("row_type"),
+        F.col("entry_id").cast("string").alias("row_id"),
+        F.col("name").cast("string").alias("ref"),
+        F.col("geometry").cast("string").alias("detail"),
+    )
+    rel = cd_relations(spark, sf_dir).select(
+        F.lit("relation").alias("row_type"),
+        F.col("rel_from").cast("string").alias("row_id"),
+        F.col("rel_to").cast("string").alias("ref"),
+        F.col("rel_type").cast("string").alias("detail"),
+    )
+    logs = cd_logs(spark, sf_dir).select(
+        F.lit("log").alias("row_type"),
+        F.col("entry_id").cast("string").alias("row_id"),
+        F.col("loc_value").cast("string").alias("ref"),
+        F.col("error").cast("string").alias("detail"),
+    )
+    return obj.unionByName(rel).unionByName(logs)
+
+
 QUERIES = {
+    "cd_pipeline": cd_pipeline,
     "cd_clean_text": cd_clean_text,
     "cd_parse_entries": cd_parse_entries,
     "cd_parse_multi": cd_parse_multi,
@@ -768,3 +802,19 @@ ORACLES = {
         WHERE entry_id IS NULL
     """,
 }
+
+# the full-pipeline twin: each arm is the already-verified per-step
+# oracle, aligned on the common (row_type, row_id, ref, detail) shape
+ORACLES["cd_pipeline"] = f"""
+        SELECT 'object' AS row_type, entry_id::VARCHAR AS row_id,
+               name::VARCHAR AS ref, geometry::VARCHAR AS detail
+        FROM ({ORACLES["cd_transform_objects"]})
+        UNION ALL
+        SELECT 'relation', rel_from::VARCHAR, rel_to::VARCHAR,
+               rel_type::VARCHAR
+        FROM ({ORACLES["cd_relations"]})
+        UNION ALL
+        SELECT 'log', entry_id::VARCHAR, loc_value::VARCHAR,
+               error::VARCHAR
+        FROM ({ORACLES["cd_logs"]})
+    """
