@@ -177,3 +177,25 @@ def test_late_data_fixture_drop_is_load_bearing(spark):
         if d.startswith("spark_graft_late_fixture_")
     }
     assert after <= before
+
+
+def test_session_window_matches_stateful_sessionize(spark):
+    """The native session_window aggregation and the hand-rolled
+    applyInPandasWithState sessionizer must produce the SAME session
+    set (membership identified by user + start + end + count) — two
+    independent implementations of one contract."""
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_session_window,
+        stream_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    native = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in stream_session_window(spark, sf).collect()
+    }
+    stateful = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in stream_sessionize(spark, sf).collect()
+    }
+    assert native == stateful
