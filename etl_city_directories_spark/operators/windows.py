@@ -180,6 +180,36 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: daily purchase revenue joined onto a
+    generated date spine so missing days appear as explicit zero rows
+    — the densification step every downstream time-series consumer
+    (moving averages, forecasting) assumes.
+
+    The raw stream collapses to O(days) rows FIRST; the spine is
+    ``sequence(min, max)`` exploded from the 1-row bounds aggregate,
+    so the join is tiny-×-tiny regardless of corpus size. Zero
+    shuffles beyond the daily pre-aggregation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(dec2("value")).cast("double").alias("rev"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("rev", F.lit(0.0)).alias("day_revenue"),
+            F.col("rev").isNull().alias("is_filled"),
+        )
+        .orderBy("day")
+    )
+
+
 RANGE_FRAME_DAYS = 30
 
 
@@ -249,6 +279,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_date_spine": q_date_spine,
     "q_range_frame_total": q_range_frame_total,
     "q_cohort_retention": q_cohort_retention,
     "q_first_touch": q_first_touch,
@@ -260,6 +291,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_date_spine": """
+        WITH daily AS (
+          SELECT ts::DATE AS d,
+                 SUM(value::DECIMAL(18,2))::DOUBLE AS rev
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1
+        ),
+        b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+          FROM b
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               COALESCE(rev, 0.0) AS day_revenue,
+               rev IS NULL AS is_filled
+        FROM spine LEFT JOIN daily USING (d)
+        ORDER BY day
+    """,
     "q_range_frame_total": f"""
         SELECT o_custkey, o_orderkey,
                (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
