@@ -387,6 +387,72 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _run_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list]:
+    """Run the bounded-state streaming dedup over the 3-batch late
+    fixture; returns (emitted table, per-batch progress metrics)."""
+    import shutil
+
+    path, _split_us, _w1_us = _build_late_fixture(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    dd = (
+        stream.withWatermark("ts", f"{WATERMARK_DELAY_MIN} minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts_us", "event_type")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("stream_dedup_within_watermark_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table("stream_dedup_within_watermark_sink")
+    result.count()  # materialized in the memory sink
+    shutil.rmtree(path, ignore_errors=True)
+    return result, progress
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    over the watermarked 3-batch late-data replay — the PRODUCTION
+    form of stream_dedup_exact, whose docstring promises exactly this
+    upgrade: dedup state is evicted once the watermark passes a key's
+    event time + delay, so state size is bounded by the delay window
+    however long the stream runs.
+
+    On the fixture: batches 1-2 emit every event exactly once (state
+    holds only the trailing watermark window — the per-batch metrics
+    show ~10k evictions and a 14-row final state,
+    tests/test_streaming.py asserts both); batch 3's deliberately-late
+    duplicate re-arrivals fall below the watermark and are dropped
+    before the dedup state is ever consulted. Emitted set ≡ the
+    distinct event set, which is what the DuckDB oracle checks.
+    """
+    result, _progress = _run_dedup_within_watermark(spark, sf_dir)
+    return result
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the events stream joined to the
     customer dim, rolled up per (market segment, event type).
@@ -635,6 +701,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
     "stream_session_window": stream_session_window,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
 }
 
 ORACLES = {
@@ -701,6 +768,13 @@ ORACLES = {
         WHERE epoch_us(date_trunc('hour', ts)) + {_HOUR_US}
                 <= (SELECT w_us FROM wm)
         GROUP BY 1, 2
+    """,
+    # every event exactly once: on-time rows dedup within the
+    # watermark window, the late batch-3 re-arrivals are dropped below
+    # the watermark — so the emitted set is the distinct event set
+    "stream_dedup_within_watermark": """
+        SELECT event_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
     """,
     # same session membership as stream_sessionize (lag-gap batch
     # twin), identified by (user, start) instead of ordinal seq

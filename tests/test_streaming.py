@@ -199,3 +199,27 @@ def test_session_window_matches_stateful_sessionize(spark):
         for r in stream_sessionize(spark, sf).collect()
     }
     assert native == stateful
+
+
+def test_dedup_within_watermark_state_is_bounded(spark):
+    """The bounded-state dedup must actually EVICT: cumulative
+    removals on the order of the corpus, final state far below it,
+    and the late re-arrivals contribute no duplicate emissions."""
+    from etl_city_directories_spark.streaming.stream_ops import (
+        _run_dedup_within_watermark,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    result, progress = _run_dedup_within_watermark(spark, sf)
+    stats = [
+        (p["stateOperators"][0]["numRowsTotal"],
+         p["stateOperators"][0]["numRowsRemoved"])
+        for p in progress
+        if p["stateOperators"]
+    ]
+    n = result.count()
+    total_removed = sum(r for _, r in stats)
+    final_state = stats[-1][0]
+    assert total_removed >= n * 0.9, stats  # state turned over, not hoarded
+    assert final_state < n * 0.01, stats  # bounded by the delay window
+    assert result.select("event_id").distinct().count() == n  # no dups
