@@ -37,6 +37,9 @@ BNLJ_OK = {
     "ann_ivf_bucketed",
     # 1-row global-total crossJoin (scalar-subquery idiom)
     "q11_important_stock",
+    # PQ LUT build: probes.crossJoin(broadcast(M×K codebook rows)) —
+    # same intended map-side shape as the k-means assignment
+    "ann_pq_adc",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
