@@ -417,10 +417,13 @@ def _person_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cd_transform_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cd_transform_objects(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """st:Person assembly (city-directories.js:409-430): id, name,
     validity interval, provenance uuids, geometry Point/MultiPoint."""
-    base = _person_base(spark, sf_dir)
+    if base is None:
+        base = _person_base(spark, sf_dir)
     exploded = base.select(
         "doc_id", F.posexplode_outer("locs").alias("loc_idx", "loc_value")
     )
@@ -500,9 +503,12 @@ def cd_transform_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cd_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cd_relations(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """st:in person→address relations, one per found geocode (:395-399)."""
-    base = _person_base(spark, sf_dir)
+    if base is None:
+        base = _person_base(spark, sf_dir)
     exploded = base.select(
         "entry_id", F.explode("locs").alias("loc_value")
     )
@@ -517,7 +523,9 @@ def cd_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cd_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cd_logs(
+    spark: SparkSession, sf_dir: str, base: DataFrame | None = None
+) -> DataFrame:
     """The reference's failure audit trail as first-class output rows.
 
     city-directories.js emits ``{type: 'log'}`` objects for every
@@ -534,7 +542,8 @@ def cd_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same broadcast-join shape as cd_geocode; map-side otherwise.
     """
-    base = _person_base(spark, sf_dir)
+    if base is None:
+        base = _person_base(spark, sf_dir)
     exploded = base.select(
         "doc_id", "entry_id", F.posexplode("locs").alias("loc_idx", "loc_value")
     )
@@ -573,22 +582,25 @@ def cd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows align on (row_type, row_id, ref, detail): st:Person objects
     (id, name, geometry), st:in relations (from, to, type), and log
-    rows (line id, failing location, error). One job, shared scans —
-    Catalyst reuses the broadcast address dim across all three arms.
+    rows (line id, failing location, error). The parsed+geocoded base
+    is computed ONCE and persisted across the three arms (the staged
+    materialization the reference gets from its step files), and the
+    broadcast address dim is shared.
     """
-    obj = cd_transform_objects(spark, sf_dir).select(
+    base = _person_base(spark, sf_dir).persist()
+    obj = cd_transform_objects(spark, sf_dir, base=base).select(
         F.lit("object").alias("row_type"),
         F.col("entry_id").cast("string").alias("row_id"),
         F.col("name").cast("string").alias("ref"),
         F.col("geometry").cast("string").alias("detail"),
     )
-    rel = cd_relations(spark, sf_dir).select(
+    rel = cd_relations(spark, sf_dir, base=base).select(
         F.lit("relation").alias("row_type"),
         F.col("rel_from").cast("string").alias("row_id"),
         F.col("rel_to").cast("string").alias("ref"),
         F.col("rel_type").cast("string").alias("detail"),
     )
-    logs = cd_logs(spark, sf_dir).select(
+    logs = cd_logs(spark, sf_dir, base=base).select(
         F.lit("log").alias("row_type"),
         F.col("entry_id").cast("string").alias("row_id"),
         F.col("loc_value").cast("string").alias("ref"),
