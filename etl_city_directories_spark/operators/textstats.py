@@ -443,6 +443,124 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_DECON_THRESHOLD = 0.2
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/eval contamination: training documents that are
+    near-duplicates of a held-out eval document — catches the
+    paraphrased/partially-edited leaks the exact 3-gram audit
+    (decontaminate) can miss at its shingle granularity.
+
+    Same machinery as dedup_minhash_lsh, but the banded join is
+    train × eval instead of a self-join: 8 salted-md5 minhashes → 4
+    bands of 2; the band key is the shuffle key and the EVAL band
+    table (the small side by construction) broadcasts, so cost is
+    O(train corpus) + O(collisions) however big training gets. Exact
+    jaccard verifies candidates only.
+    """
+    from etl_city_directories_spark.operators.dedup import (
+        NUM_BANDS,
+        NUM_HASHES,
+        _jaccard,
+        _shingled_df,
+    )
+
+    sh = _shingled_df(spark, sf_dir).persist()  # bands + both verify sides
+    sigs = sh.select(
+        "doc_id",
+        "source",
+        *[
+            F.array_min(
+                F.transform(
+                    "shingles", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))
+                )
+            ).alias(f"sig{j}")
+            for j in range(1, NUM_HASHES + 1)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(F.col(f"sig{2 * b + 1}"), F.col(f"sig{2 * b + 2}"))
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    ).persist()  # train and eval sides both read it
+    train_b = bands.filter(F.col("source") != EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_doc"), "band_idx", "band_key"
+    )
+    eval_b = bands.filter(F.col("source") == EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_doc"), "band_idx", "band_key"
+    )
+    cand = (
+        train_b.join(F.broadcast(eval_b), ["band_idx", "band_key"])
+        .select("train_doc", "eval_doc")
+        .distinct()
+    )
+    st = sh.select(F.col("doc_id").alias("train_doc"), F.col("shingles").alias("sh_t"))
+    se = sh.select(F.col("doc_id").alias("eval_doc"), F.col("shingles").alias("sh_e"))
+    return (
+        cand.join(st, "train_doc")
+        .join(se, "eval_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            _jaccard(F.col("sh_t"), F.col("sh_e")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_DECON_THRESHOLD)
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document: mean token
+    surprisal −ln((count(w)+1)/(N+V)) against the corpus unigram
+    distribution (add-1 smoothing) — the cheap stand-in for the
+    KenLM-style perplexity filter (CCNet, Wenzek et al. 2020) a
+    production pipeline runs; unusually high surprisal flags boilerplate
+    and garbage.
+
+    Scale shape: the vocabulary table is O(V) and BROADCASTS into the
+    exploded token stream (map-side join), then one shuffle back to
+    per-doc means. Per-token surprisals are quantized to DECIMAL(18,8)
+    before the sum so accumulation order can't perturb a bit in either
+    engine; the mean divides as double, rounded 4dp.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(norm_col())).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.partitionBy()
+    vocab = vocab.select(
+        "w",
+        "cnt",
+        F.sum("cnt").over(wv).alias("n_tokens"),
+        F.count(F.lit(1)).over(wv).alias("v_size"),
+    )
+    lp = -F.log(
+        (F.col("cnt") + 1).cast("double")
+        / (F.col("n_tokens") + F.col("v_size")).cast("double")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .select("doc_id", lp.cast("decimal(18,8)").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     return docs.select(
@@ -454,6 +572,8 @@ QUERIES = {
     "text_chunk": text_chunk,
     "text_redact_pii": text_redact_pii,
     "decontaminate": decontaminate,
+    "decontaminate_fuzzy": decontaminate_fuzzy,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_repetition_stats": text_repetition_stats,
     "sample_temperature": sample_temperature,
     "text_lang_id": text_lang_id,
@@ -511,6 +631,29 @@ ORACLES = {
                len(regexp_extract_all({_NORM}, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
                len(regexp_extract_all({_NORM}, '{PII_PHONE_RE}'))::BIGINT AS n_phones
         FROM documents
+    """,
+    "decontaminate_fuzzy": None,  # assembled below (needs dedup's sig SQL)
+    "text_unigram_logprob": f"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST({_W}) AS w FROM documents
+        ),
+        vocab AS (
+          SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+        ),
+        g AS (
+          SELECT w, cnt,
+                 SUM(cnt) OVER () AS n_tokens,
+                 COUNT(*) OVER () AS v_size
+          FROM vocab
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND((SUM((-ln((cnt + 1)::DOUBLE
+                           / (g.n_tokens + g.v_size)::DOUBLE)
+                      )::DECIMAL(18,8)))::DOUBLE / COUNT(*), 4)
+                 AS mean_surprisal
+        FROM toks JOIN g USING (w)
+        GROUP BY doc_id
     """,
     "decontaminate": f"""
         WITH {_DEDUP_SHINGLE_CTE},
@@ -707,3 +850,44 @@ ORACLES = {
         ORDER BY lang, source
     """,
 }
+
+
+def _fuzzy_decon_oracle() -> str:
+    """Minhash-banded train x eval candidates + exact-jaccard verify,
+    replaying decontaminate_fuzzy with dedup's signature SQL."""
+    from etl_city_directories_spark.operators.dedup import (
+        NUM_BANDS,
+        _JACCARD_SQL,
+        _SIG_COLS,
+    )
+
+    band_selects = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, source, {b} AS band_idx,"
+        f" md5(sig{2 * b + 1} || sig{2 * b + 2}) AS band_key FROM sigs"
+        for b in range(NUM_BANDS)
+    )
+    j = _JACCARD_SQL.format(a="st.shingles", b="se.shingles")
+    return f"""
+        WITH {_DEDUP_SHINGLE_CTE},
+        sigs AS (
+          SELECT doc_id, source, shingles, {_SIG_COLS}
+          FROM shingled
+        ),
+        bands AS (
+{band_selects}
+        ),
+        cand AS (
+          SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+          FROM bands t JOIN bands e
+            ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+          WHERE t.source != '{EVAL_SOURCE}' AND e.source = '{EVAL_SOURCE}'
+        )
+        SELECT train_doc, eval_doc, {j} AS jaccard
+        FROM cand
+        JOIN shingled st ON st.doc_id = train_doc
+        JOIN shingled se ON se.doc_id = eval_doc
+        WHERE {j} >= {FUZZY_DECON_THRESHOLD}
+    """
+
+
+ORACLES["decontaminate_fuzzy"] = _fuzzy_decon_oracle()
