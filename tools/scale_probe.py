@@ -39,6 +39,10 @@ OPS = [
     "text_fingerprint",
     "sample_stratified",
     "decontaminate",
+    "decontaminate_fuzzy",
+    "dedup_near_keep_first",
+    "ann_pq_adc",
+    "text_unigram_logprob",
     "text_chunk",
 ]
 
