@@ -190,6 +190,56 @@ def profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # local test data is KBs; zero the application-side threshold so the
+    # optimizer inserts the filter here exactly as it would at TB scale
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def q_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective orders
+    filter (URGENT only) is condensed into a bloom filter that is
+    pushed into the lineitem probe side BEFORE the shuffle — rows that
+    can't join are dropped at the scan, so shuffle volume falls by
+    ~the filter's selectivity. At 100 TB this (plus DPP) is the
+    difference between shuffling the whole fact table and shuffling
+    the matching fraction; Catalyst inserts it automatically once the
+    creation side is selective (tests/test_plans.py asserts the
+    might_contain probe in the plan).
+
+    Result is materialized under the bloom confs and the session confs
+    restored (tiny group-count output — the deliberate finalize step).
+    """
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        result = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                money_sum(dec2("l_extendedprice"), "revenue"),
+            )
+            .orderBy("l_returnflag")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles per event type (``percentile_approx``,
     accuracy 10000) — at 100 TB this replaces q_percentiles' exact
@@ -403,6 +453,7 @@ QUERIES = {
     "profile_categorical": profile_categorical,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_bloom_semi_reduction": q_bloom_semi_reduction,
     "source_csv_roundtrip": source_csv_roundtrip,
 }
 
@@ -474,6 +525,15 @@ ORACLES = {
           updated_at_us
         FROM customer FULL OUTER JOIN latest ON c_custkey = user_id
         ORDER BY custkey
+    """,
+    "q_bloom_semi_reduction": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "profile_categorical": f"""
         WITH s AS (

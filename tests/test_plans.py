@@ -220,3 +220,35 @@ def test_range_frame_single_shuffle(spark):
     shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
     assert shuffles == 1, f"{shuffles} shuffles: {plan}"
     assert "Window" in plan
+
+
+def test_bloom_semi_reduction_inserts_runtime_filter(spark):
+    """The urgent-orders bloom filter must be pushed into the lineitem
+    probe side (might_contain in the plan) under the operator's confs."""
+    from etl_city_directories_spark.operators.scale_ops import (
+        _BLOOM_CONFS,
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, SF, "lineitem")
+        plan = plan_of(
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
