@@ -190,6 +190,61 @@ def profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by event_type; joining it to a filtered dim makes
+    Catalyst evaluate the dim side FIRST and prune fact partitions by
+    the join keys it actually produced —
+    ``PartitionFilters: [... dynamicpruningexpression(...)]`` in the
+    plan (asserted in tests/test_plans.py). At 100 TB, DPP plus a
+    date/category partition layout is what turns a full-table scan
+    into reading only the matching directories.
+
+    The partitioned copy is written to a unique temp dir per call
+    (the sink side of the demo); the result is materialized before
+    cleanup — a 2-row group count, the deliberate finalize step.
+    """
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_dpp_")
+    try:
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                dec2("value").cast("double").alias("value"),
+                "event_type",
+            )
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        fact = spark.read.parquet(out)
+        dim = (
+            load_table(spark, sf_dir, "events")
+            .select("event_type")
+            .distinct()
+            .filter(F.col("event_type").startswith("p"))
+        )
+        result = (
+            fact.join(dim, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 _BLOOM_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # local test data is KBs; zero the application-side threshold so the
@@ -454,6 +509,7 @@ QUERIES = {
     "q_approx_distinct": q_approx_distinct,
     "q_approx_quantiles": q_approx_quantiles,
     "q_bloom_semi_reduction": q_bloom_semi_reduction,
+    "q_dpp_partition_pruned": q_dpp_partition_pruned,
     "source_csv_roundtrip": source_csv_roundtrip,
 }
 
@@ -525,6 +581,15 @@ ORACLES = {
           updated_at_us
         FROM customer FULL OUTER JOIN latest ON c_custkey = user_id
         ORDER BY custkey
+    """,
+    "q_dpp_partition_pruned": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+        FROM events
+        WHERE event_type LIKE 'p%'
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "q_bloom_semi_reduction": """
         SELECT l_returnflag,

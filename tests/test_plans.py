@@ -252,3 +252,33 @@ def test_bloom_semi_reduction_inserts_runtime_filter(spark):
                 spark.conf.set(k, v)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_dpp_prunes_fact_partitions(spark, tmp_path):
+    """Joining the partitioned fact to a filtered dim must plan a
+    dynamicpruningexpression PartitionFilter on the fact scan."""
+    from pyspark.sql import functions as F
+
+    from etl_city_directories_spark.operators.scale_ops import load_table
+
+    out = str(tmp_path / "dpp")
+    (
+        load_table(spark, SF, "events")
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, SF, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.col("event_type").startswith("p"))
+    )
+    plan = plan_of(
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "dynamicpruningexpression" in plan, plan
