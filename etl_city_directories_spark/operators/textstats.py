@@ -443,6 +443,52 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TARGET_SHARD_BYTES = 4000
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing manifest (the WebDataset/tar-shard
+    export step): documents are packed into ~fixed-byte shards per
+    source in a deterministic hash order, and the manifest reports
+    each shard's membership stats — what a dataloader consumes.
+
+    Scale shape: sharding is PER SOURCE (the window partitions by the
+    source key), so no global single-partition prefix sum exists; at
+    100 TB each source's running sum is one shuffle, and a hot source
+    would sub-partition by hash prefix the same way. Assignment is
+    shard = floor(prefix_bytes / target) over the md5-ranked order —
+    rerun-stable, no RNG.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    w = (
+        Window.partitionBy("source")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars"))
+            / F.lit(TARGET_SHARD_BYTES)
+        ).alias("shard_id"),
+    )
+    return (
+        assigned.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
 FUZZY_DECON_THRESHOLD = 0.2
 
 
@@ -574,6 +620,7 @@ QUERIES = {
     "decontaminate": decontaminate,
     "decontaminate_fuzzy": decontaminate_fuzzy,
     "text_unigram_logprob": text_unigram_logprob,
+    "shard_manifest": shard_manifest,
     "text_repetition_stats": text_repetition_stats,
     "sample_temperature": sample_temperature,
     "text_lang_id": text_lang_id,
@@ -633,6 +680,26 @@ ORACLES = {
         FROM documents
     """,
     "decontaminate_fuzzy": None,  # assembled below (needs dedup's sig SQL)
+    "shard_manifest": f"""
+        WITH assigned AS (
+          SELECT doc_id, source, n_chars,
+                 FLOOR((SUM(n_chars) OVER (
+                          PARTITION BY source
+                          ORDER BY md5(doc_id::VARCHAR), doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_chars) / {TARGET_SHARD_BYTES})::BIGINT
+                   AS shard_id
+          FROM documents
+        )
+        SELECT source, shard_id,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS shard_bytes,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM assigned
+        GROUP BY source, shard_id
+        ORDER BY source, shard_id
+    """,
     "text_unigram_logprob": f"""
         WITH toks AS (
           SELECT doc_id, UNNEST({_W}) AS w FROM documents
