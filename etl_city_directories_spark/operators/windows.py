@@ -180,6 +180,82 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the running
+    "unique users to date" series every growth dashboard needs.
+
+    COUNT(DISTINCT) OVER a running frame doesn't exist (and a
+    collect_set window would hold every user in window state); the
+    scalable form is first-occurrence flags: one row_number over
+    (type, user) marks each user's first day, then the daily rollup
+    of flags prefix-sums into the cumulative series. Two shuffles —
+    (type, user) then (type, day) — both with map-side partials,
+    state O(1) per row. This is the shape that survives a billion
+    users; the window state never exceeds the daily series length.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "event_type",
+        "user_id",
+        day.alias("day"),
+        F.row_number().over(w_first).alias("rn"),
+    )
+    daily = flagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("new_users"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w_cum).cast("bigint").alias("cum_distinct_users"),
+    )
+
+
+HIST_BINS = 10
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type over a global [min,
+    max) range — the distribution profile a data-quality dashboard
+    renders.
+
+    The bin edges come from one tiny global aggregate (broadcast as a
+    1-row cross join — the scalar-subquery idiom); binning is pure
+    map-side arithmetic and the histogram itself is a (type, bin)
+    groupBy with partial aggregation, so shuffle volume is
+    O(types × bins) regardless of row count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = dec2("value").cast("double")
+    bounds = events.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi")
+    )
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor(
+                (v - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS)))
+            ),
+        ).cast("bigint").alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "bin")
+    )
+
+
 def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar gap-fill: daily purchase revenue joined onto a
     generated date spine so missing days appear as explicit zero rows
@@ -279,6 +355,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_running_distinct": q_running_distinct,
+    "q_value_histogram": q_value_histogram,
     "q_date_spine": q_date_spine,
     "q_range_frame_total": q_range_frame_total,
     "q_cohort_retention": q_cohort_retention,
@@ -291,6 +369,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_running_distinct": """
+        WITH flagged AS (
+          SELECT event_type, user_id,
+                 strftime(ts, '%Y-%m-%d') AS day,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type, user_id ORDER BY ts, event_id
+                 ) AS rn
+          FROM events
+        ),
+        daily AS (
+          SELECT event_type, day,
+                 COUNT(*) AS n_events,
+                 SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS new_users
+          FROM flagged
+          GROUP BY event_type, day
+        )
+        SELECT event_type, day, n_events,
+               new_users::BIGINT AS new_users,
+               (SUM(new_users) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::BIGINT AS cum_distinct_users
+        FROM daily
+    """,
+    "q_value_histogram": """
+        WITH b AS (
+          SELECT MIN(value::DECIMAL(18,2)::DOUBLE) AS lo,
+                 MAX(value::DECIMAL(18,2)::DOUBLE) AS hi
+          FROM events
+        )
+        SELECT event_type,
+               LEAST(9, FLOOR((value::DECIMAL(18,2)::DOUBLE - lo)
+                              / ((hi - lo) / 10.0)))::BIGINT AS bin,
+               COUNT(*) AS n_events
+        FROM events CROSS JOIN b
+        GROUP BY 1, 2
+        ORDER BY event_type, bin
+    """,
     "q_date_spine": """
         WITH daily AS (
           SELECT ts::DATE AS d,
