@@ -322,7 +322,54 @@ def mm_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the binary columns in PURE JVM expressions —
+    no UDF anywhere: each container's header fields are parsed out of
+    the payload bytes with substring/hex/conv and rolled up per
+    modality. This is the fast path for payload inventory at 100 TB
+    (count/bytes/dimension audits) — whole-stage-codegen'd scan, one
+    O(modalities)-row shuffle; the mapInPandas decode stubs are only
+    for the pixel math the JVM can't express.
+
+    Oracle-checked: the DuckDB twin computes the same stats from the
+    payload GENERATION formulas, so a wrong byte in either the JVM
+    encoder or the JVM header parse breaks the hash match — the
+    encode→parse round trip is what's being verified.
+    """
+    def u32(off: int) -> Column:
+        return F.conv(
+            F.hex(F.substring(F.col("payload"), off, 4)), 16, 10
+        ).cast("bigint")
+
+    parts = []
+    for name, table_fn in (
+        ("audio", audio_table),
+        ("image", images_table),
+        ("video", videos_table),
+    ):
+        parts.append(
+            table_fn(spark, sf_dir).select(
+                F.lit(name).alias("modality"),
+                F.length("payload").cast("bigint").alias("n_bytes"),
+                u32(5).alias("dim1"),
+                u32(9).alias("dim2"),
+            )
+        )
+    allp = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        allp.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("dim1").alias("sum_dim1"),
+            F.sum("dim2").alias("sum_dim2"),
+        )
+        .orderBy("modality")
+    )
+
+
 QUERIES = {
+    "mm_payload_stats": mm_payload_stats,
     "mm_image_meta": mm_image_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_meta": mm_audio_meta,
@@ -335,6 +382,32 @@ QUERIES = {
 # tests/test_multimodal.py). mm_caption_pairs IS oracle-checked — its
 # content-key derivation is plain deterministic string math.
 ORACLES: dict[str, str] = {
+    # replays the generation formulas (not the bytes): a wrong byte in
+    # the JVM encode or header parse breaks the match
+    "mm_payload_stats": """
+        SELECT * FROM (
+          SELECT 'audio' AS modality,
+                 COUNT(*) AS n_payloads,
+                 SUM(12 + (doc_id % 64 + 64))::BIGINT AS total_bytes,
+                 SUM(8000)::BIGINT AS sum_dim1,
+                 SUM(doc_id % 64 + 64)::BIGINT AS sum_dim2
+          FROM documents
+          UNION ALL
+          SELECT 'image',
+                 COUNT(*),
+                 SUM(16 + (doc_id % 8 + 8) * (doc_id % 5 + 8))::BIGINT,
+                 SUM(doc_id % 8 + 8)::BIGINT,
+                 SUM(doc_id % 5 + 8)::BIGINT
+          FROM documents
+          UNION ALL
+          SELECT 'video',
+                 COUNT(*),
+                 SUM(12 + (doc_id % 5 + 4) * 24)::BIGINT,
+                 SUM(doc_id % 5 + 4)::BIGINT,
+                 SUM(24)::BIGINT
+          FROM documents
+        ) ORDER BY modality
+    """,
     "mm_caption_pairs": """
         WITH pairs AS (
           SELECT doc_id,
