@@ -205,6 +205,27 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BERNOULLI_P_NUM = 1
+BERNOULLI_P_DEN = 4  # keep rate p = 1/4
+_BERNOULLI_THRESHOLD = "4" + "0" * 31  # md5-hex space * p
+
+
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli(p=1/4) sample: keep a document iff
+    md5(doc_id) falls in the first p of the hash space (hex-string
+    compare against p·16^32). The hash IS the randomness — rerun-
+    stable, coordination-free, embarrassingly parallel (pure map-side
+    filter, no shuffle), and composable: a later p'=1/8 sample is a
+    strict subset of this one, which is what makes hash-threshold
+    sampling the production way to draw nested corpus subsets.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id", "lang", "source", key.alias("sample_key")
+    ).filter(F.col("sample_key") < _BERNOULLI_THRESHOLD)
+
+
 def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(lang, source) corpus statistics: doc counts, token totals,
     length moments — the rollup a pipeline operator dashboards. Pure
@@ -630,6 +651,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "sample_stratified": sample_stratified,
+    "sample_bernoulli": sample_bernoulli,
     "text_corpus_stats": text_corpus_stats,
 }
 
@@ -888,6 +910,12 @@ ORACLES = {
                list_min(list_transform(shingles, s -> md5(s))) AS fingerprint,
                substr(list_min(list_transform(shingles, s -> md5(s))), 1, 4) AS fp_bucket
         FROM shingled
+    """,
+    "sample_bernoulli": f"""
+        SELECT doc_id, lang, source,
+               md5(doc_id::VARCHAR) AS sample_key
+        FROM documents
+        WHERE md5(doc_id::VARCHAR) < '{_BERNOULLI_THRESHOLD}'
     """,
     "sample_stratified": f"""
         SELECT lang, source, doc_id, sample_rank FROM (
