@@ -490,8 +490,51 @@ def dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(losers), "doc_id", "left_anti")
 
 
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the per-source duplication report a
+    pipeline dashboard shows after every ingest — document counts,
+    exact-duplicate documents (hash appears >1), near-dup cluster
+    members (from the LSH connected components), and the exact-dup
+    rate.
+
+    Exact side is one window count over the hash (single shuffle);
+    the near side reuses the banded-LSH cluster pipeline and arrives
+    as a tiny broadcast. Nothing here rescans pairs.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(norm_col()).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    exact = docs.withColumn("n_same", F.count(F.lit(1)).over(w))
+    members = dedup_lsh_clusters(spark, sf_dir).select("doc_id")
+    return (
+        exact.join(
+            F.broadcast(members.withColumn("is_near", F.lit(1))), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_same") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.sum(F.coalesce("is_near", F.lit(0))).cast("bigint").alias(
+                "n_near_dup_docs"
+            ),
+            F.round(
+                F.sum(F.when(F.col("n_same") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_report": dedup_report,
     "dedup_near_keep_first": dedup_near_keep_first,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -691,4 +734,28 @@ ORACLES["dedup_near_keep_first"] = f"""{_CC_CTES}
         FROM documents d
         LEFT JOIN comp ON comp.doc_id = d.doc_id AND comp.cluster_id <> d.doc_id
         WHERE comp.doc_id IS NULL
+    """
+
+ORACLES["dedup_report"] = f"""{_CC_CTES},
+        hashes AS (
+          SELECT doc_id, source,
+                 md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h
+          FROM documents
+        ),
+        counted AS (
+          SELECT doc_id, source,
+                 COUNT(*) OVER (PARTITION BY h) AS n_same
+          FROM hashes
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_exact_dup_docs,
+               SUM(CASE WHEN comp.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_near_dup_docs,
+               ROUND(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*)::DOUBLE, 4) AS exact_dup_rate
+        FROM counted LEFT JOIN comp ON comp.doc_id = counted.doc_id
+        GROUP BY source
+        ORDER BY source
     """

@@ -113,6 +113,50 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 3.0
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type: a value is anomalous when
+    its absolute deviation from the type median exceeds K× the median
+    absolute deviation — the outlier rule that, unlike z-scores,
+    doesn't let the outliers themselves inflate the threshold.
+
+    Two tiny per-type aggregates (median, then MAD over deviations)
+    broadcast back onto the stream; the flagging pass is map-side.
+    Median and MAD are quantized to 4dp BEFORE any comparison so the
+    boundary predicate evaluates on identical doubles in both engines
+    — a last-ulp percentile difference can't flip a flag.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", dec2("value").cast("double").alias("v")
+    )
+    med = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.round(F.abs(F.col("v") - F.col("med")), 4).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 4).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.first("med").alias("median"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution: each user's purchase revenue credited
     to their first-ever event type (first_value over the user's
@@ -356,6 +400,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_running_distinct": q_running_distinct,
+    "q_anomaly_mad": q_anomaly_mad,
     "q_value_histogram": q_value_histogram,
     "q_date_spine": q_date_spine,
     "q_range_frame_total": q_range_frame_total,
@@ -369,6 +414,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_anomaly_mad": f"""
+        WITH e AS (
+          SELECT event_type, value::DECIMAL(18,2)::DOUBLE AS v FROM events
+        ),
+        med AS (
+          SELECT event_type, ROUND(quantile_cont(v, 0.5), 4) AS med
+          FROM e GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, med, ROUND(ABS(v - med), 4) AS adev
+          FROM e JOIN med USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, ROUND(quantile_cont(adev, 0.5), 4) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               MIN(dev.med) AS median,
+               MIN(mad.mad) AS mad,
+               COUNT(*) AS n_events,
+               SUM(CASE WHEN adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END)::BIGINT
+                 AS n_anomalies
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY dev.event_type
+        ORDER BY dev.event_type
+    """,
     "q_running_distinct": """
         WITH flagged AS (
           SELECT event_type, user_id,
