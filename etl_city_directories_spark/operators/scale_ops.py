@@ -190,6 +190,78 @@ def profile_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via two-level BITMAP
+    aggregation (the bitmap-index distinct of Doris/ClickHouse,
+    Spark-native since 3.5): ids map to (bucket, bit position), each
+    (group, bucket) folds into a fixed-size bitmap map-side, and the
+    final count sums popcounts. The shuffle carries bitmaps —
+    O(groups × buckets × 4KB) — never raw id values, which is the
+    exact-COUNT(DISTINCT) shape that survives a skewed billion-user
+    key where the naive distinct shuffles every id occurrence.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return (
+        events.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(
+                "n_distinct_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+ERASURE_MOD = 97
+
+
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-list propagation (right-to-be-forgotten sweep): a
+    deletion set of user keys is anti-joined through every table that
+    carries the key, and the audit reports per-table purge counts —
+    the compliance op every data platform runs.
+
+    The deletion list is tiny relative to the corpus → broadcast anti
+    join, so each fact table streams through map-side once; the audit
+    is three scans (one per table), no shuffles beyond the 1-row
+    counts.
+    """
+    deletions = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % ERASURE_MOD == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    parts = []
+    for name, df, key in (
+        ("customer", load_table(spark, sf_dir, "customer"), "c_custkey"),
+        ("events", load_table(spark, sf_dir, "events"), "user_id"),
+        ("orders", load_table(spark, sf_dir, "orders"), "o_custkey"),
+    ):
+        kept = df.join(
+            F.broadcast(deletions), df[key] == deletions.k, "left_anti"
+        )
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("n_total"))
+            .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_remaining")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "n_total",
+                (F.col("n_total") - F.col("n_remaining")).alias("n_purged"),
+                "n_remaining",
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2]).orderBy(
+        "table_name"
+    )
+
+
 def q_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: the fact table is laid out
     partitioned by event_type; joining it to a filtered dim makes
@@ -510,6 +582,8 @@ QUERIES = {
     "q_approx_quantiles": q_approx_quantiles,
     "q_bloom_semi_reduction": q_bloom_semi_reduction,
     "q_dpp_partition_pruned": q_dpp_partition_pruned,
+    "q_bitmap_distinct": q_bitmap_distinct,
+    "q_gdpr_erasure": q_gdpr_erasure,
     "source_csv_roundtrip": source_csv_roundtrip,
 }
 
@@ -581,6 +655,37 @@ ORACLES = {
           updated_at_us
         FROM customer FULL OUTER JOIN latest ON c_custkey = user_id
         ORDER BY custkey
+    """,
+    "q_bitmap_distinct": """
+        SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_gdpr_erasure": f"""
+        WITH del AS (
+          SELECT c_custkey AS k FROM customer WHERE c_custkey % {ERASURE_MOD} = 0
+        )
+        SELECT * FROM (
+          SELECT 'customer' AS table_name,
+                 (SELECT COUNT(*) FROM customer) AS n_total,
+                 (SELECT COUNT(*) FROM customer JOIN del ON c_custkey = k)
+                   AS n_purged,
+                 (SELECT COUNT(*) FROM customer
+                  WHERE c_custkey NOT IN (SELECT k FROM del)) AS n_remaining
+          UNION ALL
+          SELECT 'events',
+                 (SELECT COUNT(*) FROM events),
+                 (SELECT COUNT(*) FROM events JOIN del ON user_id = k),
+                 (SELECT COUNT(*) FROM events
+                  WHERE user_id NOT IN (SELECT k FROM del))
+          UNION ALL
+          SELECT 'orders',
+                 (SELECT COUNT(*) FROM orders),
+                 (SELECT COUNT(*) FROM orders JOIN del ON o_custkey = k),
+                 (SELECT COUNT(*) FROM orders
+                  WHERE o_custkey NOT IN (SELECT k FROM del))
+        ) ORDER BY table_name
     """,
     "q_dpp_partition_pruned": """
         SELECT event_type,
