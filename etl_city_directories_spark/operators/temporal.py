@@ -182,6 +182,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the first-order Markov
+    view of user behavior): consecutive event pairs via one lead()
+    window per user, rolled up to (from, to) counts with the
+    conditional transition probability.
+
+    One shuffle on user_id for the lead, one tiny shuffle on the
+    (from, to) pair; the per-from normalizer is a window over the
+    O(types²) rollup — nothing rescans events. The probability is
+    computed from unrounded counts and rounded 4dp at the edge.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double"),
+            4,
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")
+
+
 OVERLAP_INTERVAL_MIN = 30
 _OVERLAP_US = OVERLAP_INTERVAL_MIN * 60 * 1_000_000
 
@@ -224,6 +260,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_interval_overlap": q_interval_overlap,
+    "q_event_transitions": q_event_transitions,
     "q_tumbling_window": q_tumbling_window,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -231,6 +268,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_event_transitions": """
+        WITH pairs AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events
+        ),
+        counted AS (
+          SELECT from_type, to_type, COUNT(*) AS n_transitions
+          FROM pairs WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               ROUND(n_transitions::DOUBLE
+                     / SUM(n_transitions) OVER (PARTITION BY from_type), 4)
+                 AS p_transition
+        FROM counted
+        ORDER BY from_type, to_type
+    """,
     "q_interval_overlap": f"""
         WITH pts AS (
           SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
