@@ -82,6 +82,19 @@ def _shingled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_fn(j: int):
+    """Arity-1 lambda computing the salted-md5 minhash element hash.
+
+    MUST stay single-parameter: a two-parameter lambda (e.g. a ``j=j``
+    default binding) makes PySpark pass the ARRAY INDEX as the second
+    argument, silently rebinding the salt to the index Column's repr —
+    a valid-but-wrong hash family that only diverges from the oracle
+    on near-threshold pairs at larger scale (caught by the sf0.1 sim).
+    """
+    salt = f"{j}|"
+    return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     return F.round(
         F.size(F.array_intersect(a, b)).cast("double")
@@ -133,7 +146,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.array_min(
                 F.transform(
-                    "shingles", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))
+                    "shingles", minhash_fn(j)
                 )
             ).alias(f"sig{j}")
             for j in range(1, NUM_HASHES + 1)
@@ -193,10 +206,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.array_min(
-                        F.transform(
-                            "shingles",
-                            lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)),
-                        )
+                        F.transform("shingles", minhash_fn(j))
                     )
                     for j in range(1, NUM_HASHES + 1)
                 ]

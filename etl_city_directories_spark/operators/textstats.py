@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from etl_city_directories_spark.operators.dedup import (
     SHINGLE_CTE as _DEDUP_SHINGLE_CTE,
+    minhash_fn,
     norm_col,
     shingles_col,
 )
@@ -539,9 +540,7 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[
             F.array_min(
-                F.transform(
-                    "shingles", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))
-                )
+                F.transform("shingles", minhash_fn(j))
             ).alias(f"sig{j}")
             for j in range(1, NUM_HASHES + 1)
         ],
