@@ -136,6 +136,89 @@ def _occs(segs: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# real-form entry parser (reference entry-parser.js fidelity path)
+# ---------------------------------------------------------------------------
+#
+# The reference shells out per line to a trained CRF
+# (entry-parser.js:23-36 spawns parse.py --training ...); its label set
+# covers the recurring 1850s directory entry grammar. This is the same
+# contract as a pure JVM column expression — a regex grammar over the
+# comma-segmented line covering the high-frequency classes real pages
+# hit first (tests/fixtures/sample_entries.hocr):
+#
+#   Smith Mary, widow of John, h 23 Pearl      widow relationship
+#   Jones Sarah, wid. Peter, 14 Elm            'wid.' abbreviation
+#   Brown Wm, lab., h 112 Elm                  abbreviated occupation
+#   Miller Chas, clerk, bds 7 Pearl            boards-at location
+#   Taylor Robt, tailor, r 88 Water            rear location
+#   Wilson Jas, porter, h Pearl c Cherry       number-less corner home
+#   Jones Thos, mason, 3 Cherry, h 5 Vine      work + home pair
+#
+# A marker-led segment is a location even WITHOUT a house number (the
+# corner form); a bare leading number is a location (the work-address
+# form); 'wid'/'widow' segments are a relationship, not an occupation.
+
+_LOC_MARKER_RE = r"^(h|r|bds|b)\.?\s"
+_LOC_FULL_RE = rf"(?:{_LOC_MARKER_RE})|^[0-9]"
+_WIDOW_RE = r"^wid(ow)?\.?(\sof)?\s"
+
+
+def _loc_type(seg: Column) -> Column:
+    m = F.regexp_extract(seg, r"^(h|r|bds|b)\.?\s", 1)
+    return (
+        F.when(m == "h", F.lit("home"))
+        .when(m == "r", F.lit("rear"))
+        .when((m == "bds") | (m == "b"), F.lit("boards"))
+        .otherwise(F.lit("address"))
+    )
+
+
+def parse_entry_struct(text: Column) -> Column:
+    """Parse one cleaned directory line into the entry-parser contract:
+    struct(subject, occupations[], widow_of,
+    locations[] as struct(value, loc_type)).
+    """
+    segs = _segments(_clean(text))
+    rest = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    loc_segs = F.filter(rest, lambda x: x.rlike(_LOC_FULL_RE))
+    widow_segs = F.filter(rest, lambda x: x.rlike(_WIDOW_RE))
+    occ_segs = F.filter(
+        rest, lambda x: ~x.rlike(_LOC_FULL_RE) & ~x.rlike(_WIDOW_RE)
+    )
+    locations = F.transform(
+        loc_segs,
+        lambda x: F.struct(
+            F.trim(F.regexp_replace(x, _LOC_MARKER_RE, "")).alias("value"),
+            _loc_type(x).alias("loc_type"),
+        ),
+    )
+    return F.struct(
+        F.trim(F.try_element_at(segs, F.lit(1))).alias("subject"),
+        occ_segs.alias("occupations"),
+        F.try_element_at(
+            F.transform(
+                widow_segs, lambda x: F.trim(F.regexp_replace(x, _WIDOW_RE, ""))
+            ),
+            F.lit(1),
+        ).alias("widow_of"),
+        locations.alias("locations"),
+    )
+
+
+def parse_entries_real(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the real-form parser to an hOCR line DataFrame (the output
+    of sources.hocr.parse_hocr_lines), flattening the struct."""
+    e = parse_entry_struct(F.col(text_col))
+    return lines.withColumn("entry", e).select(
+        *lines.columns,
+        F.col("entry.subject").alias("subject"),
+        F.col("entry.occupations").alias("occupations"),
+        F.col("entry.widow_of").alias("widow_of"),
+        F.col("entry.locations").alias("locations"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # shared line derivation — DuckDB side (CTE prefix reused by every oracle)
 # ---------------------------------------------------------------------------
 

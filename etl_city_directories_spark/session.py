@@ -38,10 +38,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet stores ts as TIMESTAMP(NANOS); Spark's reader
-        # rejects that type, so read it as raw int64 nanos and convert
-        # in sources.tables.load_table (truncation to micros matches
-        # DuckDB's nanos→TIMESTAMP behavior).
+        # Harmless fallback for events.parquet generations that store
+        # ts as INT64 TIMESTAMP(NANOS) (the conf is a no-op for
+        # micros/millis files). sources.tables.load_table inspects the
+        # actual footer per sf_dir and normalizes ts either way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -11,8 +11,10 @@ from __future__ import annotations
 
 import os
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -28,25 +30,93 @@ TABLE_NAMES = (
 )
 
 
+def events_ts_encoding(sf_dir: str) -> str:
+    """Inspect the events parquet footer and classify its ``ts`` column.
+
+    Returns one of:
+      - ``"nanos_long"``: physical INT64 TIMESTAMP(NANOS) (or bare
+        int64) — Spark can only read it via the ``nanosAsLong`` legacy
+        conf, surfacing raw epoch-nanos longs that need ``div 1000``.
+      - ``"ntz"``: TIMESTAMP without timezone (micros/millis) — Spark
+        reads TIMESTAMP_NTZ; cast to TIMESTAMP (session tz is UTC, so
+        the naive value is preserved bit-for-bit).
+      - ``"tz"``: TIMESTAMP with a timezone — Spark reads TimestampType
+        directly, nothing to do.
+
+    The driver regenerates /root/testdata between rounds and has
+    already flipped the encoding once (nanos → micros), so nothing may
+    hard-code one; the footer read is a few KB of driver-side I/O,
+    cached on (path, mtime, size).
+    """
+    path = f"{sf_dir}/events.parquet"
+    probe = path
+    if os.path.isdir(path):
+        # directory-shaped dataset (e.g. a Spark sink): probe one part
+        for root, _, files in sorted(os.walk(path)):
+            parts = sorted(f for f in files if f.endswith(".parquet"))
+            if parts:
+                probe = os.path.join(root, parts[0])
+                break
+    try:
+        st = os.stat(probe)
+        key = (probe, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (probe, 0, 0)
+    if key not in _TS_ENCODING:
+        t = pq.read_schema(probe).field("ts").type
+        import pyarrow as pa
+
+        if pa.types.is_timestamp(t):
+            if t.unit == "ns" and t.tz is None:
+                enc = "nanos_long"
+            elif t.tz is None:
+                enc = "ntz"
+            else:
+                enc = "tz"
+        elif pa.types.is_integer(t):
+            enc = "nanos_long"
+        else:
+            raise TypeError(f"unsupported events.ts parquet type: {t}")
+        _TS_ENCODING.clear()  # tiny cache; never grows across testdata rewrites
+        _TS_ENCODING[key] = enc
+    return _TS_ENCODING[key]
+
+
+_TS_ENCODING: dict[tuple, str] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet's physical type is INT64 TIMESTAMP(NANOS), which
-        # Spark refuses to read unless nanos surface as raw longs. Set the
-        # conf here (runtime-settable), NOT only at session build time, so
-        # an externally-constructed vanilla SparkSession — e.g. the
-        # driver's correctness gate — can call any events query directly.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Confs are set here (runtime-settable), NOT only at session
+        # build time, so an externally-constructed vanilla SparkSession
+        # — e.g. the driver's correctness gate — can call any events
+        # query directly. UTC keeps window bucketing / unix_micros /
+        # toPandas rendering identical to the DuckDB oracle's naive
+        # timestamps regardless of host timezone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if events_ts_encoding(sf_dir) == "nanos_long":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as int64 nanos (per the conf above); convert to a
-        # real timestamp at micro precision, matching the DuckDB
-        # oracle's nanos→TIMESTAMP truncation.
-        # integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double
-        # precision, so float division corrupts the microsecond digits.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", _ts_to_timestamp(df.schema["ts"].dataType))
     return df
+
+
+def _ts_to_timestamp(dtype) -> F.Column:
+    """Normalize a raw ``ts`` column (whatever the file encoded) to
+    TimestampType micros, the type every downstream operator assumes."""
+    if isinstance(dtype, LongType):
+        # int64 epoch-nanos (nanosAsLong). Integer `div`, not `/`:
+        # epoch-nanos (~1.7e18) exceeds double precision, so float
+        # division would corrupt the microsecond digits. Truncation to
+        # micros matches DuckDB's nanos→TIMESTAMP behavior.
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dtype, TimestampNTZType):
+        # naive micros; session tz is forced UTC so this is value-exact
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")  # already TimestampType
 
 
 def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -41,38 +41,60 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     DoubleType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 from etl_city_directories_spark.functions.numeric import dec2
+from etl_city_directories_spark.sources import tables
 
 SESSION_GAP_MIN = 30  # must match operators.windows.SESSION_GAP_MIN
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
 
-# physical schema of events.parquet: ts is INT64 TIMESTAMP(NANOS),
-# surfaced as raw long (see session.py nanosAsLong) and converted here.
-_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(sf_dir: str) -> StructType:
+    """Stream-source schema matching the file's actual ``ts`` encoding.
+
+    The driver regenerates testdata between rounds and has flipped the
+    events ``ts`` physical type once already (INT64 nanos → micros), so
+    the schema is derived from the parquet footer per sf_dir rather
+    than hard-coded (r02's silent-1000×-time-compression bug).
+    """
+    enc = tables.events_ts_encoding(sf_dir)
+    if enc == "nanos_long":
+        ts_type: Any = LongType()
+    elif enc == "ntz":
+        ts_type = TimestampNTZType()
+    else:
+        ts_type = TimestampType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over the events parquet (ts nanos → micros)."""
-    # Same vanilla-session guard as sources.tables.load_table: the
-    # INT64 TIMESTAMP(NANOS) physical type needs nanosAsLong to read.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-stream source over the events parquet, ts → TimestampType."""
+    # Same vanilla-session guards as sources.tables.load_table: UTC so
+    # windowing matches the oracle's naive timestamps, nanosAsLong only
+    # when the file is physically INT64 nanos.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = _events_schema(sf_dir)
+    if tables.events_ts_encoding(sf_dir) == "nanos_long":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "ts", tables._ts_to_timestamp(schema["ts"].dataType)
+    )
 
 
 def _run_to_table(
@@ -497,16 +519,23 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     found; with the finite availableNow replay the inner join emits
     exactly the batch interval-join result, so the DuckDB twin is
     exact.
+
+    Both sides derive from ONE ``events_stream`` source (a streaming
+    self-join): Spark tracks one set of file offsets for the shared
+    source, so ingest is not doubled the way two independent
+    ``readStream`` scans would be (r02 shape) — at 100 TB/day the
+    difference is a second full pass over the firehose.
     """
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
     purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
         .withWatermark("p_ts", "30 minutes")
     )
     clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "30 minutes")
     )

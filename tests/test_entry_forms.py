@@ -1,0 +1,99 @@
+"""Real 1850s directory entry forms through the fidelity parser.
+
+The reference parses entries with a trained CRF (entry-parser.js:23-36
+spawns parse.py); citydir.parse_entry_struct covers the recurring
+grammar classes real pages hit first, verified here over an hOCR
+fixture page (tests/fixtures/sample_entries.hocr) run through the full
+archive → pages → lines → entries path.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import tarfile
+
+import pytest
+
+from etl_city_directories_spark.operators.citydir import parse_entries_real
+from etl_city_directories_spark.sources.hocr import (
+    parse_hocr_lines,
+    read_hocr_pages,
+)
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+_UUID = "d7836971-8df0-0134-fb06-00505686a51c"
+
+
+@pytest.fixture(scope="module")
+def entries_archive(tmp_path_factory) -> str:
+    hocr = open(os.path.join(FIXTURES, "sample_entries.hocr"), "rb").read()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo(name=f"{_UUID}/31.56886390.{_UUID}.processed.hocr")
+        info.size = len(hocr)
+        tf.addfile(info, io.BytesIO(hocr))
+    out = str(tmp_path_factory.mktemp("entries") / f"{_UUID}.tar.gz")
+    with open(out, "wb") as f:
+        f.write(gzip.compress(buf.getvalue()))
+    return out
+
+
+@pytest.fixture(scope="module")
+def entries(spark, entries_archive):
+    pages = read_hocr_pages(spark, entries_archive)
+    lines = parse_hocr_lines(pages, column_count=2)
+    rows = parse_entries_real(lines).collect()
+    return {r.subject: r for r in rows}
+
+
+def test_all_lines_parse(entries):
+    assert len(entries) == 7
+
+
+def test_widow_of_form(entries):
+    r = entries["Smith Mary"]
+    assert r.widow_of == "John"
+    assert r.occupations == []
+    assert [(l.value, l.loc_type) for l in r.locations] == [("23 Pearl", "home")]
+
+
+def test_wid_abbreviated_form(entries):
+    r = entries["Jones Sarah"]
+    assert r.widow_of == "Peter"  # 'wid..' OCR noise collapsed, marker stripped
+    assert r.occupations == []
+    assert [(l.value, l.loc_type) for l in r.locations] == [("14 Elm", "address")]
+
+
+def test_abbreviated_occupation(entries):
+    r = entries["Brown Wm"]
+    assert r.occupations == ["lab."]
+    assert [(l.value, l.loc_type) for l in r.locations] == [("112 Elm", "home")]
+
+
+def test_boards_location(entries):
+    r = entries["Miller Chas"]
+    assert r.occupations == ["clerk"]
+    assert [(l.value, l.loc_type) for l in r.locations] == [("7 Pearl", "boards")]
+
+
+def test_rear_location(entries):
+    r = entries["Taylor Robt"]
+    assert [(l.value, l.loc_type) for l in r.locations] == [("88 Water", "rear")]
+
+
+def test_numberless_corner_home(entries):
+    r = entries["Wilson Jas"]
+    assert r.occupations == ["porter"]
+    assert [(l.value, l.loc_type) for l in r.locations] == [
+        ("Pearl c Cherry", "home")
+    ]
+
+
+def test_work_plus_home_pair(entries):
+    r = entries["Jones Thos"]
+    assert [(l.value, l.loc_type) for l in r.locations] == [
+        ("3 Cherry", "address"),
+        ("5 Vine", "home"),
+    ]
