@@ -94,13 +94,14 @@ def extract_lines(hocr: str) -> list[tuple[int, int, int, int, str]]:
     return out
 
 
-def assign_columns(
+MAX_INDENT_PX = 120
+
+
+def column_centers(
     lines: list[tuple[int, int, int, int, str]], column_count: int
-) -> list[int | None]:
-    """Column detection in the spirit of hocr-detect-columns: cluster
-    line x0 starts into ``column_count`` columns; a line gets the index
-    of the column whose start it sits within tolerance of, else None
-    (indented / stray lines — the reference drops those)."""
+) -> list[int]:
+    """Cluster line x0 starts into ``column_count`` column start
+    positions (left to right)."""
     if not lines:
         return []
     xs = sorted(l[0] for l in lines)
@@ -116,7 +117,16 @@ def assign_columns(
         sorted(clusters, key=len, reverse=True)[:column_count],
         key=lambda c: c[0],
     )
-    centers = [sum(c) // len(c) for c in best]
+    return [sum(c) // len(c) for c in best]
+
+
+def assign_columns(
+    lines: list[tuple[int, int, int, int, str]], column_count: int
+) -> list[int | None]:
+    """Column detection in the spirit of hocr-detect-columns: a line
+    gets the index of the column whose start it sits within tolerance
+    of, else None (indented continuation / stray lines)."""
+    centers = column_centers(lines, column_count)
     out: list[int | None] = []
     for x0, *_ in lines:
         idx = None
@@ -126,6 +136,50 @@ def assign_columns(
                 break
         out.append(idx)
     return out
+
+
+def stitch_continuations(
+    lines: list[tuple[int, int, int, int, str]],
+    cols: list[int | None],
+    centers: list[int],
+) -> list[tuple[int, int, int, int, int, str, int]]:
+    """Merge indented continuation lines into the preceding entry of
+    their column, the hocr-detect-columns ``completeText`` contract: a
+    wrapped directory entry continues on the next line with a small
+    indent, and the published algorithm appends that text to the
+    previous line. The reference's own TODO (city-directories.js:243,
+    "add bboxes of idented lines!") is covered here too — the merged
+    entry's bbox is the union of its lines' bboxes.
+
+    A line is a continuation when its x0 sits MORE than the column
+    tolerance but at most MAX_INDENT_PX past a column start; anything
+    further right of every column start is a stray and is dropped
+    (reference behavior for unassigned lines).
+
+    Returns [(line_index, x0, y0, x1, y1, text, column_index)] with
+    continuations folded into their base entries, in document order.
+    """
+    out: list[list] = []  # mutable [idx, x0, y0, x1, y1, text, cidx]
+    last_in_col: dict[int, int] = {}  # column_index -> position in out
+    for i, ((x0, y0, x1, y1, text), cidx) in enumerate(zip(lines, cols)):
+        if cidx is not None:
+            last_in_col[cidx] = len(out)
+            out.append([i, x0, y0, x1, y1, text, cidx])
+            continue
+        # candidate column: the rightmost start this line is indented past
+        cand = None
+        for j, cx in enumerate(centers):
+            if COLUMN_TOLERANCE_PX < x0 - cx <= MAX_INDENT_PX:
+                cand = j
+        if cand is None or cand not in last_in_col:
+            continue  # stray (or continuation with nothing to continue)
+        base = out[last_in_col[cand]]
+        base[1] = min(base[1], x0)
+        base[2] = min(base[2], y0)
+        base[3] = max(base[3], x1)
+        base[4] = max(base[4], y1)
+        base[5] = f"{base[5]} {text}"
+    return [tuple(r) for r in out]
 
 
 def read_hocr_pages(spark: SparkSession, archive_glob: str) -> DataFrame:
@@ -171,7 +225,10 @@ def parse_hocr_lines(pages: DataFrame, column_count: int = 2) -> DataFrame:
             for rec in batch.itertuples(index=False):
                 lines = extract_lines(rec.hocr)
                 cols = assign_columns(lines, column_count)
-                for i, ((x0, y0, x1, y1, text), cidx) in enumerate(zip(lines, cols)):
+                centers = column_centers(lines, column_count)
+                for i, x0, y0, x1, y1, text, cidx in stitch_continuations(
+                    lines, cols, centers
+                ):
                     rows.append(
                         (rec.archive, rec.page_num, rec.image_id, rec.page_uuid,
                          i, x0, y0, x1, y1, cidx, text)
@@ -179,7 +236,8 @@ def parse_hocr_lines(pages: DataFrame, column_count: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in LINE_SCHEMA.fields])
 
     lines = pages.mapInPandas(explode_lines, LINE_SCHEMA)
-    # reference keeps only column-assigned lines and collapses dot runs
+    # stitching folded continuations in; stray lines are already gone.
+    # Collapse dot runs last (reference order, city-directories.js:245).
     return lines.filter(F.col("column_index").isNotNull()).withColumn(
         "text", F.regexp_replace("text", r"\.+", ".")
     )

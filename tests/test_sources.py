@@ -15,8 +15,10 @@ from etl_city_directories_spark.operators.ingest import (
 )
 from etl_city_directories_spark.sources.hocr import (
     assign_columns,
+    column_centers,
     extract_lines,
     read_hocr_pages,
+    stitch_continuations,
 )
 from etl_city_directories_spark.sources.manifest import parse_manifest_html
 from etl_city_directories_spark.sources.ndjson import read_ndjson, write_ndjson
@@ -38,8 +40,23 @@ def test_assign_columns_two_columns():
     lines = extract_lines(hocr)
     cols = assign_columns(lines, 2)
     # lines at x~100 → col 0; x~1050 → col 1; indented (160) and stray
-    # (1500) → None, as the reference drops unaligned lines
+    # (1500) → no direct assignment
     assert cols == [0, 0, None, 0, 1, 1, None]
+
+
+def test_stitch_continuations_fixture():
+    hocr = open(os.path.join(FIXTURES, "sample.hocr")).read()
+    lines = extract_lines(hocr)
+    cols = assign_columns(lines, 2)
+    stitched = stitch_continuations(lines, cols, column_centers(lines, 2))
+    # indented line (x0=160, 60px past col 0) folds into the preceding
+    # col-0 entry (Brown); stray (x0=1500, ~450px past col 1) drops
+    assert len(stitched) == 5
+    brown = next(r for r in stitched if r[5].startswith("Brown"))
+    assert brown[5] == "Brown Wm.. grocer, 112 Elm continued indented line....."
+    # reference TODO covered: bbox is the union of base + continuation
+    assert (brown[1], brown[2], brown[3], brown[4]) == (102, 250, 890, 338)
+    assert not any("stray" in r[5] for r in stitched)
 
 
 def test_hocr_pages_skips_non_hocr_members(spark):
@@ -53,11 +70,12 @@ def test_hocr_pages_skips_non_hocr_members(spark):
 
 def test_hocr_parse_end_to_end(spark):
     rows = hocr_parse(spark, SF).collect()
-    # 5 column-assigned lines survive; dot runs collapsed
+    # 5 entries survive (continuation stitched, stray dropped);
+    # dot runs collapsed AFTER stitching (reference order)
     assert len(rows) == 5
     assert all(r.column_index in (0, 1) for r in rows)
     texts = [r.text for r in rows]
-    assert "Brown Wm. grocer, 112 Elm" in texts  # 'Wm..' collapsed
+    assert "Brown Wm. grocer, 112 Elm continued indented line." in texts
     assert all("..." not in t for t in texts)
 
 
