@@ -110,6 +110,8 @@ _GATE_PRIORITY = [
     "stream_foreachbatch_upsert",
     "stream_session_window",
     "stream_dedup_within_watermark",
+    # --- new this round (first gate opportunity r03/r04) ---
+    "cd_parse_tagged",
 ]
 
 

@@ -218,6 +218,76 @@ def parse_entries_real(lines: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def parse_entries_tagged(
+    lines: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse entries with the TRAINED tagger (functions.entry_tagger)
+    instead of the regex grammar — the reference's actual architecture:
+    entry-parser.js pipes lines to a CRF trained on labeled data; here
+    an averaged structured perceptron trains driver-side on the labeled
+    corpus, its weights broadcast into an Arrow-batched ``mapInPandas``
+    decode (one Python pass per batch, no per-row driver traffic).
+
+    Same output contract as parse_entries_real; arrays serialize
+    '|'-joined so downstream comparison is representation-free.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_city_directories_spark.functions import entry_tagger
+
+    spark = lines.sparkSession
+    bc = spark.sparkContext.broadcast(entry_tagger.model())
+    src = lines.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        _clean(F.col(text_col)).alias("clean_line"),
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = bc.value
+        for pdf in batches:
+            rows = []
+            for doc_id, line in zip(pdf["doc_id"], pdf["clean_line"]):
+                toks = str(line).split()
+                e = entry_tagger.entry_from_tags(
+                    toks, entry_tagger.tag(toks, weights)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        e["subject"],
+                        "|".join(e["occupations"]),
+                        e["widow_of"] or "",  # '' not NULL: cross-engine hash
+                        "|".join(
+                            f"{l['value']}:{l['loc_type']}"
+                            for l in e["locations"]
+                        ),
+                        len(e["locations"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "subject", "occupations_all",
+                    "widow_of", "locations_all", "n_locations",
+                ],
+            )
+
+    return src.mapInPandas(
+        _decode,
+        "doc_id bigint, subject string, occupations_all string, "
+        "widow_of string, locations_all string, n_locations bigint",
+    )
+
+
+def cd_parse_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tagger twin of cd_parse_entries over the standing corpus
+    (rows-only: perceptron decode is not SQL-expressible; accuracy and
+    grammar-agreement are pinned in tests/test_entry_forms.py)."""
+    return parse_entries_tagged(lines_df(spark, sf_dir), text_col="raw_line")
+
+
 # ---------------------------------------------------------------------------
 # shared line derivation — DuckDB side (CTE prefix reused by every oracle)
 # ---------------------------------------------------------------------------
@@ -704,6 +774,7 @@ QUERIES = {
     "cd_transform_objects": cd_transform_objects,
     "cd_relations": cd_relations,
     "cd_logs": cd_logs,
+    "cd_parse_tagged": cd_parse_tagged,
 }
 
 _ADDR_CTE = f"""
@@ -753,6 +824,27 @@ ORACLES = {
           array_to_string(occs, '|') AS occupations_all,
           array_to_string(locs, '|') AS locations_all,
           len(occs)::BIGINT AS n_occupations,
+          len(locs)::BIGINT AS n_locations
+        FROM parsed
+    """,
+    # the trained tagger must reproduce the grammar exactly on the
+    # grammar-regular standing corpus (its training data contract) —
+    # so the grammar IS the oracle; loc_type: 'h '-prefixed segments
+    # are homes, bare-number segments are (work) addresses
+    "cd_parse_tagged": f"""
+        WITH {LINES_CTE}
+        SELECT
+          doc_id,
+          trim(segs[1]) AS subject,
+          array_to_string(occs, '|') AS occupations_all,
+          '' AS widow_of,
+          array_to_string(
+            list_transform(
+              list_filter(segs, x -> regexp_matches(x, '{_LOC_RE}')),
+              x -> CASE WHEN x LIKE 'h %'
+                   THEN substring(x, 3) || ':home'
+                   ELSE x || ':address' END
+            ), '|') AS locations_all,
           len(locs)::BIGINT AS n_locations
         FROM parsed
     """,

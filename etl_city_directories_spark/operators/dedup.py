@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_city_directories_spark.functions.memo import memo_df, table_stamp
 from etl_city_directories_spark.sources.tables import load_table, load_table_parallel
 
 NUM_HASHES = 8
@@ -426,7 +427,27 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) deep. At extreme scale the round count drops further with the
     large-star/small-star variant (Kiveris et al., "Connected
     Components in MapReduce"), which this structure extends to.
+
+    The (doc_id, cluster_id) label table is memoized per (session,
+    sf_dir, data stamp) — it is the dedup INDEX three consumers share
+    (clusters, near_keep_first, report); construction runs once.
+    ``dedup_minhash_lsh`` itself stays un-memoized so the bench keeps
+    measuring the cold LSH pipeline.
     """
+    from pyspark.sql import Window
+
+    labels = memo_df(
+        spark,
+        ("lsh_cluster_labels", sf_dir, table_stamp(sf_dir, ("documents",))),
+        lambda: _cluster_labels_build(spark, sf_dir),
+    )
+    w = Window.partitionBy("cluster_id")
+    return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+def _cluster_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label-propagation loop behind dedup_lsh_clusters (memoized
+    there); returns (doc_id, cluster_id)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     pairs.count()  # materialize once: both union branches below read the
     # cache instead of re-running the whole minhash pipeline (Spark does
@@ -473,12 +494,9 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:  # labels only ever decrease: fixpoint
             break
         prev_sum = new_sum
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
 
 
 def dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:

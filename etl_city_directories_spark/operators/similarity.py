@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_city_directories_spark.functions.memo import memo_df, table_stamp
 from etl_city_directories_spark.sources.tables import load_table, load_table_parallel
 
 N_PROBES = 10
@@ -128,7 +129,24 @@ def kmeans_cells(spark: SparkSession, sf_dir: str, n_best: int = 1) -> DataFrame
     100 TB: assignment is a broadcast map per round, the update is one
     groupBy(cell, dim) shuffle of (K × dims) partials — Lloyd's the
     classic MapReduce way.
+
+    Training is deterministic, so the (vec_id, cell, cell_rank)
+    assignment is memoized per (session, sf_dir, data stamp) — index
+    construction runs once, every query amortizes it (functions.memo).
     """
+    vecs = _vectors(spark, sf_dir)
+    return vecs.join(
+        memo_df(
+            spark,
+            ("ivf_cells", sf_dir, n_best, table_stamp(sf_dir, ("embeddings",))),
+            lambda: _kmeans_assign(spark, sf_dir, n_best),
+        ),
+        "vec_id",
+    )
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str, n_best: int) -> DataFrame:
+    """The Lloyd training loop behind kmeans_cells (memoized there)."""
     vecs = _vectors(spark, sf_dir)
     seeds = (
         vecs.select(
@@ -187,7 +205,7 @@ def kmeans_cells(spark: SparkSession, sf_dir: str, n_best: int = 1) -> DataFrame
             )
             .withColumnRenamed("cell", "cluster_id")
         )
-    return vecs.join(assigned.select("vec_id", "cell", "cell_rank"), "vec_id")
+    return assigned.select("vec_id", "cell", "cell_rank")
 
 
 def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +366,31 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     the codes. Everything is DataFrame ops; the subspace axis is just
     a column, so all M_SUB codebooks train in the SAME jobs (no
     per-subspace loop over the data).
+
+    Both artifacts are memoized per (session, sf_dir, data stamp) —
+    codebook training is index construction, paid once and amortized
+    over every query (functions.memo).
     """
+    stamp = table_stamp(sf_dir, ("embeddings",))
+    trained: list | None = None
+
+    def _part(i: int):
+        def build() -> DataFrame:
+            nonlocal trained
+            if trained is None:
+                trained = list(_pq_train(spark, sf_dir))
+            return trained[i]
+
+        return build
+
+    # both keys memoize from ONE training pass (the closure is shared)
+    cents = memo_df(spark, ("pq_cents", sf_dir, stamp), _part(0))
+    codes = memo_df(spark, ("pq_codes", sf_dir, stamp), _part(1))
+    return cents, codes
+
+
+def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The training loop behind _pq_codebooks (memoized there)."""
     vecs = _vectors(spark, sf_dir)
     subs = vecs.select(
         "vec_id",

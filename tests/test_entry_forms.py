@@ -97,3 +97,45 @@ def test_work_plus_home_pair(entries):
         ("3 Cherry", "address"),
         ("5 Vine", "home"),
     ]
+
+
+# --- trained tagger (the reference's CRF architecture) ---------------------
+
+
+def test_tagger_heldout_accuracy():
+    from etl_city_directories_spark.functions import entry_tagger
+
+    corpus = entry_tagger.synth_training_corpus(800)
+    m = entry_tagger.train(corpus[:600])
+    tot = ok = 0
+    for toks, labs in corpus[600:]:
+        pred = entry_tagger.tag(toks, m)
+        ok += sum(p == g for p, g in zip(pred, labs))
+        tot += len(labs)
+    assert ok / tot >= 0.98, f"held-out token accuracy {ok / tot:.3f}"
+
+
+def test_tagger_agrees_with_grammar_on_fixture(spark, entries_archive):
+    """On the real-form fixture page the trained tagger must produce
+    the same entries as the regex grammar — two independent parser
+    architectures, one contract."""
+    from etl_city_directories_spark.operators.citydir import (
+        parse_entries_real,
+        parse_entries_tagged,
+    )
+
+    pages = read_hocr_pages(spark, entries_archive)
+    lines = parse_hocr_lines(pages, column_count=2)
+    grammar = {r.subject: r for r in parse_entries_real(lines).collect()}
+    tagged = {
+        r.subject: r
+        for r in parse_entries_tagged(lines, id_col="line_index").collect()
+    }
+    assert set(tagged) == set(grammar)
+    for subj, t in tagged.items():
+        g = grammar[subj]
+        assert t.occupations_all == "|".join(g.occupations), subj
+        assert (t.widow_of or None) == g.widow_of, subj
+        assert t.locations_all == "|".join(
+            f"{l.value}:{l.loc_type}" for l in g.locations
+        ), subj

@@ -151,10 +151,12 @@ def test_q21_single_window_exchange(spark):
 def test_kmeans_assignment_broadcasts_centroids(spark):
     """IVF training: the K-row centroid table must broadcast into the
     assignment (a map-side nested-loop over K rows), never shuffle the
-    vector corpus."""
-    from etl_city_directories_spark.operators.similarity import kmeans_cells
+    vector corpus. Asserted on the training build itself —
+    kmeans_cells memoizes the trained assignment (functions.memo), so
+    its plan is a checkpoint scan, not the Lloyd loop."""
+    from etl_city_directories_spark.operators.similarity import _kmeans_assign
 
-    plan = plan_of(kmeans_cells(spark, SF))
+    plan = plan_of(_kmeans_assign(spark, SF, 1))
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
