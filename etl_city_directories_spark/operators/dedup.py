@@ -418,15 +418,13 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the verified
     LSH near-dup pairs (cluster id = min doc_id in the component).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels — a distributed
-    groupBy-min per round, converging in graph-diameter rounds (dup
-    clusters are shallow, so 2-4 rounds in practice). The driver loop
-    only orchestrates; all data movement is shuffles on node id.
-    ``localCheckpoint`` truncates lineage each round so the plan stays
-    O(1) deep. At extreme scale the round count drops further with the
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce"), which this structure extends to.
+    Components run as alternating large-star/small-star contractions
+    (functions.graph, Kiveris et al. 2014): O(log² n) rounds
+    REGARDLESS of component diameter — chained near-dup families
+    (successive page revisions A~B~C~…) would force plain min-label
+    propagation into diameter-many shuffle rounds; the star steps
+    contract such chains in a handful. Verified against a union-find
+    reference incl. a 200-node chain in tests/test_graph.py.
 
     The (doc_id, cluster_id) label table is memoized per (session,
     sf_dir, data stamp) — it is the dedup INDEX three consumers share
@@ -446,56 +444,15 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The label-propagation loop behind dedup_lsh_clusters (memoized
-    there); returns (doc_id, cluster_id)."""
+    """Connected components over the LSH pairs (memoized by
+    dedup_lsh_clusters); returns (doc_id, cluster_id)."""
+    from etl_city_directories_spark.functions.graph import connected_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
-    pairs.count()  # materialize once: both union branches below read the
-    # cache instead of re-running the whole minhash pipeline (Spark does
-    # not share the subtree between union branches)
-    edges = (
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .toDF("src", "dst")
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    while prev_sum is not None:
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("dst_label")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_min"))
-            .withColumnRenamed("src", "node")
-        )
-        labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:  # labels only ever decrease: fixpoint
-            break
-        prev_sum = new_sum
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    pairs.count()  # materialize once: the star rounds re-read the pair
+    # set; an unpersisted plan would re-run the whole minhash pipeline
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
 

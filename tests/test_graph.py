@@ -1,0 +1,64 @@
+"""connected_components (large-star/small-star) vs a union-find
+reference — correctness on adversarial shapes and diameter-independent
+round counts."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_city_directories_spark.functions.graph import connected_components
+
+
+def _uf(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns) for ns in comp.values() for n in ns}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    nodes = sorted({x for e in edges for x in e})
+    want = _uf([(u, v) for u, v in edges if u != v], nodes)
+    assert got == want
+
+
+def test_chain_200_converges_fast(spark):
+    """A 200-node path: min-label propagation would need ~200 rounds;
+    the star contraction must finish inside 8."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_rounds=8).collect()
+    }
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_star_and_self_loops(spark):
+    _check(spark, [(500, 500 + i) for i in range(1, 30)])
+    _check(spark, [(1, 1), (2, 3), (3, 2), (4, 5), (5, 6), (6, 4), (9, 9)])
+
+
+@pytest.mark.parametrize("seed", [7, 11, 23])
+def test_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(20, 120)
+    m = rng.randint(n // 2, n * 2)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    _check(spark, edges)
