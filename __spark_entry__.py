@@ -112,6 +112,8 @@ _GATE_PRIORITY = [
     "stream_dedup_within_watermark",
     # --- new this round (first gate opportunity r03/r04) ---
     "cd_parse_tagged",
+    "dedup_shared_spans",
+    "sample_domain_mix",
 ]
 
 

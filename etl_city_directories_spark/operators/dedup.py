@@ -456,6 +456,52 @@ def _cluster_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span audit: for every document, how many
+    of its word-3-gram spans also appear in ANY other document — the
+    per-doc signal behind substring-level training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": memorized spans come from text repeated ACROSS documents,
+    which document-level dedup can't see).
+
+    Scale shape: explode to (span, doc) pairs, partial-aggregated
+    groupBy(span) to find spans in >1 doc (shuffle volume O(distinct
+    spans), not O(tokens)), then one hash join back on the span key —
+    the identical machinery as decontaminate, pointed corpus-wide.
+    Spans are distinct per doc (shingles_col), so 'shared' means
+    across documents, never self-repetition (text_repetition_stats
+    covers that axis).
+    """
+    sh = _shingled_df(spark, sf_dir).persist()  # explode + final join read it
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    shared = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        ex.join(shared, "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("is_shared").alias("n_shared_spans"))
+    )
+    return (
+        sh.select("doc_id", F.size("shingles").cast("bigint").alias("n_spans"))
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.col("n_shared_spans").cast("bigint").alias("n_shared_spans"),
+            F.round(
+                F.col("n_shared_spans").cast("double")
+                / F.col("n_spans").cast("double"),
+                4,
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_near_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup dedup as a corpus FILTER — the operation a training
     pipeline actually applies: every document survives except non-
@@ -527,6 +573,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_keep_first": dedup_keep_first,
     "dedup_lsh_clusters": dedup_lsh_clusters,
+    "dedup_shared_spans": dedup_shared_spans,
 }
 
 _SIG_COLS = ",\n      ".join(
@@ -545,6 +592,27 @@ _NGRAM_BAND_SELECTS = "\n      UNION ALL\n".join(
 )
 
 ORACLES = {
+    "dedup_shared_spans": f"""
+        WITH {SHINGLE_CTE},
+        ex AS (
+          SELECT doc_id, unnest(shingles) AS s FROM shingled
+        ),
+        shared AS (
+          SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 1
+        ),
+        per_doc AS (
+          SELECT e.doc_id, COUNT(sh.s) AS n_shared
+          FROM ex e LEFT JOIN shared sh ON e.s = sh.s
+          GROUP BY e.doc_id
+        )
+        SELECT s.doc_id,
+               len(s.shingles)::BIGINT AS n_spans,
+               p.n_shared::BIGINT AS n_shared_spans,
+               ROUND(p.n_shared::DOUBLE / len(s.shingles)::DOUBLE, 4)
+                 AS shared_frac
+        FROM shingled s JOIN per_doc p USING (doc_id)
+        ORDER BY s.doc_id
+    """,
     "dedup_exact": """
         SELECT
           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,

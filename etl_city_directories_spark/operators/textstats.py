@@ -286,6 +286,54 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+DOMAIN_MIX_BUDGET_FRAC = 0.4
+
+
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sampler: draw a corpus subset that EQUALIZES source
+    (domain) shares under a global document budget — the 'domain
+    weights' step of every LLM data recipe (each source gets
+    budget/|sources| slots; over-represented sources are down-sampled
+    to their slot, small sources keep everything).
+
+    The per-source keep-rate becomes a deterministic hash threshold:
+    keep doc iff the first 8 hex chars of md5(doc_id) sort below
+    lpad(hex(floor(rate·16⁸))). The hash IS the randomness —
+    coordination-free, rerun-stable, nested (a smaller budget's sample
+    is a strict subset). Scale shape: one partial-aggregated groupBy
+    to per-source counts (O(|sources|) rows → broadcast), then a pure
+    map-side filter over the corpus; no shuffle of the data itself.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    fair = F.floor(total * F.lit(DOMAIN_MIX_BUDGET_FRAC)).cast("double") / n_sources
+    rate = F.least(F.lit(1.0), fair / F.col("n_docs").cast("double"))
+    rates = counts.select(
+        "source",
+        rate.alias("keep_rate"),
+        F.lpad(
+            F.lower(F.hex(F.floor(rate * F.lit(4294967296.0)).cast("bigint"))),
+            8,
+            "0",
+        ).alias("thr_hex"),
+    )
+    key8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        docs.select("doc_id", "source", key8.alias("key8"))
+        .join(F.broadcast(rates), "source")
+        .filter((F.col("keep_rate") >= 1.0) | (F.col("key8") < F.col("thr_hex")))
+        .select(
+            "doc_id", "source", F.round("keep_rate", 4).alias("keep_rate")
+        )
+        .orderBy("doc_id")
+    )
+
+
 TOP_TERMS_K = 20
 MIN_TERM_LEN = 4
 
@@ -651,6 +699,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "sample_stratified": sample_stratified,
     "sample_bernoulli": sample_bernoulli,
+    "sample_domain_mix": sample_domain_mix,
     "text_corpus_stats": text_corpus_stats,
 }
 
@@ -915,6 +964,32 @@ ORACLES = {
                md5(doc_id::VARCHAR) AS sample_key
         FROM documents
         WHERE md5(doc_id::VARCHAR) < '{_BERNOULLI_THRESHOLD}'
+    """,
+    "sample_domain_mix": f"""
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM counts
+        ),
+        rates AS (
+          SELECT source, n_docs,
+            LEAST(1.0,
+              (FLOOR(total * {DOMAIN_MIX_BUDGET_FRAC})::DOUBLE / n_sources)
+                / n_docs::DOUBLE) AS keep_rate
+          FROM counts, tot
+        ),
+        r2 AS (
+          SELECT source, keep_rate,
+            lpad(to_hex(FLOOR(keep_rate * 4294967296.0)::BIGINT), 8, '0')
+              AS thr_hex
+          FROM rates
+        )
+        SELECT d.doc_id, d.source, ROUND(r2.keep_rate, 4) AS keep_rate
+        FROM documents d JOIN r2 USING (source)
+        WHERE r2.keep_rate >= 1.0
+           OR substr(md5(d.doc_id::VARCHAR), 1, 8) < r2.thr_hex
+        ORDER BY d.doc_id
     """,
     "sample_stratified": f"""
         SELECT lang, source, doc_id, sample_rank FROM (
