@@ -24,7 +24,10 @@ from etl_city_directories_spark.session import get_spark
 
 # ops that legitimately run Python (pandas UDF / mapInPandas)
 PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta",
-             "hocr_parse"}
+             "hocr_parse",
+             # trained-perceptron decode: broadcast weights + Arrow-batched
+             # mapInPandas IS the operator (the reference shells to a CRF)
+             "cd_parse_tagged"}
 # ops where a broadcast nested-loop join is the intended shape:
 # non-equi condition against a capped broadcast side, or a 1-row
 # scalar-aggregate crossJoin (Spark's DataFrame idiom for a scalar
@@ -40,6 +43,12 @@ BNLJ_OK = {
     # PQ LUT build: probes.crossJoin(broadcast(M×K codebook rows)) —
     # same intended map-side shape as the k-means assignment
     "ann_pq_adc",
+    # 1-row scalar-aggregate crossJoins (bin bounds / per-table purge
+    # counts) — broadcasting one row is free at any scale; these two
+    # were invisible to earlier audits only because the events ts bug
+    # errored them before the plan materialized
+    "q_value_histogram",
+    "q_gdpr_erasure",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
