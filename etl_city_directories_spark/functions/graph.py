@@ -63,6 +63,7 @@ def connected_components(
         )
     ).localCheckpoint()
     prev = _checksum(e)
+    converged = False
     for _ in range(max_rounds):
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -93,8 +94,14 @@ def connected_components(
         e = _canon(ss).localCheckpoint()
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # never silently emit labels from a non-star edge set
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} rounds"
+        )
     # star forest: canonical edges are (root, child); child → root
     child = e.select(F.col("b").alias("node"), F.col("a").alias("component"))
     return (
