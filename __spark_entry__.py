@@ -114,6 +114,7 @@ _GATE_PRIORITY = [
     "cd_parse_tagged",
     "dedup_shared_spans",
     "sample_domain_mix",
+    "corpus_prepare_pipeline",
 ]
 
 

@@ -286,6 +286,121 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+QUALITY_MIN = 0.5
+
+
+def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete LLM-corpus preparation funnel in ONE call — the
+    §2.C twin of cd_pipeline: quality filter → exact dedup
+    (keep-first) → near-dup removal (LSH clusters) → eval
+    decontamination, reported as a per-stage survivor funnel (the
+    audit table every data pipeline publishes per ingest).
+
+    Stage semantics:
+      quality        — composite score (text_quality_score formula)
+                       ≥ QUALITY_MIN
+      exact_dedup    — among quality survivors, keep the smallest
+                       doc_id per normalized-text hash
+      near_dedup     — drop non-canonical members of corpus-wide LSH
+                       near-dup clusters (dedup_lsh_clusters, memoized)
+      decontaminated — drop eval-source documents AND any training doc
+                       sharing ≥1 3-gram shingle with the eval set
+
+    Scale shape: every flag is computed in one pass over the corpus
+    (window over the text hash, two broadcast-able side tables: cluster
+    losers and contaminated ids), and the funnel is a single aggregate
+    unpivoted with ``stack`` — no per-stage rescans of the data.
+    """
+    from pyspark.sql import Window
+
+    from etl_city_directories_spark.operators.dedup import (
+        dedup_lsh_clusters,
+        shingles_col,
+    )
+
+    norm = norm_col()
+    w_ = _words(norm)
+    n_chars = F.length(norm)
+    n_words = F.size(w_)
+    punct = n_chars - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
+    punct_ratio = F.round(punct.cast("double") / n_chars.cast("double"), 4)
+    stop_ratio = F.round(
+        _hits(w_, "en").cast("double") / n_words.cast("double"), 4
+    )
+    score = F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    base = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(norm).alias("text_hash"),
+            (score >= QUALITY_MIN).alias("pass_q"),
+            shingles_col(norm).alias("shingles"),
+        )
+        .persist()  # flag pass + contamination explode both read it
+    )
+    losers = (
+        dedup_lsh_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(1).alias("is_loser"))
+    )
+    eval_sh = (
+        base.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        base.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .join(F.broadcast(eval_sh), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    min_pass = F.min(F.when(F.col("pass_q"), F.col("doc_id"))).over(
+        Window.partitionBy("text_hash")
+    )
+    flags = (
+        base.withColumn(
+            "pass_e", F.col("pass_q") & (F.col("doc_id") == min_pass)
+        )
+        .join(F.broadcast(losers), "doc_id", "left")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .withColumn("pass_n", F.col("pass_e") & F.col("is_loser").isNull())
+        .withColumn(
+            "pass_d",
+            F.col("pass_n")
+            & (F.col("source") != EVAL_SOURCE)
+            & F.col("is_cont").isNull(),
+        )
+    )
+
+    def _n(c: str):
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw"),
+        _n("pass_q").alias("quality"),
+        _n("pass_e").alias("exact_dedup"),
+        _n("pass_n").alias("near_dedup"),
+        _n("pass_d").alias("decontaminated"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "bigint(1), 'raw', raw, "
+        "bigint(2), 'quality', quality, "
+        "bigint(3), 'exact_dedup', exact_dedup, "
+        "bigint(4), 'near_dedup', near_dedup, "
+        "bigint(5), 'decontaminated', decontaminated"
+        ") as (stage_ord, stage, n_docs)"
+    ).orderBy("stage_ord")
+
+
 DOMAIN_MIX_BUDGET_FRAC = 0.4
 
 
@@ -701,6 +816,7 @@ QUERIES = {
     "sample_bernoulli": sample_bernoulli,
     "sample_domain_mix": sample_domain_mix,
     "text_corpus_stats": text_corpus_stats,
+    "corpus_prepare_pipeline": corpus_prepare_pipeline,
 }
 
 _NORM = "trim(regexp_replace(lower(text), ' +', ' ', 'g'))"
@@ -1060,3 +1176,73 @@ def _fuzzy_decon_oracle() -> str:
 
 
 ORACLES["decontaminate_fuzzy"] = _fuzzy_decon_oracle()
+
+
+def _pipeline_oracle() -> str:
+    """Funnel oracle: composes dedup's recursive-CC chain (for the
+    near-dup losers) with the quality/hash/decontamination flags, all
+    over the shared shingled CTE."""
+    from etl_city_directories_spark.operators.dedup import _CC_CTES
+
+    score_sql = (
+        "ROUND("
+        "LEAST(1.0, len(string_split(s.norm, ' '))::DOUBLE / 100.0) * 0.5"
+        " + (1.0 - ROUND((length(s.norm) - length(regexp_replace(s.norm,"
+        " '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(s.norm)::DOUBLE, 4)) * 0.3"
+        " + LEAST(ROUND(len(list_filter(string_split(s.norm, ' '),"
+        " w -> list_contains(['the','a','of','and','to'], w)))::DOUBLE"
+        " / len(string_split(s.norm, ' '))::DOUBLE, 4) * 5.0, 1.0) * 0.2"
+        ", 4)"
+    )
+    return f"""{_CC_CTES},
+        fl0 AS (
+          SELECT s.doc_id, s.source, s.shingles, md5(s.norm) AS text_hash,
+                 {score_sql} >= {QUALITY_MIN} AS pass_q
+          FROM shingled s
+        ),
+        fl1 AS (
+          SELECT f.*,
+            (pass_q AND doc_id = MIN(CASE WHEN pass_q THEN doc_id END)
+               OVER (PARTITION BY text_hash)) AS pass_e
+          FROM fl0 f
+        ),
+        losers AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id),
+        eval_sh AS (
+          SELECT DISTINCT unnest(shingles) AS sv FROM shingled
+          WHERE source = '{EVAL_SOURCE}'
+        ),
+        cont AS (
+          SELECT DISTINCT t.doc_id FROM (
+            SELECT doc_id, unnest(shingles) AS sv FROM shingled
+            WHERE source <> '{EVAL_SOURCE}'
+          ) t JOIN eval_sh USING (sv)
+        ),
+        fl2 AS (
+          SELECT f.doc_id, f.source, f.pass_q, f.pass_e,
+            (f.pass_e AND l.doc_id IS NULL) AS pass_n,
+            (f.pass_e AND l.doc_id IS NULL AND f.source <> '{EVAL_SOURCE}'
+             AND c.doc_id IS NULL) AS pass_d
+          FROM fl1 f
+          LEFT JOIN losers l ON l.doc_id = f.doc_id
+          LEFT JOIN cont c ON c.doc_id = f.doc_id
+        )
+        SELECT stage_ord, stage, n_docs FROM (
+          SELECT 1::BIGINT AS stage_ord, 'raw' AS stage,
+                 COUNT(*)::BIGINT AS n_docs FROM fl2
+          UNION ALL SELECT 2::BIGINT, 'quality',
+                 COALESCE(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END), 0)::BIGINT
+                 FROM fl2
+          UNION ALL SELECT 3::BIGINT, 'exact_dedup',
+                 COALESCE(SUM(CASE WHEN pass_e THEN 1 ELSE 0 END), 0)::BIGINT
+                 FROM fl2
+          UNION ALL SELECT 4::BIGINT, 'near_dedup',
+                 COALESCE(SUM(CASE WHEN pass_n THEN 1 ELSE 0 END), 0)::BIGINT
+                 FROM fl2
+          UNION ALL SELECT 5::BIGINT, 'decontaminated',
+                 COALESCE(SUM(CASE WHEN pass_d THEN 1 ELSE 0 END), 0)::BIGINT
+                 FROM fl2
+        ) ORDER BY stage_ord
+    """
+
+
+ORACLES["corpus_prepare_pipeline"] = _pipeline_oracle()
