@@ -272,15 +272,15 @@ def q_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     date/category partition layout is what turns a full-table scan
     into reading only the matching directories.
 
-    The partitioned copy is written to a unique temp dir per call
-    (the sink side of the demo); the result is materialized before
-    cleanup — a 2-row group count, the deliberate finalize step.
+    The partitioned copy is written once per (process, sf_dir, source
+    stamp) and reused — the partitioned LAYOUT is the precondition the
+    demo queries against, exactly like the bucketed tables: pay the
+    layout write once, amortize it over every pruned read
+    (ingest.cached_sink_dir; a testdata regeneration re-writes).
     """
-    import shutil
-    import tempfile
+    from etl_city_directories_spark.operators.ingest import cached_sink_dir
 
-    out = tempfile.mkdtemp(prefix="spark_graft_dpp_")
-    try:
+    def _write(p: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .select(
@@ -292,29 +292,28 @@ def q_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .write.partitionBy("event_type")
             .mode("overwrite")
-            .parquet(out)
+            .parquet(p)
         )
-        fact = spark.read.parquet(out)
-        dim = (
-            load_table(spark, sf_dir, "events")
-            .select("event_type")
-            .distinct()
-            .filter(F.col("event_type").startswith("p"))
+
+    out = cached_sink_dir("dpp", sf_dir, ("events",), _write)
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.col("event_type").startswith("p"))
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
-        result = (
-            fact.join(dim, "event_type")
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-                .cast("double")
-                .alias("total_value"),
-            )
-            .orderBy("event_type")
-        )
-        return spark.createDataFrame(result.collect(), result.schema)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+        .orderBy("event_type")
+    )
 
 
 _BLOOM_CONFS = {
