@@ -162,21 +162,20 @@ def test_late_data_fixture_drop_is_load_bearing(spark):
     }
     assert late_buckets, "fixture produced no late rows"
 
-    before = {
-        d for d in os.listdir(tempfile.gettempdir())
-        if d.startswith("spark_graft_late_fixture_")
-    }
     result = stream_late_data(spark, SF).toPandas()
     emitted = set(result["bucket_start_us"])
     # every late bucket is an emitted (finalized) window: the rows were
     # dropped by the watermark, not absent from the output domain
     assert late_buckets <= emitted
-    # and this invocation cleaned up its own fixture dir
-    after = {
-        d for d in os.listdir(tempfile.gettempdir())
-        if d.startswith("spark_graft_late_fixture_")
-    }
-    assert after <= before
+    # the fixture dir is written once per (process, data stamp) and
+    # REUSED — a second build must return the same cached path
+    from etl_city_directories_spark.streaming.stream_ops import (
+        _build_late_fixture,
+    )
+
+    p1, _, _ = _build_late_fixture(spark, SF)
+    p2, _, _ = _build_late_fixture(spark, SF)
+    assert p1 == p2 and os.path.isdir(p1)
 
 
 def test_session_window_matches_stateful_sessionize(spark):
