@@ -51,6 +51,10 @@ def _write_events(tmp: str, encoding: str) -> str:
     elif encoding == "micros":
         ts = pa.array(r["ts"], pa.timestamp("us"))
         version = "2.4"
+    elif encoding == "micros_utc":
+        # isAdjustedToUTC=true → Spark reads TimestampType directly
+        ts = pa.array(r["ts"], pa.timestamp("us", tz="UTC"))
+        version = "2.4"
     else:
         raise ValueError(encoding)
     t = pa.table(
@@ -70,7 +74,7 @@ def _write_events(tmp: str, encoding: str) -> str:
 @pytest.fixture(scope="module")
 def encoded_dirs(tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("events_encodings"))
-    dirs = {enc: _write_events(tmp, enc) for enc in ("nanos", "micros")}
+    dirs = {enc: _write_events(tmp, enc) for enc in ("nanos", "micros", "micros_utc")}
     yield dirs
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -78,6 +82,7 @@ def encoded_dirs(tmp_path_factory):
 def test_footer_classification(encoded_dirs):
     assert tables.events_ts_encoding(encoded_dirs["nanos"]) == "nanos_long"
     assert tables.events_ts_encoding(encoded_dirs["micros"]) == "ntz"
+    assert tables.events_ts_encoding(encoded_dirs["micros_utc"]) == "tz"
 
 
 def test_real_testdata_classifies(sf_dir):
