@@ -115,6 +115,7 @@ _GATE_PRIORITY = [
     "dedup_shared_spans",
     "sample_domain_mix",
     "corpus_prepare_pipeline",
+    "cd_link_persons",
 ]
 
 

@@ -676,6 +676,57 @@ def cd_relations(
     )
 
 
+def cd_link_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-year person linkage — the Space/Time directory's
+    downstream goal for these entries: the SAME person tracked across
+    directory volumes (the reference emits st:Person objects per
+    volume precisely so a linkage step can join them; see the dataset
+    contract in city-directories.dataset.json and validSince/validUntil
+    at city-directories.js:416-417).
+
+    Record-linkage shape, 100 TB-safe: BLOCK on the parsed subject
+    (the exact-name blocking key — the shuffle key), pair only entries
+    in ADJACENT directory years inside a block, then score each
+    candidate by address / occupation agreement. No all-pairs join
+    anywhere: cost is O(block collisions), the same candidate-then-
+    verify contract as the LSH dedup family. A production linker widens
+    the block with phonetic/initial keys and a trained scorer — both
+    drop into the same plan shape.
+    """
+    clean = _clean(F.col("raw_line"))
+    segs = _segments(clean)
+    locs = _locs(segs)
+    occs = _occs(segs)
+    entries = lines_df(spark, sf_dir).select(
+        "doc_id",
+        "year_lo",
+        F.trim(F.try_element_at(segs, F.lit(1))).alias("subject"),
+        F.try_element_at(occs, F.lit(1)).alias("occupation"),
+        F.try_element_at(locs, F.lit(1)).alias("loc1"),
+    )
+    a = entries.alias("a")
+    b = entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.subject") == F.col("b.subject"))
+            & (F.col("b.year_lo") == F.col("a.year_lo") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.subject").alias("subject"),
+            F.col("a.year_lo").alias("year_a"),
+            F.col("b.year_lo").alias("year_b"),
+            (F.col("a.loc1") == F.col("b.loc1")).alias("same_address"),
+            (F.col("a.occupation") == F.col("b.occupation")).alias(
+                "same_occupation"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def cd_logs(
     spark: SparkSession, sf_dir: str, base: DataFrame | None = None
 ) -> DataFrame:
@@ -775,6 +826,7 @@ QUERIES = {
     "cd_relations": cd_relations,
     "cd_logs": cd_logs,
     "cd_parse_tagged": cd_parse_tagged,
+    "cd_link_persons": cd_link_persons,
 }
 
 _ADDR_CTE = f"""
@@ -826,6 +878,21 @@ ORACLES = {
           len(occs)::BIGINT AS n_occupations,
           len(locs)::BIGINT AS n_locations
         FROM parsed
+    """,
+    "cd_link_persons": f"""
+        WITH {LINES_CTE}
+        SELECT
+          a.doc_id AS doc_a,
+          b.doc_id AS doc_b,
+          trim(a.segs[1]) AS subject,
+          a.year_lo AS year_a,
+          b.year_lo AS year_b,
+          (a.locs[1] = b.locs[1]) AS same_address,
+          (a.occs[1] = b.occs[1]) AS same_occupation
+        FROM parsed a JOIN parsed b
+          ON trim(a.segs[1]) = trim(b.segs[1])
+         AND b.year_lo = a.year_lo + 1
+        ORDER BY doc_a, doc_b
     """,
     # the trained tagger must reproduce the grammar exactly on the
     # grammar-regular standing corpus (its training data contract) —
