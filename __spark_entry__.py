@@ -48,74 +48,150 @@ _MODULES = [
 ]
 
 # The driver's correctness gate has a ~50-key-per-round budget and walks
-# queries() in insertion order, so keys are emitted never-oracle-green
-# first (per CORRECTNESS_r01/r02): the 18 keys no gate has ever reached,
-# then the 26 batch events keys + 8 streaming keys broken by r02's ts
-# dtype flip (fixed in sources.tables.events_ts_encoding this round).
-# Keys green in r01 or r02 follow, for cheap re-confirmation if budget
-# remains.
+# queries() in insertion order. Recomputed for r04 from CORRECTNESS_r01-r03:
+# the 7 oracle keys with ZERO green driver evidence run first
+# (stream_session_window / stream_dedup_within_watermark last FAILED or
+# errored in r02 pre-ts-fix; the other 5 are r03 additions the budget never
+# reached), then confirmed-green keys in staleness order (r01 greens before
+# r02 greens before the rows-only contract keys before r03 greens) so the
+# budget rotates re-confirmation instead of re-proving last round's greens.
 _GATE_PRIORITY = [
-    # --- never inside any round's gate budget ---
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_cnt",
-    "q20_promotable_suppliers",
-    "q21_waiting_suppliers",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q_bucketed_join",
-    "q_bloom_semi_reduction",
-    "profile_numeric",
-    "profile_categorical",
-    "q_grouping_sets",
-    "q_cohort_retention",
-    "q_range_frame_total",
-    "cd_logs",
-    "cd_pipeline",
-    "cd_parse_multi",
-    # --- batch events keys, broken by the r02 ts dtype flip ---
-    "q_distinct_users",
-    "q_sessionize",
-    "q_tumbling_window",
-    "q_pivot",
-    "q_asof_join",
-    "q_range_join",
-    "q_json_extract",
-    "q_percentiles",
-    "q_funnel",
-    "q_first_touch",
-    "q_moving_avg",
-    "q_date_spine",
-    "q_running_distinct",
-    "q_value_histogram",
-    "q_anomaly_mad",
-    "q_interval_overlap",
-    "q_event_transitions",
-    "q_skew_salted_agg",
-    "q_upsert_merge",
-    "q_scd2_history",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_dpp_partition_pruned",
-    "q_bitmap_distinct",
-    "q_gdpr_erasure",
-    "q_event_paths",
-    # --- streaming keys, same root cause ---
-    "stream_tumbling_agg",
-    "stream_sessionize",
-    "stream_sliding_agg",
-    "stream_late_data",
-    "stream_stream_join",
-    "stream_foreachbatch_upsert",
+    # --- zero driver evidence (r02 FAIL/err or never gated) — run FIRST ---
     "stream_session_window",
     "stream_dedup_within_watermark",
-    # --- new this round (first gate opportunity r03/r04) ---
+    "corpus_prepare_pipeline",
     "cd_parse_tagged",
     "dedup_shared_spans",
     "sample_domain_mix",
-    "corpus_prepare_pipeline",
     "cd_link_persons",
+    # --- stalest greens: last confirmed r01 (32 keys) ---
+    "cd_clean_text",
+    "cd_geocode",
+    "cd_make_id",
+    "cd_page_filter",
+    "cd_parse_entries",
+    "cd_relations",
+    "cd_transform_objects",
+    "cd_year_normalize",
+    "q10_returned_items",
+    "q13_order_count_dist",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q_anti_join",
+    "q_corr_max_order",
+    "q_cube_status_priority",
+    "q_exists_agg",
+    "q_rollup",
+    "q_semi_join",
+    "q_top_customers",
+    "q_window_rank",
+    "q_window_running",
+    "source_csv_roundtrip",
+    # --- last confirmed r02 (34 keys; sample_stratified first, touched r04) ---
+    "sample_stratified",
+    "ann_ivf_bucketed",
+    "ann_lsh_cosine",
+    "ann_pq_adc",
+    "ann_topk_bruteforce",
+    "decontaminate",
+    "decontaminate_fuzzy",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_lsh_clusters",
+    "dedup_minhash_lsh",
+    "dedup_near_keep_first",
+    "dedup_ngram_jaccard",
+    "dedup_report",
+    "mm_caption_pairs",
+    "mm_payload_stats",
+    "sample_bernoulli",
+    "sample_temperature",
+    "shard_manifest",
+    "sink_partitioned",
+    "stream_dedup_exact",
+    "stream_static_join",
+    "text_chunk",
+    "text_corpus_stats",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "text_tfidf_topk",
+    "text_token_count",
+    "text_top_terms",
+    "text_unigram_logprob",
+    # --- rows-only by contract (driver records no_oracle, 10 keys) ---
+    "cd_download",
+    "dedup_simhash",
+    "hocr_parse",
+    "manifest_parse",
+    "mm_audio_meta",
+    "mm_frame_sample",
+    "mm_image_meta",
+    "ndjson_sink",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    # --- freshest greens: confirmed r03 (48 keys) ---
+    "cd_logs",
+    "cd_parse_multi",
+    "cd_pipeline",
+    "profile_categorical",
+    "profile_numeric",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_supplier_cnt",
+    "q20_promotable_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q_anomaly_mad",
+    "q_asof_join",
+    "q_bitmap_distinct",
+    "q_bloom_semi_reduction",
+    "q_bucketed_join",
+    "q_cohort_retention",
+    "q_date_spine",
+    "q_distinct_users",
+    "q_dpp_partition_pruned",
+    "q_event_paths",
+    "q_event_transitions",
+    "q_first_touch",
+    "q_funnel",
+    "q_gdpr_erasure",
+    "q_grouping_sets",
+    "q_interval_overlap",
+    "q_json_extract",
+    "q_moving_avg",
+    "q_percentiles",
+    "q_pivot",
+    "q_range_frame_total",
+    "q_range_join",
+    "q_running_distinct",
+    "q_scd2_history",
+    "q_sessionize",
+    "q_skew_salted_agg",
+    "q_tumbling_window",
+    "q_upsert_merge",
+    "q_value_histogram",
+    "stream_foreachbatch_upsert",
+    "stream_late_data",
+    "stream_sessionize",
+    "stream_sliding_agg",
+    "stream_stream_join",
+    "stream_tumbling_agg",
 ]
 
 
