@@ -47,6 +47,51 @@ def memo_df(
     full_key = (spark.sparkContext.applicationId,) + key
     df = _MEMO.get(full_key)
     if df is None:
+        _evict_superseded(_MEMO, full_key)
         df = build().localCheckpoint(eager=True)
         _MEMO[full_key] = df
+    return df
+
+
+def _evict_superseded(store: dict, full_key: tuple) -> None:
+    """Drop (and release) entries that share ``full_key``'s prefix but
+    carry a different final element — the data stamp is by convention
+    the LAST key component, so a mid-process testdata regeneration
+    replaces the old stamp's pinned blocks instead of stacking a second
+    copy beside them in executor storage."""
+    stale = [
+        k
+        for k in store
+        if len(k) == len(full_key) and k[:-1] == full_key[:-1] and k != full_key
+    ]
+    for k in stale:
+        old = store.pop(k)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # releasing storage is best-effort; GC-driven cleanup remains
+
+
+_ROLLING: dict[tuple, DataFrame] = {}
+
+
+def rolling_persist(spark: SparkSession, key: tuple, df: DataFrame) -> DataFrame:
+    """Persist ``df`` for fan-out reuse WITHIN one operator invocation,
+    releasing whatever the same callsite persisted last time.
+
+    Unlike ``memo_df`` this does NOT make later invocations warm — the
+    new DataFrame is persisted cold each call, so the bench keeps
+    measuring the full per-row transform (shingling etc.); it only
+    bounds storage at one live artifact per callsite instead of letting
+    repeated gate/bench runs accumulate cached blocks until LRU
+    eviction pressure."""
+    full_key = (spark.sparkContext.applicationId,) + key
+    old = _ROLLING.pop(full_key, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = df.persist()
+    _ROLLING[full_key] = df
     return df

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_city_directories_spark.functions.memo import rolling_persist
 from etl_city_directories_spark.sources.tables import load_table
 
 NAMES = (
@@ -791,7 +792,9 @@ def cd_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization the reference gets from its step files), and the
     broadcast address dim is shared.
     """
-    base = _person_base(spark, sf_dir).persist()
+    base = rolling_persist(
+        spark, ("cd_person_base", sf_dir), _person_base(spark, sf_dir)
+    )
     obj = cd_transform_objects(spark, sf_dir, base=base).select(
         F.lit("object").alias("row_type"),
         F.col("entry_id").cast("string").alias("row_id"),

@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_city_directories_spark.functions.memo import memo_df, table_stamp
+from etl_city_directories_spark.functions.memo import (
+    memo_df,
+    rolling_persist,
+    table_stamp,
+)
 from etl_city_directories_spark.sources.tables import load_table, load_table_parallel
 
 NUM_HASHES = 8
@@ -140,7 +144,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformed dataset the same way); at 100 TB the persist becomes a
     signature table written once and joined twice.
     """
-    sh = _shingled_df(spark, sf_dir).persist()
+    sh = rolling_persist(
+        spark, ("minhash_sh", sf_dir), _shingled_df(spark, sf_dir)
+    )
     sigs = sh.select(
         "doc_id",
         "shingles",
@@ -163,7 +169,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_key"),
-    ).persist()  # both self-join sides read it; avoids 2× signature pass
+    )
+    # both self-join sides read it; avoids 2× signature pass.
+    # rolling: the previous invocation's blocks release on re-entry
+    bands = rolling_persist(spark, ("minhash_bands", sf_dir), bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -198,7 +207,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical candidate generation, so the threshold-filtered
     output is bit-identical.
     """
-    sh = _shingled_df(spark, sf_dir).persist()  # bands + both verify sides
+    # bands + both verify sides; rolling: released on re-entry
+    sh = rolling_persist(
+        spark, ("ngram_sh", sf_dir), _shingled_df(spark, sf_dir)
+    )
     bands = sh.select(
         "doc_id",
         "lang",
@@ -213,7 +225,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_key"),
-    ).persist()  # both self-join sides read it
+    )
+    bands = rolling_persist(spark, ("ngram_bands", sf_dir), bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -278,12 +291,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn(
         "nrm",
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x),
-    ).persist()  # bucket stage + both verify sides read it
+    )
+    # bucket stage + both verify sides read it; rolling persist
+    e = rolling_persist(spark, ("emb_norm", sf_dir), e)
     signs = _plane_signs()
     buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
     hashed = e.select(
         "vec_id", "label", F.posexplode(buckets).alias("t", "bucket")
-    ).persist()  # both self-join sides read it
+    )
+    hashed = rolling_persist(spark, ("emb_hashed", sf_dir), hashed)
     ha, hb = hashed.alias("ha"), hashed.alias("hb")
     cand = (
         ha.join(
@@ -356,10 +372,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     word_hashes = F.transform(F.split(norm_col(), " "), lambda w: F.xxhash64(w))
     # persisted: the chunk self-join reads the UDF output twice
-    docs = (
-        load_table_parallel(spark, sf_dir, "documents")
-        .select("doc_id", simhash_fold(word_hashes).alias("fp"))
-        .persist()
+    docs = rolling_persist(
+        spark,
+        ("simhash_docs", sf_dir),
+        load_table_parallel(spark, sf_dir, "documents").select(
+            "doc_id", simhash_fold(word_hashes).alias("fp")
+        ),
     )
     chunks = docs.select(
         "doc_id",
@@ -451,9 +469,14 @@ def _cluster_labels_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     pairs.count()  # materialize once: the star rounds re-read the pair
     # set; an unpersisted plan would re-run the whole minhash pipeline
-    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+    # connected_components eagerly localCheckpoints its node/edge state,
+    # so the returned plan no longer references `pairs` — release it
+    # here instead of pinning one pair set per data stamp forever
+    pairs.unpersist()
+    return labels
 
 
 def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +495,10 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     across documents, never self-repetition (text_repetition_stats
     covers that axis).
     """
-    sh = _shingled_df(spark, sf_dir).persist()  # explode + final join read it
+    # explode + final join read it; rolling: released on the next call
+    sh = rolling_persist(
+        spark, ("shared_spans_sh", sf_dir), _shingled_df(spark, sf_dir)
+    )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     shared = (
         ex.groupBy("s")

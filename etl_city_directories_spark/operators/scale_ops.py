@@ -506,13 +506,21 @@ def q_bucketed_join(
         return bucketed_join_df(spark)
     p = cached_sink_dir("bucketed", sf_dir, ("orders", "lineitem"), _write)
     # cache hit in a fresh SparkSession (files on disk, catalog empty,
-    # or catalog entry left over from another sf_dir): re-register
-    if (
-        not all(
+    # or catalog entry left over from another sf_dir): re-register.
+    # Any probe failure — empty file list, or a stale catalog entry
+    # pointing at a deleted directory (AnalysisException) — means the
+    # registration is unusable; fall back to a fresh write rather than
+    # crash the query on the probe itself.
+    try:
+        stale = not all(
             spark.catalog.tableExists(t) for t in ("bkt_orders", "bkt_lineitem")
         )
-        or p not in spark.table("bkt_orders").inputFiles()[0]
-    ):
+        if not stale:
+            files = spark.table("bkt_orders").inputFiles()
+            stale = not files or p not in files[0]
+    except Exception:
+        stale = True
+    if stale:
         _write(p)
     return bucketed_join_df(spark)
 

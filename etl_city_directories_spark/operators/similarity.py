@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_city_directories_spark.functions.memo import memo_df, table_stamp
+from etl_city_directories_spark.functions.memo import (
+    memo_df,
+    rolling_persist,
+    table_stamp,
+)
 from etl_city_directories_spark.sources.tables import load_table, load_table_parallel
 
 N_PROBES = 10
@@ -33,10 +37,15 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # persisted: probe and corpus sides of the ANN joins share this
-    return e.withColumn(
-        "nrm", F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
-    ).persist()
+    # persisted: probe and corpus sides of the ANN joins share this;
+    # rolling — the previous invocation's blocks release on re-entry
+    return rolling_persist(
+        spark,
+        ("ann_vectors", sf_dir),
+        e.withColumn(
+            "nrm", F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
 
 
 def _cos(va: Column, vb: Column, na: Column, nb: Column) -> Column:
@@ -215,7 +224,11 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     × vs brute force; recall vs brute force is asserted in
     tests/test_dedup_quality.py. A probe's nprobe cells are distinct,
     so no pair dedup is needed."""
-    vecs = kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE).persist()
+    vecs = rolling_persist(
+        spark,
+        ("ivf_vecs", sf_dir),
+        kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
+    )
     probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("cell").alias("bucket"),
@@ -312,9 +325,13 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: probe and corpus sides below are a self-join, and Spark
     # recomputes the (expensive, 32-projection) bucket expressions per
     # alias otherwise
-    hashed = vecs.select(
-        "vec_id", "v", "nrm", F.posexplode(buckets).alias("t", "bucket")
-    ).persist()
+    hashed = rolling_persist(
+        spark,
+        ("srp_hashed", sf_dir),
+        vecs.select(
+            "vec_id", "v", "nrm", F.posexplode(buckets).alias("t", "bucket")
+        ),
+    )
     probes = hashed.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         "t",
@@ -402,7 +419,8 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
                 ]
             )
         ).alias("sub", "sv"),
-    ).persist()
+    )
+    subs = rolling_persist(spark, ("pq_subs", sf_dir), subs)
     seeds = (
         vecs.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h")

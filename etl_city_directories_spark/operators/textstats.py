@@ -17,6 +17,7 @@ from etl_city_directories_spark.operators.dedup import (
     norm_col,
     shingles_col,
 )
+from etl_city_directories_spark.functions.memo import rolling_persist
 from etl_city_directories_spark.sources.tables import load_table_parallel
 
 STOPWORDS = {
@@ -333,16 +334,18 @@ def corpus_prepare_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2,
         4,
     )
-    base = (
-        load_table_parallel(spark, sf_dir, "documents")
-        .select(
+    # flag pass + contamination explode both read it; rolling: the
+    # previous invocation's blocks are released on re-entry
+    base = rolling_persist(
+        spark,
+        ("cpp_base", sf_dir),
+        load_table_parallel(spark, sf_dir, "documents").select(
             "doc_id",
             "source",
             F.md5(norm).alias("text_hash"),
             (score >= QUALITY_MIN).alias("pass_q"),
             shingles_col(norm).alias("shingles"),
-        )
-        .persist()  # flag pass + contamination explode both read it
+        ),
     )
     losers = (
         dedup_lsh_clusters(spark, sf_dir)
@@ -610,7 +613,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode generator where it re-evaluates per OUTPUT row (~60× the
     work — measured 13 s vs 5 s at sf0.1).
     """
-    sh = _shingled(spark, sf_dir).persist()
+    sh = rolling_persist(spark, ("decon_sh", sf_dir), _shingled(spark, sf_dir))
     train = sh.filter(F.col("source") != EVAL_SOURCE).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
@@ -697,7 +700,10 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingled_df,
     )
 
-    sh = _shingled_df(spark, sf_dir).persist()  # bands + both verify sides
+    # bands + both verify sides read it; rolling: released on re-entry
+    sh = rolling_persist(
+        spark, ("deconf_sh", sf_dir), _shingled_df(spark, sf_dir)
+    )
     sigs = sh.select(
         "doc_id",
         "source",
@@ -721,7 +727,9 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_idx", "band_key"),
-    ).persist()  # train and eval sides both read it
+    )
+    # train and eval sides both read it; rolling: released on re-entry
+    bands = rolling_persist(spark, ("deconf_bands", sf_dir), bands)
     train_b = bands.filter(F.col("source") != EVAL_SOURCE).select(
         F.col("doc_id").alias("train_doc"), "band_idx", "band_key"
     )

@@ -67,7 +67,12 @@ def events_ts_encoding(sf_dir: str) -> str:
         import pyarrow as pa
 
         if pa.types.is_timestamp(t):
-            if t.unit == "ns" and t.tz is None:
+            if t.unit == "ns":
+                # ns WITH tz too: Spark cannot read INT64
+                # TIMESTAMP(NANOS, adjustedToUTC=true) as TimestampType
+                # either; nanosAsLong surfaces both variants as raw
+                # longs, and div-1000 to micros is correct for
+                # UTC-adjusted instants (session tz is forced UTC).
                 enc = "nanos_long"
             elif t.tz is None:
                 enc = "ntz"

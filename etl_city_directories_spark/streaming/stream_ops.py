@@ -725,12 +725,20 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert holder["v"] >= 2, "expected >=2 microbatches through the merge"
 
-    final = spark.read.parquet(holder["cur"]).orderBy("user_id")
-    # materialize before the snapshot dirs are removed (small: one row
-    # per distinct purchasing user — the deliberate finalize step)
-    result = spark.createDataFrame(final.collect(), final.schema)
-    shutil.rmtree(snap_root, ignore_errors=True)  # src is cached
-    return result
+    # Return the snapshot read DIRECTLY — no driver-side collect of one
+    # row per distinct purchasing user (unbounded at production scale).
+    # The snapshot dir stays alive for the caller; the PREVIOUS
+    # invocation's dir is released here instead (one live snapshot per
+    # session × sf_dir, mirroring functions.memo.rolling_persist).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    old = _FBU_SNAPSHOTS.get(key)
+    if old and old != snap_root:
+        shutil.rmtree(old, ignore_errors=True)
+    _FBU_SNAPSHOTS[key] = snap_root
+    return spark.read.parquet(holder["cur"]).orderBy("user_id")
+
+
+_FBU_SNAPSHOTS: dict[tuple, str] = {}
 
 
 QUERIES = {

@@ -48,6 +48,11 @@ def _write_events(tmp: str, encoding: str) -> str:
     if encoding == "nanos":
         ts = pa.array([v * 1000 for v in r["ts"]], pa.timestamp("ns"))
         version = "2.6"  # parquet 2.6 keeps TIMESTAMP(NANOS) physical
+    elif encoding == "nanos_utc":
+        # TIMESTAMP(NANOS, adjustedToUTC=true): Spark can't read this as
+        # TimestampType either — must classify nanos_long like naive ns
+        ts = pa.array([v * 1000 for v in r["ts"]], pa.timestamp("ns", tz="UTC"))
+        version = "2.6"
     elif encoding == "micros":
         ts = pa.array(r["ts"], pa.timestamp("us"))
         version = "2.4"
@@ -74,13 +79,17 @@ def _write_events(tmp: str, encoding: str) -> str:
 @pytest.fixture(scope="module")
 def encoded_dirs(tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("events_encodings"))
-    dirs = {enc: _write_events(tmp, enc) for enc in ("nanos", "micros", "micros_utc")}
+    dirs = {
+        enc: _write_events(tmp, enc)
+        for enc in ("nanos", "nanos_utc", "micros", "micros_utc")
+    }
     yield dirs
     shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_footer_classification(encoded_dirs):
     assert tables.events_ts_encoding(encoded_dirs["nanos"]) == "nanos_long"
+    assert tables.events_ts_encoding(encoded_dirs["nanos_utc"]) == "nanos_long"
     assert tables.events_ts_encoding(encoded_dirs["micros"]) == "ntz"
     assert tables.events_ts_encoding(encoded_dirs["micros_utc"]) == "tz"
 

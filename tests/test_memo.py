@@ -10,7 +10,13 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from etl_city_directories_spark.functions.memo import memo_df, table_stamp
+from etl_city_directories_spark.functions.memo import (
+    _MEMO,
+    _ROLLING,
+    memo_df,
+    rolling_persist,
+    table_stamp,
+)
 from etl_city_directories_spark.operators.ingest import cached_sink_dir
 
 
@@ -45,6 +51,35 @@ def test_memo_df_rebuilds_on_new_stamp(spark, tmp_path):
     assert key2 != key1
     memo_df(spark, key2, build)  # regeneration → rebuild
     assert len(builds) == 2
+
+
+def test_memo_df_evicts_superseded_stamp(spark, tmp_path):
+    """A mid-process regeneration must REPLACE the old stamp's entry,
+    not leave its localCheckpoint blocks pinned beside the new one."""
+    d = _copy_table(tmp_path)
+    key1 = ("evict_t", d, table_stamp(d, ("documents",)))
+    memo_df(spark, key1, lambda: spark.range(3))
+    app = spark.sparkContext.applicationId
+    assert (app,) + key1 in _MEMO
+    os.utime(f"{d}/documents.parquet", ns=(5, 5))
+    key2 = ("evict_t", d, table_stamp(d, ("documents",)))
+    memo_df(spark, key2, lambda: spark.range(4))
+    assert (app,) + key2 in _MEMO
+    assert (app,) + key1 not in _MEMO  # superseded stamp dropped
+
+
+def test_rolling_persist_replaces_previous(spark):
+    """One live persisted artifact per callsite: re-entry releases the
+    previous invocation's blocks (storage stays bounded across repeated
+    gate/bench runs) and each call still computes the NEW DataFrame."""
+    df1 = rolling_persist(spark, ("roll_t", "k"), spark.range(5))
+    assert df1.count() == 5
+    assert df1.storageLevel.useMemory
+    df2 = rolling_persist(spark, ("roll_t", "k"), spark.range(7))
+    assert df2.count() == 7
+    app = spark.sparkContext.applicationId
+    assert _ROLLING[(app, "roll_t", "k")] is df2
+    assert not df1.storageLevel.useMemory  # released
 
 
 def test_cached_sink_rebuilds_on_new_stamp(tmp_path):
