@@ -18,7 +18,10 @@ from etl_city_directories_spark.operators.dedup import (
     shingles_col,
 )
 from etl_city_directories_spark.functions.memo import rolling_persist
-from etl_city_directories_spark.sources.tables import load_table_parallel
+from etl_city_directories_spark.sources.tables import (
+    load_table,
+    load_table_parallel,
+)
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to"),
@@ -189,10 +192,18 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: K docs per (lang, source)
     stratum, ranked by md5(doc_id). Hash-ranked sampling is the
     scalable form — rerun-stable, no RNG state, no driver coordination;
-    one shuffle on the stratum key."""
+    one shuffle on the stratum key.
+
+    Plain ``load_table``, NOT ``load_table_parallel``: ranking is not
+    CPU-heavy per row, and the widening repartition added a round-robin
+    shuffle of the full row (text included) ahead of the stratum
+    exchange — 3× the wall time at sf0.1 and it defeated the partial
+    WindowGroupLimit (map-side top-K) that makes this plan scale: with
+    the pruned scan, each input split emits at most K rows per stratum
+    before the only shuffle."""
     from pyspark.sql import Window
 
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     skey = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("lang", "source").orderBy(skey.asc(), F.col("doc_id").asc())
     return (
