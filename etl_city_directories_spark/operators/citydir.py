@@ -491,6 +491,108 @@ def addresses_dim(spark: SparkSession) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# OCR address normalization (geocoder fidelity)
+# ---------------------------------------------------------------------------
+# The reference's geocoder (city-directories.js:272-323, backed by
+# @spacetime/nyc-historical-geocoder) normalizes and fuzzy-matches messy
+# OCR address strings BEFORE the dataset lookup — abbreviated street
+# types ("23 Pearl st."), contractions ("B'way"), corner forms
+# ("Pearl c Cherry", "n e cor Greenwich & Canal"), half numbers
+# ("23½"). This table is that normalization as a deterministic regex
+# chain. Patterns are restricted to the RE2 ∩ Java dialect (no
+# lookaround) so the DuckDB oracle replays them verbatim; replacements
+# differ only in backreference syntax ($1 vs \1).
+_ADDR_SUBS: tuple[tuple[str, str, str], ...] = (
+    # leading location markers the parser may leave behind
+    (r"(?i)^(h|r|bds|b)\.? +", "", ""),
+    # 'No. 23 Pearl' → '23 Pearl'
+    (r"(?i)^no\.? +([0-9])", "$1", r"\1"),
+    # OCR contractions of long street names
+    (r"(?i)\bb'?way\b", "Broadway", "Broadway"),
+    (r"(?i)\bgr'?wich\b", "Greenwich", "Greenwich"),
+    # half house numbers: '23½' / '23 1/2' → '23'
+    (r"([0-9]+) ?½", "$1", r"\1"),
+    (r"([0-9]+) 1/2( |$)", r"$1$2", r"\1\2"),
+    # corner forms → canonical 'A & B' (optionally compass-prefixed)
+    (r"(?i)^([nsew]\.? +)+cor(ner)?\.? +", "", ""),
+    (r"(?i)^cor(ner)?\.? +", "", ""),
+    (r"(?i) +c(or(ner)?)?\.? +", " & ", " & "),
+    (r"(?i) +and +", " & ", " & "),
+    # street-type suffix (the historical dim's names carry none)
+    (r"(?i) (st|str|street|av|ave|avenue|pl|place|rd|road)\.?$", "", ""),
+    # trailing punctuation + whitespace runs
+    (r"[.,]+$", "", ""),
+    (r" {2,}", " ", " "),
+)
+
+
+def normalize_address(col: Column) -> Column:
+    """Messy-OCR address string → canonical '<num> <Street>' (or
+    'A & B' for corner forms) matching the address dim's naming."""
+    c = F.trim(col)
+    for pat, rep, _ in _ADDR_SUBS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def _norm_addr_sql(expr: str) -> str:
+    """The identical normalization chain as a DuckDB expression."""
+    s = f"trim({expr})"
+    for pat, _, rep in _ADDR_SUBS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{r}', 'g')"
+    return f"trim({s})"
+
+
+def streets_dim(spark: SparkSession) -> DataFrame:
+    """Street-level rows of the address dim — the corner/street-only
+    fallback target (a corner form geocodes to the street, not to a
+    house-level address)."""
+    return addresses_dim(spark).select("street_name", "street_id").distinct()
+
+
+def geocode_locations(spark: SparkSession, locs: DataFrame) -> DataFrame:
+    """Normalize + two-stage geocode of any (…, loc_value) DataFrame:
+    exact house-level broadcast join on the normalized form, then a
+    street-level fallback for number-less (corner) forms. Both dims
+    broadcast; the corpus side stays map-side."""
+    dim = addresses_dim(spark)
+    sts = streets_dim(spark).select(
+        F.col("street_name").alias("c_street_name"),
+        F.col("street_id").alias("c_street_id"),
+    )
+    normed = locs.withColumn(
+        "loc_norm", normalize_address(F.col("loc_value"))
+    ).withColumn(
+        "corner_street",
+        F.when(
+            ~F.col("loc_norm").rlike("^[0-9]"),
+            F.trim(F.element_at(F.split(F.col("loc_norm"), " & "), 1)),
+        ),
+    )
+    j = normed.join(
+        F.broadcast(dim),
+        F.lower(normed.loc_norm) == F.lower(dim.address_name),
+        "left",
+    ).join(
+        F.broadcast(sts),
+        F.lower(F.col("corner_street")) == F.lower(F.col("c_street_name")),
+        "left",
+    )
+    return j.select(
+        *locs.columns,
+        "loc_norm",
+        (
+            F.col("address_id").isNotNull() | F.col("c_street_id").isNotNull()
+        ).alias("found"),
+        "address_id",
+        F.coalesce("street_name", "c_street_name").alias("street_name"),
+        F.coalesce("street_id", "c_street_id").alias("street_id"),
+    )
+
+
 def _exploded_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean(F.col("raw_line"))
     locs = _locs(_segments(clean))
@@ -506,23 +608,23 @@ def _exploded_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cd_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-location geocode: broadcast-join parsed addresses against the
-    address dim → found / address / street, or miss (:272-323).
+    """Per-location geocode: OCR normalization (``_ADDR_SUBS``) ahead
+    of a broadcast join against the address dim → found / address /
+    street (house level), with a street-level fallback for number-less
+    corner forms — the lookup shape of the reference's geocoder
+    (:272-323; @spacetime/nyc-historical-geocoder normalizes before
+    matching). The DuckDB oracle replays the identical chain.
 
     At 100 TB the corpus side streams; the dim (all NYC historical
     addresses ≈ millions of rows) broadcasts or, if too large, becomes
-    a shuffle-free bucketed join on address_name.
+    a shuffle-free bucketed join on the normalized name.
     """
     locs = _exploded_locations(spark, sf_dir)
-    dim = addresses_dim(spark)
-    joined = locs.join(
-        F.broadcast(dim), locs.loc_value == dim.address_name, "left"
-    )
-    return joined.select(
+    return geocode_locations(spark, locs).select(
         "doc_id",
         F.col("loc_idx").cast("bigint").alias("loc_idx"),
         "loc_value",
-        F.col("address_id").isNotNull().alias("found"),
+        "found",
         "address_id",
         "street_name",
         "street_id",
@@ -951,20 +1053,38 @@ ORACLES = {
     "cd_geocode": f"""
         WITH {LINES_CTE},
         {_ADDR_CTE},
+        streets AS (
+          SELECT DISTINCT street_name AS c_street_name,
+                          street_id AS c_street_id
+          FROM addresses
+        ),
         exploded AS (
           SELECT doc_id, unnest(locs) AS loc_value,
                  generate_subscripts(locs, 1) - 1 AS loc_idx
           FROM parsed
+        ),
+        cornered AS (
+          SELECT *,
+            {_norm_addr_sql('loc_value')} AS loc_norm,
+            CASE WHEN NOT regexp_matches(
+                   {_norm_addr_sql('loc_value')}, '^[0-9]')
+                 THEN trim(string_split(
+                        {_norm_addr_sql('loc_value')}, ' & ')[1])
+            END AS corner_street
+          FROM exploded
         )
         SELECT
           doc_id,
           loc_idx::BIGINT AS loc_idx,
           loc_value,
-          address_id IS NOT NULL AS found,
-          address_id,
-          street_name,
-          street_id
-        FROM exploded LEFT JOIN addresses ON loc_value = address_name
+          (a.address_id IS NOT NULL OR s.c_street_id IS NOT NULL) AS found,
+          a.address_id,
+          COALESCE(a.street_name, s.c_street_name) AS street_name,
+          COALESCE(a.street_id, s.c_street_id) AS street_id
+        FROM cornered c
+        LEFT JOIN addresses a ON lower(c.loc_norm) = lower(a.address_name)
+        LEFT JOIN streets s
+          ON lower(c.corner_street) = lower(s.c_street_name)
     """,
     "cd_transform_objects": f"""
         WITH {LINES_CTE},
