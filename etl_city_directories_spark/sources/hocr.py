@@ -190,23 +190,42 @@ def read_hocr_pages(spark: SparkSession, archive_glob: str) -> DataFrame:
         for batch in batches:
             rows = []
             for path, content in zip(batch["path"], batch["content"]):
-                blob = bytes(content)
-                if path.endswith(".gz"):
-                    blob = gzip.decompress(blob)
-                with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
-                    for member in tf:
+                # A corrupt archive (truncated gzip stream, clipped tar
+                # header, short member payload) skips THAT archive/member
+                # and keeps the scan alive — the reference records fetch
+                # failures per volume as {uuid}.xml error files rather
+                # than aborting the run (city-directories.js:87-106);
+                # cd_download carries that error-file contract, this is
+                # its parse-side twin.
+                try:
+                    blob = bytes(content)
+                    if path.endswith(".gz"):
+                        blob = gzip.decompress(blob)
+                    tf = tarfile.open(fileobj=io.BytesIO(blob))
+                except (OSError, tarfile.TarError, EOFError):
+                    continue
+                with tf:
+                    try:
+                        members = list(tf)
+                    except (OSError, tarfile.TarError, EOFError):
+                        continue  # header walk died: unreadable past here
+                    for member in members:
                         if not member.name.endswith(".hocr"):
                             continue
                         meta = _parse_member_name(member.name)
                         if meta is None:
                             continue
                         page_num, image_id, page_uuid = meta
-                        f = tf.extractfile(member)
-                        if f is None:
-                            continue
+                        try:
+                            f = tf.extractfile(member)
+                            if f is None:
+                                continue
+                            data = f.read()
+                        except (OSError, tarfile.TarError, EOFError):
+                            continue  # truncated member: skip just it
                         rows.append(
                             (path, page_num, image_id, page_uuid,
-                             f.read().decode("utf-8", errors="replace"))
+                             data.decode("utf-8", errors="replace"))
                         )
             yield pd.DataFrame(
                 rows, columns=["archive", "page_num", "image_id", "page_uuid", "hocr"]
