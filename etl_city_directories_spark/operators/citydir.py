@@ -546,6 +546,41 @@ def _norm_addr_sql(expr: str) -> str:
     return f"trim({s})"
 
 
+# Era first-name abbreviations as 1850s directories print them — the
+# canonical-name expansion behind cd_link_persons' secondary block.
+# Word-boundary regexes, RE2 ∩ Java dialect (oracle-replayable).
+_NAME_ABBREVS: tuple[tuple[str, str], ...] = (
+    ("Wm", "William"),
+    ("Chas", "Charles"),
+    ("Thos", "Thomas"),
+    ("Geo", "George"),
+    ("Jas", "James"),
+    ("Jno", "John"),
+    ("Robt", "Robert"),
+    ("Saml", "Samuel"),
+    ("Edw", "Edward"),
+    ("Benj", "Benjamin"),
+    ("Danl", "Daniel"),
+    ("Fredk", "Frederick"),
+)
+
+
+def _canon_subject(col: Column) -> Column:
+    """'Brown Wm. H' → 'Brown William H': strip periods, expand era
+    first-name abbreviations, collapse whitespace."""
+    c = F.regexp_replace(col, r"\.", "")
+    for ab, full in _NAME_ABBREVS:
+        c = F.regexp_replace(c, rf"\b{ab}\b", full)
+    return F.trim(F.regexp_replace(c, " {2,}", " "))
+
+
+def _canon_subject_sql(expr: str) -> str:
+    s = f"regexp_replace({expr}, '\\.', '', 'g')"
+    for ab, full in _NAME_ABBREVS:
+        s = f"regexp_replace({s}, '\\b{ab}\\b', '{full}', 'g')"
+    return f"trim(regexp_replace({s}, ' {{2,}}', ' ', 'g'))"
+
+
 def streets_dim(spark: SparkSession) -> DataFrame:
     """Street-level rows of the address dim — the corner/street-only
     fallback target (a corner form geocodes to the street, not to a
@@ -787,14 +822,17 @@ def cd_link_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract in city-directories.dataset.json and validSince/validUntil
     at city-directories.js:416-417).
 
-    Record-linkage shape, 100 TB-safe: BLOCK on the parsed subject
-    (the exact-name blocking key — the shuffle key), pair only entries
-    in ADJACENT directory years inside a block, then score each
-    candidate by address / occupation agreement. No all-pairs join
+    Record-linkage shape, 100 TB-safe: BLOCK on (surname, first-name
+    initial) of the CANONICALIZED subject — period-stripped, era
+    first-name abbreviations expanded (``Wm.``→``William``, the forms
+    1850s directories actually print) — so "Brown Wm. H" in one volume
+    and "Brown William H" in the next land in the same block. Pair
+    only entries in ADJACENT directory years inside a block, score
+    each candidate (canonical-name agreement dominates, address /
+    occupation agreement refine), keep score ≥ 2, and flag the best
+    candidate per left entry with one window pass. No all-pairs join
     anywhere: cost is O(block collisions), the same candidate-then-
-    verify contract as the LSH dedup family. A production linker widens
-    the block with phonetic/initial keys and a trained scorer — both
-    drop into the same plan shape.
+    verify contract as the LSH dedup family.
     """
     clean = _clean(F.col("raw_line"))
     segs = _segments(clean)
@@ -807,27 +845,60 @@ def cd_link_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(occs, F.lit(1)).alias("occupation"),
         F.try_element_at(locs, F.lit(1)).alias("loc1"),
     )
+    return link_person_entries(entries)
+
+
+def link_person_entries(entries: DataFrame) -> DataFrame:
+    """The blocking + scoring + tie-break core of cd_link_persons over
+    any (doc_id, year_lo, subject, occupation, loc1) DataFrame."""
+    from pyspark.sql import Window
+
+    entries = entries.withColumn(
+        "canon_subject", _canon_subject(F.col("subject"))
+    ).withColumn(
+        "block_key",
+        F.concat_ws(
+            " ",
+            F.element_at(F.split(F.col("canon_subject"), " "), 1),
+            F.substring(
+                F.element_at(F.split(F.col("canon_subject"), " "), 2), 1, 1
+            ),
+        ),
+    )
     a = entries.alias("a")
     b = entries.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.subject") == F.col("b.subject"))
-            & (F.col("b.year_lo") == F.col("a.year_lo") + 1),
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("b.year_lo") == F.col("a.year_lo") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.subject").alias("subject"),
+        F.col("a.year_lo").alias("year_a"),
+        F.col("b.year_lo").alias("year_b"),
+        (F.col("a.loc1") == F.col("b.loc1")).alias("same_address"),
+        (F.col("a.occupation") == F.col("b.occupation")).alias(
+            "same_occupation"
+        ),
+        (
+            F.when(
+                F.col("a.canon_subject") == F.col("b.canon_subject"), 2
+            ).otherwise(0)
+            + F.when(F.col("a.loc1") == F.col("b.loc1"), 1).otherwise(0)
+            + F.when(
+                F.col("a.occupation") == F.col("b.occupation"), 1
+            ).otherwise(0)
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.subject").alias("subject"),
-            F.col("a.year_lo").alias("year_a"),
-            F.col("b.year_lo").alias("year_b"),
-            (F.col("a.loc1") == F.col("b.loc1")).alias("same_address"),
-            (F.col("a.occupation") == F.col("b.occupation")).alias(
-                "same_occupation"
-            ),
-        )
-        .orderBy("doc_a", "doc_b")
+        .cast("bigint")
+        .alias("match_score"),
+    ).filter(F.col("match_score") >= 2)
+    w = Window.partitionBy("doc_a").orderBy(
+        F.col("match_score").desc(), F.col("doc_b").asc()
     )
+    return pairs.withColumn(
+        "best_link", F.row_number().over(w) == 1
+    ).orderBy("doc_a", "doc_b")
 
 
 def cd_logs(
@@ -985,18 +1056,44 @@ ORACLES = {
         FROM parsed
     """,
     "cd_link_persons": f"""
-        WITH {LINES_CTE}
-        SELECT
-          a.doc_id AS doc_a,
-          b.doc_id AS doc_b,
-          trim(a.segs[1]) AS subject,
-          a.year_lo AS year_a,
-          b.year_lo AS year_b,
-          (a.locs[1] = b.locs[1]) AS same_address,
-          (a.occs[1] = b.occs[1]) AS same_occupation
-        FROM parsed a JOIN parsed b
-          ON trim(a.segs[1]) = trim(b.segs[1])
-         AND b.year_lo = a.year_lo + 1
+        WITH {LINES_CTE},
+        keyed AS (
+          SELECT
+            doc_id, year_lo,
+            trim(segs[1]) AS subject,
+            occs[1] AS occupation,
+            locs[1] AS loc1,
+            {_canon_subject_sql('trim(segs[1])')} AS canon_subject,
+            concat_ws(' ',
+              string_split({_canon_subject_sql('trim(segs[1])')}, ' ')[1],
+              substring(
+                string_split({_canon_subject_sql('trim(segs[1])')}, ' ')[2],
+                1, 1)) AS block_key
+          FROM parsed
+        ),
+        pairs AS (
+          SELECT
+            a.doc_id AS doc_a,
+            b.doc_id AS doc_b,
+            a.subject AS subject,
+            a.year_lo AS year_a,
+            b.year_lo AS year_b,
+            (a.loc1 = b.loc1) AS same_address,
+            (a.occupation = b.occupation) AS same_occupation,
+            (CASE WHEN a.canon_subject = b.canon_subject THEN 2 ELSE 0 END
+             + CASE WHEN a.loc1 = b.loc1 THEN 1 ELSE 0 END
+             + CASE WHEN a.occupation = b.occupation THEN 1 ELSE 0 END
+            )::BIGINT AS match_score
+          FROM keyed a JOIN keyed b
+            ON a.block_key = b.block_key
+           AND b.year_lo = a.year_lo + 1
+        )
+        SELECT *,
+          (row_number() OVER (
+             PARTITION BY doc_a ORDER BY match_score DESC, doc_b) = 1
+          ) AS best_link
+        FROM pairs
+        WHERE match_score >= 2
         ORDER BY doc_a, doc_b
     """,
     # the trained tagger must reproduce the grammar exactly on the
