@@ -64,6 +64,10 @@ _GATE_PRIORITY = [
     "dedup_shared_spans",
     "sample_domain_mix",
     "cd_link_persons",
+    # --- new in r04 (first gate opportunity) ---
+    "text_mojibake_stats",
+    "pack_sequences",
+    "dedup_prefix",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

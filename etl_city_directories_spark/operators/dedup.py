@@ -589,8 +589,34 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_LEN = 40
+
+
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix duplicate sets: documents grouped by the md5
+    of the first PREFIX_LEN normalized chars — the cheap detector for
+    template/boilerplate openings (scraped pages share headers long
+    before they share whole bodies), sitting between exact dedup
+    (whole-hash) and shared-span dedup (any-position n-grams) in the
+    §2.C family. Same scale shape as dedup_exact: one hash-keyed
+    groupBy with map-side combine, no pairwise work."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.md5(F.substring(norm_col(), 1, PREFIX_LEN))
+    return (
+        docs.select("doc_id", pfx.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .withColumn("is_dup", F.col("n_docs") > 1)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_prefix": dedup_prefix,
     "dedup_report": dedup_report,
     "dedup_near_keep_first": dedup_near_keep_first,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -618,6 +644,17 @@ _NGRAM_BAND_SELECTS = "\n      UNION ALL\n".join(
 )
 
 ORACLES = {
+    "dedup_prefix": f"""
+        SELECT
+          md5(substr(trim(regexp_replace(lower(text), ' +', ' ', 'g')),
+                     1, {PREFIX_LEN})) AS prefix_hash,
+          COUNT(*) AS n_docs,
+          MIN(doc_id) AS min_doc,
+          MAX(doc_id) AS max_doc,
+          COUNT(*) > 1 AS is_dup
+        FROM documents
+        GROUP BY 1
+    """,
     "dedup_shared_spans": f"""
         WITH {SHINGLE_CTE},
         ex AS (

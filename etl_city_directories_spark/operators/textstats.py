@@ -816,7 +816,90 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOJIBAKE_MIN_ASCII = 0.7
+# control chars except \t \n \r — encoding damage markers
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_NON_ASCII_RE = r"[^\x00-\x7f]"
+
+
+def mojibake_cols(text: Column) -> list[Column]:
+    """Encoding-damage metrics for one text column: U+FFFD replacement
+    chars, stray control chars, ASCII ratio, and the keep/drop flag —
+    the CCNet/C4-style encoding filter. Shared by the corpus operator
+    and the unit tests."""
+    n = F.length(text)
+    n_repl = (n - F.length(F.replace(text, F.lit("�"), F.lit("")))).cast(
+        "bigint"
+    )
+    n_ctrl = (n - F.length(F.regexp_replace(text, _CTRL_RE, ""))).cast("bigint")
+    ascii_ratio = F.round(
+        F.length(F.regexp_replace(text, _NON_ASCII_RE, "")).cast("double")
+        / F.greatest(n, F.lit(1)).cast("double"),
+        4,
+    )
+    keep = (
+        (n_repl == 0) & (n_ctrl == 0) & (ascii_ratio >= MOJIBAKE_MIN_ASCII)
+    )
+    return [
+        n_repl.alias("n_replacement_chars"),
+        n_ctrl.alias("n_control_chars"),
+        ascii_ratio.alias("ascii_ratio"),
+        keep.alias("keep"),
+    ]
+
+
+def text_mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding-damage audit — pure map-side expressions,
+    no shuffle at all; at 100 TB this rides the ingest scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *mojibake_cols(F.col("text")))
+
+
+SEQ_LEN_TOKENS = 256
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): documents are laid
+    end-to-end per source in deterministic md5 order and cut into
+    fixed SEQ_LEN_TOKENS training sequences; each doc reports the
+    sequences it spans and its offset in the first — exactly what a
+    dataloader needs to build attention-boundary masks.
+
+    Scale shape mirrors shard_manifest: the prefix sum is PER SOURCE
+    (window partitioned on the source key), so no global
+    single-partition ordering exists; a hot source sub-partitions by
+    hash prefix the same way.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_col()
+    n_tokens = F.size(_words(norm)).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_start")
+    packed = sized.select("doc_id", "source", "n_tokens", start)
+    L = F.lit(SEQ_LEN_TOKENS)
+    seq_first = F.floor(F.col("tok_start") / L)
+    seq_last = F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / L)
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        seq_first.cast("bigint").alias("seq_first"),
+        seq_last.cast("bigint").alias("seq_last"),
+        (F.col("tok_start") % L).cast("bigint").alias("offset_in_first"),
+        (seq_last - seq_first + 1).cast("bigint").alias("n_seqs_spanned"),
+    )
+
+
 QUERIES = {
+    "text_mojibake_stats": text_mojibake_stats,
+    "pack_sequences": pack_sequences,
     "text_chunk": text_chunk,
     "text_redact_pii": text_redact_pii,
     "decontaminate": decontaminate,
@@ -857,6 +940,46 @@ for _lang in LANG_ORDER:
 _PRED += "ELSE 'unknown' END"
 
 ORACLES = {
+    "text_mojibake_stats": f"""
+        SELECT
+          doc_id,
+          (length(text) - length(replace(text, '�', '')))::BIGINT
+            AS n_replacement_chars,
+          (length(text) - length(regexp_replace(text,
+             '{_CTRL_RE}', '', 'g')))::BIGINT AS n_control_chars,
+          ROUND(length(regexp_replace(text, '{_NON_ASCII_RE}', '', 'g'))::DOUBLE
+                / greatest(length(text), 1)::DOUBLE, 4) AS ascii_ratio,
+          ((length(text) - length(replace(text, '�', ''))) = 0
+           AND (length(text) - length(regexp_replace(text,
+                  '{_CTRL_RE}', '', 'g'))) = 0
+           AND ROUND(length(regexp_replace(text, '{_NON_ASCII_RE}', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1)::DOUBLE, 4)
+               >= {MOJIBAKE_MIN_ASCII}) AS keep
+        FROM documents
+    """,
+    "pack_sequences": f"""
+        WITH sized AS (
+          SELECT doc_id, source,
+                 len({_W})::BIGINT AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id, source, n_tokens,
+                 (SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY h, doc_id) - n_tokens
+                 ) AS tok_start
+          FROM sized
+        )
+        SELECT
+          doc_id, source, n_tokens,
+          (tok_start // {SEQ_LEN_TOKENS})::BIGINT AS seq_first,
+          ((tok_start + n_tokens - 1) // {SEQ_LEN_TOKENS})::BIGINT AS seq_last,
+          (tok_start % {SEQ_LEN_TOKENS})::BIGINT AS offset_in_first,
+          ((tok_start + n_tokens - 1) // {SEQ_LEN_TOKENS}
+           - tok_start // {SEQ_LEN_TOKENS} + 1)::BIGINT AS n_seqs_spanned
+        FROM packed
+    """,
     "text_chunk": f"""
         WITH words AS (
           SELECT doc_id, {_W} AS w, len({_W}) AS n FROM documents
