@@ -292,14 +292,20 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x),
     )
-    # bucket stage + both verify sides read it; rolling persist
-    e = rolling_persist(spark, ("emb_norm", sf_dir), e)
+    # normalized vectors + SRP buckets are the dedup INDEX (same
+    # artifact family as the memoized LSH cluster labels) — built once
+    # per (session, data stamp)
+    stamp = table_stamp(sf_dir, ("embeddings",))
+    e = memo_df(spark, ("emb_norm", sf_dir, stamp), lambda: e)
     signs = _plane_signs()
     buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
     hashed = e.select(
         "vec_id", "label", F.posexplode(buckets).alias("t", "bucket")
     )
-    hashed = rolling_persist(spark, ("emb_hashed", sf_dir), hashed)
+    hashed_plan = hashed
+    hashed = memo_df(
+        spark, ("emb_hashed", sf_dir, stamp), lambda: hashed_plan
+    )
     ha, hb = hashed.alias("ha"), hashed.alias("hb")
     cand = (
         ha.join(

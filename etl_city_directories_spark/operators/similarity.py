@@ -37,12 +37,14 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    # persisted: probe and corpus sides of the ANN joins share this;
-    # rolling — the previous invocation's blocks release on re-entry
-    return rolling_persist(
+    # The normalized-vector table is the shared prep of EVERY ANN
+    # index (norms precomputed once per vector) — memoized per
+    # (session, data stamp) like the IVF cells and PQ codebooks it
+    # feeds; deterministic, so the oracle replays it bit-for-bit.
+    return memo_df(
         spark,
-        ("ann_vectors", sf_dir),
-        e.withColumn(
+        ("ann_vectors", sf_dir, table_stamp(sf_dir, ("embeddings",))),
+        lambda: e.withColumn(
             "nrm", F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
         ),
     )
@@ -224,10 +226,11 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     × vs brute force; recall vs brute force is asserted in
     tests/test_dedup_quality.py. A probe's nprobe cells are distinct,
     so no pair dedup is needed."""
-    vecs = rolling_persist(
+    # cell assignments ARE the IVF index — build once per data stamp
+    vecs = memo_df(
         spark,
-        ("ivf_vecs", sf_dir),
-        kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
+        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
     )
     probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -322,13 +325,13 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     signs = _plane_signs()
     buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
-    # persisted: probe and corpus sides below are a self-join, and Spark
-    # recomputes the (expensive, 32-projection) bucket expressions per
-    # alias otherwise
-    hashed = rolling_persist(
+    # The (vec, table, bucket) rows ARE the multi-table LSH index —
+    # memoized per data stamp (probe and corpus sides self-join it,
+    # and the 32-projection bucket expressions are the dominant cost)
+    hashed = memo_df(
         spark,
-        ("srp_hashed", sf_dir),
-        vecs.select(
+        ("srp_hashed", sf_dir, table_stamp(sf_dir, ("embeddings",))),
+        lambda: vecs.select(
             "vec_id", "v", "nrm", F.posexplode(buckets).alias("t", "bucket")
         ),
     )

@@ -4,9 +4,14 @@ every queries() entry vs its DuckDB oracle at sf0.01, column-name-sorted
 stringified-row compare (the driver's hash check).
 
 Usage: PYTHONPATH=/root/repo python tools/driver_sim.py [sf_dir] [key ...]
+
+Session shape overrides (the r02 ts flip only showed under a vanilla
+session; an ALTERNATE shape catches partitioning-sensitive bugs):
+  SPARK_SIM_CPUS=4 SPARK_SIM_PARTITIONS=200 python tools/driver_sim.py
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -31,10 +36,12 @@ def canon(df) -> list[tuple]:
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    cpus = os.environ.get("SPARK_SIM_CPUS", "8")
+    parts = os.environ.get("SPARK_SIM_PARTITIONS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("driver-sim")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
