@@ -68,6 +68,7 @@ _GATE_PRIORITY = [
     "text_mojibake_stats",
     "pack_sequences",
     "dedup_prefix",
+    "cd_validate_schema",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

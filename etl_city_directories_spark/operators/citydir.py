@@ -794,6 +794,53 @@ def cd_transform_objects(
     )
 
 
+# The dataset JSON-Schema contract (city-directories.dataset.json):
+# required fields, 4-int bbox, geocoded-iff-geometry. Each rule is a
+# violation predicate over the st:Person output.
+_SCHEMA_RULES: tuple[tuple[str, str], ...] = (
+    # (rule name, DuckDB/Spark-SQL violation predicate over the
+    # transform output — identical dialect subset)
+    ("required_non_null",
+     "volume_uuid IS NULL OR page_uuid IS NULL OR page_num IS NULL "
+     "OR text IS NULL"),
+    ("id_makeable", "entry_id IS NULL"),
+    ("validity_interval", "valid_until < valid_since"),
+    ("geometry_iff_geocoded",
+     "(n_geocoded = 0) != (geometry IS NULL)"),
+    ("geocoded_within_locations", "n_geocoded > n_locations"),
+    ("type_constant", "type != 'st:Person'"),
+)
+
+
+def cd_validate_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-contract validation: the reference ecosystem validates
+    every emitted object against city-directories.dataset.json (the
+    repo's only formal output spec — SURVEY §5); this operator is that
+    check as a first-class audit, one row per schema rule with its
+    violation count. Single pass over the transform output: all rule
+    sums ride one aggregation, then unpivot — no per-rule rescan."""
+    t = cd_transform_objects(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0))
+        .cast("bigint")
+        .alias(name)
+        for name, pred in _SCHEMA_RULES
+    ]
+    wide = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"), *aggs)
+    stack = ", ".join(f"'{name}', {name}" for name, _ in _SCHEMA_RULES)
+    return (
+        wide.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_SCHEMA_RULES)}, {stack}) "
+                "AS (rule, n_violations)"
+            ),
+        )
+        .select("rule", "n_violations", "n_rows")
+        .orderBy("rule")
+    )
+
+
 def cd_relations(
     spark: SparkSession, sf_dir: str, base: DataFrame | None = None
 ) -> DataFrame:
@@ -1003,6 +1050,7 @@ QUERIES = {
     "cd_logs": cd_logs,
     "cd_parse_tagged": cd_parse_tagged,
     "cd_link_persons": cd_link_persons,
+    "cd_validate_schema": cd_validate_schema,
 }
 
 _ADDR_CTE = f"""
@@ -1292,3 +1340,22 @@ ORACLES["cd_pipeline"] = f"""
                error::VARCHAR
         FROM ({ORACLES["cd_logs"]})
     """
+
+# one aggregated pass over the transform output, then one row per
+# schema rule (mirrors cd_validate_schema's single-agg + stack)
+ORACLES["cd_validate_schema"] = (
+    f"WITH t AS ({ORACLES['cd_transform_objects']}),\n"
+    "wide AS (\n"
+    "  SELECT COUNT(*)::BIGINT AS n_rows,\n"
+    + ",\n".join(
+        f"    SUM(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS {name}"
+        for name, pred in _SCHEMA_RULES
+    )
+    + "\n  FROM t\n)\n"
+    "SELECT rule, n_violations, n_rows FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"  SELECT '{name}' AS rule, {name} AS n_violations, n_rows FROM wide"
+        for name, _ in _SCHEMA_RULES
+    )
+    + "\n) ORDER BY rule"
+)
