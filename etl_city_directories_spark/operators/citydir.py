@@ -720,7 +720,13 @@ def cd_transform_objects(
     )
     dim = addresses_dim(spark)
     geo = (
-        exploded.join(F.broadcast(dim), exploded.loc_value == dim.address_name, "left")
+        exploded.join(
+            F.broadcast(dim),
+            # same normalized lookup as cd_geocode (identity on
+            # parser-clean values; the reference's geocode step
+            # feeds transform, so the lookup semantics must match)
+            F.lower(normalize_address(exploded.loc_value))
+            == F.lower(dim.address_name), "left")
         .groupBy("doc_id")
         .agg(
             F.count("address_id").alias("n_geocoded"),
@@ -852,7 +858,13 @@ def cd_relations(
     )
     dim = addresses_dim(spark)
     return (
-        exploded.join(F.broadcast(dim), exploded.loc_value == dim.address_name)
+        exploded.join(
+            F.broadcast(dim),
+            # same normalized lookup as cd_geocode (identity on
+            # parser-clean values; the reference's geocode step
+            # feeds transform, so the lookup semantics must match)
+            F.lower(normalize_address(exploded.loc_value))
+            == F.lower(dim.address_name))
         .select(
             F.col("entry_id").alias("rel_from"),
             F.col("address_id").alias("rel_to"),
@@ -974,7 +986,13 @@ def cd_logs(
     )
     dim = addresses_dim(spark)
     misses = (
-        exploded.join(F.broadcast(dim), exploded.loc_value == dim.address_name, "left")
+        exploded.join(
+            F.broadcast(dim),
+            # same normalized lookup as cd_geocode (identity on
+            # parser-clean values; the reference's geocode step
+            # feeds transform, so the lookup semantics must match)
+            F.lower(normalize_address(exploded.loc_value))
+            == F.lower(dim.address_name), "left")
         .filter(F.col("address_id").isNull())
         .select(
             F.lit("log").alias("type"),
@@ -1248,7 +1266,8 @@ ORACLES = {
                       FILTER (a.address_id IS NOT NULL)) AS pts
           FROM parsed p
           LEFT JOIN exploded e ON p.doc_id = e.doc_id
-          LEFT JOIN addresses a ON e.loc_value = a.address_name
+          LEFT JOIN addresses a
+            ON lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(e.loc_value), '(?i)^(h|r|bds|b)\.? +', '', 'g'), '(?i)^no\.? +([0-9])', '\1', 'g'), '(?i)\bb''?way\b', 'Broadway', 'g'), '(?i)\bgr''?wich\b', 'Greenwich', 'g'), '([0-9]+) ?½', '\1', 'g'), '([0-9]+) 1/2( |$)', '\1\2', 'g'), '(?i)^([nsew]\.? +)+cor(ner)?\.? +', '', 'g'), '(?i)^cor(ner)?\.? +', '', 'g'), '(?i) +c(or(ner)?)?\.? +', ' & ', 'g'), '(?i) +and +', ' & ', 'g'), '(?i) (st|str|street|av|ave|avenue|pl|place|rd|road)\.?$', '', 'g'), '[.,]+$', '', 'g'), ' {2,}', ' ', 'g'))) = lower(a.address_name)
           GROUP BY p.doc_id
         )
         SELECT
@@ -1286,7 +1305,8 @@ ORACLES = {
           {_YEAR_PART} || '.' || page_num || '.' || {_BBOX} AS rel_from,
           address_id AS rel_to,
           'st:in' AS rel_type
-        FROM exploded JOIN addresses ON loc_value = address_name
+        FROM exploded JOIN addresses
+          ON lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(loc_value), '(?i)^(h|r|bds|b)\.? +', '', 'g'), '(?i)^no\.? +([0-9])', '\1', 'g'), '(?i)\bb''?way\b', 'Broadway', 'g'), '(?i)\bgr''?wich\b', 'Greenwich', 'g'), '([0-9]+) ?½', '\1', 'g'), '([0-9]+) 1/2( |$)', '\1\2', 'g'), '(?i)^([nsew]\.? +)+cor(ner)?\.? +', '', 'g'), '(?i)^cor(ner)?\.? +', '', 'g'), '(?i) +c(or(ner)?)?\.? +', ' & ', 'g'), '(?i) +and +', ' & ', 'g'), '(?i) (st|str|street|av|ave|avenue|pl|place|rd|road)\.?$', '', 'g'), '[.,]+$', '', 'g'), ' {2,}', ' ', 'g'))) = lower(address_name)
     """,
     "cd_logs": f"""
         WITH {LINES_CTE},
@@ -1305,7 +1325,8 @@ ORACLES = {
           loc_idx::BIGINT AS loc_idx,
           loc_value,
           'Address not found: ' || loc_value AS error
-        FROM exploded LEFT JOIN addresses ON loc_value = address_name
+        FROM exploded LEFT JOIN addresses
+          ON lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(loc_value), '(?i)^(h|r|bds|b)\.? +', '', 'g'), '(?i)^no\.? +([0-9])', '\1', 'g'), '(?i)\bb''?way\b', 'Broadway', 'g'), '(?i)\bgr''?wich\b', 'Greenwich', 'g'), '([0-9]+) ?½', '\1', 'g'), '([0-9]+) 1/2( |$)', '\1\2', 'g'), '(?i)^([nsew]\.? +)+cor(ner)?\.? +', '', 'g'), '(?i)^cor(ner)?\.? +', '', 'g'), '(?i) +c(or(ner)?)?\.? +', ' & ', 'g'), '(?i) +and +', ' & ', 'g'), '(?i) (st|str|street|av|ave|avenue|pl|place|rd|road)\.?$', '', 'g'), '[.,]+$', '', 'g'), ' {2,}', ' ', 'g'))) = lower(address_name)
         WHERE address_id IS NULL
         UNION ALL
         SELECT
