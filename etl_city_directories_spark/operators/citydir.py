@@ -1249,7 +1249,7 @@ ORACLES = {
         LEFT JOIN streets s
           ON lower(c.corner_street) = lower(s.c_street_name)
     """,
-    "cd_transform_objects": f"""
+    "cd_transform_objects": rf"""
         WITH {LINES_CTE},
         {_ADDR_CTE},
         exploded AS (
@@ -1293,7 +1293,7 @@ ORACLES = {
           END AS geometry
         FROM parsed p JOIN geo g ON p.doc_id = g.doc_id
     """,
-    "cd_relations": f"""
+    "cd_relations": rf"""
         WITH {LINES_CTE},
         {_ADDR_CTE},
         exploded AS (
@@ -1308,7 +1308,7 @@ ORACLES = {
         FROM exploded JOIN addresses
           ON lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(trim(loc_value), '(?i)^(h|r|bds|b)\.? +', '', 'g'), '(?i)^no\.? +([0-9])', '\1', 'g'), '(?i)\bb''?way\b', 'Broadway', 'g'), '(?i)\bgr''?wich\b', 'Greenwich', 'g'), '([0-9]+) ?½', '\1', 'g'), '([0-9]+) 1/2( |$)', '\1\2', 'g'), '(?i)^([nsew]\.? +)+cor(ner)?\.? +', '', 'g'), '(?i)^cor(ner)?\.? +', '', 'g'), '(?i) +c(or(ner)?)?\.? +', ' & ', 'g'), '(?i) +and +', ' & ', 'g'), '(?i) (st|str|street|av|ave|avenue|pl|place|rd|road)\.?$', '', 'g'), '[.,]+$', '', 'g'), ' {2,}', ' ', 'g'))) = lower(address_name)
     """,
-    "cd_logs": f"""
+    "cd_logs": rf"""
         WITH {LINES_CTE},
         {_ADDR_CTE},
         exploded AS (

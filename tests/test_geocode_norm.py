@@ -87,6 +87,31 @@ def test_normalization_is_identity_on_clean_forms(spark):
     assert got == clean
 
 
+def test_spark_and_duckdb_normalize_identically(spark):
+    """The oracle replays the chain on CLEAN corpus values only; this
+    pins the RE2/Java dialect agreement on the messy forms too (a \\1
+    backreference mangled into chr(1) by a non-raw literal, or a
+    lookahead RE2 rejects, would surface here)."""
+    import duckdb
+
+    from etl_city_directories_spark.operators.citydir import _norm_addr_sql
+
+    values = [c[0] for c in CASES] + ["No. 23½ Pearl st.", "h 9 B'way,"]
+    df = spark.createDataFrame([(v,) for v in values], ["loc_value"])
+    spark_norm = [
+        r.n
+        for r in df.select(
+            normalize_address(F.col("loc_value")).alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    duck_norm = [
+        con.execute(f"SELECT {_norm_addr_sql('?')}", [v]).fetchone()[0]
+        for v in values
+    ]
+    assert spark_norm == duck_norm
+
+
 def test_dim_miss_is_still_a_miss(spark):
     """Normalization must not fabricate matches: a house number the dim
     excludes (divisible by GEOCODE_MISS_MOD) stays found=false even in

@@ -46,6 +46,9 @@ OPS = [
     "text_chunk",
     "dedup_shared_spans",
     "corpus_prepare_pipeline",
+    "dedup_prefix",
+    "pack_sequences",
+    "text_mojibake_stats",
 ]
 
 
