@@ -69,6 +69,8 @@ _GATE_PRIORITY = [
     "pack_sequences",
     "dedup_prefix",
     "cd_validate_schema",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -458,6 +458,63 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema JSON-lines source: write documents as JSONL,
+    read back with a declared schema (inference would cost a full
+    extra scan at 100 TB), aggregate per lang. JSON string escaping
+    (quotes, control chars, non-ASCII) must roundtrip losslessly —
+    the oracle aggregates the original parquet, proving it."""
+    from etl_city_directories_spark.operators.ingest import cached_sink_dir
+
+    def _write(p: str) -> None:
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").json(p)
+
+    path = cached_sink_dir("json_roundtrip", sf_dir, ("documents",), _write)
+    back = spark.read.schema(_DOCS_SCHEMA).json(path)
+    return _roundtrip_rollup(back)
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — the other columnar format a Spark
+    shop meets (Hive estates). Typed columnar write, schema-preserving
+    read, same lossless-rollup proof as the CSV/JSON paths; predicate
+    pushdown and column pruning work on ORC scans exactly as on
+    parquet."""
+    from etl_city_directories_spark.operators.ingest import cached_sink_dir
+
+    def _write(p: str) -> None:
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").orc(p)
+
+    path = cached_sink_dir("orc_roundtrip", sf_dir, ("documents",), _write)
+    back = spark.read.schema(_DOCS_SCHEMA).orc(path)
+    return _roundtrip_rollup(back)
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _roundtrip_rollup(back: DataFrame) -> DataFrame:
+    """The lossless-roundtrip proof rollup shared by the CSV/JSON/ORC
+    source paths (vs the oracle's rollup of the original parquet)."""
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .orderBy("lang")
+    )
+
+
 N_BUCKETS = 8
 
 
@@ -600,6 +657,8 @@ QUERIES = {
     "q_bitmap_distinct": q_bitmap_distinct,
     "q_gdpr_erasure": q_gdpr_erasure,
     "source_csv_roundtrip": source_csv_roundtrip,
+    "source_json_roundtrip": source_json_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
 }
 
 _PROFILE_ORACLE = "\n        UNION ALL\n".join(
@@ -762,6 +821,24 @@ ORACLES = {
         ORDER BY user_id, valid_from_us
     """,
     "source_csv_roundtrip": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS total_chars,
+               SUM(LENGTH(text))::BIGINT AS total_text_len
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "source_json_roundtrip": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS total_chars,
+               SUM(LENGTH(text))::BIGINT AS total_text_len
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "source_orc_roundtrip": """
         SELECT lang,
                COUNT(*) AS n_docs,
                SUM(n_chars)::BIGINT AS total_chars,
