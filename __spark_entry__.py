@@ -71,6 +71,7 @@ _GATE_PRIORITY = [
     "cd_validate_schema",
     "source_json_roundtrip",
     "source_orc_roundtrip",
+    "stream_chained_windows",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -598,6 +598,48 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_session_window_sink")
 
 
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful window aggregations in one streaming query
+    (Spark 3.4+ multiple-stateful-operator support): hourly tumbling
+    counts per event type feed a second, daily tumbling rollup via
+    ``window_time`` — the downsample-then-rollup cascade a metrics
+    pipeline runs as one job instead of two with an intermediate topic.
+
+    Both stages share the query watermark; append mode means a day
+    emits exactly once, when the watermark passes its end, so the
+    oracle is the batch twin restricted to FINALIZED days (day end ≤
+    final watermark = max event time − 0s delay) — the same
+    finalization contract stream_late_data pins. State is two window
+    stores bounded by the watermark; at production scale this is the
+    pattern that halves the number of streaming hops."""
+    src = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    hourly = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events_day"),
+            F.max("n_events").alias("peak_hour_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+        )
+        .select(
+            F.unix_micros(F.col("d.start")).alias("day_start_us"),
+            "event_type",
+            F.col("n_events_day").cast("bigint").alias("n_events_day"),
+            F.col("peak_hour_events").cast("bigint").alias("peak_hour_events"),
+            F.col("n_active_hours").cast("bigint").alias("n_active_hours"),
+        )
+    )
+    _run_to_table(
+        daily, "stream_chained_windows_sink", "append", state_partitions=8
+    )
+    return spark.table("stream_chained_windows_sink")
+
+
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD1 snapshot maintenance via ``foreachBatch`` — the
     canonical production merge pattern: each microbatch of purchase
@@ -751,12 +793,33 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
     "stream_session_window": stream_session_window,
+    "stream_chained_windows": stream_chained_windows,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
 }
 
 ORACLES = {
     # identical to the batch twins: one availableNow pass over a finite
     # source reproduces the batch answer exactly.
+    # batch twin restricted to finalized days: append-mode chained
+    # windows emit a day only once the watermark (max ts − 0s) passes
+    # its end; hours inside an emitted day are necessarily final too
+    "stream_chained_windows": """
+        WITH wm AS (SELECT epoch_us(max(ts)) AS wm_us FROM events),
+        hourly AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT
+          epoch_us(date_trunc('day', h)) AS day_start_us,
+          event_type,
+          SUM(n)::BIGINT AS n_events_day,
+          MAX(n)::BIGINT AS peak_hour_events,
+          COUNT(*)::BIGINT AS n_active_hours
+        FROM hourly, wm
+        WHERE epoch_us(date_trunc('day', h)) + 86400000000 <= wm_us
+        GROUP BY 1, 2
+    """,
     "stream_tumbling_agg": """
         SELECT
           epoch_us(date_trunc('hour', ts)) AS bucket_start_us,
