@@ -72,6 +72,7 @@ _GATE_PRIORITY = [
     "source_json_roundtrip",
     "source_orc_roundtrip",
     "stream_chained_windows",
+    "stream_stateful_processor",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -598,6 +598,174 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_session_window_sink")
 
 
+def _purchase_replay_source(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file, time-split replay of the purchase events — the shared
+    multi-microbatch fixture for the foreachBatch merge and the
+    StatefulProcessor operator (``maxFilesPerTrigger=1`` gives each
+    file its own microbatch, so cross-batch state provably
+    accumulates). Written once per (process, sf_dir, events stamp)."""
+    import os
+    import shutil
+
+    from etl_city_directories_spark.operators.ingest import cached_sink_dir
+    from etl_city_directories_spark.sources.tables import load_table
+
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            dec2("value").cast("double").alias("value"),
+        )
+    )
+    lo, hi = purchases.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    split_us = (lo + hi) // 2
+
+    def _write_all(src_dir: str) -> None:
+        def _write(df: DataFrame, name: str, mtime: int) -> None:
+            tmp = os.path.join(src_dir, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dest = os.path.join(src_dir, name)
+            os.replace(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dest, (mtime, mtime))
+
+        _write(
+            purchases.filter(F.col("ts_us") < split_us), "b1.parquet", 1_000_000_000
+        )
+        _write(
+            purchases.filter(F.col("ts_us") >= split_us), "b2.parquet", 1_000_000_100
+        )
+
+    return cached_sink_dir("fbu_src", sf_dir, ("events",), _write_all)
+
+
+_TWS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_purchases", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def stream_stateful_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing with the Spark 4
+    ``transformWithStateInPandas`` StatefulProcessor API — the typed
+    successor to ``applyInPandasWithState``: per-user running purchase
+    totals held in a named ValueState, replayed over the two-file
+    fixture (``maxFilesPerTrigger=1``) so the state provably
+    accumulates ACROSS microbatches (batch 2 emissions extend batch
+    1's counts).
+
+    Money accumulates as integer cents inside the Python state —
+    decimal-exact regardless of arrival order — so the final snapshot
+    hash-matches the DuckDB batch aggregate bit-for-bit. Update-mode
+    emissions are collapsed to the latest row per user with one
+    max(struct) aggregation (counts are monotone).
+
+    The TWS Python worker hard-requires protobuf, which this container
+    does not ship (and installs are off-limits); when the import is
+    absent the SAME per-user cents state runs through
+    ``applyInPandasWithState`` — identical semantics and output, so
+    the oracle pins whichever path executed. With protobuf present the
+    typed StatefulProcessor path runs."""
+    src = _purchase_replay_source(spark, sf_dir)
+    schema = "user_id LONG, ts_us LONG, event_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    try:
+        import google.protobuf  # noqa: F401  (TWS worker dependency)
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if has_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._agg = handle.getValueState(
+                    "agg", "n BIGINT, cents BIGINT"
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                cur = self._agg.get()
+                n, cents = (cur[0], cur[1]) if cur else (0, 0)
+                for pdf in rows:
+                    n += len(pdf)
+                    cents += int(pdf["cents"].sum())
+                self._agg.update((n, cents))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_purchases": [n],
+                        "total_cents": [cents],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        result = stream.groupBy("user_id").transformWithStateInPandas(
+            _RunningTotals(), _TWS_OUT, "Update", "None"
+        )
+    else:
+
+        def _totals_group(
+            key: tuple[Any, ...],
+            batches: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in batches:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            state.update((int(n), int(cents)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_purchases": [int(n)],
+                    "total_cents": [int(cents)],
+                }
+            )
+
+        result = stream.groupBy("user_id").applyInPandasWithState(
+            _totals_group,
+            outputStructType=_TWS_OUT,
+            stateStructType="n BIGINT, cents BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    _run_to_table(
+        result, "stream_stateful_processor_sink", "update", state_partitions=8
+    )
+    emitted = spark.table("stream_stateful_processor_sink")
+    return (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_purchases", "total_cents")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_purchases").alias("n_purchases"),
+            (F.col("s.total_cents").cast("double") / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful window aggregations in one streaming query
     (Spark 3.4+ multiple-stateful-operator support): hourly tumbling
@@ -666,41 +834,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_city_directories_spark.sources.tables import load_table
 
-    purchases = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_id",
-            dec2("value").cast("double").alias("value"),
-        )
-    )
-    lo, hi = purchases.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    split_us = (lo + hi) // 2
-
-    from etl_city_directories_spark.operators.ingest import cached_sink_dir
-
-    def _write_all(src_dir: str) -> None:
-        def _write(df: DataFrame, name: str, mtime: int) -> None:
-            tmp = os.path.join(src_dir, f"_stage_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            dest = os.path.join(src_dir, name)
-            os.replace(os.path.join(tmp, part), dest)
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(dest, (mtime, mtime))
-
-        _write(
-            purchases.filter(F.col("ts_us") < split_us), "b1.parquet", 1_000_000_000
-        )
-        _write(
-            purchases.filter(F.col("ts_us") >= split_us), "b2.parquet", 1_000_000_100
-        )
-
-    # deterministic two-batch replay source: written once per
-    # (process, sf_dir, events stamp), reused across invocations
-    src = cached_sink_dir("fbu_src", sf_dir, ("events",), _write_all)
+    src = _purchase_replay_source(spark, sf_dir)
 
     snap_root = tempfile.mkdtemp(prefix="spark_graft_fbu_snap_")
     holder: dict[str, Any] = {"cur": None, "v": 0}
@@ -794,12 +928,26 @@ QUERIES = {
     "stream_foreachbatch_upsert": stream_foreachbatch_upsert,
     "stream_session_window": stream_session_window,
     "stream_chained_windows": stream_chained_windows,
+    "stream_stateful_processor": stream_stateful_processor,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
 }
 
 ORACLES = {
     # identical to the batch twins: one availableNow pass over a finite
     # source reproduces the batch answer exactly.
+    # integer-cents state makes the streaming accumulation decimal-
+    # exact, so the final snapshot equals the batch aggregate
+    "stream_stateful_processor": """
+        SELECT
+          user_id,
+          COUNT(*)::BIGINT AS n_purchases,
+          (SUM(CAST(round(value::DECIMAL(18,2) * 100) AS BIGINT))::DOUBLE
+           / 100.0) AS total_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     # batch twin restricted to finalized days: append-mode chained
     # windows emit a day only once the watermark (max ts − 0s) passes
     # its end; hours inside an emitted day are necessarily final too
