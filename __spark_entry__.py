@@ -73,6 +73,7 @@ _GATE_PRIORITY = [
     "source_orc_roundtrip",
     "stream_chained_windows",
     "stream_stateful_processor",
+    "hocr_source_v2",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -183,6 +183,20 @@ def hocr_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_hocr_lines(pages, column_count=2).orderBy("line_index")
 
 
+def hocr_source_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same parse-step output through the Spark 4 Python Data
+    Source (sources.hocr_datasource): one InputPartition per archive,
+    executor-local untar — the pluggable-connector form of hocr_parse.
+    tests/test_hocr_datasource.py pins row-for-row equivalence with
+    the binaryFile+mapInPandas path."""
+    from etl_city_directories_spark.sources.hocr_datasource import (
+        read_hocr_pages_v2,
+    )
+
+    pages = read_hocr_pages_v2(spark, fixture_archive())
+    return parse_hocr_lines(pages, column_count=2).orderBy("line_index")
+
+
 def manifest_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML manifest table → typed directory rows (reference :108-133)."""
     return read_manifest(spark, os.path.join(FIXTURES, "manifest.html"))
@@ -252,6 +266,7 @@ def ndjson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cd_download": cd_download,
     "hocr_parse": hocr_parse,
+    "hocr_source_v2": hocr_source_v2,
     "manifest_parse": manifest_parse,
     "ndjson_sink": ndjson_sink,
     "sink_partitioned": sink_partitioned,
