@@ -284,3 +284,46 @@ def test_dpp_prunes_fact_partitions(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_mojibake_is_pure_map_side(spark):
+    """Encoding audit must ride the scan: no exchange, pruned read."""
+    plan = plan_of(QUERIES["text_mojibake_stats"](spark, SF))
+    assert "Exchange" not in plan, plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read and "lang" not in read
+
+
+def test_dedup_prefix_single_shuffle(spark):
+    """Prefix dedup is one hash-keyed aggregation with map-side
+    combine: exactly one exchange node, partial agg before it.
+    (formatted explain lists each node twice — tree + detail — so
+    count the detail headers.)"""
+    plan = plan_of(QUERIES["dedup_prefix"](spark, SF))
+    assert plan.count(") Exchange") == 1, plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_pack_sequences_partitions_by_source(spark):
+    """The prefix-sum window must shuffle on the source key (never a
+    global single-partition ordering)."""
+    plan = plan_of(QUERIES["pack_sequences"](spark, SF))
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_geocode_normalization_keeps_broadcast(spark):
+    """The normalized lookup must still broadcast both dims — the
+    corpus side stays map-side."""
+    plan = plan_of(QUERIES["cd_geocode"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_validate_schema_single_agg_pass(spark):
+    """All contract rules ride ONE aggregation over the transform
+    output — the validator adds NO extra corpus scans beyond what
+    cd_transform_objects itself performs."""
+    v = plan_of(QUERIES["cd_validate_schema"](spark, SF))
+    t = plan_of(QUERIES["cd_transform_objects"](spark, SF))
+    assert v.count(") Scan parquet") == t.count(") Scan parquet"), v
