@@ -74,6 +74,7 @@ _GATE_PRIORITY = [
     "stream_chained_windows",
     "stream_stateful_processor",
     "hocr_source_v2",
+    "graph_pagerank_dupes",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

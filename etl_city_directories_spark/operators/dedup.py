@@ -620,9 +620,69 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 3
+
+
+def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph — which documents sit at the
+    CENTER of duplication families (hub pages whose text leaks into
+    many others), the ranking a dedup dashboard sorts by when choosing
+    canonical survivors.
+
+    Iterative numeric graph analytics as pure DataFrame ops: 3 unrolled
+    power iterations, each one join on the rank key + one aggregation
+    on the destination — O(E) shuffle per round, no adjacency gathers.
+    All arithmetic is INTEGER MICRO-UNITS (rank×1e6; contribution =
+    rank div degree; damping 0.85 as (850000·Σ) div 1e6), so the sum
+    is order-independent and DuckDB replays every iteration
+    bit-for-bit — the same determinism device as the decimal Lloyd
+    iterations in similarity.kmeans_cells. Edges are the verified LSH
+    pairs (symmetrized), so the pair generation stays O(band
+    collisions)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    sym = rolling_persist(spark, ("pr_edges", sf_dir), sym)
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            sym.join(ranks, sym.s == ranks.node)
+            .join(deg, "s")
+            .select(F.col("d").alias("dst"), F.expr("r div degree").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(150_000) + F.expr("(850000 * sc) div 1000000"))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks.node == deg.s)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.round(F.col("r").cast("double") / 1_000_000.0, 6).alias(
+                "pagerank"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_prefix": dedup_prefix,
+    "graph_pagerank_dupes": graph_pagerank_dupes,
     "dedup_report": dedup_report,
     "dedup_near_keep_first": dedup_near_keep_first,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -843,6 +903,65 @@ _CC_CTES = f"""
         comp AS (
           SELECT s AS doc_id, MIN(d) AS cluster_id FROM full_reach GROUP BY s
         )
+"""
+
+
+# PageRank: integer micro-unit power iterations — `//` is BIGINT floor
+# division in DuckDB, matching Spark's `div`, so every iteration is
+# bit-identical across engines (sums of integers are order-free)
+_PR_ITERS = "".join(
+    f""",
+        r{k} AS (
+          SELECT e.d AS node,
+                 (150000 + (850000 * SUM(r{k - 1}.r // dg.degree)) // 1000000)::BIGINT AS r
+          FROM edges e
+          JOIN r{k - 1} ON r{k - 1}.node = e.s
+          JOIN deg dg ON dg.node = e.s
+          GROUP BY e.d
+        )"""
+    for k in range(1, 4)
+)
+
+ORACLES["graph_pagerank_dupes"] = f"""
+        WITH {SHINGLE_CTE},
+        sigs AS (
+          SELECT doc_id, shingles, {_SIG_COLS}
+          FROM shingled
+        ),
+        bands AS (
+{_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN shingled sa ON sa.doc_id = doc_a
+          JOIN shingled sb ON sb.doc_id = doc_b
+          WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")}
+                >= {LSH_VERIFY_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        deg AS (
+          SELECT s AS node, COUNT(*)::BIGINT AS degree FROM edges GROUP BY s
+        ),
+        r0 AS (
+          SELECT node, 1000000::BIGINT AS r FROM deg
+        ){_PR_ITERS}
+        SELECT
+          r3.node AS doc_id,
+          deg.degree,
+          ROUND(r3.r::DOUBLE / 1000000.0, 6) AS pagerank
+        FROM r3 JOIN deg ON deg.node = r3.node
+        ORDER BY doc_id
 """
 
 ORACLES["dedup_lsh_clusters"] = f"""{_CC_CTES}

@@ -49,6 +49,7 @@ OPS = [
     "dedup_prefix",
     "pack_sequences",
     "text_mojibake_stats",
+    "graph_pagerank_dupes",
 ]
 
 
