@@ -75,6 +75,7 @@ _GATE_PRIORITY = [
     "stream_stateful_processor",
     "hocr_source_v2",
     "graph_pagerank_dupes",
+    "stream_python_source",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -643,6 +643,71 @@ def _purchase_replay_source(spark: SparkSession, sf_dir: str) -> str:
     return cached_sink_dir("fbu_src", sf_dir, ("events",), _write_all)
 
 
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming through a CUSTOM Python Data Source
+    (sources.events_stream_source): the events table replayed as 3
+    offset-tracked microbatches, each planned as row-range partitions
+    read executor-side via Arrow RecordBatches — the pluggable-source
+    twin of the file-stream path. Per-type counts and decimal-exact
+    value sums accumulate across the microbatches (complete mode);
+    the DuckDB batch aggregate is the oracle, so the custom source's
+    offset planning provably loses/duplicates nothing."""
+    from etl_city_directories_spark.sources.events_stream_source import (
+        events_replay_stream,
+    )
+
+    import re as _re
+    import time as _time
+
+    from etl_city_directories_spark.sources.events_stream_source import (
+        _row_count,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = events_replay_stream(spark, sf_dir, batches=3)
+    agg = (
+        src.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+    )
+    total = _row_count(f"{sf_dir}/events.parquet")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # availableNow would freeze the bound at the FIRST latestOffset
+        # call (one giant batch); a processing-time trigger lets the
+        # source advance its offset 3× — we stop once the consumed end
+        # offset covers the file and the last batch carried no rows
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_python_source_sink")
+            .outputMode("complete")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("sources"):
+                # offset serialization varies (json vs repr); the row
+                # index is the only number in it either way
+                end = str(p["sources"][0].get("endOffset") or "")
+                m = _re.search(r"\d+", end)
+                done = m and int(m.group()) >= total
+                if done and p.get("numInputRows", -1) == 0:
+                    break
+            _time.sleep(0.1)
+        else:
+            raise TimeoutError("events_replay never reached end offset")
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("stream_python_source_sink").orderBy("event_type")
+
+
 _TWS_OUT = StructType(
     [
         StructField("user_id", LongType()),
@@ -929,12 +994,22 @@ QUERIES = {
     "stream_session_window": stream_session_window,
     "stream_chained_windows": stream_chained_windows,
     "stream_stateful_processor": stream_stateful_processor,
+    "stream_python_source": stream_python_source,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
 }
 
 ORACLES = {
     # identical to the batch twins: one availableNow pass over a finite
     # source reproduces the batch answer exactly.
+    "stream_python_source": """
+        SELECT
+          event_type,
+          COUNT(*) AS n_events,
+          SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     # integer-cents state makes the streaming accumulation decimal-
     # exact, so the final snapshot equals the batch aggregate
     "stream_stateful_processor": """
