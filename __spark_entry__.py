@@ -76,6 +76,7 @@ _GATE_PRIORITY = [
     "hocr_source_v2",
     "graph_pagerank_dupes",
     "stream_python_source",
+    "stream_checkpoint_recovery",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

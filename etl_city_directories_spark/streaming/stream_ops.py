@@ -643,6 +643,90 @@ def _purchase_replay_source(spark: SparkSession, sf_dir: str) -> str:
     return cached_sink_dir("fbu_src", sf_dir, ("events",), _write_all)
 
 
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerance contract: a stateful aggregation STOPPED and
+    RESTARTED from its checkpoint must resume exactly — no reprocessed
+    rows, no lost state. Two separate queries share one checkpoint:
+    query 1 sees only the first half-file of the purchase replay and
+    terminates; the second half-file is then added and query 2 starts
+    from the SAME checkpoint, reading ONLY the new file (source offsets
+    recovered) while its complete-mode output carries query 1's
+    aggregation state (state store recovered). The final snapshot
+    hash-matches the batch aggregate of BOTH halves — the property that
+    makes streaming jobs restartable in production.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    fixture = _purchase_replay_source(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    src_dir = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+
+    def _agg_query():
+        stream = spark.readStream.schema(
+            "user_id LONG, ts_us LONG, event_id LONG, value DOUBLE"
+        ).parquet(src_dir)
+        return (
+            stream.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.sum(dec2("value")).cast("double").alias("total_value"),
+            )
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # phase 1: only b1 visible; run to completion and STOP
+        shutil.copy(os.path.join(fixture, "b1.parquet"), src_dir)
+        q1 = (
+            _agg_query()
+            .writeStream.format("memory")
+            .queryName("stream_ckpt_phase1")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination()
+        n_phase1 = spark.table("stream_ckpt_phase1").count()
+        assert n_phase1 > 0, "phase 1 must aggregate something"
+        # phase 2: b2 arrives; RESTART from the same checkpoint
+        shutil.copy(os.path.join(fixture, "b2.parquet"), src_dir)
+        q2 = (
+            _agg_query()
+            .writeStream.format("memory")
+            .queryName("stream_checkpoint_recovery_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        # recovery proof: the restarted query read ONLY the new file
+        progs = [p for p in q2.recentProgress if p.get("numInputRows", 0) > 0]
+        total_in = sum(p["numInputRows"] for p in progs)
+        import pyarrow.parquet as _pq
+
+        b2_rows = _pq.read_metadata(
+            os.path.join(fixture, "b2.parquet")
+        ).num_rows
+        assert total_in == b2_rows, (
+            f"restart reprocessed data: read {total_in}, b2 has {b2_rows}"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    key = (spark.sparkContext.applicationId, sf_dir, "ckpt")
+    old = _FBU_SNAPSHOTS.get(key)
+    if old and old != work:
+        shutil.rmtree(old, ignore_errors=True)
+    _FBU_SNAPSHOTS[key] = work  # keep live for the returned plan
+    return spark.table("stream_checkpoint_recovery_sink").orderBy("user_id")
+
+
 def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming through a CUSTOM Python Data Source
     (sources.events_stream_source): the events table replayed as 3
@@ -995,12 +1079,23 @@ QUERIES = {
     "stream_chained_windows": stream_chained_windows,
     "stream_stateful_processor": stream_stateful_processor,
     "stream_python_source": stream_python_source,
+    "stream_checkpoint_recovery": stream_checkpoint_recovery,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
 }
 
 ORACLES = {
     # identical to the batch twins: one availableNow pass over a finite
     # source reproduces the batch answer exactly.
+    "stream_checkpoint_recovery": """
+        SELECT
+          user_id,
+          COUNT(*)::BIGINT AS n_purchases,
+          SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "stream_python_source": """
         SELECT
           event_type,
