@@ -77,6 +77,7 @@ _GATE_PRIORITY = [
     "graph_pagerank_dupes",
     "stream_python_source",
     "stream_checkpoint_recovery",
+    "q_incremental_rollup",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

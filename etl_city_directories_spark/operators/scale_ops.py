@@ -65,6 +65,57 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-(type, day) rollup kept
+    current by MERGING yesterday's materialized partials with today's
+    delta instead of recomputing the corpus — the pattern that turns a
+    daily 100 TB re-aggregation into an O(delta) job.
+
+    The events stream splits at its midpoint: the first half plays the
+    standing materialized aggregate, the second half the newly-arrived
+    delta. Both halves aggregate independently (decimal partials —
+    count and sum are the mergeable state), then one full-outer merge
+    adds them. The oracle aggregates the whole table in one pass, so
+    the hash match PROVES merge(partials) ≡ recompute — the algebraic
+    property incremental maintenance depends on."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).collect()[0]
+    split_us = (lo + hi) // 2
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec2("value")).alias("v"),
+            )
+        )
+
+    base = _partial(events.filter(F.unix_micros("ts") < split_us))
+    delta = _partial(events.filter(F.unix_micros("ts") >= split_us))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d,
+        (F.col("b.event_type") == F.col("d.event_type"))
+        & (F.col("b.day") == F.col("d.day")),
+        "full_outer",
+    ).select(
+        F.coalesce("b.event_type", "d.event_type").alias("event_type"),
+        F.coalesce("b.day", "d.day").cast("string").alias("day"),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+        ).cast("bigint").alias("n_events"),
+        (
+            F.coalesce("b.v", F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce("d.v", F.lit(0).cast("decimal(18,2)"))
+        ).cast("double").alias("total_value"),
+    )
+    return merged.orderBy("event_type", "day")
+
+
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD1-style MERGE: latest purchase value per user upserted into
     the customer snapshot.
@@ -648,6 +699,7 @@ QUERIES = {
     "q_skew_salted_agg": q_skew_salted_agg,
     "q_cube_status_priority": q_cube_status_priority,
     "q_upsert_merge": q_upsert_merge,
+    "q_incremental_rollup": q_incremental_rollup,
     "q_scd2_history": q_scd2_history,
     "profile_categorical": profile_categorical,
     "q_approx_distinct": q_approx_distinct,
@@ -819,6 +871,16 @@ ORACLES = {
         FROM events
         WHERE event_type = 'purchase'
         ORDER BY user_id, valid_from_us
+    """,
+    "q_incremental_rollup": """
+        SELECT
+          event_type,
+          CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+          COUNT(*)::BIGINT AS n_events,
+          SUM(value::DECIMAL(18,2))::DOUBLE AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, day
     """,
     "source_csv_roundtrip": """
         SELECT lang,
