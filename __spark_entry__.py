@@ -78,6 +78,7 @@ _GATE_PRIORITY = [
     "stream_python_source",
     "stream_checkpoint_recovery",
     "q_incremental_rollup",
+    "mm_shard_pack",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -368,8 +368,63 @@ def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_SHARD_BYTES = 4096
+
+
+def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing for the BINARY modalities: every
+    payload lands in a byte-budget shard per modality, deterministic
+    md5 order — the export step that turns a multimodal corpus into
+    dataloader-consumable tar shards (shard_manifest's text twin).
+
+    Pure JVM: sizes come from length(payload) on the scan, the prefix
+    sum is one window per modality key (no global ordering), and the
+    oracle replays the packing from the payload GENERATION formulas —
+    so a wrong byte in any encoder shifts a shard boundary and breaks
+    the hash."""
+    from pyspark.sql import Window
+
+    parts = []
+    for name, table_fn in (
+        ("audio", audio_table),
+        ("image", images_table),
+        ("video", videos_table),
+    ):
+        parts.append(
+            table_fn(spark, sf_dir).select(
+                F.lit(name).alias("modality"),
+                "doc_id",
+                F.length("payload").cast("bigint").alias("n_bytes"),
+            )
+        )
+    allp = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    w = (
+        Window.partitionBy("modality")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = allp.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_bytes").over(w) - F.col("n_bytes"))
+            / F.lit(MM_SHARD_BYTES)
+        ).cast("bigint"),
+    )
+    return (
+        assigned.groupBy("modality", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("modality", "shard_id")
+    )
+
+
 QUERIES = {
     "mm_payload_stats": mm_payload_stats,
+    "mm_shard_pack": mm_shard_pack,
     "mm_image_meta": mm_image_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_meta": mm_audio_meta,
@@ -382,6 +437,37 @@ QUERIES = {
 # tests/test_multimodal.py). mm_caption_pairs IS oracle-checked — its
 # content-key derivation is plain deterministic string math.
 ORACLES: dict[str, str] = {
+    "mm_shard_pack": f"""
+        WITH sized AS (
+          SELECT 'audio' AS modality, doc_id,
+                 (12 + (doc_id % 64 + 64))::BIGINT AS n_bytes
+          FROM documents
+          UNION ALL
+          SELECT 'image', doc_id,
+                 (16 + (doc_id % 8 + 8) * (doc_id % 5 + 8))::BIGINT
+          FROM documents
+          UNION ALL
+          SELECT 'video', doc_id,
+                 (12 + (doc_id % 5 + 4) * 24)::BIGINT
+          FROM documents
+        ),
+        assigned AS (
+          SELECT modality, doc_id, n_bytes,
+                 ((SUM(n_bytes) OVER (
+                     PARTITION BY modality
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) - n_bytes) // {MM_SHARD_BYTES})::BIGINT AS shard_id
+          FROM sized
+        )
+        SELECT modality, shard_id,
+               COUNT(*) AS n_payloads,
+               SUM(n_bytes)::BIGINT AS shard_bytes,
+               MIN(doc_id) AS min_doc,
+               MAX(doc_id) AS max_doc
+        FROM assigned
+        GROUP BY modality, shard_id
+        ORDER BY modality, shard_id
+    """,
     # replays the generation formulas (not the bytes): a wrong byte in
     # the JVM encode or header parse breaks the match
     "mm_payload_stats": """
