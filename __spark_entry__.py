@@ -79,6 +79,11 @@ _GATE_PRIORITY = [
     "stream_checkpoint_recovery",
     "q_incremental_rollup",
     "mm_shard_pack",
+    "text_gopher_filter",
+    "dedup_segments",
+    "sample_reservoir",
+    "q_zorder_layout",
+    "q_hll_partial_rollup",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

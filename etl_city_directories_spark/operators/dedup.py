@@ -1000,3 +1000,106 @@ ORACLES["dedup_report"] = f"""{_CC_CTES},
         GROUP BY source
         ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# r04 session 2: segment-granular exact dedup (Lee et al. 2022 EXACTSUBSTR,
+# at fixed-window granularity)
+# ---------------------------------------------------------------------------
+
+SEGMENT_WORDS = 8
+SEGMENT_DUP_FRAC_MAX = 0.5
+
+
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup: split each normalized document into
+    consecutive non-overlapping SEGMENT_WORDS-word segments, hash each,
+    and flag documents whose corpus-duplicated-segment fraction exceeds
+    SEGMENT_DUP_FRAC_MAX. This is the fixed-window form of
+    paragraph/substring dedup (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"), sitting between dedup_exact
+    (whole-doc hash) and dedup_shared_spans (any-position 3-gram spans)
+    in granularity.
+
+    Scale shape: explode is O(words / SEGMENT_WORDS) rows; the only
+    wide ops are one partial-aggregated groupBy on the segment hash
+    (distinct-doc counts) and one hash join back on the same key — no
+    pairwise work at any corpus size, and the segment-hash key is
+    uniform by construction (md5), so no skew."""
+    return segment_stats(load_table_parallel(spark, sf_dir, "documents"))
+
+
+def segment_stats(docs: DataFrame) -> DataFrame:
+    """dedup_segments core over any frame with (doc_id, text)."""
+    norm = norm_col()
+    w = F.split(norm, " ")
+    n_segs_expr = F.ceil(F.size(w) / F.lit(SEGMENT_WORDS)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs_expr - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i * SEGMENT_WORDS + 1, SEGMENT_WORDS))
+        ),
+    )
+    per_seg = docs.select(
+        "doc_id", F.explode(segs).alias("seg_hash")
+    )
+    seg_docs = per_seg.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_seg")
+    )
+    joined = per_seg.join(seg_docs, "seg_hash")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(
+                F.when(F.col("n_docs_with_seg") > 1, 1).otherwise(0)
+            ).alias("n_dup_segs"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_segs").cast("bigint").alias("n_segs"),
+            F.col("n_dup_segs").cast("bigint").alias("n_dup_segs"),
+            F.round(
+                F.col("n_dup_segs").cast("double") / F.col("n_segs"), 4
+            ).alias("dup_seg_frac"),
+            (
+                F.col("n_dup_segs").cast("double") / F.col("n_segs")
+                <= SEGMENT_DUP_FRAC_MAX
+            ).alias("keep"),
+        )
+    )
+
+
+QUERIES["dedup_segments"] = dedup_segments
+
+ORACLES["dedup_segments"] = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ),
+    per_seg AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[i * {SEGMENT_WORDS} + 1 : i * {SEGMENT_WORDS} + {SEGMENT_WORDS}],
+               ' ')) AS seg_hash
+      FROM docs,
+           LATERAL (SELECT unnest(generate_series(
+             0, CAST(ceil(len(w) / {SEGMENT_WORDS}.0) AS INT) - 1)) AS i)
+    ),
+    seg_docs AS (
+      SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs_with_seg
+      FROM per_seg GROUP BY seg_hash
+    )
+    SELECT p.doc_id,
+           COUNT(*)::BIGINT AS n_segs,
+           SUM(CASE WHEN s.n_docs_with_seg > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_segs,
+           ROUND(SUM(CASE WHEN s.n_docs_with_seg > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS dup_seg_frac,
+           (SUM(CASE WHEN s.n_docs_with_seg > 1 THEN 1 ELSE 0 END)::DOUBLE
+            / COUNT(*) <= {SEGMENT_DUP_FRAC_MAX}) AS keep
+    FROM per_seg p JOIN seg_docs s USING (seg_hash)
+    GROUP BY p.doc_id
+"""

@@ -910,3 +910,162 @@ ORACLES = {
         ORDER BY lang
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# r04 session 2: z-order layout clustering + mergeable-sketch rollup
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8          # 8 bits per dimension -> 16-bit z-value
+ZORDER_BUCKET_DIV = 256  # 16-bit z-space div 256 -> 256 layout buckets
+_ZORDER_EPOCH = "1992-01-01"
+
+
+def _morton_col(x, y):
+    """16-bit Morton interleave of two 8-bit columns, built as a static
+    chain of shift/mask/or expressions — pure JVM bitwise ops inside
+    whole-stage codegen, and exactly replayable as the same 16-term
+    integer sum in any SQL dialect."""
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout clustering over orders on
+    (o_custkey, o_orderdate) — the multi-dimensional data-layout
+    optimization behind Delta/Iceberg OPTIMIZE ZORDER BY: interleave
+    the bits of both dimensions, range-partition on the interleaved
+    key, and every file's min/max footer stats become narrow in BOTH
+    dimensions at once, so scans filtered on either column skip most
+    files.
+
+    The operator emits the per-bucket layout statistics a table
+    optimizer would write as footer metadata: row count and min/max of
+    each dimension per z-bucket. Because a z-bucket fixes the top
+    ZORDER_BITS/2 bits of each dimension, within-bucket spans are
+    bounded by 2^(ZORDER_BITS/2) - 1 = 15 of 256 dimension values —
+    the data-skipping guarantee, asserted in pytest. Everything is one
+    map-side bit-twiddle plus one partial-aggregated groupBy; the
+    physical write (repartitionByRange(z).sortWithinPartitions(z))
+    shares the identical key and is exercised in tests."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1 << ZORDER_BITS)).cast("int")
+    y = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit(_ZORDER_EPOCH))),
+        F.lit(1 << ZORDER_BITS),
+    ).cast("int")
+    z = _morton_col(x, y)
+    return (
+        orders.select(
+            x.alias("x"), y.alias("y"), (z / F.lit(ZORDER_BUCKET_DIV)).cast("int").alias("zbucket")
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .withColumn("x_span", (F.col("max_x") - F.col("min_x")).cast("bigint"))
+        .withColumn("y_span", (F.col("max_y") - F.col("min_y")).cast("bigint"))
+        .orderBy("zbucket")
+    )
+
+
+HLL_LGK = 12
+
+
+def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 4's hll_sketch_agg / hll_union_agg): build one per-day
+    partial sketch of distinct users per event type, then MERGE the
+    partials into per-type totals — the incremental-rollup pattern for
+    COUNT(DISTINCT) that makes 100 TB dashboards possible (daily
+    partials are tiny, re-aggregation unions sketches instead of
+    rescanning raw events; distinct counts don't sum, sketches do).
+
+    The result carries its own proof obligations: est_direct (one
+    sketch over the raw rows) vs est_merged (union of the daily
+    partials) vs exact_users (countDistinct ground truth). Union of
+    same-lgK HLL sketches is exact w.r.t. the direct sketch, so
+    merged_matches_direct must be uniformly true; rel_err vs exact is
+    bounded by HLL accuracy at lgK=12 (~1.6% RSE), asserted with
+    tolerance in pytest. No DuckDB oracle — DataSketches binaries are
+    not replayable there — so this key is rows-only by SURVEY
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    partials = (
+        ev.select("event_type", day, "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
+        ).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("est_merged").cast("bigint").alias("est_merged"),
+            F.col("est_direct").cast("bigint").alias("est_direct"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            (F.col("est_merged") == F.col("est_direct")).alias(
+                "merged_matches_direct"
+            ),
+            F.round(
+                F.abs(F.col("est_merged") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q_zorder_layout"] = q_zorder_layout
+QUERIES["q_hll_partial_rollup"] = q_hll_partial_rollup
+
+ORACLES["q_zorder_layout"] = f"""
+    WITH pts AS (
+      SELECT o_custkey % {1 << ZORDER_BITS} AS x,
+             date_diff('day', DATE '{_ZORDER_EPOCH}', o_orderdate)
+               % {1 << ZORDER_BITS} AS y
+      FROM orders
+    ),
+    zed AS (
+      SELECT x, y, ({_morton_sql("x", "y")}) // {ZORDER_BUCKET_DIV} AS zbucket
+      FROM pts
+    )
+    SELECT zbucket::INT AS zbucket,
+           COUNT(*)::BIGINT AS n_rows,
+           MIN(x)::INT AS min_x, MAX(x)::INT AS max_x,
+           MIN(y)::INT AS min_y, MAX(y)::INT AS max_y,
+           (MAX(x) - MIN(x))::BIGINT AS x_span,
+           (MAX(y) - MIN(y))::BIGINT AS y_span
+    FROM zed
+    GROUP BY zbucket
+    ORDER BY zbucket
+"""

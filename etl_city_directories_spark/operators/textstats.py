@@ -1388,3 +1388,150 @@ def _pipeline_oracle() -> str:
 
 
 ORACLES["corpus_prepare_pipeline"] = _pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
+# r04 session 2: Gopher-rule quality gate + deterministic reservoir sample
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MIN_DISTINCT_FRAC = 0.3
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_cols() -> list[Column]:
+    """The six Gopher-gate signal columns over a ``text`` column —
+    factored so synthetic frames unit-test the rule boundaries the
+    same way mojibake_cols does."""
+    norm = norm_col()
+    w = _words(norm)
+    n_words = F.size(w).cast("bigint")
+    mean_wl = F.round(
+        (F.length(norm) - (n_words - F.lit(1))).cast("double")
+        / n_words.cast("double"),
+        4,
+    )
+    hash_chars = F.length(norm) - F.length(F.regexp_replace(norm, "#", ""))
+    ellipses = F.floor(
+        (F.length(norm) - F.length(F.regexp_replace(norm, r"\.\.\.", ""))) / 3
+    )
+    symbol_ratio = F.round(
+        (hash_chars + ellipses).cast("double") / n_words.cast("double"), 4
+    )
+    distinct_frac = F.round(
+        F.size(F.array_distinct(w)).cast("double") / n_words.cast("double"), 4
+    )
+    stop_hits = _hits(w, "en")
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MWL_MIN, GOPHER_MWL_MAX)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (distinct_frac >= GOPHER_MIN_DISTINCT_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        distinct_frac.alias("distinct_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    ]
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style structural quality gate (Rae et al. 2021, Table A1
+    minus the repetition block, which text_repetition_stats owns):
+    word-count bounds, mean-word-length band, symbol-to-word ratio,
+    lexical diversity (distinct-word fraction), and minimum stopword
+    evidence, folded into one keep flag.
+
+    Everything is a map-side column expression over the split word
+    list — zero shuffle, whole-stage-codegen'd, the ideal 100 TB
+    filter shape (this gate typically runs FIRST in a corpus funnel
+    precisely because it is the cheapest). Mean word length uses the
+    single-spaced norm identity chars_excl_spaces = len(norm) -
+    (n_words - 1), avoiding a per-word aggregate. Plain ``load_table``
+    (like text_mojibake_stats): a widening repartition would insert
+    the only exchange in an otherwise shuffle-free plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *gopher_cols())
+
+
+RESERVOIR_K = 100
+
+
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed reservoir sample of K docs: bottom-K
+    by md5(doc_id). Bottom-K-by-random-priority IS reservoir sampling
+    (same output law); with a hash as the priority it is additionally
+    rerun-stable and mergeable — each partition keeps its local
+    bottom-K and the driver merges K-sized heaps, which is exactly
+    Spark's TakeOrderedAndProject physical operator, so no full sort
+    and no full shuffle ever happens. The post-limit rank window runs
+    over K rows only."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    picked = (
+        docs.select("doc_id", "lang", "source", key.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(RESERVOIR_K)
+    )
+    w = Window.orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+    return picked.withColumn(
+        "sample_rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+QUERIES["text_gopher_filter"] = text_gopher_filter
+QUERIES["sample_reservoir"] = sample_reservoir
+
+ORACLES["text_gopher_filter"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+        len({_W})::BIGINT AS n_words,
+        length({_NORM}) AS n_chars,
+        length({_NORM}) - length(replace({_NORM}, '#', '')) AS hash_chars,
+        (length({_NORM}) - length(replace({_NORM}, '...', ''))) // 3
+          AS ellipses,
+        len(list_distinct({_W})) AS n_distinct,
+        {_hits_sql("en")} AS stop_hits
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+        ROUND((n_chars - (n_words - 1))::DOUBLE / n_words::DOUBLE, 4)
+          AS mean_word_len,
+        ROUND((hash_chars + ellipses)::DOUBLE / n_words::DOUBLE, 4)
+          AS symbol_ratio,
+        ROUND(n_distinct::DOUBLE / n_words::DOUBLE, 4) AS distinct_frac,
+        stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, distinct_frac,
+      stop_hits,
+      (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+       AND mean_word_len BETWEEN {GOPHER_MWL_MIN} AND {GOPHER_MWL_MAX}
+       AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND distinct_frac >= {GOPHER_MIN_DISTINCT_FRAC}
+       AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+    FROM r
+"""
+
+ORACLES["sample_reservoir"] = f"""
+    SELECT doc_id, lang, source, priority,
+           ROW_NUMBER() OVER (ORDER BY priority, doc_id)::BIGINT
+             AS sample_rank
+    FROM (
+      SELECT doc_id, lang, source, md5(doc_id::VARCHAR) AS priority
+      FROM documents
+      ORDER BY priority, doc_id
+      LIMIT {RESERVOIR_K}
+    )
+"""

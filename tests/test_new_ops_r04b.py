@@ -1,0 +1,191 @@
+"""Unit coverage for the second r04 batch: Gopher structural quality
+gate, deterministic reservoir sampling, segment-granular dedup,
+z-order layout clustering, and mergeable HLL sketch rollups."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.operators.dedup import (
+    SEGMENT_DUP_FRAC_MAX,
+    dedup_segments,
+    segment_stats,
+)
+from etl_city_directories_spark.operators.scale_ops import (
+    ZORDER_BITS,
+    _morton_col,
+    q_hll_partial_rollup,
+    q_zorder_layout,
+)
+from etl_city_directories_spark.operators.textstats import (
+    GOPHER_MIN_DISTINCT_FRAC,
+    GOPHER_MIN_STOP_HITS,
+    GOPHER_MIN_WORDS,
+    GOPHER_MWL_MAX,
+    GOPHER_MWL_MIN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    RESERVOIR_K,
+    gopher_cols,
+    sample_reservoir,
+    text_gopher_filter,
+)
+from etl_city_directories_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_filter
+# ---------------------------------------------------------------------------
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and the crew of "
+    "the little boat sails far beyond the wide bay tonight"
+)  # 23 words, mean length ~4, diverse, stopword-rich
+
+
+def test_gopher_rule_boundaries(spark):
+    rows = [
+        (0, GOOD),                                # passes every rule
+        (1, "the a of and to"),                   # too short
+        (2, ("aa " * 30).strip()),                # diversity + stopwords fail
+        (3, GOOD + " ### ... ### ... ###"),       # symbol ratio fails
+        (4, " ".join("wonderfulness%d" % i for i in range(25))
+            + " the a of and to"),                # mean word length > 10
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in df.select("doc_id", *gopher_cols()).collect()}
+    assert got[0].keep
+    assert got[0].stop_hits >= GOPHER_MIN_STOP_HITS
+    assert not got[1].keep and got[1].n_words < GOPHER_MIN_WORDS
+    assert not got[2].keep
+    assert got[2].distinct_frac < GOPHER_MIN_DISTINCT_FRAC
+    assert not got[3].keep and got[3].symbol_ratio > GOPHER_MAX_SYMBOL_RATIO
+    assert not got[4].keep and got[4].mean_word_len > GOPHER_MWL_MAX
+
+
+def test_gopher_keep_consistent_with_signals(spark):
+    for r in text_gopher_filter(spark, SF).collect():
+        expect = (
+            GOPHER_MIN_WORDS <= r.n_words
+            and GOPHER_MWL_MIN <= r.mean_word_len <= GOPHER_MWL_MAX
+            and r.symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+            and r.distinct_frac >= GOPHER_MIN_DISTINCT_FRAC
+            and r.stop_hits >= GOPHER_MIN_STOP_HITS
+        )
+        assert r.keep == expect, r
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir
+# ---------------------------------------------------------------------------
+
+def test_reservoir_matches_python_bottom_k(spark):
+    ids = [r.doc_id for r in load_table(spark, SF, "documents").select("doc_id").collect()]
+    expect = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:RESERVOIR_K]
+    got = sample_reservoir(spark, SF).orderBy("sample_rank").collect()
+    assert [r.doc_id for r in got] == expect
+    assert [r.sample_rank for r in got] == list(range(1, len(expect) + 1))
+    # priorities are non-decreasing in rank order
+    pris = [r.priority for r in got]
+    assert pris == sorted(pris)
+
+
+def test_reservoir_is_nested(spark):
+    """Bottom-K sampling is composable: the bottom-10 is a strict
+    prefix of the bottom-K sample — the property that lets nested
+    corpus subsets share one hash pass."""
+    got = sample_reservoir(spark, SF).orderBy("sample_rank").collect()
+    small = [r.doc_id for r in got[:10]]
+    assert small == [r.doc_id for r in got][:10]
+
+
+# ---------------------------------------------------------------------------
+# dedup_segments
+# ---------------------------------------------------------------------------
+
+def test_dedup_segments_invariants(spark):
+    for r in dedup_segments(spark, SF_CORRECT).collect():
+        assert 0 <= r.n_dup_segs <= r.n_segs
+        assert r.keep == (r.dup_seg_frac <= SEGMENT_DUP_FRAC_MAX)
+
+
+def test_dedup_segments_synthetic(spark):
+    base = " ".join("word%d" % i for i in range(16))  # exactly 2 segments
+    rows = [
+        (0, base),                                      # clone of 1
+        (1, base),
+        (2, base + " " + " ".join("tail%d" % i for i in range(8))),
+        (3, " ".join("other%d" % i for i in range(16))),  # unique
+    ]
+    got = {
+        r.doc_id: r
+        for r in segment_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # exact clones: every segment duplicated → dropped
+    assert got[0].dup_seg_frac == 1.0 and not got[0].keep
+    assert got[1].dup_seg_frac == 1.0 and not got[1].keep
+    # doc 2 shares the 2 base-aligned segments, owns its 1-segment tail
+    assert got[2].n_segs == 3 and got[2].n_dup_segs == 2
+    assert not got[2].keep  # 2/3 > 0.5
+    # unique doc keeps everything
+    assert got[3].n_dup_segs == 0 and got[3].keep
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_layout
+# ---------------------------------------------------------------------------
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    rows = q_zorder_layout(spark, SF_CORRECT).collect()
+    assert rows
+    span_bound = (1 << (ZORDER_BITS // 2)) - 1  # top nibble fixed per bucket
+    for r in rows:
+        assert 0 <= r.zbucket < 256
+        assert r.x_span <= span_bound, r
+        assert r.y_span <= span_bound, r
+
+
+def test_zorder_range_partition_write_is_disjoint(spark):
+    """The physical layout path: range-partitioning on the z-value
+    yields pairwise-disjoint z-ranges per output partition (what makes
+    every written file's footer min/max narrow in both dimensions)."""
+    orders = load_table(spark, SF_CORRECT, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(1 << ZORDER_BITS)).cast("int")
+    y = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+        F.lit(1 << ZORDER_BITS),
+    ).cast("int")
+    parts = (
+        orders.select(_morton_col(x, y).alias("z"))
+        .repartitionByRange(16, "z")
+        .select(F.spark_partition_id().alias("pid"), "z")
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(parts) > 1
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi <= b.lo, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# q_hll_partial_rollup
+# ---------------------------------------------------------------------------
+
+def test_hll_merge_equals_direct_and_tracks_exact(spark):
+    rows = q_hll_partial_rollup(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_matches_direct, r
+        assert r.n_days >= 1
+        assert r.exact_users > 0
+        assert r.rel_err <= 0.05, r  # lgK=12 → ~1.6% RSE; 3σ margin

@@ -327,3 +327,37 @@ def test_validate_schema_single_agg_pass(spark):
     v = plan_of(QUERIES["cd_validate_schema"](spark, SF))
     t = plan_of(QUERIES["cd_transform_objects"](spark, SF))
     assert v.count(") Scan parquet") == t.count(") Scan parquet"), v
+
+
+def test_gopher_filter_is_pure_map_side(spark):
+    """The structural quality gate must be a zero-exchange scan —
+    the cheapest stage of the corpus funnel stays embarrassingly
+    parallel."""
+    plan = plan_of(QUERIES["text_gopher_filter"](spark, SF))
+    assert ") Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reservoir_uses_partial_top_k(spark):
+    """Bottom-K-by-hash must compile to TakeOrderedAndProject (each
+    partition keeps a local K-heap; the driver merges heaps) — never a
+    global sort of the corpus."""
+    plan = plan_of(QUERIES["sample_reservoir"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zorder_layout_single_shuffle_no_python(spark):
+    """The bit-interleave chain is pure JVM codegen; the only wide op
+    is the partial-aggregated bucket rollup (+ its result ordering)."""
+    plan = plan_of(QUERIES["q_zorder_layout"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_hll_rollup_ships_sketches_not_values(spark):
+    """The day→type re-aggregation must merge sketch partials: the
+    second shuffle carries hll_union_agg partial state, not raw
+    user_ids."""
+    plan = plan_of(QUERIES["q_hll_partial_rollup"](spark, SF))
+    assert "hll_union_agg" in plan, plan
+    assert "partial_hll_sketch_agg" in plan or "hll_sketch_agg" in plan

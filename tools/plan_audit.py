@@ -25,6 +25,10 @@ from etl_city_directories_spark.session import get_spark
 # ops that legitimately run Python (pandas UDF / mapInPandas)
 PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta",
              "hocr_parse",
+             # Spark 4 Python Data Source: the executor-side archive
+             # reader IS Python by construction (same decode as
+             # hocr_parse, surfaced through the DataSource API)
+             "hocr_source_v2",
              # trained-perceptron decode: broadcast weights + Arrow-batched
              # mapInPandas IS the operator (the reference shells to a CRF)
              "cd_parse_tagged"}

@@ -50,6 +50,9 @@ OPS = [
     "pack_sequences",
     "text_mojibake_stats",
     "graph_pagerank_dupes",
+    "dedup_segments",
+    "text_gopher_filter",
+    "sample_reservoir",
 ]
 
 
