@@ -84,6 +84,9 @@ _GATE_PRIORITY = [
     "sample_reservoir",
     "q_zorder_layout",
     "q_hll_partial_rollup",
+    "ann_rrf_hybrid",
+    "q_cdc_apply",
+    "q_snapshot_diff",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -1069,3 +1069,188 @@ ORACLES["q_zorder_layout"] = f"""
     GROUP BY zbucket
     ORDER BY zbucket
 """
+
+
+# ---------------------------------------------------------------------------
+# r04 session 2: CDC apply + snapshot reconciliation
+# ---------------------------------------------------------------------------
+
+# event_type → change-op code (stand-in for a Debezium/Delta-CDF `op`
+# column: the testdata has no real op codes, so the mapping is fixed
+# and documented — the operator's semantics are the point)
+_CDC_OPS = {"signup": "I", "purchase": "U", "error": "D"}
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture feed to materialize current state —
+    the Delta/Iceberg MERGE-from-CDF pattern: for each key take the
+    LATEST op in (ts, event_id) order; a trailing delete removes the
+    key, otherwise the last insert/update wins. One window pass
+    partitioned by the key (the only shuffle, on the merge key — the
+    same exchange a MERGE INTO would perform), then a partial-agg'd
+    per-key rollup of op counts.
+
+    At 100 TB the feed would be partitioned by key range and this plan
+    is unchanged: no driver-side state, ties impossible (event_id is
+    unique), and the window + groupBy share the user_id exchange."""
+    op = F.create_map(
+        *[F.lit(x) for kv in _CDC_OPS.items() for x in kv]
+    )[F.col("event_type")]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_CDC_OPS))
+        .select("user_id", "ts", "event_id", "value", op.alias("op"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    state = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+        F.max(F.when(F.col("rn") == 1, F.col("op"))).alias("last_op"),
+        F.max(F.when(F.col("rn") == 1, F.round("value", 2))).alias(
+            "last_value"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("ts"))).alias("last_ts"),
+    )
+    return (
+        state.filter(F.col("last_op") != "D")
+        .select(
+            "user_id",
+            "last_op",
+            "last_value",
+            "last_ts",
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("n_inserts").cast("bigint").alias("n_inserts"),
+            F.col("n_updates").cast("bigint").alias("n_updates"),
+            F.col("n_deletes").cast("bigint").alias("n_deletes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SNAP_A = ("2024-01-08", "2024-01-15")
+_SNAP_B = ("2024-01-22", "2024-01-29")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): classify every key as
+    added / removed / changed / unchanged between two per-key activity
+    snapshots — the data-quality primitive behind migration validation
+    and replica drift checks. Each snapshot is one partial-aggregated
+    scan; the diff is a single full-outer hash join on the key, and
+    the classification is a map-side CASE over the joined row. At
+    100 TB both aggregates and the join shuffle on the same key, so
+    AQE coalesces the exchanges; nothing is collected.
+
+    Absent keys surface as zero-count rows (COALESCE) rather than
+    nullable metric columns, so the added/removed classes stay typed
+    and cross-engine hashing is stable."""
+
+    def snap(lo: str, hi: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "events")
+            .filter(
+                (F.col("ts") >= F.to_timestamp(F.lit(lo)))
+                & (F.col("ts") < F.to_timestamp(F.lit(hi)))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total"),
+            )
+        )
+
+    a = snap(*_SNAP_A).select(
+        "user_id", F.col("n").alias("n_a"), F.col("total").alias("sum_a")
+    )
+    b = snap(*_SNAP_B).select(
+        "user_id", F.col("n").alias("n_b"), F.col("total").alias("sum_b")
+    )
+    j = a.join(b, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce("sum_a", F.lit(0.0)).alias("sum_a"),
+        F.coalesce("sum_b", F.lit(0.0)).alias("sum_b"),
+    )
+    status = (
+        F.when(F.col("n_a") == 0, "added")
+        .when(F.col("n_b") == 0, "removed")
+        .when(
+            (F.col("n_a") != F.col("n_b"))
+            | (F.col("sum_a") != F.col("sum_b")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.withColumn("status", status).orderBy("user_id")
+
+
+QUERIES["q_cdc_apply"] = q_cdc_apply
+QUERIES["q_snapshot_diff"] = q_snapshot_diff
+
+_CDC_OP_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in _CDC_OPS.items()
+) + " END"
+
+ORACLES["q_cdc_apply"] = f"""
+    WITH feed AS (
+      SELECT user_id, ts, event_id, value, {_CDC_OP_CASE} AS op,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+      WHERE event_type IN ({", ".join(f"'{k}'" for k in _CDC_OPS)})
+    ),
+    state AS (
+      SELECT user_id,
+             COUNT(*)::BIGINT AS n_ops,
+             SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END)::BIGINT AS n_inserts,
+             SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS n_updates,
+             SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
+             MAX(CASE WHEN rn = 1 THEN op END) AS last_op,
+             MAX(CASE WHEN rn = 1 THEN ROUND(value, 2) END) AS last_value,
+             MAX(CASE WHEN rn = 1 THEN ts END) AS last_ts
+      FROM feed GROUP BY user_id
+    )
+    SELECT user_id, last_op, last_value, last_ts,
+           n_ops, n_inserts, n_updates, n_deletes
+    FROM state WHERE last_op != 'D'
+    ORDER BY user_id
+"""
+
+ORACLES["q_snapshot_diff"] = f"""
+    WITH a AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n_a,
+             ROUND(SUM(value), 2) AS sum_a
+      FROM events
+      WHERE ts >= TIMESTAMP '{_SNAP_A[0]}' AND ts < TIMESTAMP '{_SNAP_A[1]}'
+      GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n_b,
+             ROUND(SUM(value), 2) AS sum_b
+      FROM events
+      WHERE ts >= TIMESTAMP '{_SNAP_B[0]}' AND ts < TIMESTAMP '{_SNAP_B[1]}'
+      GROUP BY user_id
+    ),
+    j AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             COALESCE(n_a, 0)::BIGINT AS n_a,
+             COALESCE(n_b, 0)::BIGINT AS n_b,
+             COALESCE(sum_a, 0.0) AS sum_a,
+             COALESCE(sum_b, 0.0) AS sum_b
+      FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    )
+    SELECT user_id, n_a, n_b, sum_a, sum_b,
+           CASE WHEN n_a = 0 THEN 'added'
+                WHEN n_b = 0 THEN 'removed'
+                WHEN n_a != n_b OR sum_a != sum_b THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j
+    ORDER BY user_id
+"""

@@ -830,3 +830,181 @@ ORACLES = {
 }
 
 ORACLES["ann_pq_adc"] = _pq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# r04 session 2: hybrid retrieval — reciprocal-rank fusion of the
+# lexical and vector rankers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60   # the standard RRF damping constant (Cormack et al. 2009)
+RRF_TOP = 5
+
+
+def ann_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: fuse a lexical ranking (3-gram shingle jaccard
+    between the probe document's text and every candidate) with a
+    vector ranking (embedding cosine) by reciprocal-rank fusion,
+    score = Σ 1/(RRF_K + rank_modality) — the standard way modern
+    retrieval stacks combine BM25-ish and dense scores without tuning
+    a weight (Cormack et al. 2009; both ranks are scale-free so no
+    score normalization is needed).
+
+    Both rankers broadcast the capped probe set and stream the corpus
+    once (the brute-force baseline shape); at 100 TB each ranker's
+    candidate universe would come from its index (inverted-index
+    top-k / IVF cells) and the fusion join — keyed on (probe_id,
+    neighbor_id), both sides already ranked — is unchanged. Ranks are
+    computed on rounded scores (cos 6dp, jaccard 4dp) with
+    neighbor_id tie-break, so both engines rank identically; the RRF
+    score is then a pure function of two integer ranks."""
+    from etl_city_directories_spark.operators.dedup import (
+        norm_col,
+        shingles_col,
+    )
+    from etl_city_directories_spark.sources.tables import load_table
+
+    # --- vector ranking over the full corpus (minus self) ---
+    vecs = _vectors(spark, sf_dir)
+    vprobes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pn"),
+    )
+    vpairs = (
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .join(F.broadcast(vprobes), F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                _cos(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")), 6
+            ).alias("cos_r6"),
+        )
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_r6"), F.asc("neighbor_id")
+    )
+    rv = vpairs.withColumn("rank_vec", F.row_number().over(wv))
+
+    # --- lexical ranking: probe text vs candidate text. Broadcast the
+    # capped probe shingle-sets, one per-pair set intersect/union on
+    # the corpus scan. (An inverted-index posting join was measured
+    # 2.5× SLOWER on this corpus — its tiny vocabulary makes shingles
+    # near-universal, so postings fan out quadratically; per-pair set
+    # ops bound the work at |probes| × corpus, the same shape as the
+    # cosine side.)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingles_col(norm_col()).alias("sh")
+    )
+    tprobes = docs.filter(F.col("doc_id") < N_PROBES).select(
+        F.col("doc_id").alias("probe_id"), F.col("sh").alias("psh")
+    )
+    jac = F.round(
+        F.size(F.array_intersect(F.col("sh"), F.col("psh"))).cast("double")
+        / F.size(F.array_union(F.col("sh"), F.col("psh"))).cast("double"),
+        4,
+    )
+    lpairs = (
+        docs.withColumnRenamed("doc_id", "neighbor_id")
+        .join(F.broadcast(tprobes), F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", jac.alias("jac"))
+    )
+    wl = Window.partitionBy("probe_id").orderBy(
+        F.desc("jac"), F.asc("neighbor_id")
+    )
+    rl = lpairs.withColumn("rank_lex", F.row_number().over(wl))
+
+    # --- fuse ---
+    fused = rv.select("probe_id", "neighbor_id", "rank_vec").join(
+        rl.select("probe_id", "neighbor_id", "rank_lex"),
+        ["probe_id", "neighbor_id"],
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec"))
+        + F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")),
+        6,
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("rank_vec").cast("bigint").alias("rank_vec"),
+            F.col("rank_lex").cast("bigint").alias("rank_lex"),
+            "rrf_score",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )
+
+
+QUERIES["ann_rrf_hybrid"] = ann_rrf_hybrid
+
+
+def _rrf_oracle() -> str:
+    from etl_city_directories_spark.operators.dedup import SHINGLE_CTE
+
+    cos = (
+        "list_reduce(list_transform(list_zip(p.v, c.v), x -> x[1] * x[2]),"
+        " (a, b) -> a + b) / (sqrt(p.nrm) * sqrt(c.nrm))"
+    )
+    jac = (
+        "ROUND(len(list_intersect(c.shingles, p.shingles))::DOUBLE"
+        " / len(list_distinct(list_cat(c.shingles, p.shingles)))::DOUBLE, 4)"
+    )
+    return f"""
+        WITH {SHINGLE_CTE},
+        vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b) AS nrm
+          FROM embeddings
+        ),
+        rv AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY ROUND({cos}, 6) DESC, c.vec_id
+                 ) AS rank_vec
+          FROM vecs p JOIN vecs c
+            ON p.vec_id < {N_PROBES} AND c.vec_id != p.vec_id
+        ),
+        rl AS (
+          SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.doc_id
+                   ORDER BY {jac} DESC, c.doc_id
+                 ) AS rank_lex
+          FROM shingled p JOIN shingled c
+            ON p.doc_id < {N_PROBES} AND c.doc_id != p.doc_id
+        ),
+        fused AS (
+          SELECT rv.probe_id, rv.neighbor_id, rank_vec, rank_lex,
+                 ROUND(1.0 / ({RRF_K} + rank_vec)
+                       + 1.0 / ({RRF_K} + rank_lex), 6) AS rrf_score
+          FROM rv JOIN rl
+            ON rv.probe_id = rl.probe_id AND rv.neighbor_id = rl.neighbor_id
+        )
+        SELECT probe_id, neighbor_id, rank_vec::BIGINT AS rank_vec,
+               rank_lex::BIGINT AS rank_lex, rrf_score,
+               fused_rank::BIGINT AS fused_rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY rrf_score DESC, neighbor_id
+                 ) AS fused_rank
+          FROM fused
+        ) WHERE fused_rank <= {RRF_TOP}
+    """
+
+
+ORACLES["ann_rrf_hybrid"] = _rrf_oracle()

@@ -1,6 +1,7 @@
 """Unit coverage for the second r04 batch: Gopher structural quality
 gate, deterministic reservoir sampling, segment-granular dedup,
-z-order layout clustering, and mergeable HLL sketch rollups."""
+z-order layout clustering, mergeable HLL sketch rollups, RRF hybrid
+retrieval, CDC apply, and snapshot reconciliation."""
 
 from __future__ import annotations
 
@@ -189,3 +190,80 @@ def test_hll_merge_equals_direct_and_tracks_exact(spark):
         assert r.n_days >= 1
         assert r.exact_users > 0
         assert r.rel_err <= 0.05, r  # lgK=12 → ~1.6% RSE; 3σ margin
+
+
+# ---------------------------------------------------------------------------
+# ann_rrf_hybrid / q_cdc_apply / q_snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_rrf_hybrid_score_is_pure_rank_function(spark):
+    from etl_city_directories_spark.operators.similarity import (
+        RRF_K,
+        RRF_TOP,
+        ann_rrf_hybrid,
+    )
+
+    rows = ann_rrf_hybrid(spark, SF).collect()
+    assert rows
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r.rank_vec >= 1 and r.rank_lex >= 1
+        expect = round(1.0 / (RRF_K + r.rank_vec) + 1.0 / (RRF_K + r.rank_lex), 6)
+        assert abs(r.rrf_score - expect) < 1e-9, r
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, rs in by_probe.items():
+        ranks = sorted(x.fused_rank for x in rs)
+        assert ranks == list(range(1, RRF_TOP + 1)), probe
+        ordered = sorted(rs, key=lambda x: x.fused_rank)
+        scores = [x.rrf_score for x in ordered]
+        assert scores == sorted(scores, reverse=True), probe
+
+
+def test_cdc_apply_matches_python_replay(spark):
+    from etl_city_directories_spark.operators.scale_ops import (
+        _CDC_OPS,
+        q_cdc_apply,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin(*_CDC_OPS))
+        .select("user_id", "ts", "event_id", "value", "event_type")
+        .collect()
+    )
+    last: dict[int, tuple] = {}
+    counts: dict[int, int] = {}
+    for r in ev:
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+        key = (r.ts, r.event_id)
+        if r.user_id not in last or key > last[r.user_id][0]:
+            last[r.user_id] = (key, _CDC_OPS[r.event_type], round(r.value, 2))
+    expect = {
+        u: (t[1], t[2], counts[u]) for u, t in last.items() if t[1] != "D"
+    }
+    got = {r.user_id: (r.last_op, r.last_value, r.n_ops) for r in q_cdc_apply(spark, SF).collect()}
+    assert got == expect
+    # deleted keys really are absent
+    deleted = {u for u, t in last.items() if t[1] == "D"}
+    assert deleted.isdisjoint(got)
+    assert deleted, "sf0.001 should contain trailing deletes"
+
+
+def test_snapshot_diff_classification(spark):
+    from etl_city_directories_spark.operators.scale_ops import q_snapshot_diff
+
+    rows = q_snapshot_diff(spark, SF_CORRECT).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        if r.n_a == 0:
+            expect = "added"
+        elif r.n_b == 0:
+            expect = "removed"
+        elif r.n_a != r.n_b or r.sum_a != r.sum_b:
+            expect = "changed"
+        else:
+            expect = "unchanged"
+        assert r.status == expect, r
+        seen.add(r.status)
+    assert {"added", "removed", "changed"} & seen, seen

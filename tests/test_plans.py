@@ -361,3 +361,27 @@ def test_hll_rollup_ships_sketches_not_values(spark):
     plan = plan_of(QUERIES["q_hll_partial_rollup"](spark, SF))
     assert "hll_union_agg" in plan, plan
     assert "partial_hll_sketch_agg" in plan or "hll_sketch_agg" in plan
+
+
+def test_cdc_apply_shares_the_key_exchange(spark):
+    """The latest-op window and the per-key rollup must ride ONE
+    user_id hash exchange (the second exchange is the presentation
+    ordering) — the same single-shuffle contract as a MERGE INTO."""
+    plan = plan_of(QUERIES["q_cdc_apply"](spark, SF))
+    assert plan.count(") Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_is_join_not_cartesian(spark):
+    """Reconciliation must be a keyed full-outer join — never a
+    cartesian compare."""
+    plan = plan_of(QUERIES["q_snapshot_diff"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_rrf_fused_topk_uses_window_group_limit(spark):
+    """The fused top-K must benefit from WindowGroupLimit (map-side
+    rank pruning before the final filter)."""
+    plan = plan_of(QUERIES["ann_rrf_hybrid"](spark, SF))
+    assert "WindowGroupLimit" in plan, plan

@@ -38,6 +38,9 @@ PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta
 # subquery — broadcasting one row is free at any scale)
 BNLJ_OK = {
     "ann_topk_bruteforce",
+    # both rankers join the corpus against the capped broadcast probe
+    # set on a != condition — the bruteforce-baseline shape
+    "ann_rrf_hybrid",
     "q22_idle_customers",
     # k-means assignment: crossJoin(broadcast(K-row centroid table))
     # is the intended map-side shape (asserted in tests/test_plans.py)

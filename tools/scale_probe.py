@@ -53,6 +53,7 @@ OPS = [
     "dedup_segments",
     "text_gopher_filter",
     "sample_reservoir",
+    "ann_rrf_hybrid",
 ]
 
 
