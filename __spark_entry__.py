@@ -87,6 +87,7 @@ _GATE_PRIORITY = [
     "ann_rrf_hybrid",
     "q_cdc_apply",
     "q_snapshot_diff",
+    "stream_topk",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

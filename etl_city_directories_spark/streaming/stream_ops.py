@@ -1066,8 +1066,56 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FBU_SNAPSHOTS: dict[tuple, str] = {}
 
 
+
+
+STREAM_TOPK = 3
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-K: the hottest STREAM_TOPK event types per hourly
+    window — the live-leaderboard topology. Structured Streaming
+    maintains the per-(window, type) counts as state (rank functions
+    are not streamable, by design: a rank is only final when its
+    window's membership is), and the rank runs as a BATCH query over
+    the materialized complete-mode state — exactly how a production
+    dashboard serves top-K from a streaming aggregate's sink table.
+    The streaming stage shuffles once on the composite state key; the
+    rank stage re-shuffles only the tiny aggregate, with
+    WindowGroupLimit pruning to K per window before the filter.
+    Ties rank by event_type for cross-engine determinism."""
+    from pyspark.sql import Window as W
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _run_to_table(agg, "stream_topk_sink", "complete", state_partitions=8)
+    wr = W.partitionBy("bucket_start_us").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table("stream_topk_sink")
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= STREAM_TOPK)
+        .select(
+            "bucket_start_us",
+            "event_type",
+            "n_events",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("bucket_start_us", "rank")
+    )
+
+
 QUERIES = {
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_topk": stream_topk,
     "stream_sessionize": stream_sessionize,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_sliding_agg": stream_sliding_agg,
@@ -1084,6 +1132,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_topk": """
+        WITH counts AS (
+          SELECT
+            epoch_us(date_trunc('hour', ts)) AS bucket_start_us,
+            event_type,
+            COUNT(*)::BIGINT AS n_events
+          FROM events
+          GROUP BY 1, 2
+        )
+        SELECT bucket_start_us, event_type, n_events, rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY bucket_start_us
+                   ORDER BY n_events DESC, event_type
+                 )::BIGINT AS rank
+          FROM counts
+        ) WHERE rank <= 3
+        ORDER BY bucket_start_us, rank
+    """,
     # identical to the batch twins: one availableNow pass over a finite
     # source reproduces the batch answer exactly.
     "stream_checkpoint_recovery": """

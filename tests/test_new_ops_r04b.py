@@ -267,3 +267,22 @@ def test_snapshot_diff_classification(spark):
         assert r.status == expect, r
         seen.add(r.status)
     assert {"added", "removed", "changed"} & seen, seen
+
+
+def test_stream_topk_leaderboard_shape(spark):
+    from etl_city_directories_spark.streaming.stream_ops import (
+        STREAM_TOPK,
+        stream_topk,
+    )
+
+    rows = stream_topk(spark, SF).collect()
+    assert rows
+    by_win: dict[int, list] = {}
+    for r in rows:
+        by_win.setdefault(r.bucket_start_us, []).append(r)
+    for win, rs in by_win.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= STREAM_TOPK
+        counts = [r.n_events for r in rs]
+        assert counts == sorted(counts, reverse=True), win
