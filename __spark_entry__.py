@@ -88,6 +88,7 @@ _GATE_PRIORITY = [
     "q_cdc_apply",
     "q_snapshot_diff",
     "stream_topk",
+    "text_domain_classify",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -1535,3 +1535,117 @@ ORACLES["sample_reservoir"] = f"""
       LIMIT {RESERVOIR_K}
     )
 """
+
+
+def text_domain_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain classification by per-source unigram language models —
+    the mixing-pipeline step that routes unlabeled documents to a
+    domain (DoReMi/DSIR-style importance routing, in its naive-Bayes
+    form): score every document against each source's add-1-smoothed
+    unigram LM and take the argmax.
+
+    Plan shape: one token explode, one (source, word) count shuffle,
+    then the scoring join broadcasts the LM matrix (at production
+    scale the per-source vocab is capped to the top-V words, keeping
+    the broadcast bounded) and re-aggregates on (doc, source) — the
+    naive-Bayes score-all-classes cost is a constant |sources| factor
+    on the token stream, never a second corpus pass. Log-probs are
+    quantized to decimal(18,8) before summation (same device as
+    text_unigram_logprob) so the per-engine sums are bit-identical;
+    the argmax tie-breaks on source name."""
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_words(norm_col())).alias("w")
+    )
+    counts = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("source").agg(F.sum("cnt").alias("nts"))
+    vsize = counts.select("w").distinct().select(
+        F.count(F.lit(1)).alias("v")
+    )
+    words = counts.select("w").distinct()
+    matrix = (
+        words.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "w",
+            F.col("source").alias("lm_source"),
+            F.log(
+                (F.coalesce("cnt", F.lit(0)) + 1).cast("double")
+                / (F.col("nts") + F.col("v")).cast("double")
+            )
+            .cast("decimal(18,8)")
+            .alias("lp"),
+        )
+    )
+    scores = (
+        toks.join(F.broadcast(matrix), "w")
+        .groupBy("doc_id", "lm_source")
+        .agg(F.sum("lp").alias("score"), F.count(F.lit(1)).alias("n_toks"))
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("lm_source")
+    )
+    best = scores.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        best.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("lm_source").alias("pred_source"),
+            F.round(
+                F.col("score").cast("double") / F.col("n_toks").cast("double"),
+                4,
+            ).alias("mean_lp"),
+            F.col("source").alias("actual_source"),
+            (F.col("lm_source") == F.col("source")).alias("is_correct"),
+        )
+    )
+
+
+QUERIES["text_domain_classify"] = text_domain_classify
+
+ORACLES["text_domain_classify"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST({_W}) AS w FROM documents
+    ),
+    counts AS (
+      SELECT source, w, COUNT(*) AS cnt FROM toks GROUP BY source, w
+    ),
+    totals AS (
+      SELECT source, SUM(cnt) AS nts FROM counts GROUP BY source
+    ),
+    vsize AS (
+      SELECT COUNT(DISTINCT w) AS v FROM counts
+    ),
+    matrix AS (
+      SELECT ws.w, t.source AS lm_source,
+             CAST(ln((COALESCE(c.cnt, 0) + 1)::DOUBLE
+                     / (t.nts + vsize.v)::DOUBLE) AS DECIMAL(18,8)) AS lp
+      FROM (SELECT DISTINCT w FROM counts) ws
+      CROSS JOIN totals t
+      CROSS JOIN vsize
+      LEFT JOIN counts c ON c.source = t.source AND c.w = ws.w
+    ),
+    scores AS (
+      SELECT toks.doc_id, m.lm_source,
+             SUM(m.lp) AS score, COUNT(*) AS n_toks
+      FROM toks JOIN matrix m ON m.w = toks.w
+      GROUP BY toks.doc_id, m.lm_source
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, lm_source
+             ) AS rk
+      FROM scores
+    )
+    SELECT b.doc_id, b.lm_source AS pred_source,
+           ROUND(b.score::DOUBLE / b.n_toks::DOUBLE, 4) AS mean_lp,
+           d.source AS actual_source,
+           (b.lm_source = d.source) AS is_correct
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rk = 1
+"""

@@ -286,3 +286,17 @@ def test_stream_topk_leaderboard_shape(spark):
         assert len(rs) <= STREAM_TOPK
         counts = [r.n_events for r in rs]
         assert counts == sorted(counts, reverse=True), win
+
+
+def test_domain_classify_argmax_invariants(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_domain_classify,
+    )
+
+    rows = text_domain_classify(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == n_docs  # exactly one routing decision per doc
+    for r in rows:
+        assert r.mean_lp < 0  # log-probs
+        assert r.is_correct == (r.pred_source == r.actual_source)
+        assert r.pred_source.startswith("src")

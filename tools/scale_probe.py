@@ -54,6 +54,7 @@ OPS = [
     "text_gopher_filter",
     "sample_reservoir",
     "ann_rrf_hybrid",
+    "text_domain_classify",
 ]
 
 
