@@ -862,7 +862,6 @@ def ann_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_col,
         shingles_col,
     )
-    from etl_city_directories_spark.sources.tables import load_table
 
     # --- vector ranking over the full corpus (minus self) ---
     vecs = _vectors(spark, sf_dir)
@@ -897,9 +896,17 @@ def ann_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.5× SLOWER on this corpus — its tiny vocabulary makes shingles
     # near-universal, so postings fan out quadratically; per-pair set
     # ops bound the work at |probes| × corpus, the same shape as the
-    # cosine side.)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingles_col(norm_col()).alias("sh")
+    # cosine side.) The shingled corpus MUST be materialized before
+    # the pair join: shingle generation is an interpreted higher-order
+    # expression, and under the join projection it would re-evaluate
+    # once per (pair, side) — 10× redundant work, measured 15 s → 3 s
+    # at sf0.1 with the persist + widened scan.
+    docs = rolling_persist(
+        spark,
+        ("rrf_shingles", sf_dir),
+        load_table_parallel(spark, sf_dir, "documents").select(
+            "doc_id", shingles_col(norm_col()).alias("sh")
+        ),
     )
     tprobes = docs.filter(F.col("doc_id") < N_PROBES).select(
         F.col("doc_id").alias("probe_id"), F.col("sh").alias("psh")
