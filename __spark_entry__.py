@@ -89,6 +89,8 @@ _GATE_PRIORITY = [
     "q_snapshot_diff",
     "stream_topk",
     "text_domain_classify",
+    "q_bitmap_set_algebra",
+    "q_attribution_linear",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_city_directories_spark.functions.memo import rolling_persist
 from etl_city_directories_spark.functions.numeric import dec2, money_sum
 from etl_city_directories_spark.sources.tables import load_table
 
@@ -1253,4 +1254,100 @@ ORACLES["q_snapshot_diff"] = f"""
                 ELSE 'unchanged' END AS status
     FROM j
     ORDER BY user_id
+"""
+
+
+def q_bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap set algebra between event types, computed
+    entirely on BITMAPS (the bitmap-index pattern of q_bitmap_distinct
+    extended to set operations): per-(type, bucket) bitmaps fold
+    map-side, pair union counts come from ``bitmap_or_agg`` over the
+    two types' bucket bitmaps, and intersection follows exactly by
+    inclusion-exclusion |A∩B| = |A| + |B| − |A∪B| (Spark ships no
+    bitmap_and_agg; inclusion-exclusion needs none). The shuffle
+    carries O(pairs × buckets × 4KB) bitmaps — never raw ids — which
+    is how audience-overlap dashboards stay exact at a billion users.
+    Jaccard overlap rounds to 4dp for the cross-engine hash."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    base = (
+        events.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    base = rolling_persist(spark, ("bitmap_base", sf_dir), base)
+    counts = base.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n")
+    )
+    types = base.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    unions = (
+        base.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("u"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.expr("bitmap_count(u)")).cast("bigint").alias("n_union"))
+    )
+    ca = counts.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        unions.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_union",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+            .cast("bigint")
+            .alias("n_intersect"),
+            F.round(
+                (F.col("n_a") + F.col("n_b") - F.col("n_union")).cast("double")
+                / F.col("n_union").cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+QUERIES["q_bitmap_set_algebra"] = q_bitmap_set_algebra
+
+ORACLES["q_bitmap_set_algebra"] = """
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    counts AS (
+      SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n
+      FROM events GROUP BY event_type
+    ),
+    unions AS (
+      SELECT p.type_a, p.type_b,
+             COUNT(DISTINCT e.user_id)::BIGINT AS n_union
+      FROM pairs p
+      JOIN events e ON e.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b
+    )
+    SELECT u.type_a, u.type_b, ca.n AS n_a, cb.n AS n_b, u.n_union,
+           (ca.n + cb.n - u.n_union)::BIGINT AS n_intersect,
+           ROUND((ca.n + cb.n - u.n_union)::DOUBLE / u.n_union::DOUBLE, 4)
+             AS jaccard
+    FROM unions u
+    JOIN counts ca ON ca.event_type = u.type_a
+    JOIN counts cb ON cb.event_type = u.type_b
+    ORDER BY u.type_a, u.type_b
 """

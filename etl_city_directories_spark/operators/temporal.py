@@ -365,3 +365,96 @@ ORACLES = {
           (SELECT COUNT(*) FROM p) AS n_purchase_after
     """,
 }
+
+
+ATTR_LOOKBACK_HOURS = 72
+_ATTR_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase (conversion)
+    splits one unit of credit equally across the user's touch events
+    (view/click/signup) in the preceding ATTR_LOOKBACK_HOURS window —
+    the marketing-analytics workload that motivates interval joins.
+
+    Scale shape: one sort-merge join on the user equi-key with the
+    time window as a post-join filter (identical cost model to
+    q_range_join — per-user touch×conversion products, never |L|×|R|),
+    then the per-conversion credit split via one count window on the
+    conversion key and a partial-aggregated channel rollup. Credit
+    fractions quantize to decimal(18,8) before the final sum so the
+    per-channel totals are order-independent and the oracle replays
+    them exactly; the published total rounds to 4dp."""
+    events = load_table(spark, sf_dir, "events")
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin(*_ATTR_TOUCH_TYPES)
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    joined = conv.join(
+        touch,
+        (F.col("c_user") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_HOURS} HOURS")
+        ),
+    )
+    w = Window.partitionBy("conv_id")
+    credited = joined.withColumn(
+        "credit",
+        (F.lit(1.0) / F.count(F.lit(1)).over(w)).cast("decimal(18,8)"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions_touched"),
+            F.round(F.sum("credit").cast("double"), 4).alias("total_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+QUERIES["q_attribution_linear"] = q_attribution_linear
+
+ORACLES["q_attribution_linear"] = f"""
+    WITH conv AS (
+      SELECT user_id AS c_user, event_id AS conv_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS t_user, event_id AS touch_id,
+             event_type AS channel, ts AS touch_ts
+      FROM events
+      WHERE event_type IN ({", ".join(f"'{t}'" for t in _ATTR_TOUCH_TYPES)})
+    ),
+    joined AS (
+      SELECT conv_id, channel
+      FROM conv JOIN touch
+        ON c_user = t_user
+       AND touch_ts <= conv_ts
+       AND touch_ts >= conv_ts - INTERVAL {ATTR_LOOKBACK_HOURS} HOURS
+    ),
+    credited AS (
+      SELECT conv_id, channel,
+             CAST(1.0 / COUNT(*) OVER (PARTITION BY conv_id)
+                  AS DECIMAL(18,8)) AS credit
+      FROM joined
+    )
+    SELECT channel,
+           COUNT(*)::BIGINT AS n_touches,
+           COUNT(DISTINCT conv_id)::BIGINT AS n_conversions_touched,
+           ROUND(SUM(credit)::DOUBLE, 4) AS total_credit
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+"""

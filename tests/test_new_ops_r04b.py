@@ -300,3 +300,62 @@ def test_domain_classify_argmax_invariants(spark):
         assert r.mean_lp < 0  # log-probs
         assert r.is_correct == (r.pred_source == r.actual_source)
         assert r.pred_source.startswith("src")
+
+
+def test_bitmap_set_algebra_inclusion_exclusion(spark):
+    from etl_city_directories_spark.operators.scale_ops import (
+        q_bitmap_set_algebra,
+    )
+
+    rows = q_bitmap_set_algebra(spark, SF_CORRECT).collect()
+    n_types = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("event_type")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_types * (n_types - 1) // 2  # every unordered pair
+    ev = load_table(spark, SF_CORRECT, "events").select("event_type", "user_id")
+    users = {
+        t: {r.user_id for r in ev.filter(F.col("event_type") == t).distinct().collect()}
+        for t in {r.type_a for r in rows} | {r.type_b for r in rows}
+    }
+    for r in rows:
+        a, b = users[r.type_a], users[r.type_b]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.n_union == len(a | b)
+        assert r.n_intersect == len(a & b)  # bitmaps are EXACT
+        assert r.n_intersect == r.n_a + r.n_b - r.n_union
+        assert abs(r.jaccard - round(len(a & b) / len(a | b), 4)) < 1e-9
+
+
+def test_attribution_credit_conserved(spark):
+    """Linear attribution distributes EXACTLY one credit unit per
+    touched conversion: Σ channel credit == #conversions with ≥1
+    touch in the lookback window."""
+    from etl_city_directories_spark.operators.temporal import (
+        ATTR_LOOKBACK_HOURS,
+        _ATTR_TOUCH_TYPES,
+        q_attribution_linear,
+    )
+
+    rows = q_attribution_linear(spark, SF_CORRECT).collect()
+    assert {r.channel for r in rows} <= set(_ATTR_TOUCH_TYPES)
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    touches: dict[int, list] = {}
+    for e in ev:
+        if e.event_type in _ATTR_TOUCH_TYPES:
+            touches.setdefault(e.user_id, []).append(e.ts)
+    touched_convs = 0
+    lb = ATTR_LOOKBACK_HOURS * 3600
+    for e in ev:
+        if e.event_type == "purchase":
+            ts = e.ts.timestamp()
+            if any(
+                0 <= ts - t.timestamp() <= lb
+                for t in touches.get(e.user_id, [])
+            ):
+                touched_convs += 1
+    assert abs(sum(r.total_credit for r in rows) - touched_convs) < 0.01

@@ -385,3 +385,23 @@ def test_rrf_fused_topk_uses_window_group_limit(spark):
     rank pruning before the final filter)."""
     plan = plan_of(QUERIES["ann_rrf_hybrid"](spark, SF))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bitmap_algebra_shuffles_bitmaps_not_ids(spark):
+    """Every aggregation in the overlap plan is a partial-aggregated
+    bitmap fold — the shuffle carries bitmap_construct_agg /
+    bitmap_or_agg state, never raw user ids."""
+    plan = plan_of(QUERIES["q_bitmap_set_algebra"](spark, SF))
+    assert "bitmap_construct_agg" in plan
+    assert "bitmap_or_agg" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_joins_on_user_key(spark):
+    """The lookback join must be keyed on the user equi-part (SMJ or
+    shuffled hash on user), with the time window as a join filter —
+    never a cartesian or pure-BNL plan."""
+    plan = plan_of(QUERIES["q_attribution_linear"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "c_user" in plan and "t_user" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
