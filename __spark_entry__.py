@@ -91,6 +91,7 @@ _GATE_PRIORITY = [
     "text_domain_classify",
     "q_bitmap_set_algebra",
     "q_attribution_linear",
+    "ann_mmr_diversify",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

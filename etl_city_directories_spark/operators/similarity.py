@@ -1015,3 +1015,232 @@ def _rrf_oracle() -> str:
 
 
 ORACLES["ann_rrf_hybrid"] = _rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# r04 session 2: MMR diversity re-ranking (unrolled greedy selection)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_K = 3
+MMR_CAND = 10
+
+
+def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from each probe's top-MMR_CAND cosine candidates, greedily
+    select MMR_K results maximizing λ·relevance − (1−λ)·max-similarity
+    to the already-selected set — the diversity-aware final stage of a
+    retrieval stack (dedups near-identical hits that plain top-k
+    returns).
+
+    Greedy selection is inherently sequential, but K is a small
+    constant, so the loop UNROLLS into K relational selection rounds
+    (the same device as graph_pagerank_dupes' unrolled power
+    iterations): each round is one join against the selected set, one
+    max-sim aggregate, and one per-probe argmax window — all on the
+    tiny candidate table (|probes| × MMR_CAND rows), while the only
+    corpus-scale work remains the initial candidate scan. Scores are
+    rounded to 6dp with id tie-breaks, so DuckDB replays every round
+    bit-for-bit."""
+    vecs = _vectors(spark, sf_dir)
+    probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("nrm").alias("pn"),
+    )
+    pairs = (
+        vecs.select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .join(F.broadcast(probes), F.col("cid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cid",
+            F.round(
+                _cos(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")), 6
+            ).alias("rel"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("rel"), F.asc("cid"))
+    cand = rolling_persist(
+        spark,
+        ("mmr_cand", sf_dir),
+        pairs.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= MMR_CAND)
+        .select("probe_id", "cid", "rel"),
+    )
+    # pairwise candidate similarities (|probes| × MMR_CAND² rows)
+    cv = vecs.select("vec_id", "v", "nrm")
+    a = cand.select("probe_id", F.col("cid").alias("ca")).join(
+        cv, F.col("ca") == F.col("vec_id")
+    ).select("probe_id", "ca", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = cand.select("probe_id", F.col("cid").alias("cb")).join(
+        cv, F.col("cb") == F.col("vec_id")
+    ).select("probe_id", "cb", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sims = rolling_persist(
+        spark,
+        ("mmr_sims", sf_dir),
+        a.join(b, "probe_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            "probe_id",
+            "ca",
+            "cb",
+            F.round(
+                _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ).alias("sim"),
+        ),
+    )
+
+    def argmax(df: DataFrame, score_col: str, rank_no: int) -> DataFrame:
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc(score_col), F.asc("cid")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "probe_id",
+                "cid",
+                "rel",
+                F.col(score_col).alias("mmr_score"),
+                F.lit(rank_no).cast("bigint").alias("mmr_rank"),
+            )
+        )
+
+    sel = argmax(cand.withColumn("score", F.col("rel")), "score", 1)
+    for t in range(2, MMR_K + 1):
+        remaining = cand.join(
+            sel.select("probe_id", "cid"), ["probe_id", "cid"], "left_anti"
+        )
+        maxsim = (
+            sims.join(
+                sel.select("probe_id", F.col("cid").alias("cb")),
+                ["probe_id", "cb"],
+            )
+            .groupBy("probe_id", "ca")
+            .agg(F.max("sim").alias("ms"))
+        )
+        scored = remaining.join(
+            maxsim,
+            (remaining.probe_id == maxsim.probe_id)
+            & (remaining.cid == maxsim.ca),
+        ).select(
+            remaining.probe_id,
+            "cid",
+            "rel",
+            F.round(
+                F.lit(MMR_LAMBDA) * F.col("rel")
+                - F.lit(1 - MMR_LAMBDA) * F.col("ms"),
+                6,
+            ).alias("score"),
+        )
+        sel = sel.unionByName(argmax(scored, "score", t))
+    return sel.select(
+        "probe_id",
+        F.col("cid").alias("neighbor_id"),
+        F.col("rel").alias("relevance"),
+        "mmr_score",
+        "mmr_rank",
+    ).orderBy("probe_id", "mmr_rank")
+
+
+QUERIES["ann_mmr_diversify"] = ann_mmr_diversify
+
+
+def _mmr_oracle() -> str:
+    cos = (
+        "list_reduce(list_transform(list_zip({a}.v, {b}.v), x -> x[1] * x[2]),"
+        " (p, q) -> p + q) / (sqrt({a}.nrm) * sqrt({b}.nrm))"
+    )
+    lam, mu = MMR_LAMBDA, 1 - MMR_LAMBDA
+    return f"""
+        WITH vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                             (a, b) -> a + b) AS nrm
+          FROM embeddings
+        ),
+        cand AS (
+          SELECT probe_id, cid, rel FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS cid,
+                   ROUND({cos.format(a="p", b="c")}, 6) AS rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY ROUND({cos.format(a="p", b="c")}, 6) DESC,
+                              c.vec_id
+                   ) AS rk
+            FROM vecs p JOIN vecs c
+              ON p.vec_id < {N_PROBES} AND c.vec_id != p.vec_id
+          ) WHERE rk <= {MMR_CAND}
+        ),
+        sims AS (
+          SELECT x.probe_id, x.cid AS ca, y.cid AS cb,
+                 ROUND({cos.format(a="a", b="b")}, 6) AS sim
+          FROM cand x
+          JOIN cand y ON x.probe_id = y.probe_id AND x.cid != y.cid
+          JOIN vecs a ON a.vec_id = x.cid
+          JOIN vecs b ON b.vec_id = y.cid
+        ),
+        s1 AS (
+          SELECT probe_id, cid, rel, rel AS mmr_score, 1::BIGINT AS mmr_rank
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY probe_id ORDER BY rel DESC, cid
+                   ) AS rn FROM cand
+          ) WHERE rn = 1
+        ),
+        sc2 AS (
+          SELECT c.probe_id, c.cid, c.rel,
+                 ROUND({lam} * c.rel - {mu} * MAX(s.sim), 6) AS score
+          FROM cand c
+          JOIN s1 ON s1.probe_id = c.probe_id AND c.cid != s1.cid
+          JOIN sims s ON s.probe_id = c.probe_id AND s.ca = c.cid
+                     AND s.cb = s1.cid
+          GROUP BY c.probe_id, c.cid, c.rel
+        ),
+        s2 AS (
+          SELECT probe_id, cid, rel, score AS mmr_score, 2::BIGINT AS mmr_rank
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY probe_id ORDER BY score DESC, cid
+                   ) AS rn FROM sc2
+          ) WHERE rn = 1
+        ),
+        s12 AS (
+          SELECT probe_id, cid FROM s1 UNION ALL SELECT probe_id, cid FROM s2
+        ),
+        sc3 AS (
+          SELECT c.probe_id, c.cid, c.rel,
+                 ROUND({lam} * c.rel - {mu} * MAX(s.sim), 6) AS score
+          FROM cand c
+          JOIN sims s ON s.probe_id = c.probe_id AND s.ca = c.cid
+          JOIN s12 ON s12.probe_id = s.probe_id AND s12.cid = s.cb
+          WHERE NOT EXISTS (
+            SELECT 1 FROM s12 x
+            WHERE x.probe_id = c.probe_id AND x.cid = c.cid
+          )
+          GROUP BY c.probe_id, c.cid, c.rel
+        ),
+        s3 AS (
+          SELECT probe_id, cid, rel, score AS mmr_score, 3::BIGINT AS mmr_rank
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY probe_id ORDER BY score DESC, cid
+                   ) AS rn FROM sc3
+          ) WHERE rn = 1
+        )
+        SELECT probe_id, cid AS neighbor_id, rel AS relevance,
+               mmr_score, mmr_rank
+        FROM (
+          SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3
+        )
+        ORDER BY probe_id, mmr_rank
+    """
+
+
+ORACLES["ann_mmr_diversify"] = _mmr_oracle()

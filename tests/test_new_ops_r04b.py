@@ -359,3 +359,62 @@ def test_attribution_credit_conserved(spark):
             ):
                 touched_convs += 1
     assert abs(sum(r.total_credit for r in rows) - touched_convs) < 0.01
+
+
+def test_mmr_diversify_greedy_semantics(spark):
+    """MMR output must match a python replay of the greedy selection
+    over the same rounded candidate/similarity tables, and rank-1 must
+    equal the plain relevance argmax."""
+    from etl_city_directories_spark.operators.similarity import (
+        MMR_CAND,
+        MMR_K,
+        MMR_LAMBDA,
+        ann_mmr_diversify,
+        _vectors,
+    )
+
+    rows = ann_mmr_diversify(spark, SF).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    vecs = {r.vec_id: (r.v, r.nrm) for r in _vectors(spark, SF).collect()}
+
+    def cos(a, b):
+        va, na = vecs[a]
+        vb, nb = vecs[b]
+        dot = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        return round(dot / ((na ** 0.5) * (nb ** 0.5)), 6)
+
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r.mmr_rank)
+        assert [r.mmr_rank for r in rs] == list(range(1, MMR_K + 1))
+        cand = sorted(
+            ((cos(probe, c), c) for c in vecs if c != probe),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_CAND]
+        rel = {c: r for r, c in cand}
+        selected = []
+        for t in range(MMR_K):
+            pool = [c for _, c in cand if c not in selected]
+            if not selected:
+                scored = [(rel[c], c) for c in pool]
+            else:
+                scored = [
+                    (
+                        round(
+                            MMR_LAMBDA * rel[c]
+                            - (1 - MMR_LAMBDA)
+                            * max(cos(c, s) for s in selected),
+                            6,
+                        ),
+                        c,
+                    )
+                    for c in pool
+                ]
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            best_score, best = scored[0]
+            assert rs[t].neighbor_id == best, (probe, t, rs[t], scored[:3])
+            assert abs(rs[t].mmr_score - best_score) < 1e-9
+            selected.append(best)
