@@ -92,6 +92,7 @@ _GATE_PRIORITY = [
     "q_bitmap_set_algebra",
     "q_attribution_linear",
     "ann_mmr_diversify",
+    "cd_occupation_year_stats",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -1380,3 +1380,75 @@ ORACLES["cd_validate_schema"] = (
     )
     + "\n) ORDER BY rule"
 )
+
+
+OCC_TOP_PER_YEAR = 5
+
+
+def cd_occupation_year_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analysis a Space/Time researcher runs OVER the output
+    dataset: top occupations per directory year with geocoded share —
+    the demographic time-series the NYPL project builds the dataset
+    FOR. One partial-aggregated groupBy over the transform output
+    plus a per-year rank window (WindowGroupLimit prunes map-side);
+    no extra corpus scans beyond cd_transform_objects itself."""
+    from pyspark.sql import Window
+
+    t = cd_transform_objects(spark, sf_dir)
+    agg = (
+        t.filter(F.col("occupation").isNotNull())
+        .groupBy(F.col("valid_since").alias("year"), "occupation")
+        .agg(
+            F.count(F.lit(1)).alias("n_persons"),
+            F.sum(F.when(F.col("n_geocoded") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_geocoded_persons"),
+        )
+    )
+    w = Window.partitionBy("year").orderBy(
+        F.desc("n_persons"), F.asc("occupation")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OCC_TOP_PER_YEAR)
+        .select(
+            "year",
+            "occupation",
+            "n_persons",
+            "n_geocoded_persons",
+            F.round(
+                F.col("n_geocoded_persons").cast("double")
+                / F.col("n_persons").cast("double"),
+                4,
+            ).alias("geocoded_rate"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("year", "rank")
+    )
+
+
+QUERIES["cd_occupation_year_stats"] = cd_occupation_year_stats
+
+ORACLES["cd_occupation_year_stats"] = f"""
+    WITH t AS ({ORACLES["cd_transform_objects"]}),
+    agg AS (
+      SELECT valid_since AS year, occupation,
+             COUNT(*)::BIGINT AS n_persons,
+             SUM(CASE WHEN n_geocoded > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_geocoded_persons
+      FROM t WHERE occupation IS NOT NULL
+      GROUP BY valid_since, occupation
+    )
+    SELECT year, occupation, n_persons, n_geocoded_persons,
+           ROUND(n_geocoded_persons::DOUBLE / n_persons::DOUBLE, 4)
+             AS geocoded_rate,
+           rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY year ORDER BY n_persons DESC, occupation
+             )::BIGINT AS rank
+      FROM agg
+    )
+    WHERE rank <= {OCC_TOP_PER_YEAR}
+    ORDER BY year, rank
+"""

@@ -418,3 +418,24 @@ def test_mmr_diversify_greedy_semantics(spark):
             assert rs[t].neighbor_id == best, (probe, t, rs[t], scored[:3])
             assert abs(rs[t].mmr_score - best_score) < 1e-9
             selected.append(best)
+
+
+def test_occupation_year_stats_shape(spark):
+    from etl_city_directories_spark.operators.citydir import (
+        OCC_TOP_PER_YEAR,
+        cd_occupation_year_stats,
+    )
+
+    rows = cd_occupation_year_stats(spark, SF).collect()
+    assert rows
+    by_year: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.n_geocoded_persons <= r.n_persons
+        assert abs(r.geocoded_rate - round(r.n_geocoded_persons / r.n_persons, 4)) < 1e-9
+        by_year.setdefault(r.year, []).append(r)
+    for year, rs in by_year.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= OCC_TOP_PER_YEAR
+        counts = [r.n_persons for r in rs]
+        assert counts == sorted(counts, reverse=True), year

@@ -41,6 +41,16 @@ BNLJ_OK = {
     # both rankers join the corpus against the capped broadcast probe
     # set on a != condition — the bruteforce-baseline shape
     "ann_rrf_hybrid",
+    # candidate generation = same capped broadcast-probe != join; the
+    # unrolled selection rounds reference the persisted candidate
+    # table, so the textual plan repeats the join without re-executing
+    "ann_mmr_diversify",
+    # per-(type,bucket) bitmaps join the broadcast 10-row pair table
+    # on an OR-of-equalities — non-equi against a capped side
+    "q_bitmap_set_algebra",
+    # LM-matrix build: distinct-words crossJoin broadcast(per-source
+    # totals × 1-row vocab size) — the score-all-classes constant
+    "text_domain_classify",
     "q22_idle_customers",
     # k-means assignment: crossJoin(broadcast(K-row centroid table))
     # is the intended map-side shape (asserted in tests/test_plans.py)
