@@ -93,6 +93,7 @@ _GATE_PRIORITY = [
     "q_attribution_linear",
     "ann_mmr_diversify",
     "cd_occupation_year_stats",
+    "shuffle_global_permute",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -1649,3 +1649,50 @@ ORACLES["text_domain_classify"] = f"""
     FROM best b JOIN documents d ON d.doc_id = b.doc_id
     WHERE b.rk = 1
 """
+
+
+SHUFFLE_N_SHARDS = 16
+
+
+def shuffle_global_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into training shards
+    — the 'randomize example order' step every training run needs, in
+    its coordination-free form: shard = md5(doc_id) mod N (uniform by
+    construction), position = rank of the hash within the shard. No
+    global ordering ever materializes — one shuffle on the shard key
+    and a per-shard rank window (each shard sorts independently, which
+    is exactly how a 1000-executor job writes N shard files in
+    parallel). Rerun-stable: the permutation is a pure function of
+    doc_id, so restarts and engines agree; reading shards 0..N-1
+    sequentially replays one fixed global permutation."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        % SHUFFLE_N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "lang", "source", "shard", "pos_in_shard")
+    )
+
+
+QUERIES["shuffle_global_permute"] = shuffle_global_permute
+
+ORACLES["shuffle_global_permute"] = f"""
+    WITH h AS (
+      SELECT doc_id, lang, source, md5(doc_id::VARCHAR) AS hh,
+             (CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                   AS BIGINT) % {SHUFFLE_N_SHARDS})::INT AS shard
+      FROM documents
+    )
+    SELECT doc_id, lang, source, shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY hh, doc_id
+           )::BIGINT AS pos_in_shard
+    FROM h
+"""

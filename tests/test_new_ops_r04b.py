@@ -439,3 +439,26 @@ def test_occupation_year_stats_shape(spark):
         assert len(rs) <= OCC_TOP_PER_YEAR
         counts = [r.n_persons for r in rs]
         assert counts == sorted(counts, reverse=True), year
+
+
+def test_global_permute_is_uniform_and_stable(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        SHUFFLE_N_SHARDS,
+        shuffle_global_permute,
+    )
+
+    rows = shuffle_global_permute(spark, SF_CORRECT).collect()
+    n = len(rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < SHUFFLE_N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    # uniformity: no shard more than 2x the expected share
+    for shard, rs in by_shard.items():
+        assert len(rs) < 2 * n / SHUFFLE_N_SHARDS + 10, (shard, len(rs))
+        ranks = sorted(r.pos_in_shard for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+    # rerun-stability: identical permutation on a second invocation
+    again = shuffle_global_permute(spark, SF_CORRECT).collect()
+    key = lambda rs: sorted((r.doc_id, r.shard, r.pos_in_shard) for r in rs)
+    assert key(rows) == key(again)
