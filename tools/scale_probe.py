@@ -55,6 +55,8 @@ OPS = [
     "sample_reservoir",
     "ann_rrf_hybrid",
     "text_domain_classify",
+    "ann_mmr_diversify",
+    "shuffle_global_permute",
 ]
 
 
