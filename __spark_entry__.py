@@ -94,6 +94,7 @@ _GATE_PRIORITY = [
     "ann_mmr_diversify",
     "cd_occupation_year_stats",
     "shuffle_global_permute",
+    "sample_dsir",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -1696,3 +1696,136 @@ ORACLES["shuffle_global_permute"] = f"""
            )::BIGINT AS pos_in_shard
     FROM h
 """
+
+
+DSIR_TARGET_SOURCE = "src0"
+DSIR_KEEP = 100
+
+
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023), in its unigram form: score every candidate document by the
+    log importance ratio between a TARGET-domain language model (here
+    the DSIR_TARGET_SOURCE docs) and the general corpus LM, and keep
+    the DSIR_KEEP candidates whose token distribution looks most like
+    the target. This is the principled replacement for hand-written
+    quality rules when curating toward a reference corpus.
+
+    Plan shape: the two LMs are two count aggregations over one token
+    explode (the target LM is a filtered re-aggregation, not a second
+    corpus scan of raw text); both broadcast; per-doc scoring is one
+    join + one groupBy with decimal(18,8)-quantized log-prob sums
+    (order-independent, oracle-replayable); selection is a global
+    top-K on the rounded ratio — TakeOrdered-sized, not a full sort.
+    Target-source docs are excluded from selection (they ARE the
+    target)."""
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_words(norm_col())).alias("w")
+    )
+    gcounts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("gcnt"))
+    tcounts = (
+        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    gtot = gcounts.agg(
+        F.sum("gcnt").alias("gn"), F.count(F.lit(1)).alias("v")
+    )
+    ttot = tcounts.agg(F.sum("tcnt").alias("tn"))
+    lm = (
+        gcounts.join(tcounts, "w", "left")
+        .crossJoin(F.broadcast(gtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "w",
+            F.log(
+                (F.col("gcnt") + 1).cast("double")
+                / (F.col("gn") + F.col("v")).cast("double")
+            )
+            .cast("decimal(18,8)")
+            .alias("glp"),
+            F.log(
+                (F.coalesce("tcnt", F.lit(0)) + 1).cast("double")
+                / (F.col("tn") + F.col("v")).cast("double")
+            )
+            .cast("decimal(18,8)")
+            .alias("tlp"),
+        )
+    )
+    scored = (
+        toks.filter(F.col("source") != DSIR_TARGET_SOURCE)
+        .join(F.broadcast(lm), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("tlp").alias("t_sum"),
+            F.sum("glp").alias("g_sum"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                (F.col("t_sum") - F.col("g_sum")).cast("double")
+                / F.col("n_toks").cast("double"),
+                6,
+            ).alias("log_ratio"),
+        )
+    )
+    w = Window.orderBy(F.desc("log_ratio"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("log_ratio"), F.asc("doc_id"))
+        .limit(DSIR_KEEP)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+QUERIES["sample_dsir"] = sample_dsir
+
+ORACLES["sample_dsir"] = f"""
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST({_W}) AS w FROM documents
+    ),
+    gcounts AS (
+      SELECT w, COUNT(*) AS gcnt FROM toks GROUP BY w
+    ),
+    tcounts AS (
+      SELECT w, COUNT(*) AS tcnt FROM toks
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY w
+    ),
+    gtot AS (
+      SELECT SUM(gcnt) AS gn, COUNT(*) AS v FROM gcounts
+    ),
+    ttot AS (
+      SELECT COALESCE(SUM(tcnt), 0) AS tn FROM tcounts
+    ),
+    lm AS (
+      SELECT g.w,
+             CAST(ln((g.gcnt + 1)::DOUBLE / (gtot.gn + gtot.v)::DOUBLE)
+                  AS DECIMAL(18,8)) AS glp,
+             CAST(ln((COALESCE(t.tcnt, 0) + 1)::DOUBLE
+                     / (ttot.tn + gtot.v)::DOUBLE)
+                  AS DECIMAL(18,8)) AS tlp
+      FROM gcounts g
+      LEFT JOIN tcounts t ON t.w = g.w
+      CROSS JOIN gtot CROSS JOIN ttot
+    ),
+    scored AS (
+      SELECT toks.doc_id, toks.source,
+             ROUND((SUM(lm.tlp) - SUM(lm.glp))::DOUBLE
+                   / COUNT(*)::DOUBLE, 6) AS log_ratio
+      FROM toks JOIN lm ON lm.w = toks.w
+      WHERE toks.source != '{DSIR_TARGET_SOURCE}'
+      GROUP BY toks.doc_id, toks.source
+    )
+    SELECT doc_id, source, log_ratio,
+           ROW_NUMBER() OVER (ORDER BY log_ratio DESC, doc_id)::BIGINT
+             AS rank
+    FROM (
+      SELECT * FROM scored
+      ORDER BY log_ratio DESC, doc_id
+      LIMIT {DSIR_KEEP}
+    )
+"""

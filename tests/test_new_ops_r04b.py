@@ -462,3 +462,18 @@ def test_global_permute_is_uniform_and_stable(spark):
     again = shuffle_global_permute(spark, SF_CORRECT).collect()
     key = lambda rs: sorted((r.doc_id, r.shard, r.pos_in_shard) for r in rs)
     assert key(rows) == key(again)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        DSIR_KEEP,
+        DSIR_TARGET_SOURCE,
+        sample_dsir,
+    )
+
+    rows = sample_dsir(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= DSIR_KEEP
+    assert all(r.source != DSIR_TARGET_SOURCE for r in rows)
+    ratios = [r.log_ratio for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
