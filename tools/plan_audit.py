@@ -51,6 +51,9 @@ BNLJ_OK = {
     # LM-matrix build: distinct-words crossJoin broadcast(per-source
     # totals × 1-row vocab size) — the score-all-classes constant
     "text_domain_classify",
+    # dual-LM build: 1-row scalar-aggregate crossJoins (corpus totals
+    # + target totals) — the scalar-subquery idiom
+    "sample_dsir",
     "q22_idle_customers",
     # k-means assignment: crossJoin(broadcast(K-row centroid table))
     # is the intended map-side shape (asserted in tests/test_plans.py)
