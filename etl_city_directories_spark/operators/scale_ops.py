@@ -1115,7 +1115,9 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.round("value", 2))).alias(
             "last_value"
         ),
-        F.max(F.when(F.col("rn") == 1, F.col("ts"))).alias("last_ts"),
+        F.max(F.when(F.col("rn") == 1, F.unix_micros("ts"))).alias(
+            "last_ts_us"
+        ),
     )
     return (
         state.filter(F.col("last_op") != "D")
@@ -1123,7 +1125,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "last_op",
             "last_value",
-            "last_ts",
+            F.col("last_ts_us").cast("bigint").alias("last_ts_us"),
             F.col("n_ops").cast("bigint").alias("n_ops"),
             F.col("n_inserts").cast("bigint").alias("n_inserts"),
             F.col("n_updates").cast("bigint").alias("n_updates"),
@@ -1215,10 +1217,11 @@ ORACLES["q_cdc_apply"] = f"""
              SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS n_deletes,
              MAX(CASE WHEN rn = 1 THEN op END) AS last_op,
              MAX(CASE WHEN rn = 1 THEN ROUND(value, 2) END) AS last_value,
-             MAX(CASE WHEN rn = 1 THEN ts END) AS last_ts
+             MAX(CASE WHEN rn = 1 THEN epoch_us(ts) END)::BIGINT
+               AS last_ts_us
       FROM feed GROUP BY user_id
     )
-    SELECT user_id, last_op, last_value, last_ts,
+    SELECT user_id, last_op, last_value, last_ts_us,
            n_ops, n_inserts, n_updates, n_deletes
     FROM state WHERE last_op != 'D'
     ORDER BY user_id

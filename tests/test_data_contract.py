@@ -130,3 +130,50 @@ def test_stream_source_matches_batch(spark, encoded_dirs):
         q.awaitTermination()
         streamed = {r.event_id: r.ts for r in spark.table(name).collect()}
         assert streamed == batch, f"{enc}: stream and batch ts disagree"
+
+
+def test_tz_encoded_events_match_oracle_end_to_end(spark, tmp_path_factory):
+    """End-to-end oracle compare on ns+tz-encoded events — the loader
+    tests above pin the SCHEMA normalization; this pins the OUTPUT
+    layer too (a raw timestamp column in a result renders tz-aware in
+    DuckDB but naive in Spark and hash-mismatches; caught q_cdc_apply
+    emitting one — the determinism policy requires epoch-micros
+    longs)."""
+    import shutil
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as m
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("nstz"))
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ]:
+        shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    tbl = pq.read_table(f"{src}/events.parquet")
+    i = tbl.schema.get_field_index("ts")
+    typ = pa.timestamp("ns", tz="UTC")
+    tbl = tbl.set_column(
+        i, pa.field("ts", typ), tbl.column("ts").cast(typ)
+    )
+    pq.write_table(tbl, f"{out}/events.parquet")
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
+    qs, os_ = m.queries(), m.oracle_sql()
+    for key in ("q_cdc_apply", "q_tumbling_window", "q_snapshot_diff"):
+        got = qs[key](spark, out).toPandas()
+        exp = con.execute(os_[key]).fetchdf()
+        cols = sorted(got.columns)
+        assert cols == sorted(exp.columns), key
+        g = sorted(tuple(str(v) for v in r) for r in got[cols].itertuples(index=False))
+        e = sorted(tuple(str(v) for v in r) for r in exp[cols].itertuples(index=False))
+        assert g == e, f"{key}: first diff {next((a, b) for a, b in zip(g, e) if a != b)}"
