@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_city_directories_spark.operators import (
     citydir,
+    curation,
     dedup,
     ingest,
     multimodal,
@@ -31,6 +32,7 @@ from etl_city_directories_spark.operators import (
 from etl_city_directories_spark.streaming import stream_ops
 
 _MODULES = [
+    curation,
     dedup,
     similarity,
     textstats,
@@ -95,6 +97,9 @@ _GATE_PRIORITY = [
     "cd_occupation_year_stats",
     "shuffle_global_permute",
     "sample_dsir",
+    "text_perplexity_buckets",
+    "sample_balanced_classes",
+    "sample_train_test_split",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -1,0 +1,224 @@
+"""Corpus-curation operators: the selection / split / rebalancing steps
+that sit between cleaning and training in an LLM data pipeline.
+
+- ``text_perplexity_buckets``: CCNet-style head/middle/tail terciles by
+  LM surprisal, per language (Wenzek et al. 2020 §4.3 — their KenLM
+  perplexity split, re-expressed over the corpus unigram LM that
+  ``text_unigram_logprob`` already computes).
+- ``sample_balanced_classes``: class-balanced downsample of the
+  embeddings table — every label keeps exactly ``min(class sizes)``
+  rows, chosen by deterministic hash order.
+- ``sample_train_test_split``: coordination-free train/valid/test
+  assignment by md5 hash threshold (75/12.5/12.5), audited per source.
+
+All three follow the repo's determinism rules: hash order instead of
+rand(), decimal-quantized sums before any mean, 4dp rounding at the
+output boundary, and doc_id/vec_id tiebreaks on every rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.operators.textstats import (
+    text_unigram_logprob,
+)
+from etl_city_directories_spark.operators.textstats import (
+    ORACLES as _TEXT_ORACLES,
+)
+from etl_city_directories_spark.sources.tables import load_table_parallel
+
+N_PPL_BUCKETS = 3
+_BUCKET_NAMES = {1: "head", 2: "middle", 3: "tail"}
+
+
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language surprisal terciles: head = most fluent third,
+    tail = highest-surprisal third — the CCNet quality split that
+    decides which web text is worth training on.
+
+    Scale shape: the per-doc surprisal table (one row per document,
+    three narrow columns) NTILEs inside a hash-partition-by-lang sort —
+    the sorted data is the scores table, never the corpus text. At
+    100 TB the exact-tercile sort is still only O(docs) narrow rows;
+    the approximate alternative (approx cutpoints + map-side bucket
+    assign) trades that sort for a two-pass scan but loses the exact
+    bucket sizes this audit reports. Output is O(languages × 3).
+    """
+    scores = text_unigram_logprob(spark, sf_dir)
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("mean_surprisal"), F.asc("doc_id")
+    )
+    bucketed = (
+        scores.join(docs, "doc_id")
+        .withColumn("b", F.ntile(N_PPL_BUCKETS).over(w))
+    )
+    bucket_name = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BUCKET_NAMES.items() for x in kv]
+        ),
+        F.col("b"),
+    )
+    return (
+        bucketed.groupBy("lang", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(
+                    F.col("mean_surprisal").cast("decimal(18,4)")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_surprisal"),
+        )
+        .select(
+            "lang",
+            bucket_name.alias("bucket"),
+            "n_docs",
+            "avg_surprisal",
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: keep exactly min(class sizes) rows
+    per label, selected by md5 hash order (the deterministic stand-in
+    for a uniform draw), vec_id tiebreak.
+
+    Scale shape: one groupBy to per-label counts (O(labels) rows), the
+    global min arrives via an empty-frame window over that tiny table
+    and broadcasts back; the keep decision is a row_number inside a
+    hash-partition-by-label sort of (hash, id) pairs — the same
+    window-rank shape as ``sample_stratified``, one shuffle of narrow
+    rows, no collect.
+    """
+    vecs = load_table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    counts = vecs.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.select(
+        "label", F.min("n").over(Window.partitionBy()).alias("min_n")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")
+    )
+    return (
+        vecs.withColumn("sample_rank", F.row_number().over(w))
+        .join(F.broadcast(min_n), "label")
+        .filter(F.col("sample_rank") <= F.col("min_n"))
+        .select(
+            "vec_id", "label", F.col("sample_rank").cast("bigint").alias(
+                "sample_rank"
+            )
+        )
+    )
+
+
+# md5-hex space thresholds: [0, c) = train (12/16), [c, e) = valid
+# (2/16), [e, f...] = test (2/16). Hash-threshold assignment is
+# rerun-stable, pure map-side, and — unlike rand() — keeps every
+# engine and every rerun in byte agreement.
+_SPLIT_TRAIN_HI = "c" + "0" * 31
+_SPLIT_VALID_HI = "e" + "0" * 31
+
+
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/valid/test split audit: each
+    document's split is a pure function of md5(doc_id), so the split
+    is reproducible shard-by-shard with zero coordination; the output
+    is the per-(source, split) count/char audit a dataset card needs.
+
+    Scale shape: map-side hash + classify, one partial-aggregated
+    shuffle to O(sources × 3) rows. The per-doc assignment never
+    materializes wide rows.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(key < _SPLIT_TRAIN_HI, "train")
+        .when(key < _SPLIT_VALID_HI, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+QUERIES = {
+    "text_perplexity_buckets": text_perplexity_buckets,
+    "sample_balanced_classes": sample_balanced_classes,
+    "sample_train_test_split": sample_train_test_split,
+}
+
+# The per-doc surprisal CTE is the text_unigram_logprob oracle verbatim
+# (single source of truth for the unigram LM definition).
+_SURPRISAL_SQL = _TEXT_ORACLES["text_unigram_logprob"]
+
+_BUCKET_CASE = (
+    "CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+)
+
+ORACLES = {
+    "text_perplexity_buckets": f"""
+        WITH scores AS ({_SURPRISAL_SQL}),
+        bucketed AS (
+          SELECT d.lang, s.mean_surprisal,
+                 NTILE({N_PPL_BUCKETS}) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.mean_surprisal ASC, s.doc_id ASC
+                 ) AS b
+          FROM scores s JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               {_BUCKET_CASE} AS bucket,
+               COUNT(*) AS n_docs,
+               ROUND((SUM(mean_surprisal::DECIMAL(18,4)))::DOUBLE
+                     / COUNT(*), 4) AS avg_surprisal
+        FROM bucketed
+        GROUP BY lang, b
+        ORDER BY lang, bucket
+    """,
+    "sample_balanced_classes": """
+        WITH counts AS (
+          SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        ),
+        lim AS (
+          SELECT label, MIN(n) OVER () AS min_n FROM counts
+        ),
+        ranked AS (
+          SELECT vec_id, label,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(vec_id::VARCHAR), vec_id ASC
+                 ) AS sample_rank
+          FROM embeddings
+        )
+        SELECT vec_id, ranked.label, sample_rank
+        FROM ranked JOIN lim USING (label)
+        WHERE sample_rank <= min_n
+    """,
+    "sample_train_test_split": f"""
+        SELECT source,
+               CASE
+                 WHEN md5(doc_id::VARCHAR) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                 WHEN md5(doc_id::VARCHAR) < '{_SPLIT_VALID_HI}' THEN 'valid'
+                 ELSE 'test'
+               END AS split,
+               COUNT(*) AS n_docs,
+               SUM(n_chars)::BIGINT AS total_chars
+        FROM documents
+        GROUP BY source, split
+        ORDER BY source, split
+    """,
+}
