@@ -100,6 +100,9 @@ _GATE_PRIORITY = [
     "text_perplexity_buckets",
     "sample_balanced_classes",
     "sample_train_test_split",
+    "q_string_agg",
+    "q_gaps_islands",
+    "q_histogram_equidepth",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -159,8 +159,48 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_PER_SEGMENT = 3
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group concatenation (LISTAGG / string_agg): per market
+    segment, the top-3 customers by balance joined into one ordered
+    string — the reporting shape every SQL surface needs.
+
+    Spark has no ordered string_agg aggregate, so the order is made
+    explicit data: collect_list of (rank, name) structs, array_sort
+    (rank is the struct's leading field, so the sort IS the order),
+    then transform+array_join — deterministic regardless of partial-
+    aggregation arrival order. One window rank + one tiny groupBy;
+    per-group state is the top-K list only.
+    """
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = customer.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_PER_SEGMENT
+    )
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("rnk"), F.col("c_name")))
+    )
+    return (
+        top.groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.transform(seq, lambda s: s["c_name"]), ", "
+            ).alias("top_customers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q_pivot": q_pivot,
+    "q_string_agg": q_string_agg,
     "q_event_paths": q_event_paths,
     "q_rollup": q_rollup,
     "q_grouping_sets": q_grouping_sets,
@@ -170,6 +210,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_string_agg": f"""
+        WITH ranked AS (
+          SELECT c_mktsegment, c_name,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+                 ) AS rnk
+          FROM customer
+        )
+        SELECT c_mktsegment,
+               string_agg(c_name, ', ' ORDER BY rnk) AS top_customers,
+               COUNT(*) AS n
+        FROM ranked
+        WHERE rnk <= {TOP_PER_SEGMENT}
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "q_event_paths": """
         SELECT user_id,
                COUNT(*) AS n_events,

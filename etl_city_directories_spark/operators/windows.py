@@ -398,8 +398,123 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of CONSECUTIVE active days
+    (an island breaks when a calendar day is skipped) — the classic
+    streak analysis (login streaks, sensor uptime).
+
+    Single-pass shape: distinct (user, day) → lag(day) flags island
+    starts → running sum numbers the islands → two nested groupBys.
+    Every window/groupBy partitions by user_id, so the whole operator
+    is ONE shuffle of narrow (user, day) rows; island state never
+    leaves the executor. The date-minus-row-number trick is avoided
+    on purpose: lag→flag→cumsum states the semantics and costs the
+    same one pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = (
+        days.withColumn(
+            "new_island",
+            F.when(
+                F.datediff("day", F.lag("day").over(w)) == 1, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "island_id",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "island_id")
+        .agg(F.count(F.lit(1)).alias("len_days"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len_days").alias("longest_streak"),
+            F.sum("len_days").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+N_DEPTH_BUCKETS = 10
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of order totals: NTILE(10)
+    bucket boundaries + counts — the quantile-sketch complement to
+    ``q_value_histogram``'s equi-width bins, and the statistics shape
+    an optimizer's column histogram stores.
+
+    A bare ``NTILE() OVER (ORDER BY ...)`` would pull the whole table
+    into ONE reducer (Spark warns: "No Partition Defined") — the
+    single-machine sort that dies first at 100 TB. Instead the global
+    rank is built distributed: repartitionByRange on the sort key
+    (contiguous ordered ranges across partitions), row_number WITHIN
+    each partition, then each partition's global offset arrives from
+    an O(partitions) count table via broadcast. NTILE's exact
+    fill-first-buckets semantics (first n%B buckets take one extra
+    row) are then a per-row closed-form expression over the global
+    rank — bit-identical to the oracle's NTILE, no single-reducer
+    stage anywhere. Ties can't exist: o_orderkey completes the total
+    order.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranged = orders.repartitionByRange(
+        32, F.asc("o_totalprice"), F.asc("o_orderkey")
+    ).withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    local = ranged.withColumn("lr", F.row_number().over(wp))
+    # O(partitions) rows: per-range counts -> exclusive prefix sum
+    # (the tiny table may sort on one reducer; the DATA never does)
+    wo = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("off", F.coalesce(F.sum("cnt").over(wo), F.lit(0)))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+        .select("pid", "off", "n")
+    )
+    b = F.lit(N_DEPTH_BUCKETS).cast("bigint")
+    r = (F.col("lr") + F.col("off")).cast("bigint")
+    q = F.floor(F.col("n") / b).cast("bigint")
+    rem = (F.col("n") % b).cast("bigint")
+    # ceil(a / d) in exact integer math: (a + d - 1) div d
+    in_fat = r <= rem * (q + 1)
+    bucket = F.when(q == 0, r).otherwise(
+        F.when(in_fat, F.floor((r + q) / (q + 1))).otherwise(
+            rem + F.floor((r - rem * (q + 1) + q - 1) / q)
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), "pid")
+        .withColumn("bucket", bucket.cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q_running_distinct": q_running_distinct,
+    "q_gaps_islands": q_gaps_islands,
+    "q_histogram_equidepth": q_histogram_equidepth,
     "q_anomaly_mad": q_anomaly_mad,
     "q_value_histogram": q_value_histogram,
     "q_date_spine": q_date_spine,
@@ -414,6 +529,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_gaps_islands": """
+        WITH days AS (
+          SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        ),
+        flagged AS (
+          SELECT user_id, day,
+                 CASE WHEN date_diff('day',
+                        LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                        day) = 1
+                      THEN 0 ELSE 1 END AS new_island
+          FROM days
+        ),
+        numbered AS (
+          SELECT user_id, day,
+                 SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS island_id
+          FROM flagged
+        ),
+        islands AS (
+          SELECT user_id, island_id, COUNT(*) AS len_days
+          FROM numbered GROUP BY user_id, island_id
+        )
+        SELECT user_id,
+               COUNT(*) AS n_islands,
+               MAX(len_days) AS longest_streak,
+               SUM(len_days)::BIGINT AS active_days
+        FROM islands
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "q_histogram_equidepth": f"""
+        WITH t AS (
+          SELECT o_totalprice,
+                 NTILE({N_DEPTH_BUCKETS}) OVER (
+                   ORDER BY o_totalprice ASC, o_orderkey ASC
+                 ) AS bucket
+          FROM orders
+        )
+        SELECT bucket,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM t
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
     "q_anomaly_mad": f"""
         WITH e AS (
           SELECT event_type, value::DECIMAL(18,2)::DOUBLE AS v FROM events
