@@ -103,6 +103,8 @@ _GATE_PRIORITY = [
     "q_string_agg",
     "q_gaps_islands",
     "q_histogram_equidepth",
+    "dedup_cross_source",
+    "q_hierarchy_rollup",
     # --- stalest greens: last confirmed r01 (32 keys) ---
     "cd_clean_text",
     "cd_geocode",

@@ -679,8 +679,48 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication audit: how much verified near-dup
+    content crosses source (dump/crawl) boundaries — the number that
+    tells a corpus builder whether two dumps are worth keeping both of.
+
+    Reuses the banded-minhash candidate machinery end-to-end
+    (``dedup_minhash_lsh``): pair generation stays O(band collisions),
+    the per-pair source lookup is a hash join at O(matched pairs), and
+    the output is the per-(source, source) rollup with a canonical
+    (least, greatest) pair order. No new corpus pass, no new shuffle
+    shape — this is the cheap aggregate DOWNSTREAM of the existing
+    LSH pipeline, exactly how a production audit would consume it.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "jaccard",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cross_source": dedup_cross_source,
     "dedup_prefix": dedup_prefix,
     "graph_pagerank_dupes": graph_pagerank_dupes,
     "dedup_report": dedup_report,
@@ -1102,4 +1142,19 @@ ORACLES["dedup_segments"] = f"""
             / COUNT(*) <= {SEGMENT_DUP_FRAC_MAX}) AS keep
     FROM per_seg p JOIN seg_docs s USING (seg_hash)
     GROUP BY p.doc_id
+"""
+
+
+ORACLES["dedup_cross_source"] = f"""
+    WITH pairs AS ({ORACLES["dedup_minhash_lsh"]})
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           COUNT(*) AS n_pairs,
+           ROUND(MAX(jaccard), 4) AS max_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE da.source != db.source
+    GROUP BY source_lo, source_hi
+    ORDER BY source_lo, source_hi
 """

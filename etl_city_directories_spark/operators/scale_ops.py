@@ -1354,3 +1354,88 @@ ORACLES["q_bitmap_set_algebra"] = """
     JOIN counts cb ON cb.event_type = u.type_b
     ORDER BY u.type_a, u.type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# r04 session 3: recursive hierarchy rollup via pointer doubling
+# ---------------------------------------------------------------------------
+
+HIERARCHY_ROOT_BOUND = 1000   # keys below this are forest roots
+HIERARCHY_DOUBLING_ROUNDS = 5  # 2^5 = 32 >= any int64 div-10 chain depth
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy rollup (BOM / org-chart shape): every order
+    rolls up to the root of its ancestor chain, where the parent
+    relation is derived from the key itself (parent = key/10 while the
+    parent key exists and key >= 1000) — the derived-forest analogue
+    of the FK-faithful derived partsupp.
+
+    A recursive CTE is the single-node way to chase parent pointers;
+    the distributed way is POINTER DOUBLING: after r self-joins on the
+    (k, p) link table each pointer has jumped 2^r ancestors, so any
+    int64 div-10 chain (depth <= 19) resolves in 5 rounds — O(log
+    depth) shuffles of narrow rows, each a plain equi-join Catalyst
+    plans like any other, vs the O(depth) dependent scans of naive
+    chasing. Roots self-map, so converged pointers are fixpoints and
+    extra rounds are no-ops. The DuckDB oracle chases the same links
+    with WITH RECURSIVE; min over the reachable set is the root
+    because parents strictly decrease along a chain.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("k"))
+    cand = keys.withColumn("p0", F.floor(F.col("k") / 10).cast("bigint"))
+    links = (
+        cand.join(
+            keys.select(F.col("k").alias("pk")),
+            (F.col("p0") == F.col("pk"))
+            & (F.col("k") >= HIERARCHY_ROOT_BOUND),
+            "left",
+        )
+        .select("k", F.coalesce("pk", "k").alias("p"))
+    )
+    ptr = rolling_persist(spark, ("hier_links", sf_dir), links)
+    for i in range(HIERARCHY_DOUBLING_ROUNDS):
+        hop = ptr.select(F.col("k").alias("hk"), F.col("p").alias("hp"))
+        doubled = ptr.join(hop, ptr.p == F.col("hk")).select(
+            "k", F.col("hp").alias("p")
+        )
+        # persist each round: the self-join otherwise re-expands the
+        # whole 2^i-join lineage on BOTH sides (exponential plan)
+        ptr = rolling_persist(spark, ("hier_ptr", sf_dir, i), doubled)
+    return (
+        orders.join(ptr, orders.o_orderkey == ptr.k)
+        .groupBy(F.col("p").alias("root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec2("o_totalprice"), "total_value"),
+        )
+        .orderBy("root")
+    )
+
+
+QUERIES["q_hierarchy_rollup"] = q_hierarchy_rollup
+
+ORACLES["q_hierarchy_rollup"] = f"""
+    WITH RECURSIVE ks AS (SELECT o_orderkey AS k FROM orders),
+    links AS (
+      SELECT c.k, COALESCE(p.pk, c.k) AS p
+      FROM (SELECT k, k // 10 AS p0 FROM ks) c
+      LEFT JOIN (SELECT k AS pk FROM ks) p
+        ON c.p0 = p.pk AND c.k >= {HIERARCHY_ROOT_BOUND}
+    ),
+    ch(k, r) AS (
+      SELECT k, p FROM links
+      UNION
+      SELECT ch.k, links.p FROM ch JOIN links ON links.k = ch.r
+    ),
+    roots AS (
+      SELECT k, MIN(r) AS root FROM ch GROUP BY k
+    )
+    SELECT root,
+           COUNT(*) AS n_orders,
+           SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_value
+    FROM orders JOIN roots ON roots.k = o_orderkey
+    GROUP BY root
+    ORDER BY root
+"""

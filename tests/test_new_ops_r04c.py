@@ -90,3 +90,59 @@ def test_equidepth_no_single_reducer_sort(spark):
     )
     assert "ntile" not in plan.lower()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_hierarchy_rollup_replay(spark):
+    """Pointer doubling equals a Python root-chase of the same derived
+    parent relation, and the rollup partitions all orders."""
+    from etl_city_directories_spark.operators.scale_ops import (
+        HIERARCHY_ROOT_BOUND,
+        q_hierarchy_rollup,
+    )
+
+    rows = q_hierarchy_rollup(spark, SF_TINY).collect()
+    orders = load_table(spark, SF_TINY, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    keys = {r["o_orderkey"] for r in orders}
+
+    def root(k):
+        while k >= HIERARCHY_ROOT_BOUND and (k // 10) in keys:
+            k = k // 10
+        return k
+
+    expect_counts = {}
+    for r in orders:
+        expect_counts[root(r["o_orderkey"])] = (
+            expect_counts.get(root(r["o_orderkey"]), 0) + 1
+        )
+    got_counts = {r["root"]: r["n_orders"] for r in rows}
+    assert got_counts == expect_counts
+    assert sum(got_counts.values()) == len(orders)
+    assert all(r < HIERARCHY_ROOT_BOUND for r in got_counts)
+
+
+def test_cross_source_consistent_with_pairs(spark):
+    """The audit is exactly the cross-source subset of the verified
+    minhash pairs, canonically ordered."""
+    from etl_city_directories_spark.operators.dedup import (
+        dedup_cross_source,
+        dedup_minhash_lsh,
+    )
+
+    audit = dedup_cross_source(spark, SF).collect()
+    pairs = dedup_minhash_lsh(spark, SF).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    expect = {}
+    for p in pairs:
+        a, b = src[p["doc_a"]], src[p["doc_b"]]
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        expect[key] = expect.get(key, 0) + 1
+    got = {(r["source_lo"], r["source_hi"]): r["n_pairs"] for r in audit}
+    assert got == expect
+    assert all(lo < hi for lo, hi in got)
