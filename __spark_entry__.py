@@ -54,9 +54,11 @@ _MODULES = [
 # the 7 oracle keys with ZERO green driver evidence run first
 # (stream_session_window / stream_dedup_within_watermark last FAILED or
 # errored in r02 pre-ts-fix; the other 5 are r03 additions the budget never
-# reached), then confirmed-green keys in staleness order (r01 greens before
-# r02 greens before the rows-only contract keys before r03 greens) so the
-# budget rotates re-confirmation instead of re-proving last round's greens.
+# reached), then the 38 r04-new keys (first gate opportunity), then
+# confirmed-green keys in staleness order (r01 greens before r02 greens
+# before the rows-only contract keys before r03 greens) so the budget
+# rotates re-confirmation instead of re-proving last round's greens.
+# 45 never-gated keys + ~5 stalest r01 greens fill the 50 exactly.
 _GATE_PRIORITY = [
     # --- zero driver evidence (r02 FAIL/err or never gated) — run FIRST ---
     "stream_session_window",
