@@ -57,6 +57,10 @@ OPS = [
     "text_domain_classify",
     "ann_mmr_diversify",
     "shuffle_global_permute",
+    "text_perplexity_buckets",
+    "sample_balanced_classes",
+    "sample_train_test_split",
+    "dedup_cross_source",
 ]
 
 
