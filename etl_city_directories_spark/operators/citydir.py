@@ -588,13 +588,28 @@ def streets_dim(spark: SparkSession) -> DataFrame:
     return addresses_dim(spark).select("street_name", "street_id").distinct()
 
 
-def geocode_locations(spark: SparkSession, locs: DataFrame) -> DataFrame:
+def geocode_locations(
+    spark: SparkSession,
+    locs: DataFrame,
+    dim: DataFrame | None = None,
+    streets: DataFrame | None = None,
+) -> DataFrame:
     """Normalize + two-stage geocode of any (…, loc_value) DataFrame:
     exact house-level broadcast join on the normalized form, then a
     street-level fallback for number-less (corner) forms. Both dims
-    broadcast; the corpus side stays map-side."""
-    dim = addresses_dim(spark)
-    sts = streets_dim(spark).select(
+    broadcast; the corpus side stays map-side.
+
+    ``dim`` / ``streets`` override the built-in demo dims with a real
+    address dataset (the CLI's ``addresses`` config key) — same column
+    contract as ``addresses_dim`` / ``streets_dim``.
+    """
+    if dim is None:
+        dim = addresses_dim(spark)
+        if streets is None:
+            streets = streets_dim(spark)
+    elif streets is None:
+        streets = dim.select("street_name", "street_id").distinct()
+    sts = streets.select(
         F.col("street_name").alias("c_street_name"),
         F.col("street_id").alias("c_street_id"),
     )
