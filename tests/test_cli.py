@@ -107,3 +107,33 @@ def test_year_window_excludes_all(spark, tmp_path):
         )
     counts = run(cfg_path, work, ["download", "parse"], spark=spark)
     assert counts["download"] > 0 and counts["parse"] == 0
+
+
+def test_geocode_custom_addresses(spark, tmp_path):
+    """The addresses config key swaps in a real address dataset: a
+    custom dim that only knows one address geocodes exactly that one."""
+    work = str(tmp_path / "w3")
+    data = str(tmp_path / "d3")
+    os.makedirs(data)
+    shutil.copy(fixture_archive(), data)
+    dim_path = str(tmp_path / "addresses.parquet")
+    spark.createDataFrame(
+        [(1, "88 Water", "Water", "S1", 1.0, 88.0)],
+        "address_id long, address_name string, street_name string,"
+        " street_id string, geom_x double, geom_y double",
+    ).write.parquet(dim_path)
+    cfg_path = os.path.join(tmp_path, "config.json")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "tableUrl": os.path.join(FIXTURES, "manifest.html"),
+                "dataUrl": data,
+                "addresses": dim_path,
+            },
+            f,
+        )
+    run(cfg_path, work, ["download", "parse", "geocode"], spark=spark)
+    geo = _read_ndjson_dir(os.path.join(work, "geocode", "geocoded.ndjson"))
+    hits = [g for g in geo if g["found"]]
+    assert hits and all(g["loc_norm"].lower() == "88 water" for g in hits)
+    assert any(not g["found"] for g in geo)
