@@ -1,0 +1,79 @@
+"""Recompute `_GATE_PRIORITY` for the next round from the driver's
+CORRECTNESS_r*.json history.
+
+Ordering policy (the one every round's verdict asks for):
+1. oracle keys with ZERO green driver evidence (never gated, or last
+   row failed/errored) — newest additions last so long-standing gaps
+   go first;
+2. rows-only contract keys whose latest row isn't a `no_oracle` record
+   yet;
+3. confirmed-green keys by staleness (oldest confirming round first);
+4. rows-only keys already confirmed as `no_oracle`.
+
+Usage: PYTHONPATH=/root/repo python tools/gate_priority.py
+Prints the ready-to-paste Python list; diff against
+__spark_entry__._GATE_PRIORITY and commit early in the round.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as m  # noqa: E402
+
+
+def main() -> int:
+    history: dict[str, tuple[int, str]] = {}  # key -> (round, status)
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        with open(path, encoding="utf-8") as f:
+            rows = json.load(f)
+        for key, row in rows.items():
+            if row.get("err") == "no_oracle":
+                status = "rows_only"
+            elif row.get("hash_match") and row.get("rows_match"):
+                status = "green"
+            else:
+                status = "fail"
+            prev = history.get(key)
+            # green/rows_only evidence sticks at its round; a later
+            # fail demotes
+            if status == "fail" or prev is None or prev[1] == "fail":
+                history[key] = (rnd, status)
+            elif status == "green" and prev[1] != "green":
+                history[key] = (rnd, status)
+            elif status == "green" and prev[1] == "green":
+                history[key] = (rnd, status)  # refresh staleness
+            elif status == "rows_only" and prev[1] == "rows_only":
+                history[key] = (rnd, status)
+
+    keys = list(m.queries())
+    oracles = set(m.oracle_sql())
+    order = {k: i for i, k in enumerate(keys)}
+
+    def bucket(k: str) -> tuple:
+        h = history.get(k)
+        if h is None or h[1] == "fail":
+            return (0, order[k])  # zero evidence / failing: first
+        if k not in oracles and h[1] != "rows_only":
+            return (1, order[k])
+        if h[1] == "green":
+            return (2, h[0], k)  # stalest confirming round first
+        return (3, h[0], k)  # rows-only already confirmed
+
+    ordered = sorted(keys, key=bucket)
+    n_zero = sum(1 for k in ordered if bucket(k)[0] == 0)
+    print(f"# {len(ordered)} keys; {n_zero} with zero driver evidence lead")
+    print("_GATE_PRIORITY = [")
+    for k in ordered:
+        print(f'    "{k}",')
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
