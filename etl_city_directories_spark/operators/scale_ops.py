@@ -1394,8 +1394,21 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", F.coalesce("pk", "k").alias("p"))
     )
+    # rounds needed: pointer doubling jumps 2^r ancestors, and the
+    # div-10 chain from the largest key to the root bound is
+    # digits(max) - digits(bound) + 1 hops — one scalar agg (same
+    # bounded collect as the CC convergence probe) sizes the loop,
+    # so small keyspaces don't pay no-op rounds and huge ones still
+    # converge; HIERARCHY_DOUBLING_ROUNDS stays the int64 cap.
+    max_k = orders.agg(F.max("o_orderkey")).collect()[0][0] or 0
+    depth_bound = max(
+        1, len(str(max(max_k, 1))) - len(str(HIERARCHY_ROOT_BOUND)) + 1
+    )
+    rounds = min(
+        HIERARCHY_DOUBLING_ROUNDS, (depth_bound - 1).bit_length()
+    )
     ptr = rolling_persist(spark, ("hier_links", sf_dir), links)
-    for i in range(HIERARCHY_DOUBLING_ROUNDS):
+    for i in range(rounds):
         hop = ptr.select(F.col("k").alias("hk"), F.col("p").alias("hp"))
         doubled = ptr.join(hop, ptr.p == F.col("hk")).select(
             "k", F.col("hp").alias("p")
