@@ -50,69 +50,14 @@ _MODULES = [
 ]
 
 # The driver's correctness gate has a ~50-key-per-round budget and walks
-# queries() in insertion order. Recomputed for r04 from CORRECTNESS_r01-r03:
-# the 7 oracle keys with ZERO green driver evidence run first
-# (stream_session_window / stream_dedup_within_watermark last FAILED or
-# errored in r02 pre-ts-fix; the other 5 are r03 additions the budget never
-# reached), then the 38 r04-new keys (first gate opportunity), then
-# confirmed-green keys in staleness order (r01 greens before r02 greens
-# before the rows-only contract keys before r03 greens) so the budget
-# rotates re-confirmation instead of re-proving last round's greens.
-# 45 never-gated keys + ~5 stalest r01 greens fill the 50 exactly.
+# queries() in insertion order. Recomputed for r05 from CORRECTNESS_r01-r04
+# (tools/gate_priority.py): dedup_simhash leads — it gained a DuckDB oracle
+# this round, so it has zero ORACLE evidence — then the 27 keys whose last
+# green is r01 and the 34 r02 keys, oldest evidence first. Zero new-key or
+# fail debt exists, so the ~50 budget is pure staleness rotation: after r05
+# nothing's latest green should predate r02.
 _GATE_PRIORITY = [
-    # --- zero driver evidence (r02 FAIL/err or never gated) — run FIRST ---
-    "stream_session_window",
-    "stream_dedup_within_watermark",
-    "corpus_prepare_pipeline",
-    "cd_parse_tagged",
-    "dedup_shared_spans",
-    "sample_domain_mix",
-    "cd_link_persons",
-    # --- new in r04 (first gate opportunity) ---
-    "text_mojibake_stats",
-    "pack_sequences",
-    "dedup_prefix",
-    "cd_validate_schema",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "stream_chained_windows",
-    "stream_stateful_processor",
-    "hocr_source_v2",
-    "graph_pagerank_dupes",
-    "stream_python_source",
-    "stream_checkpoint_recovery",
-    "q_incremental_rollup",
-    "mm_shard_pack",
-    "text_gopher_filter",
-    "dedup_segments",
-    "sample_reservoir",
-    "q_zorder_layout",
-    "q_hll_partial_rollup",
-    "ann_rrf_hybrid",
-    "q_cdc_apply",
-    "q_snapshot_diff",
-    "stream_topk",
-    "text_domain_classify",
-    "q_bitmap_set_algebra",
-    "q_attribution_linear",
-    "ann_mmr_diversify",
-    "cd_occupation_year_stats",
-    "shuffle_global_permute",
-    "sample_dsir",
-    "text_perplexity_buckets",
-    "sample_balanced_classes",
-    "sample_train_test_split",
-    "q_string_agg",
-    "q_gaps_islands",
-    "q_histogram_equidepth",
-    "dedup_cross_source",
-    "q_hierarchy_rollup",
-    # --- stalest greens: last confirmed r01 (32 keys) ---
-    "cd_clean_text",
-    "cd_geocode",
-    "cd_make_id",
-    "cd_page_filter",
-    "cd_parse_entries",
+    "dedup_simhash",
     "cd_relations",
     "cd_transform_objects",
     "cd_year_normalize",
@@ -140,8 +85,6 @@ _GATE_PRIORITY = [
     "q_window_rank",
     "q_window_running",
     "source_csv_roundtrip",
-    # --- last confirmed r02 (34 keys; sample_stratified first, touched r04) ---
-    "sample_stratified",
     "ann_ivf_bucketed",
     "ann_lsh_cosine",
     "ann_pq_adc",
@@ -159,6 +102,7 @@ _GATE_PRIORITY = [
     "mm_caption_pairs",
     "mm_payload_stats",
     "sample_bernoulli",
+    "sample_stratified",
     "sample_temperature",
     "shard_manifest",
     "sink_partitioned",
@@ -175,18 +119,6 @@ _GATE_PRIORITY = [
     "text_token_count",
     "text_top_terms",
     "text_unigram_logprob",
-    # --- rows-only by contract (driver records no_oracle, 10 keys) ---
-    "cd_download",
-    "dedup_simhash",
-    "hocr_parse",
-    "manifest_parse",
-    "mm_audio_meta",
-    "mm_frame_sample",
-    "mm_image_meta",
-    "ndjson_sink",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    # --- freshest greens: confirmed r03 (48 keys) ---
     "cd_logs",
     "cd_parse_multi",
     "cd_pipeline",
@@ -235,6 +167,65 @@ _GATE_PRIORITY = [
     "stream_sliding_agg",
     "stream_stream_join",
     "stream_tumbling_agg",
+    "ann_mmr_diversify",
+    "ann_rrf_hybrid",
+    "cd_clean_text",
+    "cd_geocode",
+    "cd_link_persons",
+    "cd_make_id",
+    "cd_occupation_year_stats",
+    "cd_page_filter",
+    "cd_parse_entries",
+    "cd_parse_tagged",
+    "cd_validate_schema",
+    "corpus_prepare_pipeline",
+    "dedup_cross_source",
+    "dedup_prefix",
+    "dedup_segments",
+    "dedup_shared_spans",
+    "graph_pagerank_dupes",
+    "mm_shard_pack",
+    "pack_sequences",
+    "q_attribution_linear",
+    "q_bitmap_set_algebra",
+    "q_cdc_apply",
+    "q_gaps_islands",
+    "q_hierarchy_rollup",
+    "q_histogram_equidepth",
+    "q_incremental_rollup",
+    "q_snapshot_diff",
+    "q_string_agg",
+    "q_zorder_layout",
+    "sample_balanced_classes",
+    "sample_domain_mix",
+    "sample_dsir",
+    "sample_reservoir",
+    "sample_train_test_split",
+    "shuffle_global_permute",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "stream_chained_windows",
+    "stream_checkpoint_recovery",
+    "stream_dedup_within_watermark",
+    "stream_python_source",
+    "stream_session_window",
+    "stream_stateful_processor",
+    "stream_topk",
+    "text_domain_classify",
+    "text_gopher_filter",
+    "text_mojibake_stats",
+    "text_perplexity_buckets",
+    "cd_download",
+    "hocr_parse",
+    "manifest_parse",
+    "mm_audio_meta",
+    "mm_frame_sample",
+    "mm_image_meta",
+    "ndjson_sink",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "hocr_source_v2",
+    "q_hll_partial_rollup",
 ]
 
 

@@ -343,59 +343,68 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit simhash near-dup pairs (rows-only; no SQL oracle).
+    """64-bit simhash near-dup pairs — oracle-checkable (r05 upgrade).
 
-    Fingerprint: per-word 64-bit hash (JVM ``xxhash64`` inside a
-    ``transform``, so the hot hashing never leaves codegen),
-    sign-aggregated per bit in a numpy pandas UDF (one matrix op per
-    doc — Python only does the genuinely bit-twiddly fold). Candidate
-    generation splits the fingerprint into four 16-bit chunks —
-    near-dups within Hamming distance 16/4 share ≥1 chunk — then
-    verifies with xor + bit_count. Chunk buckets are the shuffle key,
-    so this scales like LSH, not like all-pairs.
+    Fingerprint: per-word 64-bit hash = four 16-bit md5-hex chunks
+    (``conv(substring(md5(w), 4c+1, 4), 16, 10)``) — the same
+    md5-derived integer algebra DuckDB replays bit-identically for
+    minhash and the permute hash, so the whole pipeline is now
+    hash-checkable (was rows-only through r04). The per-bit majority
+    fold is explode → one hash-groupBy on doc_id with 64 partial-summed
+    bit counters — map-side combine shrinks the shuffle to one
+    65-int row per (mapper, doc), and the former pandas UDF is gone
+    entirely: everything is JVM-side expression eval. Candidate
+    generation splits the fingerprint into its four 16-bit chunks —
+    near-dups within Hamming distance 16/4 share ≥1 chunk by
+    pigeonhole — then verifies with xor + bit_count. Chunk buckets are
+    the shuffle key, so this scales like LSH, not like all-pairs.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import LongType
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    wh = docs.select(
+        "doc_id", F.explode(F.split(norm_col(), " ")).alias("w")
+    ).select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.md5("w"), 4 * c + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    cnts = wh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col(f"c{c}"), b).bitwiseAND(F.lit(1))).alias(
+                f"b{c}_{b}"
+            )
+            for c in range(4)
+            for b in range(16)
+        ],
+    )
 
-    def _simhash_fold(word_hashes):
-        """±1-fold the per-word 64-bit hashes into one fingerprint."""
-        bitpos = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(word_hashes), dtype=np.int64)
-        for k, hs in enumerate(word_hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            ones = ((h[:, None] >> bitpos) & np.uint64(1)).sum(axis=0)
-            fp = int((np.uint64(1) << bitpos[2 * ones > len(hs)]).sum())
-            out[k] = fp - (1 << 64) if fp >= (1 << 63) else fp
-        return pd.Series(out)
+    def _fp(c: int) -> Column:
+        expr: Column = F.lit(0)
+        for b in range(16):
+            expr = expr + F.when(
+                2 * F.col(f"b{c}_{b}") > F.col("n"), F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        return expr.alias(f"fp{c}")
 
-    # `from __future__ import annotations` stringifies hints, which
-    # pandas_udf can't resolve — attach real annotation objects instead.
-    _simhash_fold.__annotations__ = {"word_hashes": pd.Series, "return": pd.Series}
-    simhash_fold = F.pandas_udf(_simhash_fold, LongType())
-
-    word_hashes = F.transform(F.split(norm_col(), " "), lambda w: F.xxhash64(w))
-    # persisted: the chunk self-join reads the UDF output twice
-    docs = rolling_persist(
+    # persisted: the chunk self-join reads the fingerprints twice
+    fps = rolling_persist(
         spark,
         ("simhash_docs", sf_dir),
-        load_table_parallel(spark, sf_dir, "documents").select(
-            "doc_id", simhash_fold(word_hashes).alias("fp")
-        ),
+        cnts.select("doc_id", *[_fp(c) for c in range(4)]),
     )
-    chunks = docs.select(
+    chunks = fps.select(
         "doc_id",
-        "fp",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fp"), 16 * c).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+        "fp0",
+        "fp1",
+        "fp2",
+        "fp3",
+        F.posexplode(F.array("fp0", "fp1", "fp2", "fp3")).alias(
+            "chunk_idx", "chunk_val"
+        ),
     )
     a, c2 = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -408,12 +417,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+            *[F.col(f"a.fp{c}").alias(f"a{c}") for c in range(4)],
+            *[F.col(f"b.fp{c}").alias(f"b{c}") for c in range(4)],
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    hamming = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(4)
+    )
     return (
         cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
@@ -1142,6 +1153,63 @@ ORACLES["dedup_segments"] = f"""
             / COUNT(*) <= {SEGMENT_DUP_FRAC_MAX}) AS keep
     FROM per_seg p JOIN seg_docs s USING (seg_hash)
     GROUP BY p.doc_id
+"""
+
+
+# simhash: replay the md5-chunk word hashes, the per-bit majority fold,
+# the 16-bit-chunk candidate join, and the Hamming verify — the same
+# md5→integer algebra the minhash/permute oracles already replay
+# bit-identically, so the driver can hash-check the pairs.
+_SIMHASH_CNT_COLS = ",\n          ".join(
+    f"SUM((c{c} >> {b}) & 1) AS b{c}_{b}" for c in range(4) for b in range(16)
+)
+_SIMHASH_FP_COLS = ",\n          ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN 2 * b{c}_{b} > n THEN {1 << b} ELSE 0 END"
+        for b in range(16)
+    )
+    + f") AS fp{c}"
+    for c in range(4)
+)
+ORACLES["dedup_simhash"] = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM docs
+    ),
+    wh AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(w), 1, 4) AS INTEGER) AS c0,
+        CAST('0x' || substr(md5(w), 5, 4) AS INTEGER) AS c1,
+        CAST('0x' || substr(md5(w), 9, 4) AS INTEGER) AS c2,
+        CAST('0x' || substr(md5(w), 13, 4) AS INTEGER) AS c3
+      FROM words
+    ),
+    cnts AS (
+      SELECT doc_id, COUNT(*) AS n,
+          {_SIMHASH_CNT_COLS}
+      FROM wh GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+          {_SIMHASH_FP_COLS}
+      FROM cnts
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1))
+            + bit_count(xor(a.fp2, b.fp2)) + bit_count(xor(a.fp3, b.fp3)))::INT
+             AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND (a.fp0 = b.fp0 OR a.fp1 = b.fp1 OR a.fp2 = b.fp2 OR a.fp3 = b.fp3)
+    WHERE bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1))
+          + bit_count(xor(a.fp2, b.fp2)) + bit_count(xor(a.fp3, b.fp3))
+          <= {SIMHASH_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
 """
 
 

@@ -56,9 +56,11 @@ def test_ann_broadcasts_probe_side(spark):
 
 def test_jvm_operators_have_no_python_eval(spark):
     """Everything JVM-expressible must stay out of Python workers.
-    (Only dedup_simhash, mm_*, and streaming legitimately use Python.)"""
+    (Only mm_* decode and streaming state ops legitimately use Python;
+    dedup_simhash joined the JVM-only set in r05.)"""
     for name in (
         "q1_pricing_summary",
+        "dedup_simhash",
         "q_sessionize",
         "q_asof_join",
         "dedup_exact",

@@ -28,7 +28,14 @@ import __spark_entry__ as m  # noqa: E402
 
 def main() -> int:
     history: dict[str, tuple[int, str]] = {}  # key -> (round, status)
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    # Sort by PARSED round number, not filename: lexical order breaks as
+    # soon as padding changes (r100 < r02, unpadded r4) and would let an
+    # older fail, replayed after a newer green, incorrectly demote a key.
+    paths = sorted(
+        glob.glob("/root/repo/CORRECTNESS_r*.json"),
+        key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0]),
+    )
+    for path in paths:
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         with open(path, encoding="utf-8") as f:
             rows = json.load(f)
@@ -59,6 +66,10 @@ def main() -> int:
         h = history.get(k)
         if h is None or h[1] == "fail":
             return (0, order[k])  # zero evidence / failing: first
+        if k in oracles and h[1] == "rows_only":
+            # key gained an oracle since its last (rows-only) gating —
+            # it has zero ORACLE evidence, so it leads with the gaps
+            return (0, order[k])
         if k not in oracles and h[1] != "rows_only":
             return (1, order[k])
         if h[1] == "green":
