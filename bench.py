@@ -53,6 +53,11 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(t for t in timings.values() if t > 0), 3)
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver archives only the TAIL of this line (last ~2000 chars),
+    # and the per-query dict is longer than that — so the headline keys
+    # are repeated AFTER "queries", keeping total/sf inside any tail
+    # capture (r04 verdict: every BENCH_rN.json had lost the total).
     print(
         json.dumps(
             {
@@ -60,7 +65,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "total": total,
+                "n_queries": len(timings),
+                "tail_total": total,
+                "tail_sf": sf_val,
             }
         )
     )

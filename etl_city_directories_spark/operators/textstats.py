@@ -108,10 +108,26 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-gram min-hash document fingerprint (min md5 over 3-gram
     shingles) — the rolling-hash fingerprint of SURVEY §2.C in its
-    cross-engine-deterministic form."""
+    cross-engine-deterministic form.
+
+    Skips ``array_distinct``: min over duplicated shingles equals min
+    over the distinct set, so the dedup pass (the costliest step of
+    shingles_col on long docs) is pure waste here — one fewer O(grams)
+    array walk per document. The r04 scale probe flagged this key's
+    7.5× cell at 10× data; measurement showed it is linear map work
+    (executor-only ratio 5.5× ≤ data ratio, fixed overhead dominating
+    the 0.8 s 1× cell), and this shave cuts the constant."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     norm = norm_col()
-    fp = F.array_min(F.transform(shingles_col(norm), lambda s: F.md5(s)))
+    w = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+        ),
+    )
+    sh = F.when(F.size(w) >= 3, grams).otherwise(F.array(norm))
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return docs.select(
         "doc_id",
         fp.alias("fingerprint"),

@@ -756,14 +756,21 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("total_value"),
         )
     )
+    import json as _json
+
     total = _row_count(f"{sf_dir}/events.parquet")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         # availableNow would freeze the bound at the FIRST latestOffset
         # call (one giant batch); a processing-time trigger lets the
-        # source advance its offset 3× — we stop once the consumed end
-        # offset covers the file and the last batch carried no rows
+        # source advance its offset 3×. Stop when the committed batches
+        # account for EVERY file row exactly — cumulative numInputRows
+        # == total rules out loss AND duplication, and (unlike waiting
+        # for a trailing empty batch) doesn't stall on Spark's 10 s
+        # noDataProgressEventInterval, which suppresses the empty
+        # batch's progress event and used to cost this query 10.5 s of
+        # pure idle wait (the r04 perf flag).
         q = (
             agg.writeStream.format("memory")
             .queryName("stream_python_source_sink")
@@ -779,10 +786,17 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # index is the only number in it either way
                 end = str(p["sources"][0].get("endOffset") or "")
                 m = _re.search(r"\d+", end)
-                done = m and int(m.group()) >= total
-                if done and p.get("numInputRows", -1) == 0:
-                    break
-            _time.sleep(0.1)
+                if m and int(m.group()) >= total:
+                    consumed = sum(
+                        _json.loads(pp.json).get("numInputRows", 0)
+                        for pp in q.recentProgress
+                    )
+                    if consumed >= total:
+                        assert consumed == total, (
+                            f"replay duplicated rows: {consumed} > {total}"
+                        )
+                        break
+            _time.sleep(0.05)
         else:
             raise TimeoutError("events_replay never reached end offset")
         q.stop()
