@@ -85,16 +85,24 @@ def step_download(spark: SparkSession, cfg: dict, work: str) -> int:
     manifest = read_manifest(spark, cfg["tableUrl"])
     write_ndjson(manifest, os.path.join(out, "manifest.ndjson"))
 
-    archives = (
-        spark.read.format("binaryFile")
-        .load(os.path.join(cfg["dataUrl"], "*.tar.gz"))
-        .select(
-            F.regexp_extract(F.col("path"), r"([0-9a-f-]+)\.tar\.gz$", 1).alias(
-                "uuid"
-            ),
-            "content",
+    try:
+        archives = (
+            spark.read.format("binaryFile")
+            .load(os.path.join(cfg["dataUrl"], "*.tar.gz"))
+            .select(
+                F.regexp_extract(F.col("path"), r"([0-9a-f-]+)\.tar\.gz$", 1).alias(
+                    "uuid"
+                ),
+                "content",
+            )
         )
-    )
+        archives.schema  # force path resolution now, inside the guard
+    except Exception:
+        # no .tar.gz at all: the reference's per-uuid error-file
+        # contract still applies — every manifest row gets an empty
+        # {uuid}.xml and the run continues (:91-97), so an empty
+        # archives frame feeds the left join instead of aborting
+        archives = spark.createDataFrame([], "uuid string, content binary")
 
     def _fetch(batches):
         for pdf in batches:
@@ -117,6 +125,11 @@ def step_download(spark: SparkSession, cfg: dict, work: str) -> int:
     status = manifest.select("uuid").join(archives, "uuid", "left").mapInPandas(
         _fetch, "uuid string, filename string, status string, n_bytes long"
     )
+    # The file writes inside _fetch are idempotent (same path, same
+    # bytes), but a retried/speculated task re-EMITS its rows — dedupe
+    # by uuid so status.ndjson and the download count stay retry-safe
+    # (all rows for a uuid are identical, so any survivor is correct).
+    status = status.dropDuplicates(["uuid"])
     write_ndjson(status, os.path.join(out, "status.ndjson"))
     return read_ndjson(spark, os.path.join(out, "status.ndjson")).count()
 
@@ -296,7 +309,11 @@ def step_transform(spark: SparkSession, cfg: dict, work: str) -> int:
         .filter(F.col("aid").isNotNull())
         .select(
             "from",
-            F.concat(F.lit("addresses/"), F.col("aid").cast("string")).alias("to"),
+            # raw address id, verbatim — the reference pushes
+            # `to: addressId` (city-directories.js:395-399) and
+            # cd_relations emits the same; a surface-specific prefix
+            # here made the two surfaces disagree (r04 advice).
+            F.col("aid").cast("string").alias("to"),
             F.lit("st:in").alias("type"),
         )
     )

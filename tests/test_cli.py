@@ -84,8 +84,35 @@ def test_transform_relations_and_logs(cli_work):
     n_miss = sum(1 for g in geo if not g["found"])
     assert len(rels) == n_found > 0
     assert len(logs) == n_miss > 0
-    assert all(r["type"] == "st:in" and r["to"].startswith("addresses/") for r in rels)
+    # `to` is the raw address id — same format as cd_relations and the
+    # reference's `to: addressId` (city-directories.js:395-399)
+    assert all(r["type"] == "st:in" and r["to"].isdigit() for r in rels)
     assert all(lg["type"] == "log" for lg in logs)
+
+
+def test_download_with_no_archives_at_all(spark, tmp_path):
+    """A dataUrl directory containing zero .tar.gz files must not
+    abort: the per-uuid error-file contract still applies — EVERY
+    manifest row gets an empty {uuid}.xml and status marks them all
+    'error' (r04 advice: the bare glob raised path-not-found)."""
+    work = str(tmp_path / "w3")
+    data = str(tmp_path / "d3")
+    os.makedirs(data)  # empty — no archives
+    cfg_path = os.path.join(tmp_path, "config.json")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "tableUrl": os.path.join(FIXTURES, "manifest.html"),
+                "dataUrl": data,
+            },
+            f,
+        )
+    counts = run(cfg_path, work, ["download"], spark=spark)
+    assert counts["download"] == 4  # every manifest row has a status
+    names = sorted(os.listdir(os.path.join(work, "download", "data")))
+    assert all(n.endswith(".xml") for n in names) and len(names) == 4
+    status = _read_ndjson_dir(os.path.join(work, "download", "status.ndjson"))
+    assert all(s["status"] == "error" for s in status)
 
 
 def test_year_window_excludes_all(spark, tmp_path):
