@@ -988,26 +988,23 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HLL_LGK = 12
+# lgK=12 → ~1.6% RSE; 2% covers the observed deterministic error at
+# every test SF (0 at sf≤0.01 where the sketch is sparse-exact, 0.8%
+# at sf0.1) with margin — the accuracy CONTRACT the oracle hash-checks
+HLL_REL_TOL = 0.02
 
 
-def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (Apache DataSketches HLL via
-    Spark 4's hll_sketch_agg / hll_union_agg): build one per-day
-    partial sketch of distinct users per event type, then MERGE the
-    partials into per-type totals — the incremental-rollup pattern for
-    COUNT(DISTINCT) that makes 100 TB dashboards possible (daily
-    partials are tiny, re-aggregation unions sketches instead of
-    rescanning raw events; distinct counts don't sum, sketches do).
+def _hll_rollup_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sketch-vs-exact detail behind q_hll_partial_rollup: the
+    raw est_merged / est_direct estimates next to the countDistinct
+    ground truth. pytest asserts the tolerances on THIS frame; the
+    public query projects the oracle-checkable skeleton from it.
 
-    The result carries its own proof obligations: est_direct (one
-    sketch over the raw rows) vs est_merged (union of the daily
-    partials) vs exact_users (countDistinct ground truth). Union of
-    same-lgK HLL sketches is exact w.r.t. the direct sketch, so
-    merged_matches_direct must be uniformly true; rel_err vs exact is
-    bounded by HLL accuracy at lgK=12 (~1.6% RSE), asserted with
-    tolerance in pytest. No DuckDB oracle — DataSketches binaries are
-    not replayable there — so this key is rows-only by SURVEY
-    contract."""
+    Note merged-vs-direct equality is NOT an invariant: once the
+    sketch leaves sparse mode (sf0.1's 1500 users/type), union of
+    daily partials and one direct aggregation legally land on
+    different-but-both-in-tolerance estimates (1488 vs direct at
+    sf0.1) — only the exact-mode small-SF runs match bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date("ts").alias("day")
     partials = (
@@ -1033,21 +1030,61 @@ def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_merged").cast("bigint").alias("est_merged"),
             F.col("est_direct").cast("bigint").alias("est_direct"),
             F.col("exact_users").cast("bigint").alias("exact_users"),
-            (F.col("est_merged") == F.col("est_direct")).alias(
-                "merged_matches_direct"
-            ),
             F.round(
                 F.abs(F.col("est_merged") - F.col("exact_users"))
                 / F.col("exact_users"),
                 4,
-            ).alias("rel_err"),
+            ).alias("rel_err_merged"),
+            F.round(
+                F.abs(F.col("est_direct") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err_direct"),
         )
         .orderBy("event_type")
     )
 
 
+def q_hll_partial_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark 4's hll_sketch_agg / hll_union_agg): build one per-day
+    partial sketch of distinct users per event type, then MERGE the
+    partials into per-type totals — the incremental-rollup pattern for
+    COUNT(DISTINCT) that makes 100 TB dashboards possible (daily
+    partials are tiny, re-aggregation unions sketches instead of
+    rescanning raw events; distinct counts don't sum, sketches do).
+
+    Oracle-checkable since r05 (was rows-only): the DataSketches
+    binaries themselves aren't replayable in DuckDB, but the output's
+    deterministic skeleton IS — n_days and exact_users are plain
+    aggregates DuckDB recomputes independently, and the two accuracy
+    booleans assert the sketch CONTRACT (merged / direct estimate each
+    within HLL_REL_TOL of exact). Murmur hashing is seed-fixed, so for
+    given data the estimates — hence the booleans — are deterministic;
+    the oracle hash-checks that every group satisfied the contract.
+    Raw estimates stay available via _hll_rollup_detail for pytest."""
+    return _hll_rollup_detail(spark, sf_dir).select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (F.col("rel_err_merged") <= HLL_REL_TOL).alias("merged_est_ok"),
+        (F.col("rel_err_direct") <= HLL_REL_TOL).alias("direct_est_ok"),
+    )
+
+
 QUERIES["q_zorder_layout"] = q_zorder_layout
 QUERIES["q_hll_partial_rollup"] = q_hll_partial_rollup
+
+ORACLES["q_hll_partial_rollup"] = """
+    SELECT event_type,
+           COUNT(DISTINCT CAST(ts AS DATE))::BIGINT AS n_days,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS merged_est_ok,
+           TRUE AS direct_est_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
 
 ORACLES["q_zorder_layout"] = f"""
     WITH pts AS (
