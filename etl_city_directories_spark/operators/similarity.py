@@ -1244,3 +1244,103 @@ def _mmr_oracle() -> str:
 
 
 ORACLES["ann_mmr_diversify"] = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# r05: SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+# In-cell cosine above this marks a semantic duplicate. Matches the
+# corpus's near-dup band (p99.9 of in-cell cosines ≈ 0.41, max ≈ 0.49;
+# EMBED_COS_THRESHOLD in dedup.py uses the same 0.35 cut).
+SEMDEDUP_COS = 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate removal — k-means the corpus, compare pairs ONLY
+    within a cluster, drop every vector whose cosine to a LOWER-id
+    cell-mate reaches SEMDEDUP_COS (keep-min-id exemplar policy, the
+    deterministic stand-in for the paper's keep-one-random).
+
+    Shape at 100 TB: the cluster id is the shuffle key, so candidate
+    generation is a hash join per cell, never corpus×corpus — the
+    paper's trick, quadratic only within a cell. Production sizes K so
+    cells stay small (SemDeDup used 50k clusters for LAION); here K =
+    N_CELLS shared with the IVF index, and the k-means training itself
+    is the memoized decimal-exact Lloyd loop (kmeans_cells) whose cell
+    assignment the DuckDB oracle replays bit-for-bit — so even the
+    clustering step of the oracle comparison is exact, not fuzzy.
+
+    Output is the full per-vector dedup verdict: cell, the max cosine
+    to any lower-id cell-mate (4-dp, null when the vector is its
+    cell's min id or has no lower-id mates), and the drop flag."""
+    cells = kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE).filter(
+        F.col("cell_rank") == 1
+    )
+    lower = cells.select(
+        F.col("vec_id").alias("lower_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    mine = cells.select(
+        "vec_id", F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell"
+    )
+    best = (
+        mine.join(lower, "cell")
+        .filter(F.col("lower_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.round(
+                _cos(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 4
+            ).alias("c"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("best_lower_sim"))
+    )
+    return (
+        cells.select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "best_lower_sim",
+            F.coalesce(
+                F.col("best_lower_sim") >= SEMDEDUP_COS, F.lit(False)
+            ).alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["dedup_semantic"] = dedup_semantic
+
+
+def _semdedup_oracle() -> str:
+    cos = (
+        "list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),"
+        " (p, q) -> p + q) / (sqrt(a.nrm) * sqrt(b.nrm))"
+    )
+    return f"""
+        WITH {_VEC_CTE},
+        {_kmeans_ctes()},
+        mine AS (
+          SELECT vec_id, cell FROM cells WHERE cell_rank = 1
+        ),
+        best AS (
+          SELECT hi.vec_id, MAX(ROUND({cos}, 4)) AS best_lower_sim
+          FROM mine lo
+          JOIN mine hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+          JOIN vecs a ON a.vec_id = lo.vec_id
+          JOIN vecs b ON b.vec_id = hi.vec_id
+          GROUP BY hi.vec_id
+        )
+        SELECT m.vec_id, m.cell::INT AS cell, b.best_lower_sim,
+               COALESCE(b.best_lower_sim >= {SEMDEDUP_COS}, FALSE) AS dropped
+        FROM mine m LEFT JOIN best b USING (vec_id)
+        ORDER BY m.vec_id
+    """
+
+
+ORACLES["dedup_semantic"] = _semdedup_oracle()

@@ -1,0 +1,84 @@
+"""Properties for the r05 batch: SemDeDup semantic dedup (plus the
+later r05 additions as they land)."""
+
+import pyspark.sql.functions as F
+
+from etl_city_directories_spark.operators.similarity import (
+    IVF_NPROBE,
+    SEMDEDUP_COS,
+    dedup_semantic,
+    kmeans_cells,
+)
+
+SF = "/root/testdata/sf0.01"
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def test_semdedup_covers_corpus_once(spark):
+    """Every vector gets exactly one verdict row."""
+    rows = dedup_semantic(spark, SF).collect()
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+
+
+def test_semdedup_drop_flag_is_threshold_on_best_sim(spark):
+    rows = dedup_semantic(spark, SF).collect()
+    dropped = [r for r in rows if r.dropped]
+    assert dropped, "threshold should catch the corpus's near-dup band"
+    assert len(dropped) < len(rows) / 2, "must not gut the corpus"
+    for r in rows:
+        if r.best_lower_sim is None:
+            assert not r.dropped, r
+        else:
+            assert r.dropped == (r.best_lower_sim >= SEMDEDUP_COS), r
+
+
+def test_semdedup_keeps_one_exemplar_per_cell_minimum(spark):
+    """The min vec_id of every cell has no lower-id cell-mate, so it
+    can never be dropped — each cell keeps at least one exemplar."""
+    rows = dedup_semantic(spark, SF_TINY).collect()
+    min_per_cell = {}
+    for r in rows:
+        if r.cell not in min_per_cell or r.vec_id < min_per_cell[r.cell].vec_id:
+            min_per_cell[r.cell] = r
+    for r in min_per_cell.values():
+        assert r.best_lower_sim is None and not r.dropped, r
+
+
+def test_semdedup_agrees_with_exact_in_cell_scan(spark):
+    """Replay the verdict with a driver-side exact scan of one cell."""
+    import math
+
+    cells = (
+        kmeans_cells(spark, SF_TINY, n_best=IVF_NPROBE)
+        .filter(F.col("cell_rank") == 1)
+        .select("vec_id", "cell", "v")
+        .collect()
+    )
+    target = cells[0].cell
+    members = sorted(
+        (r for r in cells if r.cell == target), key=lambda r: r.vec_id
+    )
+    verdicts = {
+        r.vec_id: r for r in dedup_semantic(spark, SF_TINY).collect()
+    }
+    for i, hi in enumerate(members):
+        best = None
+        for lo in members[:i]:
+            dot = sum(x * y for x, y in zip(lo.v, hi.v))
+            c = round(
+                dot
+                / (
+                    math.sqrt(sum(x * x for x in lo.v))
+                    * math.sqrt(sum(x * x for x in hi.v))
+                ),
+                4,
+            )
+            best = c if best is None else max(best, c)
+        got = verdicts[hi.vec_id]
+        if best is None:
+            assert got.best_lower_sim is None
+        else:
+            assert abs(got.best_lower_sim - best) < 1e-9, (hi.vec_id, best, got)
+        assert got.dropped == (best is not None and best >= SEMDEDUP_COS)
