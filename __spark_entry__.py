@@ -57,6 +57,7 @@ _MODULES = [
 # fail debt exists, so the ~50 budget is pure staleness rotation: after r05
 # nothing's latest green should predate r02.
 _GATE_PRIORITY = [
+    "bpe_pair_counts",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

@@ -8,7 +8,7 @@ Each has an exact DuckDB oracle; ratios follow the 4-dp rounding policy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.operators.dedup import (
@@ -1844,4 +1844,78 @@ ORACLES["sample_dsir"] = f"""
       ORDER BY log_ratio DESC, doc_id
       LIMIT {DSIR_KEEP}
     )
+"""
+
+
+# ---------------------------------------------------------------------------
+# r05: BPE tokenizer training — the distributed pair-count hot loop
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 32
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot loop of BPE tokenizer training (Sennrich et al. 2016):
+    count adjacent symbol pairs across the corpus and rank the merge
+    candidates — one training round, distributed.
+
+    Scale shape: the ONLY corpus-size pass is the pre-token frequency
+    count (map-side combine on Zipf-skewed keys); pair counting then
+    runs over the DISTINCT-word table weighted by frequency — the same
+    vocabulary compression Sennrich's reference implementation uses,
+    |vocab| ≪ corpus tokens. Pre-tokens are the repo's BPE_RE classes
+    (letter runs / digit runs / single other — the GPT-2-style
+    pre-tokenizer stand-in, shared with text_token_count), each closed
+    with an end-of-word marker '_' so word-final pairs are distinct
+    merge candidates from word-internal ones. The final rollup is
+    bounded by alphabet², and the top-K lands as
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(norm_col(), F.lit(_BPE_RE), 0)).alias("w")
+    )
+    wfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    mw = F.concat(F.col("w"), F.lit("_"))
+    pairs = wfreq.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(mw) - 1),
+                lambda i: F.substr(mw, i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    top = agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+    w_rank = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+        "pair",
+        "pair_count",
+    )
+
+
+QUERIES["bpe_pair_counts"] = bpe_pair_counts
+
+ORACLES["bpe_pair_counts"] = f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all({_NORM}, '{_BPE_RE}')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    pos AS (
+      SELECT w || '_' AS mw, freq,
+             unnest(generate_series(1, length(w))) AS i
+      FROM words
+    ),
+    agg AS (
+      SELECT substring(mw, i, 2) AS pair, SUM(freq)::BIGINT AS pair_count
+      FROM pos GROUP BY 1
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)::INT AS rank,
+           pair, pair_count
+    FROM agg
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
 """

@@ -82,3 +82,47 @@ def test_semdedup_agrees_with_exact_in_cell_scan(spark):
         else:
             assert abs(got.best_lower_sim - best) < 1e-9, (hi.vec_id, best, got)
         assert got.dropped == (best is not None and best >= SEMDEDUP_COS)
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts (textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_replay_on_tiny(spark):
+    """Replay one BPE pair-count round driver-side on sf0.001 and
+    assert the distributed plan agrees pair-for-pair."""
+    import re
+    from collections import Counter
+
+    from etl_city_directories_spark.operators.textstats import (
+        _BPE_RE,
+        BPE_TOP_PAIRS,
+        bpe_pair_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("text").collect()
+    wfreq = Counter()
+    for r in docs:
+        norm = re.sub(" +", " ", r.text.lower()).strip()
+        wfreq.update(re.findall(_BPE_RE, norm))
+    pairs = Counter()
+    for w, f_ in wfreq.items():
+        mw = w + "_"
+        for i in range(len(mw) - 1):
+            pairs[mw[i : i + 2]] += f_
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+
+    got = sorted(bpe_pair_counts(spark, SF_TINY).collect(), key=lambda r: r.rank)
+    assert [(r.pair, r.pair_count) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+
+def test_bpe_pair_counts_eow_marker_present(spark):
+    """Word-final pairs ('x_') must appear as distinct merge candidates."""
+    from etl_city_directories_spark.operators.textstats import bpe_pair_counts
+
+    rows = bpe_pair_counts(spark, SF_TINY).collect()
+    assert any(r.pair.endswith("_") for r in rows)
+    assert all(len(r.pair) == 2 for r in rows)
+    assert all(r.pair_count > 0 for r in rows)
