@@ -58,6 +58,8 @@ _MODULES = [
 # nothing's latest green should predate r02.
 _GATE_PRIORITY = [
     "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_encode",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

@@ -1919,3 +1919,234 @@ ORACLES["bpe_pair_counts"] = f"""
     ORDER BY pair_count DESC, pair
     LIMIT {BPE_TOP_PAIRS}
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: full BPE tokenizer training + corpus encoding
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 8
+# Symbol sentinels: every symbol in a word's working representation is
+# wrapped \x01sym\x02, so applying a merge is ONE literal string
+# replace — adjacent occurrences share no characters (unlike
+# space-joined symbols, where replace(' a a ') on 'a a a a' would miss
+# the second merge) and a pair pattern can never match across a
+# multi-char symbol boundary. Identical semantics in Spark and DuckDB.
+_BPE_W1 = "\x01"
+_BPE_W2 = "\x02"
+
+
+def _bpe_sym(repr_col: Column) -> Column:
+    """Wrapped repr → symbol array (both sentinels stripped)."""
+    inner = F.substr(repr_col, F.lit(2), F.length(repr_col) - 2)
+    return F.split(inner, _BPE_W2 + _BPE_W1)
+
+
+def _bpe_pairs(sym: Column) -> Column:
+    """Adjacent symbol pairs as 'l r' keys (symbols never contain a
+    space, so the key is unambiguous). slice+zip_with instead of
+    sequence(): sequence(1, 0) would generate a DESCENDING [1, 0]."""
+    n = F.size(sym)
+    return F.zip_with(
+        F.slice(sym, F.lit(1), n - 1),
+        F.slice(sym, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def _bpe_wfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(norm_col(), F.lit(_BPE_RE), 0)).alias("w")
+    )
+    return toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+
+_BPE_TRAIN_CACHE: dict[tuple, tuple] = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple:
+    """Run BPE_MERGE_ROUNDS of true iterative BPE training (pair
+    counts recomputed on the merged representation each round, not the
+    one-shot initial ranking) over the distinct-word table. Returns
+    (merges, final_words) where merges is the 5-tuple merge table and
+    final_words maps w → fully-merged repr.
+
+    Scale shape: ONE corpus pass builds the word-frequency table; each
+    round is then a groupBy over O(vocab × word_len) exploded pairs
+    plus a 1-row TakeOrdered argmax collect (scalar — the merge rule
+    IS driver state, like k-means centroids). The repr column chains
+    one literal replace per round on the persisted vocab, so round
+    cost never touches the corpus again."""
+    from etl_city_directories_spark.functions.memo import table_stamp
+
+    stamp = table_stamp(sf_dir, ("documents",))
+    key = (spark.sparkContext.applicationId, "bpe_train", sf_dir, stamp)
+    hit = _BPE_TRAIN_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    wrap_chars = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.col("w"), ""),
+            lambda c: F.concat(F.lit(_BPE_W1), c, F.lit(_BPE_W2)),
+        ),
+    )
+    words = _bpe_wfreq(spark, sf_dir).select(
+        "w",
+        "freq",
+        F.concat(wrap_chars, F.lit(_BPE_W1 + "_" + _BPE_W2)).alias("repr"),
+    )
+    words = rolling_persist(spark, ("bpe_words", sf_dir), words)
+
+    merges = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pc = (
+            words.select("freq", F.explode(_bpe_pairs(_bpe_sym(F.col("repr")))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        )
+        row = pc.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1).collect()[0]
+        lhs, rhs = row["pair"].split(" ")
+        merges.append((rnd, lhs, rhs, lhs + rhs, row["pair_count"]))
+        words = words.withColumn(
+            "repr",
+            F.replace(
+                "repr",
+                F.lit(_BPE_W1 + lhs + _BPE_W2 + _BPE_W1 + rhs + _BPE_W2),
+                F.lit(_BPE_W1 + lhs + rhs + _BPE_W2),
+            ),
+        )
+    final_words = rolling_persist(spark, ("bpe_final", sf_dir), words)
+    out = (merges, final_words)
+    _BPE_TRAIN_CACHE[key] = out
+    return out
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table: one row per training round with the
+    winning pair and its corpus frequency at the time it won (ties
+    broken by pair string — deterministic cross-engine)."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained BPE merges: per document, the
+    whitespace/pre-token count and the post-merge BPE token count.
+
+    Scale shape: docs explode to (doc_id, w, cnt) once; the vocab's
+    final representation joins in by word (hash join on the
+    vocab-sized side — never re-tokenizes per round) and the per-doc
+    rollup is a plain sum. Compression ratio rounded 4dp."""
+    _, final_words = _bpe_train(spark, sf_dir)
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(norm_col(), F.lit(_BPE_RE), 0)).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = final_words.select("w", F.size(_bpe_sym(F.col("repr"))).alias("n_sym"))
+    return (
+        dw.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_per_word",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
+        )
+    )
+
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+QUERIES["bpe_encode"] = bpe_encode
+
+
+def _bpe_cte(rounds: int) -> str:
+    """Unrolled-CTE replay of the training loop for the DuckDB oracle:
+    w0 is the wrapped vocab; each round r computes pair counts from
+    w{r-1}, picks the argmax (count desc, pair asc), and applies the
+    merge with the same sentinel-literal replace as the Spark side."""
+    parts = [
+        f"""
+    wfreq AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_extract_all({_NORM}, '{_BPE_RE}')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    w0 AS (
+      SELECT w, freq,
+             chr(1) || array_to_string(string_split(w, ''), chr(2)||chr(1))
+                    || chr(2) || chr(1) || '_' || chr(2) AS repr
+      FROM wfreq
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT s[i] || ' ' || s[i+1] AS pair, SUM(freq)::BIGINT AS pair_count
+      FROM (
+        SELECT string_split(substring(repr, 2, length(repr)-2), chr(2)||chr(1)) AS s,
+               freq
+        FROM w{r-1}
+      ), LATERAL unnest(generate_series(1, len(s)-1)) AS t(i)
+      GROUP BY 1
+    ),
+    b{r} AS (
+      SELECT pair, pair_count,
+             split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs
+      FROM p{r} ORDER BY pair_count DESC, pair LIMIT 1
+    ),
+    w{r} AS (
+      SELECT w, freq,
+             replace(repr, chr(1)||lhs||chr(2)||chr(1)||rhs||chr(2),
+                           chr(1)||lhs||rhs||chr(2)) AS repr
+      FROM w{r-1}, b{r}
+    )""")
+    return ",".join(parts)
+
+
+ORACLES["bpe_train_merges"] = (
+    "WITH "
+    + _bpe_cte(BPE_MERGE_ROUNDS)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {r}::INT AS round, lhs, rhs, lhs || rhs AS merged, pair_count FROM b{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round"
+)
+
+ORACLES["bpe_encode"] = (
+    "WITH "
+    + _bpe_cte(BPE_MERGE_ROUNDS)
+    + f""",
+    dw AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(regexp_extract_all({_NORM}, '{_BPE_RE}')) AS w
+        FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    vocab AS (
+      SELECT w, len(string_split(substring(repr, 2, length(repr)-2),
+                                 chr(2)||chr(1))) AS n_sym
+      FROM w{BPE_MERGE_ROUNDS}
+    )
+    SELECT doc_id,
+           SUM(cnt)::BIGINT AS n_words,
+           SUM(cnt * n_sym)::BIGINT AS n_bpe_tokens,
+           ROUND(SUM(cnt * n_sym)::DOUBLE / SUM(cnt), 4) AS bpe_per_word
+    FROM dw JOIN vocab USING (w)
+    GROUP BY doc_id
+"""
+)

@@ -126,3 +126,98 @@ def test_bpe_pair_counts_eow_marker_present(spark):
     assert any(r.pair.endswith("_") for r in rows)
     assert all(len(r.pair) == 2 for r in rows)
     assert all(r.pair_count > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges / bpe_encode (textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(texts, rounds):
+    """Driver-side reference BPE trainer (Sennrich's algorithm on the
+    word-frequency table) to pin the distributed loop's semantics."""
+    import re
+    from collections import Counter
+
+    from etl_city_directories_spark.operators.textstats import _BPE_RE
+
+    wfreq = Counter()
+    for t in texts:
+        norm = re.sub(" +", " ", t.lower()).strip()
+        wfreq.update(re.findall(_BPE_RE, norm))
+    words = {w: (tuple(w) + ("_",), f) for w, (f) in ((w, f) for w, f in wfreq.items())}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for sym, f in words.values():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += f
+        (lhs, rhs), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((rnd, lhs, rhs, lhs + rhs, c))
+        new = {}
+        for w, (sym, f) in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new[w] = (tuple(out), f)
+        words = new
+    return merges, words
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        BPE_MERGE_ROUNDS,
+        bpe_train_merges,
+    )
+
+    texts = [r.text for r in spark.read.parquet(f"{SF_TINY}/documents.parquet").collect()]
+    want, _ = _reference_bpe(texts, BPE_MERGE_ROUNDS)
+    got = sorted(bpe_train_merges(spark, SF_TINY).collect(), key=lambda r: r.round)
+    assert [(r.round, r.lhs, r.rhs, r.merged, r.pair_count) for r in got] == want
+
+
+def test_bpe_encode_token_counts_match_reference(spark):
+    import re
+    from collections import Counter
+
+    from etl_city_directories_spark.operators.textstats import (
+        _BPE_RE,
+        BPE_MERGE_ROUNDS,
+        bpe_encode,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id", "text").collect()
+    _, vocab = _reference_bpe([r.text for r in docs], BPE_MERGE_ROUNDS)
+    got = {r.doc_id: r for r in bpe_encode(spark, SF_TINY).collect()}
+    for r in docs[:50]:
+        norm = re.sub(" +", " ", r.text.lower()).strip()
+        ws = re.findall(_BPE_RE, norm)
+        n_bpe = sum(len(vocab[w][0]) for w in ws)
+        assert got[r.doc_id].n_words == len(ws)
+        assert got[r.doc_id].n_bpe_tokens == n_bpe
+        assert abs(got[r.doc_id].bpe_per_word - round(n_bpe / len(ws), 4)) < 1e-9
+
+
+def test_bpe_merge_application_handles_adjacent_runs(spark):
+    """'a a a a' with merge (a,a) must become [aa, aa] — the literal
+    sentinel-wrapped replace must not skip the second pair the way a
+    shared-space delimiter would."""
+    from etl_city_directories_spark.operators.textstats import _BPE_W1 as W1, _BPE_W2 as W2
+    import pyspark.sql.functions as F
+
+    repr_ = "".join(W1 + s + W2 for s in ["a", "a", "a", "a"])
+    out = (
+        spark.range(1)
+        .select(
+            F.replace(
+                F.lit(repr_), F.lit(W1 + "a" + W2 + W1 + "a" + W2), F.lit(W1 + "aa" + W2)
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    assert out == W1 + "aa" + W2 + W1 + "aa" + W2

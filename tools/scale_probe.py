@@ -61,6 +61,10 @@ OPS = [
     "sample_balanced_classes",
     "sample_train_test_split",
     "dedup_cross_source",
+    "dedup_semantic",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bpe_encode",
 ]
 
 
@@ -112,6 +116,7 @@ def build_corpus(k: int) -> str:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = sys.argv[2:] or OPS  # optional key subset: probe just-landed ops
     big = build_corpus(k)
 
     import __spark_entry__ as m
@@ -123,7 +128,7 @@ def main() -> None:
     spark.read.parquet(f"{BASE}/documents.parquet").count()  # warm
 
     print(f"{'operator':24} {'1x sec':>8} {f'{k}x sec':>8} {'ratio':>6}  verdict")
-    for name in OPS:
+    for name in ops:
         times = {}
         for label, sf_dir in (("base", BASE), ("big", big)):
             # best-of-2: a single-shot cell is GC/page-cache noise-prone
