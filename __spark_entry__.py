@@ -60,6 +60,8 @@ _GATE_PRIORITY = [
     "bpe_pair_counts",
     "bpe_train_merges",
     "bpe_encode",
+    "sketch_countmin_topk",
+    "dedup_bloom_incremental",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

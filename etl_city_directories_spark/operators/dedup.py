@@ -1226,3 +1226,110 @@ ORACLES["dedup_cross_source"] = f"""
     GROUP BY source_lo, source_hi
     ORDER BY source_lo, source_hi
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: bloom-filter incremental dedup — the streaming-ingest batch check
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos(i: int, key: Column) -> Column:
+    h = F.md5(F.concat(F.lit(f"bl{i}|"), key))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_M
+
+
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact-dedup pre-filter: a bloom filter built
+    over the existing corpus's content hashes screens an incoming
+    batch (docs with doc_id % 10 == 0 stand in for the new shipment)
+    without joining the full corpus.
+
+    Scale shape: the filter is the DISTINCT set-bit table — bounded at
+    BLOOM_M rows regardless of corpus size — so at 100 TB the corpus
+    pass is one map-side hash+dedup and the batch check is a broadcast
+    join against <= 4096 rows, never corpus x batch. md5-salted bit
+    positions make the filter (and its deterministic false positives)
+    bit-identical in DuckDB, so bloom_hit, is_true_dup, false_positive
+    AND the provable no-false-negative contract all hash-check."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.md5(norm_col()).alias("k"))
+    corpus = base.filter(F.col("doc_id") % 10 != 0)
+    batch = base.filter(F.col("doc_id") % 10 == 0)
+
+    bits = None
+    for i in range(BLOOM_K):
+        b = corpus.select(_bloom_pos(i, F.col("k")).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    bits = bits.distinct()
+
+    probes = None
+    for i in range(BLOOM_K):
+        p = batch.select(
+            "doc_id", "k", F.lit(i).alias("i"), _bloom_pos(i, F.col("k")).alias("pos")
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    nhit = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = corpus.select("k").distinct().withColumn("is_true_dup", F.lit(True))
+    return (
+        batch.join(nhit.select("doc_id", "n"), "doc_id", "left")
+        .join(truth, "k", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("n"), F.lit(0)) == BLOOM_K).alias("bloom_hit"),
+            F.coalesce(F.col("is_true_dup"), F.lit(False)).alias("is_true_dup"),
+        )
+        .withColumn(
+            "false_positive", F.col("bloom_hit") & ~F.col("is_true_dup")
+        )
+        .withColumn(
+            "no_false_negative", F.col("bloom_hit") | ~F.col("is_true_dup")
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["dedup_bloom_incremental"] = dedup_bloom_incremental
+
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substring(md5('bl' || i::VARCHAR || '|' || k), 1, 8)) AS BIGINT) % "
+    + str(BLOOM_M)
+)
+
+ORACLES["dedup_bloom_incremental"] = f"""
+    WITH base AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS k
+      FROM documents
+    ),
+    corpus AS (SELECT * FROM base WHERE doc_id % 10 != 0),
+    batch  AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL} AS pos
+      FROM corpus, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i)
+    ),
+    probes AS (
+      SELECT doc_id, k, i, {_BLOOM_POS_SQL} AS pos
+      FROM batch, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i)
+    ),
+    nhit AS (
+      SELECT doc_id, COUNT(*) AS n
+      FROM probes JOIN bits USING (pos)
+      GROUP BY doc_id
+    ),
+    truth AS (SELECT DISTINCT k FROM corpus)
+    SELECT b.doc_id,
+           COALESCE(n.n, 0) = {BLOOM_K} AS bloom_hit,
+           t.k IS NOT NULL AS is_true_dup,
+           (COALESCE(n.n, 0) = {BLOOM_K}) AND t.k IS NULL AS false_positive,
+           (COALESCE(n.n, 0) = {BLOOM_K}) OR t.k IS NULL AS no_false_negative
+    FROM batch b
+    LEFT JOIN nhit n ON n.doc_id = b.doc_id
+    LEFT JOIN truth t ON t.k = b.k
+    ORDER BY b.doc_id
+"""

@@ -2150,3 +2150,107 @@ ORACLES["bpe_encode"] = (
     GROUP BY doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# r05: count-min sketch heavy hitters — deterministic, oracle-replayable
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 256  # buckets per row
+CM_TOPK = 20
+
+
+def _cm_bucket(j: int, w_col: Column) -> Column:
+    h = F.md5(F.concat(F.lit(f"cm{j}|"), w_col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CM_W
+
+
+def sketch_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates, checked against exact counts for the corpus's top-K
+    words. The sketch is md5-salted and therefore bit-identical in
+    DuckDB — the whole d×w cell table AND every estimate hash-check.
+
+    Scale shape: the corpus pass is ONE word-count groupBy (map-side
+    combine); sketch cells are built from the AGGREGATED vocab, not by
+    re-exploding the corpus d times, so sketch construction is
+    O(vocab × d) and the finished sketch (≤ d·w = 1024 cells) is a
+    broadcast join against the candidate probes. is_overestimate is
+    the CM guarantee (est ≥ exact, provable) — emitted so the driver's
+    hash check pins the accuracy contract row-by-row."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(norm_col(), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wc = rolling_persist(spark, ("cm_wc", sf_dir), wc)
+
+    cells = None
+    for j in range(CM_D):
+        c = wc.select(
+            F.lit(j).alias("j"), _cm_bucket(j, F.col("w")).alias("bucket"), "cnt"
+        )
+        cells = c if cells is None else cells.unionAll(c)
+    sketch = cells.groupBy("j", "bucket").agg(F.sum("cnt").alias("cell"))
+
+    cand = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(CM_TOPK)
+    probes = None
+    for j in range(CM_D):
+        p = cand.select(
+            "w", "cnt", F.lit(j).alias("j"), _cm_bucket(j, F.col("w")).alias("bucket")
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("w", "cnt")
+        .agg(F.min("cell").cast("bigint").alias("cm_estimate"))
+    )
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    return est.select(
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+        "w",
+        F.col("cnt").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("cnt")).alias("is_overestimate"),
+    )
+
+
+QUERIES["sketch_countmin_topk"] = sketch_countmin_topk
+
+_CM_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5('cm' || j::VARCHAR || '|' || w), 1, 8)) AS BIGINT) % "
+    + str(CM_W)
+)
+
+ORACLES["sketch_countmin_topk"] = f"""
+    WITH wc AS (
+      SELECT w, COUNT(*)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    cells AS (
+      SELECT j, {_CM_BUCKET_SQL} AS bucket, cnt
+      FROM wc, (SELECT unnest(generate_series(0, {CM_D - 1})) AS j)
+    ),
+    sketch AS (
+      SELECT j, bucket, SUM(cnt) AS cell FROM cells GROUP BY j, bucket
+    ),
+    cand AS (
+      SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT {CM_TOPK}
+    ),
+    probes AS (
+      SELECT w, cnt, j, {_CM_BUCKET_SQL} AS bucket
+      FROM cand, (SELECT unnest(generate_series(0, {CM_D - 1})) AS j)
+    ),
+    est AS (
+      SELECT w, cnt, MIN(cell)::BIGINT AS cm_estimate
+      FROM probes JOIN sketch USING (j, bucket)
+      GROUP BY w, cnt
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, w)::INT AS rank,
+           w, cnt AS exact_count, cm_estimate,
+           cm_estimate >= cnt AS is_overestimate
+    FROM est
+    ORDER BY rank
+"""

@@ -221,3 +221,66 @@ def test_bpe_merge_application_handles_adjacent_runs(spark):
         .collect()[0]["r"]
     )
     assert out == W1 + "aa" + W2 + W1 + "aa" + W2
+
+
+# ---------------------------------------------------------------------------
+# sketch_countmin_topk (textstats.py) / dedup_bloom_incremental (dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_overestimates_and_tracks_exact(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        CM_D,
+        CM_W,
+        sketch_countmin_topk,
+    )
+
+    rows = sketch_countmin_topk(spark, SF).collect()
+    assert len(rows) == 20
+    n_total = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("sum(size(split(trim(regexp_replace(lower(text), ' +', ' ')), ' ')))")
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r.is_overestimate, r  # CM guarantee: est >= exact
+        # classic CM error bound: overshoot <= N/w per row, min over d rows
+        assert r.cm_estimate - r.exact_count <= n_total // (CM_W // CM_D), r
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from etl_city_directories_spark.operators.dedup import dedup_bloom_incremental
+
+    rows = dedup_bloom_incremental(spark, SF).collect()
+    assert rows, "batch split must be non-empty"
+    for r in rows:
+        assert r.no_false_negative, r  # provable bloom property
+        if r.is_true_dup:
+            assert r.bloom_hit, r
+        assert r.false_positive == (r.bloom_hit and not r.is_true_dup), r
+    # with m=4096 bits vs a few hundred keys the fp rate must stay tiny
+    fps = sum(1 for r in rows if r.false_positive)
+    assert fps <= max(2, len(rows) // 10), fps
+
+
+def test_bloom_flags_a_planted_duplicate(spark):
+    """Planted check: a batch doc whose text equals a corpus doc's text
+    must come back bloom_hit AND is_true_dup."""
+    import pyspark.sql.functions as F
+    from etl_city_directories_spark.operators import dedup as D
+
+    src = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    donor = src.filter(F.col("doc_id") % 10 != 0).orderBy("doc_id").limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(donor.doc_id + 100000 - (donor.doc_id + 100000) % 10, donor.text,
+          donor.lang, donor.source, donor.n_chars)],
+        src.schema,
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        src.unionAll(planted).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        rows = {r.doc_id: r for r in D.dedup_bloom_incremental(spark, td).collect()}
+    pid = donor.doc_id + 100000 - (donor.doc_id + 100000) % 10
+    assert rows[pid].bloom_hit and rows[pid].is_true_dup
