@@ -62,6 +62,9 @@ _GATE_PRIORITY = [
     "bpe_encode",
     "sketch_countmin_topk",
     "dedup_bloom_incremental",
+    "ann_ivf_pq",
+    "emb_pca_power",
+    "emb_pca_project",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

@@ -608,47 +608,51 @@ _D2_SQL = (
 )
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(prefix: str = "") -> str:
     """CTE chain replaying kmeans_cells exactly: md5-ranked seeds,
-    then KMEANS_ITERS × (argmin assign [+ decimal-mean update])."""
+    then KMEANS_ITERS × (argmin assign [+ decimal-mean update]).
+    ``prefix`` namespaces the CTE names so the chain can be embedded
+    next to the PQ training chain (whose seeds/cents0/assign{i} names
+    would otherwise collide) in the composed IVF-PQ oracle."""
+    p = prefix
     ctes = [
-        f"""seeds AS (
+        f"""{p}seeds AS (
           SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h
           FROM vecs ORDER BY h LIMIT {N_CELLS}
         )""",
-        """cents0 AS (
+        f"""{p}cents0 AS (
           SELECT ROW_NUMBER() OVER (ORDER BY h) AS cluster_id, v AS c
-          FROM seeds
+          FROM {p}seeds
         )""",
     ]
     for it in range(KMEANS_ITERS):
         n_keep = IVF_NPROBE if it == KMEANS_ITERS - 1 else 1
-        ctes.append(f"""assign{it} AS (
+        ctes.append(f"""{p}assign{it} AS (
           SELECT vec_id, v, cell, rn AS cell_rank FROM (
             SELECT v.vec_id, v.v, c.cluster_id AS cell,
                    ROW_NUMBER() OVER (
                      PARTITION BY v.vec_id
                      ORDER BY {_D2_SQL}, c.cluster_id
                    ) AS rn
-            FROM vecs v CROSS JOIN cents{it} c
+            FROM vecs v CROSS JOIN {p}cents{it} c
           ) WHERE rn <= {n_keep}
         )""")
         if it < KMEANS_ITERS - 1:
-            ctes.append(f"""cents{it + 1} AS (
+            ctes.append(f"""{p}cents{it + 1} AS (
           SELECT cell AS cluster_id, list(val ORDER BY dim) AS c
           FROM (
             SELECT cell, dim,
                    (SUM(x::DECIMAL(27,6)))::DOUBLE / COUNT(*) AS val
             FROM (
               SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x
-              FROM assign{it}
+              FROM {p}assign{it}
             )
             GROUP BY cell, dim
           )
           GROUP BY cell
         )""")
-    ctes.append(f"""cells AS (
-          SELECT vec_id, cell, cell_rank FROM assign{KMEANS_ITERS - 1}
+    ctes.append(f"""{p}cells AS (
+          SELECT vec_id, cell, cell_rank FROM {p}assign{KMEANS_ITERS - 1}
         )""")
     return ",\n        ".join(ctes)
 
@@ -661,8 +665,11 @@ _SUB_D2 = (
 _SUBS_VALUES = ", ".join(f"({s})" for s in range(M_SUB))
 
 
-def _pq_oracle() -> str:
-    """Replay PQ training, encoding, the probe LUT, and ADC scoring."""
+def _pq_oracle(ivf: bool = False) -> str:
+    """Replay PQ training, encoding, the probe LUT, and ADC scoring.
+    With ``ivf`` the ADC scan is additionally restricted to the
+    probe's IVF_NPROBE coarse cells (the km_-prefixed kmeans chain) —
+    the composed FAISS-style IVFPQ pipeline."""
     slice_ = f"[(t.sub * {_SUB_DIM} + 1):(t.sub * {_SUB_DIM} + {_SUB_DIM})]"
     final = f"cents{PQ_UPDATES}"
     train_ctes = []
@@ -692,9 +699,27 @@ def _pq_oracle() -> str:
           GROUP BY sub, cluster_id
         )""")
     train_sql = ",\n        ".join(train_ctes)
+    ivf_ctes = f"{_kmeans_ctes('km_')},\n        " if ivf else ""
+    cand_cte = (
+        f"""cand AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+          FROM km_cells p JOIN km_cells c ON c.cell = p.cell
+          WHERE p.vec_id < {N_PROBES} AND c.cell_rank = 1
+            AND c.vec_id != p.vec_id
+        ),
+        """
+        if ivf
+        else ""
+    )
+    cand_join = (
+        "JOIN cand ON cand.probe_id = lut.probe_id"
+        " AND cand.neighbor_id = codes.vec_id"
+        if ivf
+        else ""
+    )
     return f"""
         WITH {_VEC_CTE},
-        subs AS (
+        {ivf_ctes}subs AS (
           SELECT vec_id, t.sub, v{slice_} AS sv
           FROM vecs CROSS JOIN (VALUES {_SUBS_VALUES}) t(sub)
         ),
@@ -725,11 +750,12 @@ def _pq_oracle() -> str:
           FROM subs s JOIN {final} c ON c.sub = s.sub
           WHERE s.vec_id < {N_PROBES}
         ),
-        scored AS (
-          SELECT probe_id, codes.vec_id AS neighbor_id,
+        {cand_cte}scored AS (
+          SELECT lut.probe_id AS probe_id, codes.vec_id AS neighbor_id,
                  ROUND((SUM(pd2))::DOUBLE, 6) AS adc_d2
           FROM codes JOIN lut
             ON lut.sub = codes.sub AND lut.code = codes.code
+          {cand_join}
           WHERE codes.vec_id != lut.probe_id
           GROUP BY 1, 2
         ),
@@ -1344,3 +1370,348 @@ def _semdedup_oracle() -> str:
 
 
 ORACLES["dedup_semantic"] = _semdedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# r05: IVF-PQ — the composed two-level FAISS-style index
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §IV; the FAISS IVFPQ layout): the
+    coarse IVF quantizer restricts the ADC scan to the probe's
+    IVF_NPROBE cells, then PQ codes score only those candidates and an
+    exact re-rank of the shortlist produces the final top-k.
+
+    Scale shape: this is THE billion-vector layout — scan cost drops
+    from O(corpus × M_SUB) (flat PQ) to
+    O(corpus × M_SUB × nprobe / |cells|), and both index artifacts
+    (cell assignments, codebooks+codes) are the same memoized tables
+    the standalone ivf/pq operators build, so the composition adds no
+    new corpus pass. Candidate generation is a broadcast join from the
+    rank-1 cell table to the probes' cell lists; the LUT join carries
+    probe_id so each probe scores only its own cells' codes."""
+    cells = memo_df(
+        spark,
+        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
+    )
+    cents, codes = _pq_codebooks(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+
+    probe_cells = cells.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "cell"
+    )
+    cand = (
+        cells.filter(F.col("cell_rank") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+        .join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id")
+    )
+
+    probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    lut = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "sub",
+        F.col("cluster_id").alias("code"),
+        _dist2(
+            F.slice(F.col("pv"), 1 + F.col("sub") * _SUB_DIM, _SUB_DIM),
+            F.col("c"),
+        )
+        .cast("decimal(27,12)")
+        .alias("pd2"),
+    )
+    scored = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= PQ_SHORTLIST)
+        .select("probe_id", "neighbor_id")
+    )
+    rerank = (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .join(
+            vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")),
+            "neighbor_id",
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(_dist2(F.col("pv"), F.col("cv")), 6).alias("d2_r6"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d2_r6"), F.asc("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round("d2_r6", 4).alias("dist2"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+QUERIES["ann_ivf_pq"] = ann_ivf_pq
+ORACLES["ann_ivf_pq"] = _pq_oracle(ivf=True)
+
+
+# ---------------------------------------------------------------------------
+# r05: distributed PCA — top principal component by power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+_PCA_CACHE: dict[tuple, tuple] = {}
+
+
+def _pca_dec(c: Column) -> Column:
+    return c.cast("decimal(18,9)")
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    """Covariance + PCA_ITERS power-iteration rounds, all in exact
+    arithmetic so the DuckDB oracle replays bit-for-bit.
+
+    Scale shape: the corpus pass is ONE map-side outer-product explode
+    (each vector emits its d² upper cells from the array directly — no
+    self-join, no pre-shuffle) into a single groupBy(i,j) decimal sum;
+    everything after operates on the d²-cell covariance table. The
+    iteration state lives in integer micro-units (the pagerank trick):
+    b is BIGINT × 1e9, matvec sums decimal(18,9)×BIGINT exactly, and
+    normalization squares the integer-rounded matvec exactly (Spark
+    decimal(38,0) ↔ DuckDB HUGEINT) so no unordered float sum ever
+    enters the chain. Returns (n, S, cmat, b_final, n2_final)
+    with b in micro-units."""
+    stamp = table_stamp(sf_dir, ("embeddings",))
+    key = (spark.sparkContext.applicationId, "pca", sf_dir, stamp)
+    hit = _PCA_CACHE.get(key)
+    if hit is not None:
+        return hit
+    vecs = _vectors(spark, sf_dir)
+    n = vecs.count()
+
+    d = F.size(F.col("v"))
+    # symmetric: emit only the upper triangle (d(d+1)/2 decimal products
+    # per vector instead of d²) and mirror the AGGREGATED cell table
+    cells = vecs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), d),
+                    lambda i: F.transform(
+                        F.sequence(i, d),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                _pca_dec(F.element_at(F.col("v"), i))
+                                * _pca_dec(F.element_at(F.col("v"), j))
+                            ).alias("xx"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.xx")
+    p_up = cells.groupBy("i", "j").agg(F.sum("xx").alias("p"))
+    p = p_up.unionAll(
+        p_up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "p"
+        )
+    )
+    s = (
+        vecs.select(F.posexplode("v").alias("i0", "x"))
+        .select((F.col("i0") + 1).alias("i"), _pca_dec(F.col("x")).alias("xd"))
+        .groupBy("i")
+        .agg(F.sum("xd").alias("s"))
+    )
+    si = s.select(F.col("i"), F.col("s").alias("si"))
+    sj = s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    cmat = (
+        p.join(si, "i")
+        .join(sj, "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("p").cast("double")
+                    - F.col("si").cast("double") * F.col("sj").cast("double") / n
+                )
+                / n,
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+    )
+    cmat = memo_df(spark, ("pca_cmat", sf_dir, stamp), lambda: cmat)
+
+    b = cmat.select("i").distinct().select("i", F.lit(125000000).cast("bigint").alias("b"))
+    n2 = None
+    for _ in range(PCA_ITERS):
+        mv = (
+            cmat.join(
+                b.select(F.col("i").alias("j"), F.col("b").alias("bj")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("bj")).alias("mv"))
+        )
+        k = F.round(F.col("mv"), 0)  # exact decimal integer; k² ≤ ~1e21
+        n2 = mv.select(F.sum(k * k).alias("n2"))  # decimal(38,0) exact
+        b = mv.crossJoin(F.broadcast(n2)).select(
+            "i",
+            F.round(
+                F.lit(1e9)
+                * F.col("mv").cast("double")
+                / F.sqrt(F.col("n2").cast("double"))
+            )
+            .cast("bigint")
+            .alias("b"),
+        )
+    out = (n, s, b, n2)
+    _PCA_CACHE[key] = out
+    return out
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus (power
+    iteration on the covariance matrix): per-dim loading in integer
+    micro-units plus the Rayleigh eigenvalue estimate."""
+    _, _, b, n2 = _pca_model(spark, sf_dir)
+    return (
+        b.crossJoin(F.broadcast(n2))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.col("b").alias("pc1_micro"),
+            F.round(
+                F.sqrt(F.col("n2").cast("double")) / F.lit(1e9), 6
+            ).alias("eig_r6"),
+        )
+        .orderBy("dim")
+    )
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every vector onto the learned first principal axis
+    (mean-centered score, 6 dp). The 64-int axis and the 64 decimal
+    column sums are collected as the MODEL (same artifact class as
+    k-means centroids); the corpus pass is one sequential array fold
+    per vector — map-side, order-fixed, so the double arithmetic is
+    bit-identical to DuckDB's list_reduce."""
+    n, s, b, _ = _pca_model(spark, sf_dir)
+    b_rows = sorted((r["i"], r["b"]) for r in b.collect())
+    s_rows = sorted((r["i"], r["s"]) for r in s.collect())
+    b_arr = F.array([F.lit(int(bv)).cast("bigint") for _, bv in b_rows])
+    # c0 replayed with the same left-fold order and IEEE doubles as the
+    # oracle's list_reduce over (mu list, b list)
+    c0 = 0.0
+    for (_, sv), (_, bv) in zip(s_rows, b_rows):
+        c0 = c0 + (float(sv) / n) * float(bv)
+    vecs = _vectors(spark, sf_dir)
+    raw = F.aggregate(
+        F.zip_with(F.col("v"), b_arr, lambda x, bi: x * bi),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return vecs.select(
+        "vec_id",
+        F.round((raw - F.lit(c0)) / F.lit(1e9), 6).alias("pc1_score"),
+    ).orderBy("vec_id")
+
+
+QUERIES["emb_pca_power"] = emb_pca_power
+QUERIES["emb_pca_project"] = emb_pca_project
+
+
+def _pca_ctes() -> str:
+    """Unrolled power-iteration replay: exact decimal covariance from
+    the dims table, then PCA_ITERS × (decimal matvec → micro-unit
+    renormalize)."""
+    ctes = [
+        """dims AS (
+          SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+          FROM vecs
+        )""",
+        """ncnt AS (SELECT COUNT(*)::DOUBLE AS n FROM vecs)""",
+        """smat AS (
+          SELECT i, SUM(x::DECIMAL(18,9)) AS s FROM dims GROUP BY i
+        )""",
+        """pmat AS (
+          SELECT a.i AS i, b.i AS j,
+                 SUM(a.x::DECIMAL(18,9) * b.x::DECIMAL(18,9)) AS p
+          FROM dims a JOIN dims b USING (vec_id)
+          GROUP BY 1, 2
+        )""",
+        """cmat AS (
+          SELECT pmat.i AS i, pmat.j AS j,
+                 CAST(ROUND((p::DOUBLE - si.s::DOUBLE * sj.s::DOUBLE / ncnt.n)
+                            / ncnt.n, 9) AS DECIMAL(18,9)) AS c
+          FROM pmat
+          JOIN smat si ON si.i = pmat.i
+          JOIN smat sj ON sj.i = pmat.j, ncnt
+        )""",
+        """b0 AS (
+          SELECT i, 125000000::BIGINT AS b FROM (SELECT DISTINCT i FROM dims)
+        )""",
+    ]
+    for r in range(1, PCA_ITERS + 1):
+        ctes.append(f"""mv{r} AS (
+          SELECT c.i, SUM(c.c * b.b) AS mv
+          FROM cmat c JOIN b{r - 1} b ON b.i = c.j
+          GROUP BY c.i
+        )""")
+        ctes.append(f"""n2_{r} AS (
+          SELECT SUM(k * k) AS n2 FROM (
+            SELECT CAST(ROUND(mv) AS HUGEINT) AS k FROM mv{r}
+          )
+        )""")
+        ctes.append(f"""b{r} AS (
+          SELECT i, CAST(ROUND(1e9 * (mv::DOUBLE)
+                               / sqrt(n2::DOUBLE)) AS BIGINT) AS b
+          FROM mv{r}, n2_{r}
+        )""")
+    return ",\n        ".join(ctes)
+
+
+ORACLES["emb_pca_power"] = f"""
+        WITH {_VEC_CTE},
+        {_pca_ctes()}
+        SELECT b.i::INT AS dim, b.b AS pc1_micro,
+               ROUND(sqrt(n2::DOUBLE) / 1e9, 6) AS eig_r6
+        FROM b{PCA_ITERS} b, n2_{PCA_ITERS}
+        ORDER BY dim
+"""
+
+ORACLES["emb_pca_project"] = f"""
+        WITH {_VEC_CTE},
+        {_pca_ctes()},
+        blist AS (SELECT list(b ORDER BY i) AS bl FROM b{PCA_ITERS}),
+        mulist AS (
+          SELECT list(s::DOUBLE / ncnt.n ORDER BY i) AS ml
+          FROM smat, ncnt GROUP BY ncnt.n
+        ),
+        c0 AS (
+          SELECT list_reduce(
+                   list_transform(list_zip(ml, bl), x -> x[1] * x[2]),
+                   (p, q) -> p + q) AS c0
+          FROM mulist, blist
+        )
+        SELECT vec_id,
+               ROUND((list_reduce(list_transform(list_zip(v, bl),
+                        x -> x[1] * x[2]), (p, q) -> p + q) - c0) / 1e9,
+                     6) AS pc1_score
+        FROM vecs, blist, c0
+        ORDER BY vec_id
+"""
