@@ -65,6 +65,8 @@ _GATE_PRIORITY = [
     "ann_ivf_pq",
     "emb_pca_power",
     "emb_pca_project",
+    "text_ocr_spellfix",
+    "profile_dq_rules",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

@@ -1489,3 +1489,107 @@ ORACLES["q_hierarchy_rollup"] = f"""
     GROUP BY root
     ORDER BY root
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: declarative data-quality rule audit (Deequ-style constraint suite)
+# ---------------------------------------------------------------------------
+
+
+def profile_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite audit over the warehouse tables (the
+    Deequ/Great-Expectations shape): each rule reports rows checked,
+    violations, and a pass flag.
+
+    Scale shape: ONE scan per table — all of a table's rules are
+    conditional sums inside a single aggregate (uniqueness via
+    count-distinct in the same pass), and the referential-integrity
+    rule is a broadcast-dim anti-join count, so the audit costs
+    max(table scans), not rules × scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    li = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.11), 1).otherwise(0)
+        ).alias("v_disc"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("v_price"),
+    ).collect()[0]
+    od = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_total"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("v_null"),
+    ).collect()[0]
+    ri = (
+        orders.join(
+            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        ).count()
+    )
+    cu = customer.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)).alias("v_null"),
+    ).collect()[0]
+
+    rows = [
+        ("lineitem.l_quantity in [1,50]", int(li["n"]), int(li["v_qty"])),
+        ("lineitem.l_discount in [0,0.11]", int(li["n"]), int(li["v_disc"])),
+        ("lineitem.l_extendedprice > 0", int(li["n"]), int(li["v_price"])),
+        ("orders.o_totalprice > 0", int(od["n"]), int(od["v_total"])),
+        ("orders.o_orderkey unique", int(od["n"]), int(od["v_uniq"])),
+        ("orders.o_orderdate not null", int(od["n"]), int(od["v_null"])),
+        ("orders.o_custkey references customer", int(od["n"]), int(ri)),
+        ("customer.c_acctbal not null", int(cu["n"]), int(cu["v_null"])),
+    ]
+    return spark.createDataFrame(
+        [(r, n, v, v == 0) for r, n, v in rows],
+        "rule string, n_checked bigint, n_violations bigint, passed boolean",
+    ).orderBy("rule")
+
+
+QUERIES["profile_dq_rules"] = profile_dq_rules
+
+ORACLES["profile_dq_rules"] = """
+    WITH li AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT AS v_qty,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.11 THEN 1 ELSE 0 END)::BIGINT AS v_disc,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS v_price
+      FROM lineitem
+    ),
+    od AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS v_total,
+             (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS v_uniq,
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null
+      FROM orders
+    ),
+    ri AS (
+      SELECT COUNT(*)::BIGINT AS v FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ),
+    cu AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null
+      FROM customer
+    ),
+    rules AS (
+      SELECT 'lineitem.l_quantity in [1,50]' AS rule, n AS n_checked, v_qty AS n_violations FROM li
+      UNION ALL SELECT 'lineitem.l_discount in [0,0.11]', n, v_disc FROM li
+      UNION ALL SELECT 'lineitem.l_extendedprice > 0', n, v_price FROM li
+      UNION ALL SELECT 'orders.o_totalprice > 0', n, v_total FROM od
+      UNION ALL SELECT 'orders.o_orderkey unique', n, v_uniq FROM od
+      UNION ALL SELECT 'orders.o_orderdate not null', n, v_null FROM od
+      UNION ALL SELECT 'orders.o_custkey references customer', (SELECT n FROM od), v FROM ri
+      UNION ALL SELECT 'customer.c_acctbal not null', n, v_null FROM cu
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+    FROM rules ORDER BY rule
+"""

@@ -2254,3 +2254,109 @@ ORACLES["sketch_countmin_topk"] = f"""
     FROM est
     ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: blocked fuzzy matching — OCR-token spellfix against the vocab
+# ---------------------------------------------------------------------------
+
+SPELLFIX_SAMPLE_MOD = 2  # 1-in-2 vocab words become corrupted probes
+SPELLFIX_MAX_DIST = 2
+
+
+def text_ocr_spellfix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution-style blocked fuzzy match: OCR-damaged tokens
+    (a deterministic 1-char deletion stands in for scanner noise, the
+    city-directories failure mode per city-directories.js:170-259's
+    messy-line handling) are matched back to the corpus vocabulary by
+    levenshtein distance.
+
+    Scale shape: NEVER probes × vocab — candidates are blocked on
+    (first char, ±1 length band), the standard ER blocking key, so the
+    join is per-block; edit distance (JVM levenshtein, identical
+    algorithm in DuckDB) scores only in-block candidates and the
+    argmin is a groupBy min-struct, not a window over the cross
+    product."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.regexp_extract_all(norm_col(), F.lit("[a-z]+"), 0)).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    vocab = rolling_persist(spark, ("spellfix_vocab", sf_dir), vocab)
+    probes = (
+        vocab.filter(
+            (F.length("w") >= 4)
+            & (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+                % SPELLFIX_SAMPLE_MOD
+                == 0
+            )
+        )
+        .select(
+            F.col("w").alias("orig"),
+            F.concat(F.substring("w", 1, 1), F.expr("substring(w, 3)")).alias("tok"),
+        )
+    )
+    cand = (
+        probes.join(
+            vocab.select(F.col("w").alias("v")),
+            (F.substring(F.col("tok"), 1, 1) == F.substring(F.col("v"), 1, 1))
+            & (
+                F.abs(F.length(F.col("tok")) - F.length(F.col("v")))
+                <= F.lit(1)
+            ),
+        )
+        .withColumn("dist", F.levenshtein("tok", "v"))
+        .filter(F.col("dist") <= SPELLFIX_MAX_DIST)
+    )
+    best = cand.groupBy("tok", "orig").agg(
+        F.min(F.struct(F.col("dist"), F.col("v"))).alias("b")
+    )
+    return best.select(
+        "tok",
+        "orig",
+        F.col("b.v").alias("best_match"),
+        F.col("b.dist").cast("int").alias("dist"),
+        (F.col("b.v") == F.col("orig")).alias("recovered"),
+    ).orderBy("tok", "orig")
+
+
+QUERIES["text_ocr_spellfix"] = text_ocr_spellfix
+
+ORACLES["text_ocr_spellfix"] = f"""
+    WITH vocab AS (
+      SELECT w, COUNT(*)::BIGINT AS freq FROM (
+        SELECT unnest(regexp_extract_all({_NORM}, '[a-z]+')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    probes AS (
+      SELECT w AS orig,
+             substring(w, 1, 1) || substring(w, 3) AS tok
+      FROM vocab
+      WHERE length(w) >= 4
+        AND CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+            % {SPELLFIX_SAMPLE_MOD} = 0
+    ),
+    cand AS (
+      SELECT p.tok, p.orig, v.w AS v, levenshtein(p.tok, v.w) AS dist
+      FROM probes p JOIN vocab v
+        ON substring(p.tok, 1, 1) = substring(v.w, 1, 1)
+       AND abs(length(p.tok) - length(v.w)) <= 1
+      WHERE levenshtein(p.tok, v.w) <= {SPELLFIX_MAX_DIST}
+    ),
+    best AS (
+      SELECT tok, orig, v, dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY tok, orig ORDER BY dist, v
+             ) AS rn
+      FROM cand
+    )
+    SELECT tok, orig, v AS best_match, dist::INT AS dist,
+           v = orig AS recovered
+    FROM best WHERE rn = 1
+    ORDER BY tok, orig
+"""

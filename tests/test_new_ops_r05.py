@@ -386,3 +386,94 @@ def test_pca_project_centered_mean_zero(spark):
     assert n == spark.read.parquet(f"{SF}/embeddings.parquet").count()
     mean = df.agg(F.avg("pc1_score")).collect()[0][0]
     assert abs(mean) < 1e-3, mean  # centered scores average ~0
+
+
+# ---------------------------------------------------------------------------
+# text_ocr_spellfix (textstats.py) / profile_dq_rules (scale_ops.py)
+# ---------------------------------------------------------------------------
+
+
+def test_spellfix_recovers_single_deletions(spark):
+    from etl_city_directories_spark.operators.textstats import text_ocr_spellfix
+
+    rows = text_ocr_spellfix(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the damage is one deletion, the original is in the vocab, so
+        # a dist<=1 match always exists and recovery means dist 1 (or 0
+        # when the damaged token is itself a vocab word)
+        assert r.dist <= 1, r
+        if r.recovered:
+            assert r.best_match == r.orig
+    recovered = sum(1 for r in rows if r.recovered)
+    assert recovered / len(rows) >= 0.8, f"{recovered}/{len(rows)}"
+
+
+def test_spellfix_best_match_is_global_argmin(spark):
+    """Replay one probe's argmin driver-side over the whole vocab
+    (no blocking) — blocking must not have hidden a better candidate
+    with the same first char and ±1 length... and candidates outside
+    the block can beat it only if the test shows otherwise."""
+    from etl_city_directories_spark.operators.textstats import (
+        SPELLFIX_MAX_DIST,
+        text_ocr_spellfix,
+    )
+    import pyspark.sql.functions as F
+
+    vocab = [
+        r.w
+        for r in spark.read.parquet(f"{SF_TINY}/documents.parquet")
+        .select(F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")).alias("w"))
+        .distinct()
+        .collect()
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    for r in text_ocr_spellfix(spark, SF_TINY).collect():
+        in_block = [
+            v
+            for v in vocab
+            if v and v[0] == r.tok[0] and abs(len(v) - len(r.tok)) <= 1
+        ]
+        cands = sorted(
+            ((lev(r.tok, v), v) for v in in_block if lev(r.tok, v) <= SPELLFIX_MAX_DIST)
+        )
+        assert cands and cands[0] == (r.dist, r.best_match), (r, cands[:3])
+
+
+def test_dq_rules_all_pass_on_clean_data_and_catch_planted(spark):
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from etl_city_directories_spark.operators.scale_ops import profile_dq_rules
+
+    rows = {r.rule: r for r in profile_dq_rules(spark, SF_TINY).collect()}
+    assert len(rows) == 8
+    assert all(r.passed for r in rows.values()), rows
+
+    # plant violations: an order with a dangling custkey and a negative total
+    with tempfile.TemporaryDirectory() as td:
+        for t in ("orders", "lineitem", "customer"):
+            shutil.copy(f"{SF_TINY}/{t}.parquet", os.path.join(td, f"{t}.parquet"))
+        orders = spark.read.parquet(f"{SF_TINY}/orders.parquet")
+        bad = orders.limit(1).withColumn("o_custkey", F.lit(10**9)).withColumn(
+            "o_totalprice", F.lit(-5.0)
+        )
+        os.remove(os.path.join(td, "orders.parquet"))
+        orders.unionAll(bad).coalesce(1).write.parquet(
+            os.path.join(td, "orders.parquet")
+        )
+        planted = {r.rule: r for r in profile_dq_rules(spark, td).collect()}
+    assert not planted["orders.o_custkey references customer"].passed
+    assert planted["orders.o_custkey references customer"].n_violations == 1
+    assert not planted["orders.o_totalprice > 0"].passed
