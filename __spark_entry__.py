@@ -67,6 +67,8 @@ _GATE_PRIORITY = [
     "emb_pca_project",
     "text_ocr_spellfix",
     "profile_dq_rules",
+    "emb_knn_classify",
+    "emb_hard_negatives",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

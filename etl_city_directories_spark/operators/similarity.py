@@ -1715,3 +1715,165 @@ ORACLES["emb_pca_project"] = f"""
         FROM vecs, blist, c0
         ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: embedding-eval ops — k-NN label audit + hard-negative mining
+# ---------------------------------------------------------------------------
+
+KNN_K = TOP_K  # vote over the exact top-k neighborhood
+HARDNEG_K = 3
+
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-agreement audit (the standard embedding-quality
+    eval): each probe's label is predicted by majority vote of its
+    exact top-k cosine neighbors (tie → smallest label). Reuses the
+    brute-force top-k pipeline — the capped-probe exact baseline — so
+    the neighborhood is the audited ground truth, not an ANN
+    approximation."""
+    labels = _vectors(spark, sf_dir).select("vec_id", "label")
+    topk = ann_topk_bruteforce(spark, sf_dir)
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("probe_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("n"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("n_label").alias("pred_label"), F.col("n").alias("votes"))
+    )
+    return (
+        pred.join(
+            labels.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            "true_label",
+            "pred_label",
+            F.col("votes").cast("int").alias("votes"),
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe, the
+    HARDNEG_K highest-cosine neighbors with a DIFFERENT label, found
+    inside the probe's IVF_NPROBE cells — the bucketed (never
+    probe × corpus) scale path, same memoized cell index as
+    ann_ivf_bucketed."""
+    cells = memo_df(
+        spark,
+        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
+    )
+    probes = (
+        cells.filter(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("cell").alias("bucket"),
+            F.col("v").alias("pv"),
+            F.col("nrm").alias("pn"),
+            F.col("label").alias("p_label"),
+        )
+    )
+    pairs = (
+        cells.filter(F.col("cell_rank") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").alias("bucket"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.col("label").alias("n_label"),
+        )
+        .join(F.broadcast(probes), "bucket")
+        .filter(F.col("n_label") != F.col("p_label"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "n_label",
+            F.round(
+                _cos(F.col("pv"), F.col("cv"), F.col("pn"), F.col("cn")), 6
+            ).alias("cos_r6"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_r6"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("n_label").alias("neg_label"),
+            F.round("cos_r6", 4).alias("cos_sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+QUERIES["emb_knn_classify"] = emb_knn_classify
+QUERIES["emb_hard_negatives"] = emb_hard_negatives
+
+ORACLES["emb_knn_classify"] = f"""
+    WITH topk AS ({ORACLES["ann_topk_bruteforce"]}),
+    labels AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+      SELECT t.probe_id, l.label AS n_label, COUNT(*) AS n
+      FROM topk t JOIN labels l ON l.vec_id = t.neighbor_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT probe_id, n_label AS pred_label, n AS votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY n DESC, n_label ASC
+             ) AS rn
+      FROM votes
+    )
+    SELECT p.probe_id, l.label AS true_label, p.pred_label,
+           p.votes::INT AS votes, p.pred_label = l.label AS correct
+    FROM pred p JOIN labels l ON l.vec_id = p.probe_id
+    WHERE p.rn = 1
+    ORDER BY p.probe_id
+"""
+
+ORACLES["emb_hard_negatives"] = f"""
+        WITH {_VEC_CTE},
+        {_kmeans_ctes()},
+        probes AS (
+          SELECT vecs.vec_id, vecs.v, vecs.nrm, vecs.label, cells.cell
+          FROM vecs JOIN cells USING (vec_id)
+          WHERE vec_id < {N_PROBES}
+        ),
+        corpus AS (
+          SELECT vecs.vec_id, vecs.v, vecs.nrm, vecs.label, cells.cell
+          FROM vecs JOIN cells USING (vec_id)
+          WHERE cells.cell_rank = 1
+        ),
+        pairs AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                 c.label AS neg_label,
+                 ROUND({_COS.format(a="p", b="c")}, 6) AS cos_r6
+          FROM probes p JOIN corpus c
+            ON c.cell = p.cell AND c.label != p.label
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY cos_r6 DESC, neighbor_id ASC
+          ) AS rank
+          FROM pairs
+        )
+        SELECT probe_id, neighbor_id, neg_label,
+               ROUND(cos_r6, 4) AS cos_sim, rank
+        FROM ranked WHERE rank <= {HARDNEG_K}
+"""

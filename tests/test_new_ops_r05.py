@@ -477,3 +477,57 @@ def test_dq_rules_all_pass_on_clean_data_and_catch_planted(spark):
     assert not planted["orders.o_custkey references customer"].passed
     assert planted["orders.o_custkey references customer"].n_violations == 1
     assert not planted["orders.o_totalprice > 0"].passed
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_classify / emb_hard_negatives (similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_classify_vote_replay(spark):
+    """Replay the vote from the brute-force top-k output driver-side."""
+    from collections import Counter
+
+    from etl_city_directories_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        emb_knn_classify,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_TINY}/embeddings.parquet").collect()
+    }
+    nbrs = {}
+    for r in ann_topk_bruteforce(spark, SF_TINY).collect():
+        nbrs.setdefault(r.probe_id, []).append(r.neighbor_id)
+    got = {r.probe_id: r for r in emb_knn_classify(spark, SF_TINY).collect()}
+    assert set(got) == set(nbrs)
+    for p, ns in nbrs.items():
+        votes = Counter(labels[n] for n in ns)
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[p].pred_label == best[0] and got[p].votes == best[1], (p, votes)
+        assert got[p].correct == (best[0] == labels[p])
+        assert got[p].true_label == labels[p]
+
+
+def test_hard_negatives_are_cross_label_and_ranked(spark):
+    from etl_city_directories_spark.operators.similarity import (
+        HARDNEG_K,
+        emb_hard_negatives,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_TINY}/embeddings.parquet").collect()
+    }
+    by_probe = {}
+    for r in emb_hard_negatives(spark, SF_TINY).collect():
+        assert labels[r.neighbor_id] == r.neg_label
+        assert r.neg_label != labels[r.probe_id], r  # strictly cross-label
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for p, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= HARDNEG_K
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True), (p, sims)
