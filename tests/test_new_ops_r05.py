@@ -531,3 +531,41 @@ def test_hard_negatives_are_cross_label_and_ranked(spark):
         assert len(rows) <= HARDNEG_K
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True), (p, sims)
+
+
+# ---------------------------------------------------------------------------
+# property: distributed BPE == reference trainer on random corpora
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_property_random_corpora(spark, tmp_path):
+    """Random mini-corpora (incl. adjacent repeats, 1-char words,
+    digits/punct pre-tokens) through the distributed trainer must
+    match the reference algorithm merge-for-merge."""
+    import random
+
+    from etl_city_directories_spark.operators.textstats import (
+        _BPE_TRAIN_CACHE,
+        bpe_train_merges,
+    )
+
+    rng = random.Random(7)
+    alphabet = ["ab", "aab", "abab", "ba", "a", "b", "7", "x.y", "abba"]
+    for trial in range(3):
+        words = [
+            " ".join(rng.choices(alphabet, k=rng.randint(1, 12)))
+            for _ in range(rng.randint(5, 40))
+        ]
+        sf = tmp_path / f"corpus{trial}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [(i, t, "en", "synthetic", len(t)) for i, t in enumerate(words)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+        want, _ = _reference_bpe(words, 8)
+        _BPE_TRAIN_CACHE.clear()
+        got = sorted(bpe_train_merges(spark, str(sf)).collect(), key=lambda r: r.round)
+        assert [(r.round, r.lhs, r.rhs, r.merged, r.pair_count) for r in got] == want, (
+            trial,
+            words[:3],
+        )

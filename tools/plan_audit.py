@@ -69,6 +69,14 @@ BNLJ_OK = {
     # errored them before the plan materialized
     "q_value_histogram",
     "q_gdpr_erasure",
+    # same PQ-LUT crossJoin(broadcast(M×K codebook rows)) as
+    # ann_pq_adc, inherited by the composed index
+    "ann_ivf_pq",
+    # wraps the allowlisted brute-force baseline's capped-probe != join
+    "emb_knn_classify",
+    # per-iteration crossJoin(broadcast(1-row n2 scalar)) — the
+    # scalar-subquery idiom for the normalization constant
+    "emb_pca_power",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops

@@ -65,6 +65,14 @@ OPS = [
     "bpe_pair_counts",
     "bpe_train_merges",
     "bpe_encode",
+    "sketch_countmin_topk",
+    "dedup_bloom_incremental",
+    "ann_ivf_pq",
+    "emb_pca_power",
+    "emb_pca_project",
+    "text_ocr_spellfix",
+    "emb_knn_classify",
+    "emb_hard_negatives",
 ]
 
 
