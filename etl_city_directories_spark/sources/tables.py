@@ -148,8 +148,14 @@ def load_table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFram
         stamp = (0, 0)
     key = (sf_dir, name, target, stamp)
     if key not in _NARROW_SCAN:
-        # .rdd plan conversion is driver-side work; decide once per table
-        _NARROW_SCAN[key] = df.rdd.getNumPartitions() < target
+        # estimate the scan's split count from the file size and
+        # maxPartitionBytes — same signal as the physical scan without
+        # the driver-side .rdd plan conversion the old probe paid
+        mpb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+        est = max(1, -(-stamp[1] // mpb))
+        _NARROW_SCAN[key] = est < target
     if _NARROW_SCAN[key]:
         df = df.repartition(target)
     return df
