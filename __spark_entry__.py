@@ -69,6 +69,8 @@ _GATE_PRIORITY = [
     "profile_dq_rules",
     "emb_knn_classify",
     "emb_hard_negatives",
+    "dedup_containment",
+    "sample_weighted_reservoir",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

@@ -1333,3 +1333,103 @@ ORACLES["dedup_bloom_incremental"] = f"""
     LEFT JOIN truth t ON t.k = b.k
     ORDER BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: containment scoring — the subset/quote relation jaccard misses
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+CONTAINMENT_MAXDF = 10  # rare-shingle cap: stop-shingles never generate pairs
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric Broder containment — |A∩B|/|A| and |A∩B|/|B| — the
+    subset/quote relation jaccard-tuned LSH structurally misses (a
+    short doc inside a long one shares ~all ITS shingles but few of
+    the long doc's, so no minhash band collides). Candidates therefore
+    come from a rare-shingle INVERTED INDEX: docs sharing any shingle
+    whose doc-frequency ≤ CONTAINMENT_MAXDF pair up — the standard
+    containment blocking (stop-shingles are capped out, so a shingle
+    contributes at most MAXDF² pairs and the join is O(Σ df²) over
+    rare shingles, never corpus²). Exact set math stays the VERIFY
+    stage."""
+    sh = rolling_persist(spark, ("cont_sh", sf_dir), _shingled_df(spark, sf_dir))
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    rare = ex.join(
+        ex.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= CONTAINMENT_MAXDF)
+        .select("g"),
+        "g",
+        "left_semi",
+    )
+    rare = rolling_persist(spark, ("cont_rare", sf_dir), rare)
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    cont_ab = F.round(inter / F.size("sh_a"), 4)
+    cont_ba = F.round(inter / F.size("sh_b"), 4)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_ab.alias("cont_a_in_b"),
+            cont_ba.alias("cont_b_in_a"),
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= CONTAINMENT_THRESHOLD
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup_containment"] = dedup_containment
+
+_CONT_SQL = "ROUND(len(list_intersect({a}, {b}))::DOUBLE / len({a}), 4)"
+
+ORACLES["dedup_containment"] = f"""
+        WITH {SHINGLE_CTE},
+        ex AS (
+          SELECT doc_id, unnest(shingles) AS g FROM shingled
+        ),
+        rare AS (
+          SELECT doc_id, g FROM ex
+          WHERE g IN (
+            SELECT g FROM ex GROUP BY g
+            HAVING COUNT(DISTINCT doc_id) <= {CONTAINMENT_MAXDF}
+          )
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM rare a JOIN rare b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               {_CONT_SQL.format(a="sa.shingles", b="sb.shingles")} AS cont_a_in_b,
+               {_CONT_SQL.format(a="sb.shingles", b="sa.shingles")} AS cont_b_in_a,
+               {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")} AS jaccard
+        FROM cand
+        JOIN shingled sa ON sa.doc_id = doc_a
+        JOIN shingled sb ON sb.doc_id = doc_b
+        WHERE greatest({_CONT_SQL.format(a="sa.shingles", b="sb.shingles")},
+                       {_CONT_SQL.format(a="sb.shingles", b="sa.shingles")})
+              >= {CONTAINMENT_THRESHOLD}
+        ORDER BY doc_a, doc_b
+"""

@@ -2360,3 +2360,56 @@ ORACLES["text_ocr_spellfix"] = f"""
     FROM best WHERE rn = 1
     ORDER BY tok, orig
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: weighted reservoir sampling (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WRES_K = 100
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis & Spirakis 2006): each doc
+    draws a deterministic md5-uniform u and is ranked by ln(u)/weight
+    (monotone-equivalent to the paper's u^(1/w) key) — top-K by key is
+    an exact weighted-without-replacement sample.
+
+    Scale shape: one map-side key expression + TakeOrderedAndProject,
+    the same no-global-sort path as the unweighted reservoir; rerun-
+    and engine-stable because u is a pure function of doc_id. Weight =
+    n_chars (longer docs proportionally likelier), doc_id tiebreak."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    ranked = (
+        docs.select("doc_id", F.col("n_chars").alias("weight"), key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(WRES_K)
+    )
+    w_rank = Window.orderBy(F.desc("k"), F.asc("doc_id"))
+    return ranked.select(
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+        "doc_id",
+        "weight",
+    )
+
+
+QUERIES["sample_weighted_reservoir"] = sample_weighted_reservoir
+
+ORACLES["sample_weighted_reservoir"] = f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             ln((CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT)::DOUBLE
+                 + 0.5) / 4294967296.0) / n_chars::DOUBLE AS k
+      FROM documents
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY k DESC, doc_id)::INT AS rank,
+           doc_id, weight
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT {WRES_K}
+"""

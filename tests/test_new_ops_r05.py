@@ -569,3 +569,76 @@ def test_bpe_train_property_random_corpora(spark, tmp_path):
             trial,
             words[:3],
         )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment (dedup.py) / sample_weighted_reservoir (textstats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_planted_subset(spark, tmp_path):
+    """A short doc that is a verbatim prefix of a long doc must be
+    flagged by containment even though its jaccard vs the long doc is
+    small."""
+    from etl_city_directories_spark.operators.dedup import dedup_containment
+
+    src = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    donor = src.orderBy(F.desc("n_chars")).limit(1).collect()[0]
+    prefix = " ".join(donor.text.split(" ")[:8])
+    planted_id = 900001
+    planted = spark.createDataFrame(
+        [(planted_id, prefix, donor.lang, donor.source, len(prefix))], src.schema
+    )
+    sf = tmp_path / "cont"
+    sf.mkdir()
+    src.unionAll(planted).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    rows = dedup_containment(spark, str(sf)).collect()
+    hit = [
+        r
+        for r in rows
+        if planted_id in (r.doc_a, r.doc_b) and donor.doc_id in (r.doc_a, r.doc_b)
+    ]
+    assert hit, "planted subset pair missing"
+    r = hit[0]
+    small_cont = r.cont_a_in_b if r.doc_b == planted_id or r.doc_a != planted_id else r.cont_b_in_a
+    # direction: planted doc's shingles are fully inside the donor
+    planted_side = "a" if r.doc_a == planted_id else "b"
+    cont = r.cont_a_in_b if planted_side == "a" else r.cont_b_in_a
+    assert cont >= 0.99, r
+    assert r.jaccard < 0.5, r  # jaccard alone would miss it
+
+
+def test_containment_bounds_and_symmetry(spark):
+    from etl_city_directories_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        dedup_containment,
+    )
+
+    for r in dedup_containment(spark, SF).collect():
+        assert 0 <= r.cont_a_in_b <= 1 and 0 <= r.cont_b_in_a <= 1
+        assert max(r.cont_a_in_b, r.cont_b_in_a) >= CONTAINMENT_THRESHOLD
+        assert r.jaccard <= min(r.cont_a_in_b, r.cont_b_in_a) + 1e-4, r
+
+
+def test_weighted_reservoir_prefers_planted_heavy_doc(spark, tmp_path):
+    import math
+
+    from etl_city_directories_spark.operators.textstats import (
+        WRES_K,
+        sample_weighted_reservoir,
+    )
+
+    rows = sample_weighted_reservoir(spark, SF).collect()
+    assert len(rows) == WRES_K
+    assert len({r.doc_id for r in rows}) == WRES_K
+    # replay the key driver-side: selection must be the exact top-K
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "n_chars").collect()
+    import hashlib
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 2**32) / w
+
+    want = sorted(((key(d.doc_id, d.n_chars), d.doc_id) for d in docs),
+                  key=lambda t: (-t[0], t[1]))[:WRES_K]
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [d for _, d in want]
