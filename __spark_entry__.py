@@ -71,6 +71,8 @@ _GATE_PRIORITY = [
     "emb_hard_negatives",
     "dedup_containment",
     "sample_weighted_reservoir",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",

@@ -458,3 +458,132 @@ ORACLES["q_attribution_linear"] = f"""
     GROUP BY channel
     ORDER BY channel
 """
+
+
+# ---------------------------------------------------------------------------
+# r05: irregular-time-series ops — TWAP and OHLC bars
+# ---------------------------------------------------------------------------
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user over an IRREGULAR
+    event sequence (the metric a naive AVG gets wrong when sampling is
+    uneven): each reading holds until the next one, so its weight is
+    the gap to the successor (lead over (ts, event_id) — the id breaks
+    equal-timestamp ties identically in both engines; the last reading
+    carries no duration).
+
+    Scale shape: one window pass keyed by user (the natural shuffle
+    key), weighted sums in exact decimal so shuffle order can't
+    perturb a bit, one division at the end."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.select(
+        "user_id",
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("total_seconds"),
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt")).alias("wsum"),
+        )
+        .filter(F.col("total_seconds") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_seconds",
+            F.round(
+                F.col("wsum").cast("double") / F.col("total_seconds").cast("double"), 4
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles over purchase events: open/close picked by
+    row_number over (ts, event_id) within the bar (deterministic under
+    timestamp ties), high/low as plain min/max, volume as an exact
+    decimal sum — one window pass + one groupBy on the bar key."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    barred = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("bar"), "ts", "event_id", "value"
+    )
+    w_asc = Window.partitionBy("bar").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = barred.select(
+        "bar",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return (
+        marked.groupBy("bar")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("volume"),
+        )
+        .orderBy("bar")
+    )
+
+
+QUERIES["q_time_weighted_avg"] = q_time_weighted_avg
+QUERIES["q_ohlc_bars"] = q_ohlc_bars
+
+ORACLES["q_time_weighted_avg"] = """
+    WITH gapped AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+                       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS dt
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_intervals,
+           SUM(dt)::BIGINT AS total_seconds,
+           ROUND((SUM(value::DECIMAL(18,6) * dt))::DOUBLE
+                 / SUM(dt)::DOUBLE, 4) AS twap
+    FROM gapped
+    WHERE dt IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    ORDER BY user_id
+"""
+
+ORACLES["q_ohlc_bars"] = """
+    WITH marked AS (
+      SELECT date_trunc('hour', ts) AS bar, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts) ORDER BY ts, event_id
+             ) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC
+             ) AS rn_d
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bar,
+           COUNT(*)::BIGINT AS n_trades,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           ROUND((SUM(value::DECIMAL(18,6)))::DOUBLE, 4) AS volume
+    FROM marked
+    GROUP BY bar
+    ORDER BY bar
+"""

@@ -642,3 +642,46 @@ def test_weighted_reservoir_prefers_planted_heavy_doc(spark, tmp_path):
     want = sorted(((key(d.doc_id, d.n_chars), d.doc_id) for d in docs),
                   key=lambda t: (-t[0], t[1]))[:WRES_K]
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [d for _, d in want]
+
+
+# ---------------------------------------------------------------------------
+# q_time_weighted_avg / q_ohlc_bars (temporal.py)
+# ---------------------------------------------------------------------------
+
+
+def test_twap_replay_one_user(spark):
+    from etl_city_directories_spark.operators.temporal import q_time_weighted_avg
+
+    got = {r.user_id: r for r in q_time_weighted_avg(spark, SF_TINY).collect()}
+    assert got
+    uid = sorted(got)[0]
+    from etl_city_directories_spark.sources.tables import load_table
+
+    ev = sorted(
+        load_table(spark, SF_TINY, "events")
+        .filter(F.col("user_id") == uid)
+        .select("ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    wsum = tsum = 0.0
+    for a, b in zip(ev, ev[1:]):
+        dt = (b.ts - a.ts).total_seconds()
+        wsum += a.value * dt
+        tsum += dt
+    r = got[uid]
+    assert r.n_intervals == len(ev) - 1
+    assert r.total_seconds == int(tsum)
+    assert abs(r.twap - wsum / tsum) < 1e-3, (r.twap, wsum / tsum)
+
+
+def test_ohlc_invariants(spark):
+    from etl_city_directories_spark.operators.temporal import q_ohlc_bars
+
+    rows = q_ohlc_bars(spark, SF_TINY).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high, r
+        assert r.low <= r.close <= r.high, r
+        assert r.n_trades >= 1
+        assert r.volume >= r.low * r.n_trades - 1e-6
