@@ -73,6 +73,10 @@ OPS = [
     "text_ocr_spellfix",
     "emb_knn_classify",
     "emb_hard_negatives",
+    "dedup_containment",
+    "sample_weighted_reservoir",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
 ]
 
 
