@@ -73,6 +73,7 @@ _GATE_PRIORITY = [
     "sample_weighted_reservoir",
     "q_time_weighted_avg",
     "q_ohlc_bars",
+    "stream_ohlc_bars",
     "dedup_semantic",
     "q_hll_partial_rollup",
     "dedup_simhash",
@@ -243,7 +244,6 @@ _GATE_PRIORITY = [
     "q_approx_distinct",
     "q_approx_quantiles",
     "hocr_source_v2",
-    "q_hll_partial_rollup",
 ]
 
 

@@ -1372,3 +1372,68 @@ ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly OHLC candles over purchase events (twin of
+    temporal.q_ohlc_bars): open/close via min_by/max_by on a
+    (ts, event_id) struct — deterministic under timestamp ties and,
+    unlike a window row_number, legal inside a streaming aggregate —
+    high/low plain min/max, volume as an exact decimal sum. State is
+    one row per open bar; the availableNow replay proves the streaming
+    result equals the batch candle table."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(
+                F.min_by("value", F.struct(F.col("ts"), F.col("event_id"))), 4
+            ).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(
+                F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 4
+            ).alias("close"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("volume"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bar_start_us"),
+            "n_trades",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+    _run_to_table(agg, "stream_ohlc_bars_sink", "complete", state_partitions=8)
+    return spark.table("stream_ohlc_bars_sink")
+
+
+QUERIES["stream_ohlc_bars"] = stream_ohlc_bars
+
+ORACLES["stream_ohlc_bars"] = """
+    WITH marked AS (
+      SELECT date_trunc('hour', ts) AS bar, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts) ORDER BY ts, event_id
+             ) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC
+             ) AS rn_d
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT epoch_us(bar) AS bar_start_us,
+           COUNT(*)::BIGINT AS n_trades,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           ROUND((SUM(value::DECIMAL(18,6)))::DOUBLE, 4) AS volume
+    FROM marked
+    GROUP BY bar
+"""

@@ -222,3 +222,28 @@ def test_dedup_within_watermark_state_is_bounded(spark):
     assert total_removed >= n * 0.9, stats  # state turned over, not hoarded
     assert final_state < n * 0.01, stats  # bounded by the delay window
     assert result.select("event_id").distinct().count() == n  # no dups
+
+
+def test_stream_ohlc_equals_batch_candles(spark):
+    """The streaming candle table must equal the batch twin exactly."""
+    from etl_city_directories_spark.operators.temporal import q_ohlc_bars
+    from etl_city_directories_spark.streaming.stream_ops import stream_ohlc_bars
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.bar_start_us: r for r in stream_ohlc_bars(spark, sf).collect()
+    }
+    import calendar
+
+    for b in q_ohlc_bars(spark, sf).collect():
+        key = calendar.timegm(b.bar.timetuple()) * 1_000_000
+        s = got[key]
+        assert (s.n_trades, s.open, s.high, s.low, s.close, s.volume) == (
+            b.n_trades,
+            b.open,
+            b.high,
+            b.low,
+            b.close,
+            b.volume,
+        ), (b, s)
+    assert len(got) == q_ohlc_bars(spark, sf).count()
