@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_city_directories_spark.operators import (
+    analytics,
     citydir,
     curation,
     dedup,
@@ -32,6 +33,7 @@ from etl_city_directories_spark.operators import (
 from etl_city_directories_spark.streaming import stream_ops
 
 _MODULES = [
+    analytics,
     curation,
     dedup,
     similarity,
@@ -57,6 +59,10 @@ _MODULES = [
 # fail debt exists, so the ~50 budget is pure staleness rotation: after r05
 # nothing's latest green should predate r02.
 _GATE_PRIORITY = [
+    "q_market_basket",
+    "q_regr_trend",
+    "q_pareto_abc",
+    "corpus_mix_epochs",
     "bpe_pair_counts",
     "bpe_train_merges",
     "bpe_encode",

@@ -1,0 +1,414 @@
+"""Cross-row analytics: market-basket pair mining, exact least-squares
+trend, Pareto/ABC classification, and epoch-capped corpus mixing.
+
+These extend the query surface past the reference's per-row transforms
+(nypl-spacetime/etl-city-directories city-directories.js:338-451 emits
+objects one entry at a time) with the whole-corpus analytics a
+warehouse user expects, each designed around one shuffle and exact
+decimal/integer arithmetic so the DuckDB oracle matches bit-for-bit.
+
+Scale notes per operator are inline; the common theme is a-priori
+pruning (market basket), dimension-sized global sorts only
+(ABC over parts, not lineitem), and sufficient-statistics aggregation
+(regression reduces 100 TB of rows to five sums per group map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.functions.memo import rolling_persist
+from etl_city_directories_spark.functions.numeric import dec2, ratio
+from etl_city_directories_spark.sources.tables import load_table
+
+# Pairs must co-occur in at least this many orders. Downward closure
+# (Agrawal & Srikant 1994, a-priori): a pair in >=K orders implies each
+# item is in >=K orders, so pruning items below K before the pair join
+# is semantics-preserving while shrinking the join input.
+MIN_PAIR_ORDERS = 2
+BASKET_TOP_K = 20
+
+MIX_EPOCH_CAP = 2  # max epochs any one source may repeat
+MIX_BUDGET_X = 2  # total char budget = MIX_BUDGET_X * corpus chars
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part-pairs by order co-occurrence with support and lift.
+
+    A-priori shaped for scale: distinct (order, part) once, prune parts
+    below the pair threshold via downward closure (Agrawal & Srikant
+    1994: a pair in >=K orders needs both items in >=K orders, so the
+    prune cannot change the answer), THEN expand pairs per order. Pair
+    generation is per-order local — never cross-order, never corpus² —
+    and the item-support side stays broadcast-sized (O(parts)). Lift
+    is computed from exact integer counts with one final double divide.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # The distinct item set fans out three ways (support, the pruned
+    # basket build, the order count); persist once so the fact scan +
+    # distinct shuffle are paid a single time instead of per branch.
+    items = rolling_persist(
+        spark,
+        ("market_basket_items", sf_dir),
+        li.select("l_orderkey", "l_partkey").distinct(),
+    )
+    support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    frequent = support.filter(F.col("n_item") >= MIN_PAIR_ORDERS)
+    # Pair generation: collapse each (pruned) order to a sorted item
+    # array, then expand the upper-triangle pairs with a higher-order
+    # expression — per-order local, whole-stage-codegen JVM work, and
+    # one shuffle on the order key instead of a self-join that
+    # materializes both sides. O(k^2) per basket of k items; a-priori
+    # pruning bounds k by dropping globally-infrequent items first.
+    baskets = (
+        items.join(F.broadcast(frequent.select("l_partkey")), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(parts, (x, i) ->
+          transform(slice(parts, i + 2, size(parts)),
+                    y -> struct(x AS part_a, y AS part_b))))
+        """
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= MIN_PAIR_ORDERS)
+    )
+    totals = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sup_a = F.broadcast(
+        support.select(
+            F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+        )
+    )
+    sup_b = F.broadcast(
+        support.select(
+            F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+        )
+    )
+    return (
+        pairs.join(sup_a, "part_a")
+        .join(sup_b, "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        # The sort is integer-keyed (no float ordering): count desc,
+        # then the pair ids — deterministic across engines.
+        .orderBy(F.desc("n_pair"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+
+
+def q_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment monthly revenue trend by exact least squares.
+
+    Classic sufficient-statistics regression: each group reduces to
+    (n, Sx, Sy, Sxx, Sxy) map-side, so the shuffle carries five numbers
+    per segment regardless of input size — the only shape that
+    survives 100 TB. Closed forms
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)
+    are evaluated on exact integer cents (decimal(38,0) accumulators,
+    x = month index 0..79) with one final double divide, so Spark and
+    DuckDB agree bit-for-bit where builtin regr_slope (double
+    accumulation, order-dependent) would not.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    xy = orders.join(
+        F.broadcast(cust),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        "c_mktsegment",
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("long")
+        .alias("x"),
+        (dec2("o_totalprice") * 100).cast("long").alias("y_cents"),
+    )
+    d38 = "decimal(38,0)"
+    stats = xy.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y_cents").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y_cents")).alias("sxy"),
+        F.max("x").alias("x_max"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    x_next = (F.col("x_max") + 1).cast(d38)
+    return (
+        stats.select(
+            "c_mktsegment",
+            F.col("n").cast("bigint").alias("n_orders"),
+            # cents -> dollars: the /100 rides inside the one divide
+            F.round(
+                slope_num.cast("double") / (det * 100).cast("double"), 6
+            ).alias("slope_per_month"),
+            F.round(
+                icept_num.cast("double") / (det * 100).cast("double"), 4
+            ).alias("intercept"),
+            F.round(
+                (icept_num + slope_num * x_next).cast("double")
+                / (det * 100).cast("double"),
+                4,
+            ).alias("forecast_next_month"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue share.
+
+    Parts carrying the first 80% of cumulative revenue are class A,
+    the next 15% class B, the tail C. The lineitem fact collapses to
+    one exact-decimal revenue row per part first, so the global
+    cumulative window runs over a DIMENSION-sized input (O(parts), not
+    O(lineitem)) — at 100 TB the fact table never leaves its map-side
+    partial agg. Class boundaries compare exact decimals cross-
+    multiplied (cum*10 <= total*8) so no float boundary flips between
+    engines; ordering ties break on l_partkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(revenue).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_part.agg(F.sum("rev").alias("t"))
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            F.when(F.col("cum") * 10 <= F.col("t") * 8, "A")
+            .when(F.col("cum") * 20 <= F.col("t") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("rev_dec"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "abc_class",
+            "n_parts",
+            F.col("rev_dec").cast("double").alias("class_revenue"),
+            ratio(F.col("rev_dec"), F.col("t"), "revenue_share", 6),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped training-mix allocation across document sources.
+
+    Standard LLM-corpus mixing step: a total char budget of
+    MIX_BUDGET_X x the corpus is split into a uniform per-source
+    target; a source smaller than its target repeats, capped at
+    MIX_EPOCH_CAP epochs. All comparisons stay in exact integers by
+    working with budget numerators scaled by n_sources (allocated*n =
+    least(cap*chars*n, budget)), with one final double divide for the
+    fractional epoch count. One O(sources) aggregate + a scalar
+    broadcast — nothing here grows with corpus size except the first
+    map-side sum.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    totals = per_src.agg(
+        F.sum("chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    budget = F.col("total_chars") * MIX_BUDGET_X  # chars
+    # allocated * n_sources, exact integer
+    alloc_num = F.least(
+        F.lit(MIX_EPOCH_CAP) * F.col("chars") * F.col("n_sources"), budget
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            F.floor(
+                alloc_num.cast("decimal(38,0)")
+                / F.col("n_sources").cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("allocated_chars"),
+            F.round(
+                alloc_num.cast("double")
+                / (F.col("chars") * F.col("n_sources")).cast("double"),
+                6,
+            ).alias("epochs"),
+            (
+                F.lit(MIX_EPOCH_CAP) * F.col("chars") * F.col("n_sources")
+                <= budget
+            ).alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "q_market_basket": q_market_basket,
+    "q_regr_trend": q_regr_trend,
+    "q_pareto_abc": q_pareto_abc,
+    "corpus_mix_epochs": corpus_mix_epochs,
+}
+
+ORACLES = {
+    "q_market_basket": f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        support AS (
+          SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1
+        ),
+        pruned AS (
+          SELECT i.l_orderkey, i.l_partkey FROM items i
+          JOIN support s ON s.l_partkey = i.l_partkey
+          WHERE s.n_item >= {MIN_PAIR_ORDERS}
+        ),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS n_pair
+          FROM pruned a
+          JOIN pruned b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+        ),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+        SELECT p.part_a, p.part_b, p.n_pair,
+               sa.n_item AS n_a, sb.n_item AS n_b,
+               ROUND((p.n_pair * tot.n_orders)::DOUBLE
+                     / (sa.n_item * sb.n_item)::DOUBLE, 6) AS lift
+        FROM pairs p, tot
+        JOIN support sa ON sa.l_partkey = p.part_a
+        JOIN support sb ON sb.l_partkey = p.part_b
+        ORDER BY p.n_pair DESC, p.part_a, p.part_b
+        LIMIT {BASKET_TOP_K}
+    """,
+    "q_regr_trend": """
+        WITH xy AS (
+          SELECT c.c_mktsegment,
+                 ((YEAR(o.o_orderdate) - 1995) * 12
+                   + MONTH(o.o_orderdate) - 1)::BIGINT AS x,
+                 CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS y_cents
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        s AS (
+          SELECT c_mktsegment,
+                 COUNT(*)::HUGEINT AS n,
+                 SUM(x)::HUGEINT AS sx,
+                 SUM(y_cents)::HUGEINT AS sy,
+                 SUM(x * x)::HUGEINT AS sxx,
+                 SUM(x::HUGEINT * y_cents) AS sxy,
+                 MAX(x) AS x_max
+          FROM xy GROUP BY 1
+        )
+        SELECT c_mktsegment,
+               n::BIGINT AS n_orders,
+               ROUND((n * sxy - sx * sy)::DOUBLE
+                     / ((n * sxx - sx * sx) * 100)::DOUBLE, 6)
+                 AS slope_per_month,
+               ROUND((sy * sxx - sx * sxy)::DOUBLE
+                     / ((n * sxx - sx * sx) * 100)::DOUBLE, 4)
+                 AS intercept,
+               ROUND((sy * sxx - sx * sxy
+                       + (n * sxy - sx * sy) * (x_max + 1)::HUGEINT)::DOUBLE
+                     / ((n * sxx - sx * sx) * 100)::DOUBLE, 4)
+                 AS forecast_next_month
+        FROM s ORDER BY c_mktsegment
+    """,
+    "q_pareto_abc": """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+          FROM lineitem GROUP BY 1
+        ),
+        tot AS (SELECT SUM(rev) AS t FROM per_part),
+        classed AS (
+          SELECT l_partkey, rev,
+                 CASE
+                   WHEN SUM(rev) OVER (
+                          ORDER BY rev DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) * 10 <= tot.t * 8
+                     THEN 'A'
+                   WHEN SUM(rev) OVER (
+                          ORDER BY rev DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) * 20 <= tot.t * 19
+                     THEN 'B'
+                   ELSE 'C'
+                 END AS abc_class
+          FROM per_part, tot
+        )
+        SELECT abc_class,
+               COUNT(*)::BIGINT AS n_parts,
+               (SUM(rev))::DOUBLE AS class_revenue,
+               ROUND(CAST(SUM(rev) AS DOUBLE)
+                     / CAST(tot.t AS DOUBLE), 6) AS revenue_share
+        FROM classed, tot
+        GROUP BY abc_class, tot.t
+        ORDER BY abc_class
+    """,
+    "corpus_mix_epochs": f"""
+        WITH per_src AS (
+          SELECT source, COUNT(*)::BIGINT AS n_docs,
+                 SUM(n_chars)::BIGINT AS chars
+          FROM documents GROUP BY 1
+        ),
+        tot AS (
+          SELECT SUM(chars) AS total_chars, COUNT(*) AS n_sources
+          FROM per_src
+        )
+        SELECT source, n_docs, chars,
+               (LEAST({MIX_EPOCH_CAP}::HUGEINT * chars * n_sources,
+                      total_chars::HUGEINT * {MIX_BUDGET_X})
+                // n_sources)::BIGINT AS allocated_chars,
+               ROUND(LEAST({MIX_EPOCH_CAP}::HUGEINT * chars * n_sources,
+                           total_chars::HUGEINT * {MIX_BUDGET_X})::DOUBLE
+                     / (chars * n_sources)::DOUBLE, 6) AS epochs,
+               ({MIX_EPOCH_CAP}::HUGEINT * chars * n_sources
+                 <= total_chars::HUGEINT * {MIX_BUDGET_X}) AS capped
+        FROM per_src, tot
+        ORDER BY source
+    """,
+}

@@ -1,0 +1,112 @@
+"""Semantic invariants for operators/analytics.py beyond the driver's
+hash-vs-DuckDB check: a-priori downward closure, least-squares algebra,
+Pareto partition totals, and mixing-budget conservation."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_city_directories_spark.operators.analytics import (
+    BASKET_TOP_K,
+    MIN_PAIR_ORDERS,
+    MIX_BUDGET_X,
+    MIX_EPOCH_CAP,
+    corpus_mix_epochs,
+    q_market_basket,
+    q_pareto_abc,
+    q_regr_trend,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_market_basket_pairs_are_real_cooccurrences(spark):
+    rows = q_market_basket(spark, SF).collect()
+    assert 0 < len(rows) <= BASKET_TOP_K
+    con = duckdb.connect()
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_pair >= MIN_PAIR_ORDERS
+        # downward closure: each item's support bounds the pair's
+        assert r.n_a >= r.n_pair and r.n_b >= r.n_pair
+        n = con.execute(
+            f"""
+            SELECT COUNT(*) FROM (
+              SELECT l_orderkey FROM '{SF}/lineitem.parquet'
+              WHERE l_partkey = {r.part_a}
+              INTERSECT
+              SELECT l_orderkey FROM '{SF}/lineitem.parquet'
+              WHERE l_partkey = {r.part_b})
+            """
+        ).fetchone()[0]
+        assert n == r.n_pair
+    # ordering contract: count desc then pair ids
+    key = [(-r.n_pair, r.part_a, r.part_b) for r in rows]
+    assert key == sorted(key)
+
+
+def test_regr_trend_residuals_orthogonal(spark):
+    """Least squares leaves residuals orthogonal to x and summing ~0."""
+    rows = q_regr_trend(spark, SF).collect()
+    assert len(rows) == 5  # TPC-H market segments
+    con = duckdb.connect()
+    for r in rows:
+        xs, ys = zip(
+            *con.execute(
+                f"""
+                SELECT ((YEAR(o_orderdate)-1995)*12 + MONTH(o_orderdate)-1),
+                       o_totalprice
+                FROM '{SF}/orders.parquet' o
+                JOIN '{SF}/customer.parquet' c ON c_custkey = o_custkey
+                WHERE c_mktsegment = '{r.c_mktsegment}'
+                """
+            ).fetchall()
+        )
+        assert len(xs) == r.n_orders
+        resid = [y - (r.intercept + r.slope_per_month * x) for x, y in zip(xs, ys)]
+        n = len(resid)
+        assert abs(sum(resid) / n) < 1e-2  # rounding of slope/intercept only
+        assert abs(sum(e * x for e, x in zip(resid, xs)) / n) < 1.0
+        x_next = max(xs) + 1
+        assert r.forecast_next_month == pytest.approx(
+            r.intercept + r.slope_per_month * x_next, abs=0.51
+        )
+
+
+def test_pareto_abc_partitions_everything(spark):
+    rows = {r.abc_class: r for r in q_pareto_abc(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    con = duckdb.connect()
+    n_parts, total = con.execute(
+        f"""SELECT COUNT(DISTINCT l_partkey),
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchone()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert sum(r.class_revenue for r in rows.values()) == pytest.approx(
+        float(total), rel=1e-9
+    )
+    assert sum(r.revenue_share for r in rows.values()) == pytest.approx(
+        1.0, abs=1e-4
+    )
+    # A carries at most 80%, and fewer parts than it has share
+    assert rows["A"].revenue_share <= 0.8 + 1e-9
+    assert rows["A"].n_parts / n_parts < rows["A"].revenue_share
+
+
+def test_corpus_mix_respects_budget_and_cap(spark):
+    rows = q = corpus_mix_epochs(spark, SF).collect()
+    total_chars = sum(r.chars for r in rows)
+    budget = MIX_BUDGET_X * total_chars
+    target = budget / len(rows)
+    for r in rows:
+        assert 0 < r.epochs <= MIX_EPOCH_CAP + 1e-9
+        assert r.allocated_chars <= target + 1  # never exceeds its slice
+        if r.capped:
+            assert r.epochs == pytest.approx(MIX_EPOCH_CAP, abs=1e-6)
+            assert r.allocated_chars == MIX_EPOCH_CAP * r.chars
+        else:
+            assert abs(r.allocated_chars - target) <= 1
+    assert sum(r.allocated_chars for r in q) <= budget
