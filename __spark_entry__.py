@@ -60,6 +60,9 @@ _MODULES = [
 # nothing's latest green should predate r02.
 _GATE_PRIORITY = [
     "q_market_basket",
+    "q_rfm_segmentation",
+    "q_skew_salted_join",
+    "q_k_anonymity",
     "q_regr_trend",
     "q_pareto_abc",
     "corpus_mix_epochs",

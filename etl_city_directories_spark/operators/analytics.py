@@ -284,11 +284,67 @@ def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    The standard CRM scoring: per customer, days since last order,
+    order count, and exact-cent lifetime spend, each quintiled with
+    NTILE(5). The fact table collapses to one row per customer FIRST
+    (map-side partials, one shuffle on o_custkey), so the three global
+    NTILE windows run over a dimension-sized input — same pattern as
+    q_pareto_abc. Every NTILE orders by (metric DESC, c_custkey):
+    integer keys with an explicit tiebreak, so tile boundaries are
+    bit-stable across engines. Tile 1 = best (most recent / most
+    frequent / highest spend).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((dec2("o_totalprice") * 100).cast("long")).alias("spend_cents"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+        "n_orders",
+        (F.col("spend_cents").cast("double") / 100).alias("monetary"),
+        "spend_cents",
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("c_custkey"))
+    f_w = Window.orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+    m_w = Window.orderBy(F.desc("spend_cents"), F.asc("c_custkey"))
+    return (
+        scored.select(
+            "c_custkey",
+            "recency_days",
+            "n_orders",
+            F.round(F.col("monetary"), 2).alias("monetary"),
+            F.ntile(5).over(r_w).alias("r_score"),
+            F.ntile(5).over(f_w).alias("f_score"),
+            F.ntile(5).over(m_w).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "-",
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 QUERIES = {
     "q_market_basket": q_market_basket,
     "q_regr_trend": q_regr_trend,
     "q_pareto_abc": q_pareto_abc,
     "corpus_mix_epochs": corpus_mix_epochs,
+    "q_rfm_segmentation": q_rfm_segmentation,
 }
 
 ORACLES = {
@@ -412,3 +468,31 @@ ORACLES = {
         ORDER BY source
     """,
 }
+
+ORACLES["q_rfm_segmentation"] = """
+    WITH per_cust AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*)::BIGINT AS n_orders,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS spend_cents
+      FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT MAX(last_order) AS a FROM per_cust),
+    scored AS (
+      SELECT c_custkey,
+             DATEDIFF('day', last_order, anchor.a)::INTEGER AS recency_days,
+             n_orders, spend_cents
+      FROM per_cust, anchor
+    )
+    SELECT c_custkey, recency_days, n_orders,
+           ROUND(spend_cents::DOUBLE / 100, 2) AS monetary,
+           NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY n_orders DESC, c_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY spend_cents DESC, c_custkey) AS m_score,
+           CONCAT(NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey), '-',
+                  NTILE(5) OVER (ORDER BY n_orders DESC, c_custkey), '-',
+                  NTILE(5) OVER (ORDER BY spend_cents DESC, c_custkey))
+             AS segment
+    FROM scored ORDER BY c_custkey
+"""

@@ -1593,3 +1593,102 @@ ORACLES["profile_dq_rules"] = """
     SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
     FROM rules ORDER BY rule
 """
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-to-dim join: per-segment event revenue.
+
+    The join-side twin of ``q_skew_salted_agg``: the dim is replicated
+    across N_SALTS salt values (an O(|dim| x N_SALTS) explode — still
+    dimension-sized) and each fact row picks one deterministic salt, so
+    the join key becomes (key, salt) and a hot key's rows land on
+    N_SALTS reducers instead of one. ``hint("merge")`` pins the
+    sort-merge path the pattern exists for — at 100 TB the dim side
+    exceeds any broadcast threshold, and this layout caps a hot user's
+    reducer input at 1/N_SALTS with no AQE dependence. Decimal partials
+    keep the result bit-identical to the oracle's unsalted join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted_dim = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    fact = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    joined = fact.hint("merge").join(
+        salted_dim,
+        (fact["user_id"] == salted_dim["c_custkey"])
+        & (fact["salt"] == salted_dim["salt"]),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(dec2("value"), "total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+K_ANON = 5  # groups smaller than this are re-identification risks
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers.
+
+    The release-gating privacy check a training-data pipeline runs
+    before shipping tabular data: group by the quasi-identifier tuple
+    (segment, nation, account-balance band) and flag every group whose
+    population is below k — those rows could be re-identified by an
+    adversary who knows the quasi-identifiers. One map-side-combined
+    shuffle on the QI tuple; the risky-row total is a scalar broadcast
+    away. Band edges are integer floors, so no float boundary flips.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    groups = (
+        cust.withColumn(
+            "acctbal_band",
+            F.floor(dec2("c_acctbal") / 2000).cast("bigint") * 2000,
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        groups.select(
+            "c_mktsegment",
+            "c_nationkey",
+            "acctbal_band",
+            "n",
+            (F.col("n") < K_ANON).alias("risky"),
+        )
+        .filter(F.col("n") < K_ANON)
+        .orderBy("c_mktsegment", "c_nationkey", "acctbal_band")
+    )
+
+
+QUERIES["q_skew_salted_join"] = q_skew_salted_join
+QUERIES["q_k_anonymity"] = q_k_anonymity
+
+ORACLES["q_skew_salted_join"] = """
+    SELECT c.c_mktsegment,
+           COUNT(*)::BIGINT AS n_events,
+           (SUM(CAST(e.value AS DECIMAL(18,2))))::DOUBLE AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["q_k_anonymity"] = f"""
+    WITH groups AS (
+      SELECT c_mktsegment, c_nationkey,
+             (FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 2000)::BIGINT
+              * 2000) AS acctbal_band,
+             COUNT(*)::BIGINT AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment, c_nationkey, acctbal_band, n, n < {K_ANON} AS risky
+    FROM groups WHERE n < {K_ANON}
+    ORDER BY c_mktsegment, c_nationkey, acctbal_band
+"""

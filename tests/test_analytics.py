@@ -110,3 +110,67 @@ def test_corpus_mix_respects_budget_and_cap(spark):
         else:
             assert abs(r.allocated_chars - target) <= 1
     assert sum(r.allocated_chars for r in q) <= budget
+
+
+def test_rfm_scores_are_balanced_quintiles(spark):
+    from etl_city_directories_spark.operators.analytics import q_rfm_segmentation
+
+    rows = q_rfm_segmentation(spark, SF).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        tiles = {}
+        for r in rows:
+            tiles[r[col]] = tiles.get(r[col], 0) + 1
+        assert set(tiles) == {1, 2, 3, 4, 5}
+        assert max(tiles.values()) - min(tiles.values()) <= 1  # NTILE balance
+    # recency tile 1 holds the most recent customers
+    best = [r.recency_days for r in rows if r.r_score == 1]
+    worst = [r.recency_days for r in rows if r.r_score == 5]
+    assert max(best) <= min(worst)
+    assert all(r.segment == f"{r.r_score}-{r.f_score}-{r.m_score}" for r in rows)
+    assert n == len({r.c_custkey for r in rows})
+
+
+def test_skew_salted_join_uses_merge_join_and_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from etl_city_directories_spark.operators.scale_ops import q_skew_salted_join
+    from etl_city_directories_spark.sources.tables import load_table
+
+    df = q_skew_salted_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan  # the salt exists for this path
+    got = {r.c_mktsegment: (r.n_events, r.total_value) for r in df.collect()}
+    ev = load_table(spark, SF, "events")
+    cust = load_table(spark, SF, "customer")
+    plain = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        )
+        .collect()
+    )
+    assert got == {r.c_mktsegment: (r.n, r.v) for r in plain}
+
+
+def test_k_anonymity_flags_exactly_the_small_groups(spark):
+    from etl_city_directories_spark.operators.scale_ops import (
+        K_ANON,
+        q_k_anonymity,
+    )
+
+    rows = q_k_anonymity(spark, SF).collect()
+    assert all(0 < r.n < K_ANON and r.risky for r in rows)
+    con = duckdb.connect()
+    expected = con.execute(
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT c_mktsegment, c_nationkey,
+                 FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) / 2000) AS b
+          FROM '{SF}/customer.parquet'
+          GROUP BY 1, 2, 3 HAVING COUNT(*) < {K_ANON})
+        """
+    ).fetchone()[0]
+    assert len(rows) == expected
