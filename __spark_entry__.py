@@ -63,6 +63,9 @@ _GATE_PRIORITY = [
     "q_rfm_segmentation",
     "q_skew_salted_join",
     "q_k_anonymity",
+    "graph_triangle_count",
+    "text_char_entropy",
+    "q_table_checksum",
     "q_regr_trend",
     "q_pareto_abc",
     "corpus_mix_epochs",

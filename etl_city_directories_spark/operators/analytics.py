@@ -33,16 +33,16 @@ MIX_EPOCH_CAP = 2  # max epochs any one source may repeat
 MIX_BUDGET_X = 2  # total char budget = MIX_BUDGET_X * corpus chars
 
 
-def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top part-pairs by order co-occurrence with support and lift.
+def _basket_graph(spark: SparkSession, sf_dir: str):
+    """Shared pair-graph build: (items, support, pairs) where pairs are
+    the part pairs co-occurring in >= MIN_PAIR_ORDERS orders.
 
-    A-priori shaped for scale: distinct (order, part) once, prune parts
-    below the pair threshold via downward closure (Agrawal & Srikant
-    1994: a pair in >=K orders needs both items in >=K orders, so the
-    prune cannot change the answer), THEN expand pairs per order. Pair
-    generation is per-order local — never cross-order, never corpus² —
-    and the item-support side stays broadcast-sized (O(parts)). Lift
-    is computed from exact integer counts with one final double divide.
+    Pair generation collapses each (pruned) order to a sorted item
+    array, then expands the upper-triangle pairs with a higher-order
+    expression — per-order local, whole-stage-codegen JVM work, one
+    shuffle on the order key instead of a self-join materializing both
+    sides. O(k^2) per basket of k items; a-priori pruning bounds k by
+    dropping globally-infrequent items first.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # The distinct item set fans out three ways (support, the pruned
@@ -55,12 +55,6 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     frequent = support.filter(F.col("n_item") >= MIN_PAIR_ORDERS)
-    # Pair generation: collapse each (pruned) order to a sorted item
-    # array, then expand the upper-triangle pairs with a higher-order
-    # expression — per-order local, whole-stage-codegen JVM work, and
-    # one shuffle on the order key instead of a self-join that
-    # materializes both sides. O(k^2) per basket of k items; a-priori
-    # pruning bounds k by dropping globally-infrequent items first.
     baskets = (
         items.join(F.broadcast(frequent.select("l_partkey")), "l_partkey")
         .groupBy("l_orderkey")
@@ -80,6 +74,22 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= MIN_PAIR_ORDERS)
     )
+    return items, support, pairs
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part-pairs by order co-occurrence with support and lift.
+
+    A-priori shaped for scale: distinct (order, part) once, prune parts
+    below the pair threshold via downward closure (Agrawal & Srikant
+    1994: a pair in >=K orders needs both items in >=K orders, so the
+    prune cannot change the answer), THEN expand pairs per order (see
+    ``_basket_graph``). Pair generation is per-order local — never
+    cross-order, never corpus² — and the item-support side stays
+    broadcast-sized (O(parts)). Lift is computed from exact integer
+    counts with one final double divide.
+    """
+    items, support, pairs = _basket_graph(spark, sf_dir)
     totals = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     sup_a = F.broadcast(
         support.select(
@@ -339,12 +349,87 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the basket
+    co-occurrence graph.
+
+    The canonical distributed triangle algorithm (node-iterator with
+    degree orientation, cf. Suri & Vassilvitskii WWW'11): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the
+    larger, generate wedges by self-joining oriented edges on their
+    source, and close each wedge against the oriented edge set.
+    Orientation bounds any node's out-degree at O(sqrt(m)), so wedge
+    generation is O(m^1.5) worst-case instead of sum(deg^2) — the
+    difference between feasible and not on a power-law graph. Wedge
+    count for the clustering denominator is exact integer sum(C(d,2)).
+    """
+    _, _, pairs = _basket_graph(spark, sf_dir)
+    edges = rolling_persist(spark, ("triangle_edges", sf_dir),
+                            pairs.select("part_a", "part_b"))
+    deg = (
+        edges.select(F.col("part_a").alias("node"))
+        .unionAll(edges.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("part_a"),
+                                F.col("deg").alias("deg_a")))
+    db = F.broadcast(deg.select(F.col("node").alias("part_b"),
+                                F.col("deg").alias("deg_b")))
+    with_deg = edges.join(da, "part_a").join(db, "part_b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("part_a") < F.col("part_b"))
+    )
+    oriented = rolling_persist(
+        spark,
+        ("triangle_oriented", sf_dir),
+        with_deg.select(
+            F.when(a_first, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+            F.when(a_first, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("ddeg"),
+        ),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    n_edges = edges.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        summary.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
 QUERIES = {
     "q_market_basket": q_market_basket,
     "q_regr_trend": q_regr_trend,
     "q_pareto_abc": q_pareto_abc,
     "corpus_mix_epochs": corpus_mix_epochs,
     "q_rfm_segmentation": q_rfm_segmentation,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
@@ -495,4 +580,36 @@ ORACLES["q_rfm_segmentation"] = """
                   NTILE(5) OVER (ORDER BY spend_cents DESC, c_custkey))
              AS segment
     FROM scored ORDER BY c_custkey
+"""
+
+ORACLES["graph_triangle_count"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),
+    deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT part_a AS node FROM pairs
+        UNION ALL SELECT part_b FROM pairs) GROUP BY 1
+    ),
+    tri AS (
+      SELECT COUNT(*)::BIGINT AS t
+      FROM pairs e1
+      JOIN pairs e2 ON e2.part_a = e1.part_b
+      JOIN pairs e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    )
+    SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+           (SELECT COUNT(*) FROM pairs)::BIGINT AS n_edges,
+           (SELECT SUM(d * (d - 1)) // 2 FROM deg)::BIGINT AS n_wedges,
+           tri.t AS n_triangles,
+           ROUND((tri.t * 3)::DOUBLE
+                 / (SELECT SUM(d * (d - 1)) // 2 FROM deg)::DOUBLE, 6)
+             AS global_clustering
+    FROM tri
 """

@@ -1692,3 +1692,63 @@ ORACLES["q_k_anonymity"] = f"""
     FROM groups WHERE n < {K_ANON}
     ORDER BY c_mktsegment, c_nationkey, acctbal_band
 """
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-partition-group table checksum.
+
+    The cross-cluster reconciliation primitive: after a migration or a
+    replicated load, both sides compute bit_xor over a canonical
+    per-row md5 and compare O(groups) rows instead of the table. XOR
+    is commutative/associative, so the result is partition- and
+    order-independent — no sort, pure map-side combine, one shuffle on
+    the group key. Doubles are canonicalized to exact integer cents
+    before hashing so both engines hash identical byte strings.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        (dec2("l_quantity") * 100).cast("long"),
+        (dec2("l_extendedprice") * 100).cast("long"),
+        (dec2("l_discount") * 100).cast("long"),
+        (dec2("l_tax") * 100).cast("long"),
+        "l_returnflag",
+        "l_linestatus",
+        F.datediff(F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))),
+    )
+    row_hash = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        li.select("l_returnflag", row_hash.alias("h"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["q_table_checksum"] = q_table_checksum
+
+ORACLES["q_table_checksum"] = """
+    WITH rows_c AS (
+      SELECT l_returnflag,
+             CAST(('0x' || substring(md5(concat_ws('|',
+               l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT),
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+               CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT),
+               l_returnflag, l_linestatus,
+               DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             )), 1, 8)) AS BIGINT) AS h
+      FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
+           BIT_XOR(h)::BIGINT AS checksum
+    FROM rows_c GROUP BY 1 ORDER BY 1
+"""

@@ -2413,3 +2413,72 @@ ORACLES["sample_weighted_reservoir"] = f"""
     ORDER BY k DESC, doc_id
     LIMIT {WRES_K}
 """
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char).
+
+    A cheap complementary quality signal to text_repetition_stats:
+    mojibake, base64 blobs and key-mash have entropy far from the
+    ~4.1-bit English band, so the corpus funnel can gate on it without
+    tokenizing. H = (ln n - (1/n) * sum c*ln c) / ln 2 over per-doc
+    character counts. The float sum is ORDER-FIXED — counts are
+    collected sorted by character and folded sequentially (same
+    discipline as the PCA fold), so Spark's aggregate and DuckDB's
+    list_reduce see term-identical additions. Shuffles are per-doc
+    keyed and O(distinct chars) per doc; everything else is map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("cs"),
+    )
+    s_term = F.aggregate(
+        F.transform(
+            F.col("cs"), lambda x: x["c"].cast("double") * F.log(x["c"])
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(
+            (F.log(F.col("n")) - s_term / F.col("n")) / F.log(F.lit(2.0)), 4
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+QUERIES["text_char_entropy"] = text_char_entropy
+
+ORACLES["text_char_entropy"] = """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, ch, COUNT(*)::BIGINT AS c
+      FROM ch WHERE ch <> '' GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct,
+             list(c ORDER BY ch) AS cs
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id,
+           n::BIGINT AS n_chars,
+           n_distinct::BIGINT AS n_distinct,
+           ROUND((ln(n) - list_reduce(
+                    list_transform(cs, c -> c::DOUBLE * ln(c)),
+                    (a, b) -> a + b) / n) / ln(2), 4) AS entropy_bits
+    FROM agg ORDER BY doc_id
+"""

@@ -174,3 +174,89 @@ def test_k_anonymity_flags_exactly_the_small_groups(spark):
         """
     ).fetchone()[0]
     assert len(rows) == expected
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        _basket_graph,
+        graph_triangle_count,
+    )
+
+    row = graph_triangle_count(spark, SF).collect()[0]
+    _, _, pairs = _basket_graph(spark, SF)
+    edges = {(r.part_a, r.part_b) for r in pairs.collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if b < c  # a < b < c counts each triangle once
+    )
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    assert row.n_triangles == tri
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row.n_wedges == wedges
+    assert row.global_clustering == pytest.approx(
+        3 * tri / wedges, abs=1e-6
+    )
+
+
+def test_char_entropy_matches_direct_computation(spark):
+    import math
+    from collections import Counter
+
+    from etl_city_directories_spark.operators.textstats import text_char_entropy
+
+    rows = {r.doc_id: r for r in text_char_entropy(spark, SF).collect()}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 50"
+    ).fetchall()
+    for doc_id, text in docs:
+        c = Counter(text)
+        n = sum(c.values())
+        h = -sum(v / n * math.log2(v / n) for v in c.values())
+        r = rows[doc_id]
+        assert r.n_chars == n
+        assert r.n_distinct == len(c)
+        assert r.entropy_bits == pytest.approx(h, abs=1e-3)
+    # uniform text pins the band: entropy of any doc is within [0, log2(distinct)]
+    for r in rows.values():
+        assert 0 <= r.entropy_bits <= math.log2(r.n_distinct) + 1e-9
+
+
+def test_table_checksum_is_order_and_split_independent(spark):
+    from pyspark.sql import functions as F
+
+    from etl_city_directories_spark.operators.scale_ops import q_table_checksum
+    from etl_city_directories_spark.sources.tables import load_table
+
+    full = {r.l_returnflag: (r.n_rows, r.checksum) for r in
+            q_table_checksum(spark, SF).collect()}
+    assert len(full) == 3
+    # XOR-combine of two disjoint halves must equal the full checksum
+    li = load_table(spark, SF, "lineitem")
+    lo = li.filter(F.col("l_orderkey") % 2 == 0)
+    hi = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    def chks(df):
+        import etl_city_directories_spark.operators.scale_ops as so
+
+        orig = so.load_table
+        try:
+            so.load_table = lambda *_a, **_k: df
+            return {r.l_returnflag: (r.n_rows, r.checksum) for r in
+                    so.q_table_checksum(spark, SF).collect()}
+        finally:
+            so.load_table = orig
+
+    a, b = chks(lo), chks(hi)
+    for flag, (n, x) in full.items():
+        na, xa = a.get(flag, (0, 0))
+        nb, xb = b.get(flag, (0, 0))
+        assert n == na + nb
+        assert x == xa ^ xb
