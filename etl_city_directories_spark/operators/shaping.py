@@ -297,3 +297,49 @@ ORACLES = {
         ORDER BY event_type
     """,
 }
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the daily event-type matrix back to long form —
+    the inverse of ``q_pivot``, closing the reshape round-trip.
+
+    Uses the native ``unpivot`` operator (Spark's EXPAND node: each row
+    emits one output row per value column in a single map-side pass —
+    no join, no shuffle beyond the upstream pivot's). Zero cells are
+    kept so pivot→unpivot is lossless; the oracle replays the identical
+    round trip with UNPIVOT INCLUDE NULLS semantics via UNION ALL arms.
+    """
+    wide = q_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=list(EVENT_TYPES),
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .withColumn("n_events", F.col("n_events").cast("bigint"))
+        .orderBy("day", "event_type")
+    )
+
+
+QUERIES["q_unpivot"] = q_unpivot
+
+_UNPIVOT_ARMS = "\n      UNION ALL ".join(
+    f"SELECT day, '{t}' AS event_type, {t} AS n_events FROM wide"
+    for t in EVENT_TYPES
+)
+
+ORACLES["q_unpivot"] = f"""
+    WITH wide AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) FILTER (event_type = 'click')::BIGINT AS click,
+             COUNT(*) FILTER (event_type = 'error')::BIGINT AS error,
+             COUNT(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+             COUNT(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+             COUNT(*) FILTER (event_type = 'view')::BIGINT AS view
+      FROM events GROUP BY 1
+    )
+    SELECT day, event_type, n_events FROM (
+      {_UNPIVOT_ARMS}
+    ) ORDER BY day, event_type
+"""

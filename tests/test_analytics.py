@@ -260,3 +260,17 @@ def test_table_checksum_is_order_and_split_independent(spark):
         nb, xb = b.get(flag, (0, 0))
         assert n == na + nb
         assert x == xa ^ xb
+
+
+def test_unpivot_is_lossless_inverse_of_pivot(spark):
+    from etl_city_directories_spark.operators.shaping import q_pivot, q_unpivot
+
+    wide = {r.day: r for r in q_pivot(spark, SF).collect()}
+    total = 0
+    for r in q_unpivot(spark, SF).collect():
+        assert r.n_events == wide[r.day][r.event_type]
+        total += r.n_events
+    assert total == sum(
+        sum(r[t] for t in ("click", "error", "purchase", "signup", "view"))
+        for r in wide.values()
+    )
