@@ -407,3 +407,36 @@ def test_attribution_joins_on_user_key(spark):
     assert "CartesianProduct" not in plan, plan
     assert "c_user" in plan and "t_user" in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_new_analytics_plans_are_scale_shaped(spark):
+    """r05 analytics additions: pruned scans, broadcast side tables,
+    no Python eval anywhere."""
+    # regression reads only its three order columns
+    plan = plan_of(QUERIES["q_regr_trend"](spark, SF))
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "o_orderstatus" not in read and "o_orderpriority" not in read
+    assert "BroadcastHashJoin" in plan  # customer dim broadcasts
+    # market basket: support joins broadcast; no cartesian anywhere
+    plan = plan_of(QUERIES["q_market_basket"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # checksum: single shuffle on the group key, no sort before agg
+    plan = plan_of(QUERIES["q_table_checksum"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for name in (
+        "q_market_basket",
+        "q_regr_trend",
+        "q_pareto_abc",
+        "q_rfm_segmentation",
+        "q_skew_salted_join",
+        "q_k_anonymity",
+        "graph_triangle_count",
+        "q_table_checksum",
+        "text_char_entropy",
+        "corpus_mix_epochs",
+        "q_unpivot",
+    ):
+        p = plan_of(QUERIES[name](spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in p, f"{name} plan contains {marker}"

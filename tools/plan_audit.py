@@ -38,6 +38,13 @@ PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta
 # subquery — broadcasting one row is free at any scale)
 BNLJ_OK = {
     "ann_topk_bruteforce",
+    # 1-row scalar-aggregate crossJoins (corpus totals / n_orders /
+    # anchor date / triangle count) — the scalar-subquery idiom
+    "corpus_mix_epochs",
+    "graph_triangle_count",
+    "q_market_basket",
+    "q_pareto_abc",
+    "q_rfm_segmentation",
     # both rankers join the corpus against the capped broadcast probe
     # set on a != condition — the bruteforce-baseline shape
     "ann_rrf_hybrid",
