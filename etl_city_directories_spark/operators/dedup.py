@@ -1435,3 +1435,219 @@ ORACLES["dedup_containment"] = f"""
               >= {CONTAINMENT_THRESHOLD}
         ORDER BY doc_a, doc_b
 """
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the share of a doc's word-3-grams
+    whose FIRST corpus occurrence (min doc_id) is this doc.
+
+    The curation signal behind "how much of this document is new
+    text?" — boilerplate-heavy or near-duplicate docs score low, so
+    the corpus funnel can down-weight them without pairwise scoring.
+    Cost is O(distinct shingles): one explode, one groupBy(shingle) for
+    the first-occurrence table, one join back on the shingle key, one
+    groupBy(doc). No pair join anywhere — this is the linear-cost
+    complement to the LSH pair pipeline.
+    """
+    # Persist the shingle ARRAYS before exploding: a Generate over the
+    # inline shingles_col expression re-evaluates the split/concat tree
+    # per output row (12 s at sf0.1), while exploding a cached array
+    # column is a plain iterator (sub-second) — the same staged
+    # materialization the LSH pipeline uses. The shuffle/sort key is a
+    # 48-bit md5-derived long, not the raw shingle string: the hash
+    # algebra DuckDB replays bit-identically, ~3x narrower shuffle
+    # rows, and a long sort instead of a string sort. (48 bits over
+    # ~10^6 distinct shingles: collision expectation ~1e-3 — and a
+    # collision changes both engines identically.)
+    sh_docs = rolling_persist(
+        spark,
+        ("novelty_sh", sf_dir),
+        _shingled_df(spark, sf_dir).select("doc_id", "shingles"),
+    )
+    sh = (
+        sh_docs.select("doc_id", F.explode("shingles").alias("gs"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("gs"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("g"),
+        )
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Banding-design sweep: detection probability p(s) = 1 - (1 - s^r)^b
+# for each candidate (b bands, r rows) layout, evaluated on an exact
+# s = k/20 grid. With r*b = NUM_HASHES = 8 every config shares the
+# denominator 20^8, so p is an exact integer ratio: the numerator is
+# pure bigint power arithmetic both engines compute identically.
+LSH_TUNING_CONFIGS = (("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4))
+_LSH_D = 20**8
+
+
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design table: detection probability per candidate
+    banding on an exact similarity grid, weighted by the observed
+    verified-pair jaccard histogram.
+
+    THE MinHash design decision is (bands, rows): more bands catch
+    lower-similarity pairs but flood the verifier with false
+    candidates. This op turns that tradeoff into data: for each
+    layout of the repo's 8 minhashes (8x1, the production 4x2, 2x4) it
+    evaluates p(s) = 1-(1-s^r)^b on the s = k/20 grid in exact bigint
+    arithmetic (shared denominator 20^8 since r*b = 8), then joins the
+    observed pair histogram from the verified LSH pipeline to estimate
+    how many known pairs each layout would catch. Pure O(grid) math +
+    one O(pairs) rollup — the pair set is the memoized candidate
+    pipeline, no new corpus pass.
+    """
+    grid = spark.range(1, 20).select(F.col("id").cast("int").alias("k"))
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("config"),
+                    F.lit(b).alias("b"),
+                    F.lit(r).alias("r"),
+                )
+                for name, b, r in LSH_TUNING_CONFIGS
+            ]
+        )
+    ).alias("c")
+    k = F.col("k").cast("long")
+    inner_pow = (
+        F.when(F.col("c.config") == "b8r1",
+               _pow_int(20 - k, 8))
+        .when(F.col("c.config") == "b4r2",
+              _pow_int(400 - k * k, 4))
+        .otherwise(_pow_int(F.lit(160000) - k * k * k * k, 2))
+    )
+    sweep = grid.select("k", cfg).select(
+        F.col("c.config").alias("config"),
+        "k",
+        F.round(k.cast("double") / 20, 2).alias("s"),
+        ((F.lit(_LSH_D) - inner_pow).cast("double") / F.lit(_LSH_D))
+        .alias("p_raw"),
+    )
+    observed = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(
+            F.least(F.floor(F.col("jaccard") * 20).cast("int"), F.lit(19))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        sweep.join(F.broadcast(observed), "k", "left")
+        .na.fill(0, ["n_pairs"])
+        .select(
+            "config",
+            "s",
+            F.round(F.col("p_raw"), 6).alias("detect_prob"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(F.col("p_raw") * F.col("n_pairs"), 4).alias(
+                "expected_caught"
+            ),
+        )
+        .orderBy("config", "s")
+    )
+
+
+def _pow_int(base, e: int):
+    """Exact integer power by squaring on a long column (e in {2,4,8})."""
+    c = base.cast("long")
+    out = c * c  # e == 2
+    if e >= 4:
+        out = out * out
+    if e == 8:
+        out = out * out
+    return out
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+QUERIES["dedup_lsh_tuning"] = dedup_lsh_tuning
+
+ORACLES["text_ngram_novelty"] = f"""
+    WITH {SHINGLE_CTE},
+    grams AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(unnest(shingles)), 1, 12))
+                  AS BIGINT) AS g
+      FROM shingled
+    ),
+    first_occ AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT gr.doc_id,
+           COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS novelty
+    FROM grams gr JOIN first_occ f ON f.g = gr.g
+    GROUP BY gr.doc_id ORDER BY gr.doc_id
+"""
+
+_LSH_TUNING_CASE = f"""
+    CASE config
+      WHEN 'b8r1' THEN ((20 - k) * (20 - k)
+                        * (20 - k) * (20 - k)
+                        * (20 - k) * (20 - k)
+                        * (20 - k) * (20 - k))::BIGINT
+      WHEN 'b4r2' THEN ((400 - k * k) * (400 - k * k)
+                        * (400 - k * k) * (400 - k * k))::BIGINT
+      ELSE ((160000 - k * k * k * k)
+            * (160000 - k * k * k * k))::BIGINT
+    END
+"""
+
+ORACLES["dedup_lsh_tuning"] = f"""
+    WITH pairs AS ({{MINHASH_ORACLE}}),
+    observed AS (
+      SELECT LEAST(FLOOR(jaccard * 20)::INT, 19) AS k,
+             COUNT(*)::BIGINT AS n_pairs
+      FROM pairs GROUP BY 1
+    ),
+    sweep AS (
+      SELECT config, k::BIGINT AS k
+      FROM (VALUES ('b8r1'), ('b4r2'), ('b2r4')) c(config)
+      CROSS JOIN generate_series(1, 19) g(k)
+    ),
+    scored AS (
+      SELECT config, k,
+             ({_LSH_D}::BIGINT - {_LSH_TUNING_CASE})::DOUBLE
+               / {_LSH_D} AS p_raw
+      FROM sweep
+    )
+    SELECT s.config,
+           ROUND(s.k::DOUBLE / 20, 2) AS s,
+           ROUND(s.p_raw, 6) AS detect_prob,
+           COALESCE(o.n_pairs, 0)::BIGINT AS n_pairs,
+           ROUND(s.p_raw * COALESCE(o.n_pairs, 0), 4) AS expected_caught
+    FROM scored s LEFT JOIN observed o USING (k)
+    ORDER BY s.config, s.k
+"""
+ORACLES["dedup_lsh_tuning"] = ORACLES["dedup_lsh_tuning"].replace(
+    "{MINHASH_ORACLE}", ORACLES["dedup_minhash_lsh"]
+)

@@ -161,3 +161,51 @@ def test_ann_pq_adc_recall_vs_bruteforce(spark):
     }
     pq = {(r.probe_id, r.neighbor_id) for r in ann_pq_adc(spark, sf).collect()}
     assert len(bf & pq) / len(bf) >= 0.75
+
+
+def test_ngram_novelty_bounds_and_first_doc_wins(spark):
+    """Novelty ∈ (0,1]; the corpus's first doc is fully novel; totals
+    conserve: sum(n_novel) == number of distinct shingles."""
+    from etl_city_directories_spark.operators.dedup import (
+        _shingled_df,
+        text_ngram_novelty,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_ngram_novelty(spark, sf).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert all(0 <= r.n_novel <= r.n_grams for r in rows)
+    # novelty is rounded to 4 dp at the projection
+    assert all(abs(r.novelty - r.n_novel / r.n_grams) < 5.1e-5 for r in rows)
+    first_doc = min(by_id)
+    assert by_id[first_doc].novelty == 1.0  # nothing precedes it
+    sh = _shingled_df(spark, sf).collect()
+    distinct_shingles = len({g for r in sh for g in r.shingles})
+    assert sum(r.n_novel for r in rows) == distinct_shingles
+
+
+def test_lsh_tuning_probabilities_are_exact_and_monotone(spark):
+    """p(s) must equal the closed form exactly, rise with s, and more
+    bands must dominate at low similarity."""
+    from etl_city_directories_spark.operators.dedup import dedup_lsh_tuning
+
+    rows = dedup_lsh_tuning(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3 * 19
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault(r.config, {})[round(r.s * 20)] = r
+    for cfg, b, rr in (("b8r1", 8, 1), ("b4r2", 4, 2), ("b2r4", 2, 4)):
+        seq = [by_cfg[cfg][k] for k in range(1, 20)]
+        for k, row in zip(range(1, 20), seq):
+            s = k / 20
+            expect = 1 - (1 - s**rr) ** b
+            assert abs(row.detect_prob - expect) < 1e-6, (cfg, k)
+            assert abs(row.expected_caught - row.detect_prob * row.n_pairs) < 5e-4
+        probs = [r.detect_prob for r in seq]
+        assert probs == sorted(probs)  # monotone in s
+    for k in range(1, 10):  # low similarity: more bands catch more
+        assert (
+            by_cfg["b8r1"][k].detect_prob
+            >= by_cfg["b4r2"][k].detect_prob
+            >= by_cfg["b2r4"][k].detect_prob
+        )
