@@ -53,11 +53,12 @@ _MODULES = [
 
 # The driver's correctness gate has a ~50-key-per-round budget and walks
 # queries() in insertion order. Recomputed for r05 from CORRECTNESS_r01-r04
-# (tools/gate_priority.py): dedup_simhash leads — it gained a DuckDB oracle
-# this round, so it has zero ORACLE evidence — then the 27 keys whose last
-# green is r01 and the 34 r02 keys, oldest evidence first. Zero new-key or
-# fail debt exists, so the ~50 budget is pure staleness rotation: after r05
-# nothing's latest green should predate r02.
+# (tools/gate_priority.py), then extended as round 5 widened the surface
+# 169 → 200: the 31 r05-new keys lead (zero driver evidence — they must
+# consume the budget first), followed by dedup_simhash (newly oracle'd)
+# and the stale r01/r02 greens oldest-first. The staleness rotation the
+# r04 verdict asked for therefore spills into r06's budget; recompute
+# via tools/gate_priority.py next round.
 _GATE_PRIORITY = [
     "q_market_basket",
     "q_rfm_segmentation",

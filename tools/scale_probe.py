@@ -88,6 +88,8 @@ OPS = [
     "text_char_entropy",
     "corpus_mix_epochs",
     "q_unpivot",
+    "text_ngram_novelty",
+    "dedup_lsh_tuning",
 ]
 
 
