@@ -70,6 +70,9 @@ _GATE_PRIORITY = [
     "q_unpivot",
     "text_ngram_novelty",
     "dedup_lsh_tuning",
+    "mm_image_meta",
+    "mm_frame_sample",
+    "mm_audio_meta",
     "q_regr_trend",
     "q_pareto_abc",
     "corpus_mix_epochs",
@@ -253,9 +256,6 @@ _GATE_PRIORITY = [
     "cd_download",
     "hocr_parse",
     "manifest_parse",
-    "mm_audio_meta",
-    "mm_frame_sample",
-    "mm_image_meta",
     "ndjson_sink",
     "q_approx_distinct",
     "q_approx_quantiles",

@@ -30,6 +30,7 @@ on disk.
 from __future__ import annotations
 
 from collections.abc import Iterator
+import math
 
 import numpy as np
 import pandas as pd
@@ -130,6 +131,14 @@ def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decode stubs (the part a real deployment replaces with PIL/ffmpeg)
 # ---------------------------------------------------------------------------
 
+def _round4(x: float) -> float:
+    """4-dp HALF-UP rounding (non-negative inputs): Python's built-in
+    round() is banker's (half-to-even) while the DuckDB oracle's ROUND
+    is half-away — an exact .00005 boundary would disagree. floor(x*1e4
+    + 0.5) pins both engines to the same value."""
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
 def _decode_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Parse the IMG1 container. Real impl: PIL.Image.open(BytesIO(...))."""
     if HAVE_PIL:  # pragma: no cover
@@ -171,7 +180,7 @@ def _image_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     height,
                     channels,
                     len(payload),
-                    round(mean_pixel, 4),
+                    _round4(mean_pixel),
                 )
             )
         yield pd.DataFrame(
@@ -210,7 +219,7 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                         n_frames,
                         i,
                         body[i * frame_size : (i + 1) * frame_size],
-                        round(float(means[i]), 4),
+                        _round4(float(means[i])),
                     )
                 )
         yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
@@ -244,8 +253,8 @@ def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     payload[:4].decode("ascii"),
                     sample_rate,
                     n_samples,
-                    round(n_samples * 1000.0 / sample_rate, 4),
-                    round(mean_amp, 4),
+                    _round4(n_samples * 1000.0 / sample_rate),
+                    _round4(mean_amp),
                 )
             )
         yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
@@ -271,7 +280,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_frames",
             "frame_idx",
-            F.md5(F.col("frame_bytes")).alias("frame_md5"),
+            F.md5(F.lower(F.hex(F.col("frame_bytes")))).alias("frame_md5"),
             "frame_mean",
         )
     )
@@ -524,3 +533,80 @@ ORACLES: dict[str, str] = {
         ORDER BY image_key
     """,
 }
+
+
+# The decode stubs parse a fully deterministic synthetic container, so
+# their outputs ARE oracle-expressible: DuckDB rebuilds the payload hex
+# from the generation formulas (same construction mm_caption_pairs
+# already hash-checks) and re-derives every header field and byte-level
+# mean. These three keys graduate from rows-only to hash-checked; the
+# only rows-only remainder is genuinely non-replayable (fetch side
+# effects, hOCR fixtures, HLL/quantile sketches).
+_PX_HEX = (
+    "substring(repeat(md5(text) || md5(text || '#2'), "
+    "CAST({n} * 2 / 64.0 + 1 AS INT)), 1, {n} * 2)"
+)
+
+ORACLES["mm_image_meta"] = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             (doc_id % 8 + 8)::INT AS w,
+             (doc_id % 5 + 8)::INT AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, {_PX_HEX.format(n="(w * h)")} AS hexs
+      FROM base
+    )
+    SELECT doc_id,
+           'IMG1' AS format,
+           w AS width, h AS height, 1::INT AS channels,
+           (16 + w * h)::BIGINT AS n_bytes,
+           ROUND(list_sum(list_transform(range(1, w * h + 1),
+                   i -> CAST(('0x' || substring(hexs, 2 * i - 1, 2))
+                             AS INT)))::DOUBLE / (w * h), 4) AS mean_pixel
+    FROM px
+"""
+
+ORACLES["mm_audio_meta"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, (doc_id % 64 + 64)::INT AS n
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n, {_PX_HEX.format(n="n")} AS hexs FROM base
+    )
+    SELECT doc_id,
+           'AUD1' AS format,
+           8000::INT AS sample_rate,
+           n AS n_samples,
+           ROUND(n * 1000.0 / 8000, 4) AS duration_ms,
+           ROUND(list_sum(list_transform(range(1, n + 1),
+                   i -> abs(CAST(('0x' || substring(hexs, 2 * i - 1, 2))
+                                 AS INT) - 128)))::DOUBLE / n, 4) AS mean_amp
+    FROM px
+"""
+
+ORACLES["mm_frame_sample"] = f"""
+    WITH base AS (
+      SELECT doc_id, text, (doc_id % 5 + 4)::INT AS nf
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, nf, {_PX_HEX.format(n="(nf * 24)")} AS hexs
+      FROM base
+    ),
+    frames AS (
+      SELECT doc_id, nf, unnest(range(0, nf, {FRAME_SAMPLE_EVERY})) AS i,
+             hexs
+      FROM px
+    )
+    SELECT doc_id,
+           nf AS n_frames,
+           i::INT AS frame_idx,
+           md5(lower(substring(hexs, i * 48 + 1, 48))) AS frame_md5,
+           ROUND(list_sum(list_transform(range(1, 25),
+                   j -> CAST(('0x' || substring(hexs, i * 48 + 2 * j - 1, 2))
+                             AS INT)))::DOUBLE / 24, 4) AS frame_mean
+    FROM frames
+"""

@@ -9,6 +9,8 @@ explode, and sampling stride.
 
 from __future__ import annotations
 
+from etl_city_directories_spark.operators.multimodal import _round4
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -60,7 +62,7 @@ def test_image_meta_matches_python_decode(spark):
         assert (m.format, m.width, m.height, m.channels) == ("IMG1", width, height, 1)
         assert m.n_bytes == 16 + width * height
         pixels = _expected_pixels(text, width * height)
-        assert m.mean_pixel == round(sum(pixels) / len(pixels), 4)
+        assert m.mean_pixel == _round4(sum(pixels) / len(pixels))
 
 
 def test_audio_meta_matches_python_decode(spark):
@@ -79,9 +81,9 @@ def test_audio_meta_matches_python_decode(spark):
         m = metas[doc_id]
         n_samples = doc_id % 64 + 64
         assert (m.format, m.sample_rate, m.n_samples) == ("AUD1", 8000, n_samples)
-        assert m.duration_ms == round(n_samples * 1000.0 / 8000, 4)
+        assert m.duration_ms == _round4(n_samples * 1000.0 / 8000)
         pcm = _expected_pixels(text, n_samples)
-        assert m.mean_amp == round(sum(abs(s - 128) for s in pcm) / len(pcm), 4)
+        assert m.mean_amp == _round4(sum(abs(s - 128) for s in pcm) / len(pcm))
 
 
 def test_frame_sample_stride_and_hashes(spark):
@@ -108,8 +110,11 @@ def test_frame_sample_stride_and_hashes(spark):
         body = _expected_pixels(text, n_frames * 24)
         for r in rows:
             frame = body[r.frame_idx * 24 : (r.frame_idx + 1) * 24]
-            assert r.frame_md5 == hashlib.md5(frame).hexdigest()
-            assert r.frame_mean == round(sum(frame) / len(frame), 4)
+            # content id = md5 over the LOWERCASE HEX of the frame bytes
+            # (DuckDB's md5 takes VARCHAR only, so the oracle-checkable
+            # form hashes the hex text)
+            assert r.frame_md5 == hashlib.md5(frame.hex().encode()).hexdigest()
+            assert r.frame_mean == _round4(sum(frame) / len(frame))
     # 32-byte pixel period vs 24-byte frames: sampled frames differ
     multi = [rs for rs in by_doc.values() if len(rs) > 1]
     assert multi and all(
