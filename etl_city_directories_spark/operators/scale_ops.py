@@ -1752,3 +1752,64 @@ ORACLES["q_table_checksum"] = """
            BIT_XOR(h)::BIGINT AS checksum
     FROM rows_c GROUP BY 1 ORDER BY 1
 """
+
+
+_FK_EDGES = (
+    # (edge label, fact table, fact key, dim table, dim key)
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def q_validate_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every FK edge in the star schema.
+
+    The pre-load contract check a warehouse runs before publishing: per
+    edge, total fact rows and orphan rows (fact keys with no dim
+    match). Each edge is one left join against the DISTINCT dim keys —
+    Catalyst broadcasts the small dims and shuffle-joins the big ones
+    (lineitem->orders) on its own; the audit output is O(edges) rows.
+    This data is referentially sound (all 8 edges report 0 orphans);
+    the pytest plants a synthetic orphan through the same code path to
+    prove violations are actually caught, not vacuously passed.
+    """
+    out = None
+    for label, fact, fk, dim, dk in _FK_EDGES:
+        f = load_table(spark, sf_dir, fact).select(F.col(fk).alias("k"))
+        d = load_table(spark, sf_dir, dim).select(F.col(dk).alias("dk")).distinct()
+        edge = (
+            f.join(d, f["k"] == d["dk"], "left")
+            .agg(
+                F.lit(label).alias("edge"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("dk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.select(
+        "edge", "n_rows", "n_orphans", (F.col("n_orphans") == 0).alias("ok")
+    ).orderBy("edge")
+
+
+QUERIES["q_validate_fk"] = q_validate_fk
+
+ORACLES["q_validate_fk"] = (
+    "SELECT edge, n_rows, n_orphans, n_orphans = 0 AS ok FROM (\n"
+    + "\n      UNION ALL ".join(
+        f"""SELECT '{label}' AS edge, COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN NOT EXISTS (
+                 SELECT 1 FROM {dim} d WHERE d.{dk} = f.{fk})
+               THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        FROM {fact} f"""
+        for label, fact, fk, dim, dk in _FK_EDGES
+    )
+    + "\n    ) ORDER BY edge"
+)

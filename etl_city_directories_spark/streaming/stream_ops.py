@@ -1437,3 +1437,182 @@ ORACLES["stream_ohlc_bars"] = """
     FROM marked
     GROUP BY bar
 """
+
+
+def _cdc_replay_source(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file, time-split replay of the CDC feed (signup=I,
+    purchase=U, error=D) — same multi-microbatch fixture shape as
+    ``_purchase_replay_source`` so the delete/revive semantics provably
+    cross a batch boundary."""
+    import os
+    import shutil
+
+    from etl_city_directories_spark.operators.ingest import cached_sink_dir
+    from etl_city_directories_spark.operators.scale_ops import _CDC_OPS
+    from etl_city_directories_spark.sources.tables import load_table
+
+    op = F.create_map(*[F.lit(x) for kv in _CDC_OPS.items() for x in kv])[
+        F.col("event_type")
+    ]
+    feed = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*_CDC_OPS))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.round("value", 2).alias("value"),
+            op.alias("op"),
+        )
+    )
+    lo, hi = feed.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    split_us = (lo + hi) // 2
+
+    def _write_all(src_dir: str) -> None:
+        def _write(df: DataFrame, name: str, mtime: int) -> None:
+            tmp = os.path.join(src_dir, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dest = os.path.join(src_dir, name)
+            os.replace(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dest, (mtime, mtime))
+
+        _write(feed.filter(F.col("ts_us") < split_us), "b1.parquet", 1_000_000_000)
+        _write(feed.filter(F.col("ts_us") >= split_us), "b2.parquet", 1_000_000_100)
+
+    return cached_sink_dir("cdc_src", sf_dir, ("events",), _write_all)
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization via ``foreachBatch`` — the twin of
+    the batch ``q_cdc_apply`` MERGE and the production Debezium→Spark
+    topology: each microbatch of I/U/D changes collapses map-side to
+    its latest row per key plus op counters, then MERGEs into a
+    persistent snapshot with a distributed read-modify-write. Deleted
+    keys STAY in the snapshot carrying their counters (a later change
+    revives them — latest-op-wins semantics identical to the batch
+    window), and only the published read filters trailing deletes.
+    State is O(distinct keys) in the snapshot table, merge cost per
+    batch is one shuffle on the key; the availableNow two-batch replay
+    proves the result equals the batch CDC apply bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    src = _cdc_replay_source(spark, sf_dir)
+    snap_root = tempfile.mkdtemp(prefix="spark_graft_cdc_snap_")
+    holder: dict[str, Any] = {"cur": None, "v": 0}
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("op", "value", "ts_us", "event_id"),
+                    F.struct("ts_us", "event_id"),
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n_ops"),
+                F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_inserts"),
+                F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_updates"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+            )
+            .select(
+                "user_id",
+                F.col("s.op").alias("last_op"),
+                F.col("s.value").alias("last_value"),
+                F.col("s.ts_us").alias("last_ts_us"),
+                F.col("s.event_id").alias("last_event_id"),
+                "n_ops",
+                "n_inserts",
+                "n_updates",
+                "n_deletes",
+            )
+        )
+        if holder["cur"] is not None:
+            old = batch.sparkSession.read.parquet(holder["cur"])
+            delta = (
+                old.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            "last_op", "last_value", "last_ts_us", "last_event_id"
+                        ),
+                        F.struct("last_ts_us", "last_event_id"),
+                    ).alias("s"),
+                    F.sum("n_ops").alias("n_ops"),
+                    F.sum("n_inserts").alias("n_inserts"),
+                    F.sum("n_updates").alias("n_updates"),
+                    F.sum("n_deletes").alias("n_deletes"),
+                )
+                .select(
+                    "user_id",
+                    "s.*",
+                    "n_ops",
+                    "n_inserts",
+                    "n_updates",
+                    "n_deletes",
+                )
+            )
+        nxt = os.path.join(snap_root, f"v{holder['v']}")
+        delta.write.mode("overwrite").parquet(nxt)
+        holder["cur"], holder["v"] = nxt, holder["v"] + 1
+
+    stream_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("op", StringType()),
+        ]
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert holder["v"] >= 2, "expected >=2 microbatches through the CDC merge"
+
+    key = (spark.sparkContext.applicationId, sf_dir, "cdc")
+    old = _FBU_SNAPSHOTS.get(key)
+    if old and old != snap_root:
+        shutil.rmtree(old, ignore_errors=True)
+    _FBU_SNAPSHOTS[key] = snap_root
+    return (
+        spark.read.parquet(holder["cur"])
+        .filter(F.col("last_op") != "D")
+        .select(
+            "user_id",
+            "last_op",
+            "last_value",
+            F.col("last_ts_us").cast("bigint").alias("last_ts_us"),
+            F.col("n_ops").cast("bigint").alias("n_ops"),
+            F.col("n_inserts").cast("bigint").alias("n_inserts"),
+            F.col("n_updates").cast("bigint").alias("n_updates"),
+            F.col("n_deletes").cast("bigint").alias("n_deletes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["stream_cdc_apply"] = stream_cdc_apply
+
+
+def _cdc_oracle() -> str:
+    from etl_city_directories_spark.operators import scale_ops
+
+    return scale_ops.ORACLES["q_cdc_apply"]
+
+
+ORACLES["stream_cdc_apply"] = _cdc_oracle()

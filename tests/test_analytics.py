@@ -274,3 +274,42 @@ def test_unpivot_is_lossless_inverse_of_pivot(spark):
         sum(r[t] for t in ("click", "error", "purchase", "signup", "view"))
         for r in wide.values()
     )
+
+
+def test_fk_audit_catches_the_planted_orphan_edge(spark):
+    from etl_city_directories_spark.operators.scale_ops import q_validate_fk
+
+    import etl_city_directories_spark.operators.scale_ops as so
+    from etl_city_directories_spark.sources.tables import load_table
+
+    rows = {r.edge: r for r in q_validate_fk(spark, SF).collect()}
+    assert len(rows) == 8
+    # this data is referentially sound: every edge must report clean
+    for edge, r in rows.items():
+        assert r.n_orphans == 0 and r.ok, edge
+        assert r.n_rows > 0
+    # plant an orphan through the same code path: drop one referenced
+    # customer and the events edge must flip to not-ok with the exact
+    # count of that user's events
+    victim = 3
+    n_victim_events = (
+        load_table(spark, SF, "events").filter(f"user_id = {victim}").count()
+    )
+    assert n_victim_events > 0
+    orig = so.load_table
+
+    def patched(spark_, sf_, name):
+        df = orig(spark_, sf_, name)
+        if name == "customer":
+            df = df.filter(f"c_custkey != {victim}")
+        return df
+
+    try:
+        so.load_table = patched
+        planted = {r.edge: r for r in so.q_validate_fk(spark, SF).collect()}
+    finally:
+        so.load_table = orig
+    ev = planted["events.user_id->customer"]
+    assert ev.n_orphans == n_victim_events and not ev.ok
+    ord_edge = planted["orders.o_custkey->customer"]
+    assert ord_edge.n_orphans > 0 and not ord_edge.ok

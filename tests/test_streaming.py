@@ -247,3 +247,23 @@ def test_stream_ohlc_equals_batch_candles(spark):
             b.volume,
         ), (b, s)
     assert len(got) == q_ohlc_bars(spark, sf).count()
+
+
+def test_stream_cdc_apply_equals_batch_merge(spark):
+    """The streaming CDC snapshot must equal the batch window MERGE."""
+    from etl_city_directories_spark.operators.scale_ops import q_cdc_apply
+    from etl_city_directories_spark.streaming.stream_ops import stream_cdc_apply
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: r for r in stream_cdc_apply(spark, sf).collect()}
+    want = {r.user_id: r for r in q_cdc_apply(spark, sf).collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert (
+            g.last_op, g.last_value, g.last_ts_us,
+            g.n_ops, g.n_inserts, g.n_updates, g.n_deletes,
+        ) == (
+            w.last_op, w.last_value, w.last_ts_us,
+            w.n_ops, w.n_inserts, w.n_updates, w.n_deletes,
+        ), (g, w)
