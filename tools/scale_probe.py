@@ -90,6 +90,7 @@ OPS = [
     "q_unpivot",
     "text_ngram_novelty",
     "dedup_lsh_tuning",
+    "q_validate_fk",
 ]
 
 
