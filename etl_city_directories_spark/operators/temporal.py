@@ -587,3 +587,88 @@ ORACLES["q_ohlc_bars"] = """
     GROUP BY bar
     ORDER BY bar
 """
+
+
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal table) join: each click event picks up
+    the SCD2 dimension version valid at its timestamp — Flink's
+    temporal join / Delta time travel per row, the pattern every
+    feature-store backfill needs (training-serving skew dies here).
+
+    Spark-first like q_asof_join: instead of a BETWEEN range join
+    against the version intervals, version-starts (src=0) and facts
+    (src=1) union into ONE stream sorted per user by (t, src,
+    event_id); ``last(attr, ignorenulls=True)`` carries the governing
+    version forward. SCD2 intervals are contiguous per user, so
+    latest-version-starting-at-or-before-t IS the valid interval —
+    equal-timestamp version boundaries resolve identically to the
+    BETWEEN oracle (a zero-length [t, t) version can never govern).
+    One shuffle on the user key; cost O(versions + facts) per user,
+    no interval explosion.
+    """
+    events = load_table(spark, sf_dir, "events")
+    versions = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.lit(0).alias("src"),
+            "event_id",
+            dec2("value").cast("double").alias("attr_value"),
+        )
+    )
+    facts = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).alias("src"),
+        "event_id",
+        F.lit(None).cast("double").alias("attr_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = versions.unionByName(facts).withColumn(
+        "gov_value", F.last("attr_value", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("src") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("click_ts_us"),
+            F.round(F.col("gov_value"), 2).alias("attr_value"),
+            F.col("gov_value").isNotNull().alias("has_version"),
+        )
+        .orderBy("event_id")
+    )
+
+
+QUERIES["q_pit_join"] = q_pit_join
+
+ORACLES["q_pit_join"] = """
+    WITH hist AS (
+      SELECT user_id,
+             ROUND(CAST(value AS DECIMAL(18,2))::DOUBLE, 2) AS attr_value,
+             epoch_us(ts) AS valid_from_us,
+             event_id,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS valid_to_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS click_ts_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.click_ts_us,
+           h.attr_value,
+           h.attr_value IS NOT NULL AS has_version
+    FROM clicks c
+    LEFT JOIN hist h
+      ON h.user_id = c.user_id
+     AND h.valid_from_us <= c.click_ts_us
+     AND (h.valid_to_us IS NULL OR c.click_ts_us < h.valid_to_us)
+    ORDER BY c.event_id
+"""

@@ -313,3 +313,37 @@ def test_fk_audit_catches_the_planted_orphan_edge(spark):
     assert ev.n_orphans == n_victim_events and not ev.ok
     ord_edge = planted["orders.o_custkey->customer"]
     assert ord_edge.n_orphans > 0 and not ord_edge.ok
+
+
+def test_pit_join_matches_interval_semantics(spark):
+    """The union-window PIT join must equal a literal interval lookup
+    against the SCD2 history."""
+    from etl_city_directories_spark.operators.scale_ops import q_scd2_history
+    from etl_city_directories_spark.operators.temporal import q_pit_join
+    from etl_city_directories_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    hist = {}
+    for r in q_scd2_history(spark, SF).collect():
+        hist.setdefault(r.user_id, []).append(r)
+    clicks = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    got = {r.event_id: r for r in q_pit_join(spark, SF).collect()}
+    assert set(got) == {c.event_id for c in clicks}
+    n_matched = 0
+    for c in clicks:
+        want = None
+        for v in hist.get(c.user_id, []):
+            if v.valid_from_us <= c.t and (
+                v.valid_to_us is None or c.t < v.valid_to_us
+            ):
+                want = round(v.attr_value, 2)
+        g = got[c.event_id]
+        assert g.has_version == (want is not None), c
+        assert g.attr_value == want, (c, g)
+        n_matched += want is not None
+    assert 0 < n_matched < len(clicks)  # both branches exercised
