@@ -1813,3 +1813,80 @@ ORACLES["q_validate_fk"] = (
     )
     + "\n    ) ORDER BY edge"
 )
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type: the
+    modern engine-native path for JSON columns (binary-encoded, typed
+    access, no per-query string re-parse). ``parse_json`` decodes each
+    ``events.props`` once; ``try_variant_get`` pulls typed fields —
+    returning NULL, not an error, for absent paths (asserted by the
+    all-null probe on ``$.missing``). One map-side decode + one
+    map-side-combined shuffle on event_type; at 100 TB the variant
+    decode replaces the repeated get_json_object string parses of the
+    legacy path (q_json_extract) with a single binary encode per row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    typed = ev.select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "long").alias("miss"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_k"),
+            F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_path"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML source/sink roundtrip (spark-xml graduated
+    into the engine in 4.0): documents written as XML rows, read back
+    with a declared schema. XML entity escaping (&, <, >, quotes) in
+    free text must roundtrip losslessly — the oracle aggregates the
+    original parquet, proving it, same contract as the CSV/JSON/ORC
+    roundtrips."""
+    from etl_city_directories_spark.operators.ingest import cached_sink_dir
+
+    def _write(p: str) -> None:
+        load_table(spark, sf_dir, "documents").write.format("xml").option(
+            "rowTag", "doc"
+        ).mode("overwrite").save(p)
+
+    path = cached_sink_dir("xml_roundtrip", sf_dir, ("documents",), _write)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(_DOCS_SCHEMA)
+        .load(path)
+    )
+    return _roundtrip_rollup(back)
+
+
+QUERIES["q_variant_extract"] = q_variant_extract
+QUERIES["source_xml_roundtrip"] = source_xml_roundtrip
+
+ORACLES["q_variant_extract"] = """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+           MAX(CAST(props->>'$.k' AS BIGINT))::BIGINT AS max_k,
+           SUM(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_k,
+           COUNT(*)::BIGINT AS n_missing_path
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["source_xml_roundtrip"] = ORACLES["source_json_roundtrip"]

@@ -347,3 +347,32 @@ def test_pit_join_matches_interval_semantics(spark):
         assert g.attr_value == want, (c, g)
         n_matched += want is not None
     assert 0 < n_matched < len(clicks)  # both branches exercised
+
+
+def test_variant_extract_typed_and_missing_paths(spark):
+    from etl_city_directories_spark.operators.scale_ops import q_variant_extract
+
+    rows = q_variant_extract(spark, SF).collect()
+    assert len(rows) == 5
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT))
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.sum_k == want[r.event_type]
+        assert r.n_null_k == 0  # every props row carries k
+        assert r.n_missing_path == r.n_events  # absent path -> NULL, no error
+
+
+def test_xml_roundtrip_is_lossless(spark):
+    from etl_city_directories_spark.operators.scale_ops import (
+        source_json_roundtrip,
+        source_xml_roundtrip,
+    )
+
+    xml = {r.lang: r for r in source_xml_roundtrip(spark, SF).collect()}
+    jsn = {r.lang: r for r in source_json_roundtrip(spark, SF).collect()}
+    assert xml == jsn  # same rollup through both serializations
