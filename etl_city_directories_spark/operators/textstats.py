@@ -2482,3 +2482,67 @@ ORACLES["text_char_entropy"] = """
                     (a, b) -> a + b) / n) / ln(2), 4) AS entropy_bits
     FROM agg ORDER BY doc_id
 """
+
+
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking through a Python UDTF (Spark
+    3.5+ API) — the table-function escape hatch for per-row
+    one-to-many logic, here the RAG/pretraining context-window pattern
+    (W-word windows at stride S, so consecutive chunks overlap W-S
+    words). The UDTF runs Arrow-batched on executors and joins
+    LATERALly, so the ~8x fan-out stays distributed — no collect, no
+    driver-built column. The windowing rule is deliberately
+    SQL-replicable, so even this Python path keeps a DuckDB oracle;
+    contrast text_chunk, which emits NON-overlapping fixed spans with
+    pure JVM expressions.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx int, n_words int, chunk string")
+    class _WinChunk:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for idx, start in enumerate(
+                range(0, len(words), UDTF_CHUNK_STRIDE)
+            ):
+                w = words[start : start + UDTF_CHUNK_WORDS]
+                yield idx, len(w), " ".join(w)
+
+    name = "win_chunk_udtf"
+    spark.udtf.register(name, _WinChunk)
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.win_idx, s.n_words, s.chunk
+        FROM _udtf_docs d, LATERAL {name}(d.text) s
+        ORDER BY d.doc_id, s.win_idx
+        """
+    )
+
+
+UDTF_CHUNK_WORDS = 32
+UDTF_CHUNK_STRIDE = 16
+
+
+QUERIES["udtf_chunk_windows"] = udtf_chunk_windows
+
+ORACLES["udtf_chunk_windows"] = f"""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS p FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id,
+             unnest([{{'idx': (i // {UDTF_CHUNK_STRIDE}),
+                      'w': p[i + 1 : least(i + {UDTF_CHUNK_WORDS}, len(p))]}}
+                     FOR i IN generate_series(0, len(p) - 1,
+                                              {UDTF_CHUNK_STRIDE})]) AS u
+      FROM parts
+    )
+    SELECT doc_id,
+           (u.idx)::INT AS win_idx,
+           len(u.w)::INT AS n_words,
+           array_to_string(u.w, ' ') AS chunk
+    FROM exploded
+    ORDER BY doc_id, win_idx
+"""

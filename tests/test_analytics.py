@@ -376,3 +376,33 @@ def test_xml_roundtrip_is_lossless(spark):
     xml = {r.lang: r for r in source_xml_roundtrip(spark, SF).collect()}
     jsn = {r.lang: r for r in source_json_roundtrip(spark, SF).collect()}
     assert xml == jsn  # same rollup through both serializations
+
+
+def test_udtf_chunks_overlap_and_cover(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        UDTF_CHUNK_STRIDE,
+        UDTF_CHUNK_WORDS,
+        udtf_chunk_windows,
+    )
+
+    rows = udtf_chunk_windows(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    )
+    assert set(by_doc) == set(docs)
+    for doc_id, text in list(docs.items())[:40]:
+        words = text.split(" ")
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.win_idx)
+        assert len(chunks) == (len(words) + UDTF_CHUNK_STRIDE - 1) // UDTF_CHUNK_STRIDE
+        for r in chunks:
+            start = r.win_idx * UDTF_CHUNK_STRIDE
+            want = words[start : start + UDTF_CHUNK_WORDS]
+            assert r.chunk.split(" ") == want and r.n_words == len(want)
+        # consecutive windows overlap by W - S words
+        if len(chunks) > 1:
+            a, b = chunks[0].chunk.split(" "), chunks[1].chunk.split(" ")
+            assert a[UDTF_CHUNK_STRIDE:] == b[: UDTF_CHUNK_WORDS - UDTF_CHUNK_STRIDE]

@@ -31,7 +31,10 @@ PYTHON_OK = {"dedup_simhash", "mm_image_meta", "mm_frame_sample", "mm_audio_meta
              "hocr_source_v2",
              # trained-perceptron decode: broadcast weights + Arrow-batched
              # mapInPandas IS the operator (the reference shells to a CRF)
-             "cd_parse_tagged"}
+             "cd_parse_tagged",
+             # Python UDTF lateral join IS the operator (the table-function
+             # escape hatch, Arrow-batched on executors)
+             "udtf_chunk_windows"}
 # ops where a broadcast nested-loop join is the intended shape:
 # non-equi condition against a capped broadcast side, or a 1-row
 # scalar-aggregate crossJoin (Spark's DataFrame idiom for a scalar
