@@ -509,7 +509,9 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles over purchase events: open/close picked by
     row_number over (ts, event_id) within the bar (deterministic under
     timestamp ties), high/low as plain min/max, volume as an exact
-    decimal sum — one window pass + one groupBy on the bar key."""
+    decimal sum — one window pass + one groupBy on the bar key. The
+    bar key is emitted as epoch micros (like the streaming twin) so
+    the result is invariant to the parquet timestamp encoding."""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -538,7 +540,16 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
             ).alias("volume"),
         )
-        .orderBy("bar")
+        .select(
+            F.unix_micros(F.col("bar")).alias("bar_start_us"),
+            "n_trades",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+        .orderBy("bar_start_us")
     )
 
 
@@ -576,7 +587,7 @@ ORACLES["q_ohlc_bars"] = """
              ) AS rn_d
       FROM events WHERE event_type = 'purchase'
     )
-    SELECT bar,
+    SELECT epoch_us(bar) AS bar_start_us,
            COUNT(*)::BIGINT AS n_trades,
            ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
            ROUND(MAX(value), 4) AS high,
@@ -585,7 +596,7 @@ ORACLES["q_ohlc_bars"] = """
            ROUND((SUM(value::DECIMAL(18,6)))::DOUBLE, 4) AS volume
     FROM marked
     GROUP BY bar
-    ORDER BY bar
+    ORDER BY bar_start_us
 """
 
 

@@ -233,11 +233,8 @@ def test_stream_ohlc_equals_batch_candles(spark):
     got = {
         r.bar_start_us: r for r in stream_ohlc_bars(spark, sf).collect()
     }
-    import calendar
-
     for b in q_ohlc_bars(spark, sf).collect():
-        key = calendar.timegm(b.bar.timetuple()) * 1_000_000
-        s = got[key]
+        s = got[b.bar_start_us]
         assert (s.n_trades, s.open, s.high, s.low, s.close, s.volume) == (
             b.n_trades,
             b.open,
