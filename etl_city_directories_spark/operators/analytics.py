@@ -423,6 +423,92 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) of parts: minimize price, maximize size.
+
+    A part is on the skyline iff no other part is at-most-equal price
+    AND at-least-equal size with one strict. Instead of the O(n²)
+    dominance self-join, dominance collapses to a sorted sweep: group
+    parts by exact price (cents), take each price's max size, and run
+    one cumulative max over the DISTINCT-PRICE table ordered by price.
+    A part is dominated iff (a) some strictly-cheaper price reached
+    its size (the running max before its price group), or (b) its own
+    price group holds a strictly larger size. The global window runs
+    on the distinct-price aggregate — dimension-sized, thousands of
+    rows even when the part table has billions — then broadcasts back,
+    so no fact-sized global sort exists anywhere in the plan.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        (dec2("p_retailprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_price = parts.groupBy("cents").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    price_stats = per_price.select(
+        "cents", "gmax", F.max("gmax").over(w).alias("run_max_before")
+    )
+    dominated = (
+        F.coalesce(
+            F.col("run_max_before") >= F.col("p_size"), F.lit(False)
+        )
+    ) | (F.col("gmax") > F.col("p_size"))
+    return (
+        parts.join(F.broadcast(price_stats), "cents")
+        .filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor closure of the part assembly tree by path doubling.
+
+    Spark has no recursive CTE; the closure of the derived hierarchy
+    (parent of part k is k div 10, root 0) is built by logarithmic
+    path doubling — round r holds every (descendant, ancestor, depth)
+    pair with depth <= 2^r, so a depth-D hierarchy needs ceil(log2 D)
+    self-join rounds, not D. The round count derives from the actual
+    max key (one scalar aggregate), the same bounded-unroll pattern as
+    q_hierarchy_rollup. Each round is one equi-join shuffle on the
+    seam node; pairs are unique in a tree so the dedup distinct
+    carries no multiplicity blowup. The DuckDB oracle replays the
+    closure with WITH RECURSIVE.
+    """
+    import math
+
+    parts = load_table(spark, sf_dir, "part").select("p_partkey")
+    edges = parts.filter(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 10").alias("dst"),
+        F.lit(1).cast("bigint").alias("depth"),
+    )
+    max_key = parts.agg(F.max("p_partkey")).collect()[0][0]  # scalar
+    max_depth = len(str(max(int(max_key), 1)))
+    rounds = max(1, math.ceil(math.log2(max_depth)))
+    closure = rolling_persist(spark, ("tc_r0", sf_dir), edges)
+    for r in range(rounds):
+        left = closure.select(
+            F.col("src"), F.col("dst").alias("mid"), F.col("depth").alias("d1")
+        )
+        right = closure.select(
+            F.col("src").alias("mid"), F.col("dst"), F.col("depth").alias("d2")
+        )
+        extended = left.join(right, "mid").select(
+            "src", "dst", (F.col("d1") + F.col("d2")).alias("depth")
+        )
+        closure = rolling_persist(
+            spark,
+            (f"tc_r{r + 1}", sf_dir),
+            closure.unionByName(extended).distinct(),
+        )
+    return closure.select(
+        F.col("src").alias("descendant"),
+        F.col("dst").alias("ancestor"),
+        "depth",
+    )
+
+
 QUERIES = {
     "q_market_basket": q_market_basket,
     "q_regr_trend": q_regr_trend,
@@ -430,6 +516,8 @@ QUERIES = {
     "corpus_mix_epochs": corpus_mix_epochs,
     "q_rfm_segmentation": q_rfm_segmentation,
     "graph_triangle_count": graph_triangle_count,
+    "q_skyline_pareto": q_skyline_pareto,
+    "q_transitive_closure": q_transitive_closure,
 }
 
 ORACLES = {
@@ -612,4 +700,30 @@ ORACLES["graph_triangle_count"] = f"""
                  / (SELECT SUM(d * (d - 1)) // 2 FROM deg)::DOUBLE, 6)
              AS global_clustering
     FROM tri
+"""
+
+ORACLES["q_skyline_pareto"] = """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE CAST(q.p_retailprice AS DECIMAL(18,2))
+              <= CAST(p.p_retailprice AS DECIMAL(18,2))
+        AND q.p_size >= p.p_size
+        AND (CAST(q.p_retailprice AS DECIMAL(18,2))
+               < CAST(p.p_retailprice AS DECIMAL(18,2))
+             OR q.p_size > p.p_size)
+    )
+"""
+
+ORACLES["q_transitive_closure"] = """
+    WITH RECURSIVE closure AS (
+      SELECT p_partkey AS descendant, p_partkey // 10 AS ancestor,
+             1::BIGINT AS depth
+      FROM part WHERE p_partkey >= 1
+      UNION ALL
+      SELECT c.descendant, c.ancestor // 10, c.depth + 1
+      FROM closure c WHERE c.ancestor >= 1
+    )
+    SELECT descendant, ancestor, depth FROM closure
 """
