@@ -362,15 +362,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is O(m^1.5) worst-case instead of sum(deg^2) — the
     difference between feasible and not on a power-law graph. Wedge
     count for the clustering denominator is exact integer sum(C(d,2)).
+
+    Partitioning is sized from the ACTUAL edge count (one scalar — the
+    output needs n_edges anyway): the pair graph is orders of magnitude
+    smaller than the basket fact it came from, and dragging the fact's
+    partition count through five graph stages makes every downstream
+    join scheduling-bound. 1M edges/partition keeps a billion-edge
+    graph at ~1k partitions and a thousand-edge graph at one.
     """
     _, _, pairs = _basket_graph(spark, sf_dir)
-    edges = rolling_persist(spark, ("triangle_edges", sf_dir),
-                            pairs.select("part_a", "part_b"))
-    deg = (
+    pairs_p = rolling_persist(
+        spark, ("triangle_pairs", sf_dir), pairs.select("part_a", "part_b")
+    )
+    n_edges_val = pairs_p.count()  # scalar; reused as the output literal
+    n_parts = max(1, n_edges_val // 1_000_000)
+    edges = rolling_persist(
+        spark, ("triangle_edges", sf_dir), pairs_p.repartition(n_parts)
+    )
+    deg = rolling_persist(
+        spark,
+        ("triangle_deg", sf_dir),
         edges.select(F.col("part_a").alias("node"))
         .unionAll(edges.select(F.col("part_b").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("deg")),
     )
     da = F.broadcast(deg.select(F.col("node").alias("part_a"),
                                 F.col("deg").alias("deg_a")))
@@ -405,13 +420,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_wedges"),
     )
-    n_edges = edges.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        summary.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
+        summary.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
-            "n_edges",
+            F.lit(n_edges_val).cast("bigint").alias("n_edges"),
             "n_wedges",
             "n_triangles",
             F.round(
