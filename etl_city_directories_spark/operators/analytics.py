@@ -349,32 +349,26 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count + global clustering coefficient of the basket
-    co-occurrence graph.
+def _oriented_graph(spark: SparkSession, sf_dir: str):
+    """Shared degree-oriented view of the basket pair graph.
 
-    The canonical distributed triangle algorithm (node-iterator with
-    degree orientation, cf. Suri & Vassilvitskii WWW'11): orient every
-    undirected edge from its (degree, id)-smaller endpoint to the
-    larger, generate wedges by self-joining oriented edges on their
-    source, and close each wedge against the oriented edge set.
-    Orientation bounds any node's out-degree at O(sqrt(m)), so wedge
-    generation is O(m^1.5) worst-case instead of sum(deg^2) — the
-    difference between feasible and not on a power-law graph. Wedge
-    count for the clustering denominator is exact integer sum(C(d,2)).
-
-    Partitioning is sized from the ACTUAL edge count (one scalar — the
-    output needs n_edges anyway): the pair graph is orders of magnitude
-    smaller than the basket fact it came from, and dragging the fact's
-    partition count through five graph stages makes every downstream
-    join scheduling-bound. 1M edges/partition keeps a billion-edge
-    graph at ~1k partitions and a thousand-edge graph at one.
+    Returns (edges, deg, oriented, n_edges) where ``oriented`` carries
+    every undirected edge from its (degree, id)-smaller endpoint —
+    the Suri & Vassilvitskii WWW'11 orientation bounding out-degree at
+    O(sqrt(m)). Partitioning is sized from the ACTUAL edge count (one
+    scalar — callers need it anyway): the pair graph is orders of
+    magnitude smaller than the basket fact it came from, and dragging
+    the fact's partition count through the graph stages makes every
+    downstream join scheduling-bound. 1M edges/partition keeps a
+    billion-edge graph at ~1k partitions and a small one at one. All
+    intermediates are memoized via rolling_persist, so triangle count
+    and neighbor-Jaccard share one build.
     """
     _, _, pairs = _basket_graph(spark, sf_dir)
     pairs_p = rolling_persist(
         spark, ("triangle_pairs", sf_dir), pairs.select("part_a", "part_b")
     )
-    n_edges_val = pairs_p.count()  # scalar; reused as the output literal
+    n_edges_val = pairs_p.count()  # scalar; reused as an output literal
     n_parts = max(1, n_edges_val // 1_000_000)
     edges = rolling_persist(
         spark, ("triangle_edges", sf_dir), pairs_p.repartition(n_parts)
@@ -404,6 +398,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("ddeg"),
         ),
     )
+    return edges, deg, oriented, n_edges_val
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the basket
+    co-occurrence graph.
+
+    The canonical distributed triangle algorithm (node-iterator with
+    degree orientation, cf. Suri & Vassilvitskii WWW'11): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the
+    larger, generate wedges by self-joining oriented edges on their
+    source, and close each wedge against the oriented edge set.
+    Orientation bounds any node's out-degree at O(sqrt(m)), so wedge
+    generation is O(m^1.5) worst-case instead of sum(deg^2) — the
+    difference between feasible and not on a power-law graph. Wedge
+    count for the clustering denominator is exact integer sum(C(d,2)).
+
+    Partitioning is sized from the ACTUAL edge count (one scalar — the
+    output needs n_edges anyway): the pair graph is orders of magnitude
+    smaller than the basket fact it came from, and dragging the fact's
+    partition count through five graph stages makes every downstream
+    join scheduling-bound. 1M edges/partition keeps a billion-edge
+    graph at ~1k partitions and a thousand-edge graph at one.
+    """
+    edges, deg, oriented, n_edges_val = _oriented_graph(spark, sf_dir)
     w1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
     w2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
     wedges = w1.join(w2, "src").filter(
@@ -433,6 +452,74 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("global_clustering"),
         )
+    )
+
+
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link scores for every edge of the basket graph.
+
+    The classic link-prediction feature: for an existing edge (a, b),
+    |N(a) ∩ N(b)| equals the number of triangles through that edge, so
+    the score rides the SAME degree-oriented O(m^1.5) wedge-close join
+    as graph_triangle_count (shared rolling_persist artifacts — one
+    graph build serves both queries). Each closed triangle {x<y<z}
+    explodes into its three canonical edges; a groupBy counts common
+    neighbors per edge, a left join puts zero-common edges back, and
+    the broadcast degree table finishes jaccard = t / (deg_a + deg_b
+    - t) as integers with one double divide (ROUND 6). No stage ever
+    touches the fact table or materializes neighbor sets.
+    """
+    edges, deg, oriented, _ = _oriented_graph(spark, sf_dir)
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("src", "v", "w")
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("src", "v").alias("part_a"),
+                    F.greatest("src", "v").alias("part_b"),
+                ),
+                F.struct(
+                    F.least("src", "w").alias("part_a"),
+                    F.greatest("src", "w").alias("part_b"),
+                ),
+                F.struct(
+                    F.least("v", "w").alias("part_a"),
+                    F.greatest("v", "w").alias("part_b"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b")
+    common = tri_edges.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("part_a"),
+                                F.col("deg").alias("deg_a")))
+    db = F.broadcast(deg.select(F.col("node").alias("part_b"),
+                                F.col("deg").alias("deg_b")))
+    scored = (
+        edges.join(common, ["part_a", "part_b"], "left")
+        .na.fill({"t": 0})
+        .join(da, "part_a")
+        .join(db, "part_b")
+    )
+    return scored.select(
+        "part_a",
+        "part_b",
+        F.col("deg_a").cast("bigint").alias("deg_a"),
+        F.col("deg_b").cast("bigint").alias("deg_b"),
+        F.col("t").cast("bigint").alias("n_common"),
+        F.round(
+            F.col("t").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("t")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
 
 
@@ -529,6 +616,7 @@ QUERIES = {
     "corpus_mix_epochs": corpus_mix_epochs,
     "q_rfm_segmentation": q_rfm_segmentation,
     "graph_triangle_count": graph_triangle_count,
+    "graph_jaccard_neighbors": graph_jaccard_neighbors,
     "q_skyline_pareto": q_skyline_pareto,
     "q_transitive_closure": q_transitive_closure,
 }
@@ -713,6 +801,44 @@ ORACLES["graph_triangle_count"] = f"""
                  / (SELECT SUM(d * (d - 1)) // 2 FROM deg)::DOUBLE, 6)
              AS global_clustering
     FROM tri
+"""
+
+ORACLES["graph_jaccard_neighbors"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),
+    deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT part_a AS node FROM pairs
+        UNION ALL SELECT part_b FROM pairs) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.part_a AS x, e1.part_b AS y, e2.part_b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.part_a = e1.part_b
+      JOIN pairs e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    ),
+    per_edge AS (
+      SELECT part_a, part_b, COUNT(*)::BIGINT AS t FROM (
+        SELECT x AS part_a, y AS part_b FROM tri
+        UNION ALL SELECT x, z FROM tri
+        UNION ALL SELECT y, z FROM tri) GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, da.d AS deg_a, db.d AS deg_b,
+           COALESCE(pe.t, 0)::BIGINT AS n_common,
+           ROUND(COALESCE(pe.t, 0)::DOUBLE
+                 / (da.d + db.d - COALESCE(pe.t, 0))::DOUBLE, 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN per_edge pe ON pe.part_a = p.part_a AND pe.part_b = p.part_b
+    JOIN deg da ON da.node = p.part_a
+    JOIN deg db ON db.node = p.part_b
 """
 
 ORACLES["q_skyline_pareto"] = """

@@ -1877,3 +1877,85 @@ ORACLES["emb_hard_negatives"] = f"""
                ROUND(cos_r6, 4) AS cos_sim, rank
         FROM ranked WHERE rank <= {HARDNEG_K}
 """
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding table.
+
+    The vector-compression step a 100 TB embedding store runs before
+    ANN serving: per-dimension scale = max|x| (a D-row broadcast
+    table, one narrow agg over the exploded dims), code = clamp(
+    round_half_up(x * 127 / scale), ±127), reported per vector as a
+    position-weighted code checksum (order-independent SUM, so the
+    driver can hash the full code content without array ordering
+    hazards) plus the squared reconstruction error. All float math is
+    IEEE basic ops (deterministic cross-engine); per-element errors
+    are micro-rounded to BIGINT before summing so the reduction order
+    never matters. Two shuffles total: the per-dim max and the
+    per-vector regroup — both keyed, both map-side combinable.
+    """
+    vecs = _vectors(spark, sf_dir)
+    dims = vecs.select(
+        "vec_id", F.posexplode("v").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    maxabs = dims.groupBy("i").agg(F.max(F.abs(F.col("x"))).alias("m"))
+    j = dims.join(F.broadcast(maxabs), "i")
+    raw_code = F.greatest(
+        F.lit(-127).cast("bigint"),
+        F.least(
+            F.lit(127).cast("bigint"),
+            F.floor(F.col("x") * 127 / F.col("m") + F.lit(0.5)).cast("bigint"),
+        ),
+    )
+    code = F.when(F.col("m") == 0, F.lit(0).cast("bigint")).otherwise(raw_code)
+    recon = code.cast("double") * F.col("m") / 127
+    err_micro = F.floor(
+        (F.col("x") - recon) * (F.col("x") - recon) * 1e9 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        j.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum((code + 128) * F.col("i")).alias("code_checksum"),
+            F.sum(err_micro).alias("micro"),
+        )
+        .select(
+            "vec_id",
+            F.col("n_dims").cast("bigint").alias("n_dims"),
+            F.col("code_checksum").cast("bigint").alias("code_checksum"),
+            F.round(F.col("micro").cast("double") / 1e9, 6).alias("l2_err"),
+        )
+    )
+
+
+QUERIES["emb_quantize_int8"] = emb_quantize_int8
+
+ORACLES["emb_quantize_int8"] = """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+      FROM vecs
+    ),
+    mx AS (SELECT i, MAX(ABS(x)) AS m FROM dims GROUP BY 1),
+    q AS (
+      SELECT d.vec_id, d.i, d.x, mx.m,
+             CASE WHEN mx.m = 0 THEN 0
+                  ELSE GREATEST(-127::BIGINT, LEAST(127::BIGINT,
+                         CAST(FLOOR(d.x * 127 / mx.m + 0.5) AS BIGINT)))
+             END AS code
+      FROM dims d JOIN mx USING (i)
+    ),
+    e AS (
+      SELECT vec_id, i, code,
+             CAST(FLOOR((x - CAST(code AS DOUBLE) * m / 127)
+                        * (x - CAST(code AS DOUBLE) * m / 127)
+                        * 1e9 + 0.5) AS BIGINT) AS micro
+      FROM q
+    )
+    SELECT vec_id, COUNT(*)::BIGINT AS n_dims,
+           CAST(SUM((code + 128) * i) AS BIGINT) AS code_checksum,
+           ROUND(CAST(SUM(micro) AS DOUBLE) / 1e9, 6) AS l2_err
+    FROM e GROUP BY 1
+"""

@@ -1,0 +1,719 @@
+"""Distribution-statistics and drift-audit operators.
+
+The reference emits per-entry objects with no corpus-level statistics
+(nypl-spacetime/etl-city-directories city-directories.js:338-451); a
+warehouse user auditing 100 TB of such output needs the classical
+distribution toolkit this module adds: Benford first-digit fraud
+audit, Simpson diversity / market concentration (Gini), a chi-square
+association test, IQR outlier fences, lag autocorrelation, Bollinger
+bands, closed-form CUSUM drift detection, and a dyadic-weight EWMA.
+
+Cross-engine determinism policy (functions/numeric.py): every
+aggregate is reduced to integer/decimal sufficient statistics first
+(order-independent sums), followed by deterministic IEEE double ops
+(+, -, *, /, sqrt are all correctly rounded, hence bit-identical in
+the JVM and DuckDB) and ONE final ROUND. No transcendental functions
+on the data path — Benford's log10 expectations are 6-dp literals,
+"entropy" is the Simpson/Herfindahl index (fully rational), EWMA
+weights are powers of two (exact in binary) — so no last-ulp
+libm divergence can ever flip a driver hash.
+
+Scale shape: every operator collapses the fact table to a small grid
+(days x types, digits, nations, contingency cells) in ONE map-side
+partial aggregation before any window/join runs; the windows then
+cost O(grid), not O(events), at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.sources.tables import load_table
+
+# Benford expected first-digit frequencies, log10(1 + 1/d) to 6 dp.
+# Literals, not log10() calls: both engines parse the decimal string
+# to the same double, whereas libm log10 may differ in the last ulp.
+BENFORD_EXPECTED = {
+    1: "0.30103",
+    2: "0.176091",
+    3: "0.124939",
+    4: "0.09691",
+    5: "0.079181",
+    6: "0.066947",
+    7: "0.057992",
+    8: "0.051153",
+    9: "0.045757",
+}
+
+AUTOCORR_LAG = 7  # days
+BOLLINGER_WINDOW = 7  # trailing days
+BOLLINGER_K = 2  # band half-width in population stddevs
+CUSUM_THRESH_X = 3  # drift flag when CUSUM exceeds 3x the daily target
+EWMA_WINDOW = 16  # trailing observed days; weight of day t-i is 2^(15-i)
+
+
+def _daily_type_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) revenue in integer cents.
+
+    The single pass over the fact stream: one map-side partial
+    groupBy collapses 100 TB of events to O(types x days) rows; every
+    window below runs on that grid. DECIMAL sum -> exact cents.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals.
+
+    First digit of the exact cents representation (prices are >= 1
+    dollar, so the leading cent digit IS the leading price digit).
+    One groupBy to 9 rows; observed frequency is the single double
+    divide (ROUND 6), expectations are 6-dp literals, and the
+    absolute deviation subtracts two already-identical doubles.
+    Map-side partial agg makes this one narrow shuffle of 9 keys
+    regardless of corpus size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy()
+    expected = F.element_at(
+        F.array(*[F.lit(float(BENFORD_EXPECTED[d])) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    obs = F.round(
+        F.col("n").cast("double") / F.sum("n").over(total).cast("double"), 6
+    )
+    return counts.select(
+        "digit",
+        "n",
+        obs.alias("obs_freq"),
+        expected.alias("exp_freq"),
+        F.abs(obs - expected).alias("abs_dev"),
+    )
+
+
+def q_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Simpson index over event types.
+
+    1 - sum(p_i^2) = 1 - sum(c_i^2)/N^2 — the fully-rational
+    diversity measure (Shannon entropy needs ln(), which is not
+    cross-engine bit-stable; Simpson carries the same signal with
+    integer-only sufficient statistics). Two chained partial aggs on
+    the user key: (user, type) counts, then per-user sum of squares.
+    One shuffle on user_id; no window, no join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    simpson = F.round(
+        F.lit(1.0)
+        - F.col("ss").cast("double")
+        / (F.col("n_events") * F.col("n_events")).cast("double"),
+        6,
+    )
+    return per_user.select(
+        "user_id", "n_events", "n_types", simpson.alias("simpson_diversity")
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer order spend within each nation.
+
+    Rank-sum form over ascending spend: G = (2*sum(r*x) - (n+1)*S) /
+    (n*S), exact in integer cents with DECIMAL(38,0) products (rank x
+    cents escapes BIGINT at cluster scale; DuckDB's HUGEINT matches).
+    Spend collapses per customer first (one shuffle on custkey), the
+    rank window then sorts O(customers) rows per nation — never the
+    order fact. Ties break on custkey so the rank assignment (and
+    hence the rank-sum, which is tie-order-invariant only in
+    aggregate) is identical in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "cents")
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    ranked = spend.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w).cast("decimal(38,0)").alias("r"),
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("r") * F.col("cents").cast("decimal(38,0)")).alias("rs"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("rs")
+        - (F.col("n_customers") + 1).cast("decimal(38,0)") * F.col("s")
+    )
+    den = F.col("n_customers").cast("decimal(38,0)") * F.col("s")
+    return agg.select(
+        "n_name",
+        "n_customers",
+        (F.col("s").cast("double") / 100).alias("total_spend"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    ).filter(F.col("n_customers") > 0)
+
+
+def q_chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association audit: order priority x order status.
+
+    The contingency table is one map-side partial agg (15 cells);
+    margins come from windows over those cells, never a second fact
+    pass. Expected counts and per-cell contributions are IEEE basic
+    ops on bigint-cast doubles (deterministic cross-engine); each
+    contribution is micro-rounded to BIGINT before the chi2 total so
+    the SUM is order-independent. Every cell row carries the shared
+    chi2 for a fully hash-checkable result.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    expected = (
+        F.sum("n_obs").over(w_row).cast("double")
+        * F.sum("n_obs").over(w_col).cast("double")
+        / F.sum("n_obs").over(w_all).cast("double")
+    )
+    contrib = (F.col("n_obs").cast("double") - expected) * (
+        F.col("n_obs").cast("double") - expected
+    ) / expected
+    with_micro = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_obs",
+        F.round(expected, 4).alias("expected"),
+        F.round(contrib, 4).alias("contrib"),
+        F.floor(contrib * 1e6 + F.lit(0.5)).cast("bigint").alias("micro"),
+    )
+    chi2 = F.round(
+        F.sum("micro").over(Window.partitionBy()).cast("double") / 1e6, 4
+    )
+    return with_micro.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_obs",
+        "expected",
+        "contrib",
+        chi2.alias("chi2_total"),
+    )
+
+
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences on customer balance, per nation.
+
+    Discrete quartiles by explicit rank selection (value at
+    ceil(p*n)) — NOT the engines' percentile built-ins, whose
+    interpolation rules differ. Fences compare in doubled-cent
+    integer space (2x < 2*q1 - 3*iqr), so the 1.5x multiplier never
+    leaves exact arithmetic. One rank window over O(customers) rows
+    per nation + a broadcast join of the 25-row quartile table back
+    onto the spine — the fact table is read once.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_custkey", "cents")
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    ranked = base.select(
+        "n_name", "cents", F.row_number().over(w).alias("rnk")
+    )
+    n_per = ranked.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+    with_n = ranked.join(F.broadcast(n_per), "n_name")
+    q1r = F.floor((F.col("n_customers") + 3) / 4)  # ceil(n/4)
+    q3r = F.floor((3 * F.col("n_customers") + 3) / 4)  # ceil(3n/4)
+    quart = with_n.groupBy("n_name", "n_customers").agg(
+        F.max(F.when(F.col("rnk") == q1r, F.col("cents"))).alias("q1c"),
+        F.max(F.when(F.col("rnk") == q3r, F.col("cents"))).alias("q3c"),
+    )
+    flagged = base.join(F.broadcast(quart), "n_name").select(
+        "n_name",
+        "n_customers",
+        "q1c",
+        "q3c",
+        (
+            (2 * F.col("cents") < 2 * F.col("q1c") - 3 * (F.col("q3c") - F.col("q1c")))
+            | (2 * F.col("cents") > 2 * F.col("q3c") + 3 * (F.col("q3c") - F.col("q1c")))
+        ).cast("int").alias("is_out"),
+    )
+    return flagged.groupBy("n_name", "n_customers", "q1c", "q3c").agg(
+        F.sum("is_out").cast("bigint").alias("n_outliers")
+    ).select(
+        "n_name",
+        "n_customers",
+        (F.col("q1c").cast("double") / 100).alias("q1"),
+        (F.col("q3c").cast("double") / 100).alias("q3"),
+        ((F.col("q3c") - F.col("q1c")).cast("double") / 100).alias("iqr"),
+        "n_outliers",
+    )
+
+
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily order revenue.
+
+    The fact stream collapses to ONE global daily series (O(days)
+    rows) before the lag pairing; Pearson r over (x_t, x_{t-7})
+    reduces to six DECIMAL(38,0) sufficient sums — exact and
+    order-independent — then one closed-form double expression
+    (sqrt is correctly rounded IEEE, so cross-engine stable),
+    ROUND 6. The single-partition lag window is safe by
+    construction: it sorts days, not events.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy().orderBy("d")
+    pairs = daily.select(
+        F.col("cents").alias("a"),
+        F.lag("cents", AUTOCORR_LAG).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("a").cast(d38).alias("sa"),
+        F.sum("b").cast(d38).alias("sb"),
+        F.sum(F.col("a").cast(d38) * F.col("a").cast(d38)).alias("saa"),
+        F.sum(F.col("b").cast(d38) * F.col("b").cast(d38)).alias("sbb"),
+        F.sum(F.col("a").cast(d38) * F.col("b").cast(d38)).alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    var_a = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    var_b = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return agg.select(
+        F.lit(AUTOCORR_LAG).alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(num / F.sqrt(var_a * var_b), 6).alias("autocorr"),
+    )
+
+
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Bollinger bands on daily revenue per type.
+
+    Mean and POPULATION stddev from integer window sums (n, S, SS in
+    DECIMAL(38,0) — SS escapes BIGINT at cluster scale): sd =
+    sqrt(n*SS - S^2)/n. All window math runs on the collapsed
+    O(types x days) grid; the three outputs share one deterministic
+    double pipeline and round at the edge (ROUND 4).
+    """
+    daily = _daily_type_cents(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(BOLLINGER_WINDOW - 1), 0)
+    )
+    d38 = "decimal(38,0)"
+    n = F.count(F.lit(1)).over(w).cast(d38)
+    s = F.sum(F.col("cents").cast(d38)).over(w)
+    ss = F.sum(F.col("cents").cast(d38) * F.col("cents").cast(d38)).over(w)
+    mean = s.cast("double") / (n.cast("double") * 100)
+    sd = F.sqrt((n * ss - s * s).cast("double")) / (n.cast("double") * 100)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        n.cast("bigint").alias("n_days"),
+        F.round(mean, 4).alias("ma"),
+        F.round(mean + BOLLINGER_K * sd, 4).alias("bb_upper"),
+        F.round(mean - BOLLINGER_K * sd, 4).alias("bb_lower"),
+    )
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on daily revenue per type.
+
+    The textbook recursion S+_t = max(0, S+_{t-1} + dev_t) has the
+    closed form S+_t = R_t - min(0, min_{k<=t} R_k) over the running
+    deviation sum R — two windows, no recursion, no UDF. Target is
+    the per-type mean daily cents by exact integer floor-division.
+    Everything stays BIGINT: the drift flag is an integer compare
+    against CUSUM_THRESH_X * target. Windows run on the collapsed
+    grid only.
+    """
+    daily = _daily_type_cents(spark, sf_dir)
+    per_type = Window.partitionBy("event_type")
+    target = F.floor(
+        F.sum("cents").over(per_type) / F.count(F.lit(1)).over(per_type)
+    ).cast("bigint")
+    dev = daily.select(
+        "event_type", "d", "cents", (F.col("cents") - target).alias("dev"),
+        target.alias("target"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = F.sum("dev").over(w_run)
+    run = dev.select(
+        "event_type", "d", "cents", "target", r.alias("r")
+    )
+    w_min = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus_high = F.col("r") - F.least(F.lit(0).cast("bigint"), F.min("r").over(w_min))
+    cus_low = F.greatest(F.lit(0).cast("bigint"), F.max("r").over(w_min)) - F.col("r")
+    return run.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("cents").cast("double") / 100).alias("rev"),
+        (cus_high.cast("double") / 100).alias("cusum_high"),
+        (cus_low.cast("double") / 100).alias("cusum_low"),
+        (cus_high > CUSUM_THRESH_X * F.col("target")).alias("drift_flag"),
+    )
+
+
+def q_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of daily revenue per type with dyadic (2^-k) weights.
+
+    alpha = 1/2 makes every weight a power of two — exact in binary —
+    so the trailing-16-observation EWMA is a pure integer weighted
+    sum: num = sum(cents_i << (15 - lag_i)), den = sum(2^(15-lag_i)),
+    one double divide at the end (ROUND 4). Implemented as a banded
+    self-join on per-type row numbers over the collapsed grid (grid
+    is O(types x days); the join fan-out is a constant 16), which
+    both engines express identically — no per-offset lag() tower.
+    """
+    daily = _daily_type_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    g = daily.select(
+        "event_type", "d", "cents", F.row_number().over(w).alias("rn")
+    )
+    cur = g.select(
+        "event_type",
+        F.col("d").alias("day_d"),
+        F.col("rn").alias("rn_cur"),
+    )
+    hist = g.select(
+        "event_type", F.col("cents").alias("h_cents"), F.col("rn").alias("rn_h")
+    )
+    lag = F.col("rn_cur") - F.col("rn_h")
+    joined = cur.join(hist, "event_type").filter(
+        (lag >= 0) & (lag < EWMA_WINDOW)
+    )
+    weight = F.expr(
+        f"shiftleft(1L, {EWMA_WINDOW - 1} - int(rn_cur - rn_h))"
+    ).cast("bigint")
+    agg = joined.groupBy("event_type", "day_d").agg(
+        F.sum(F.col("h_cents").cast("decimal(38,0)") * weight.cast("decimal(38,0)"))
+        .alias("num"),
+        F.sum(weight).alias("den"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.select(
+        "event_type",
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(
+            F.col("num").cast("double") / (F.col("den").cast("double") * 100), 4
+        ).alias("ewma"),
+    )
+
+
+QUERIES = {
+    "q_benford_digits": q_benford_digits,
+    "q_diversity_simpson": q_diversity_simpson,
+    "q_gini_concentration": q_gini_concentration,
+    "q_chi_square_assoc": q_chi_square_assoc,
+    "q_outlier_iqr": q_outlier_iqr,
+    "q_autocorr_lag": q_autocorr_lag,
+    "q_bollinger_bands": q_bollinger_bands,
+    "q_cusum_drift": q_cusum_drift,
+    "q_ewma_dyadic": q_ewma_dyadic,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {v}" for d, v in BENFORD_EXPECTED.items()
+) + " END"
+
+ORACLES = {
+    "q_benford_digits": f"""
+        WITH c AS (
+          SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                 COUNT(*)::BIGINT AS n
+          FROM orders GROUP BY 1
+        )
+        SELECT digit, n,
+               ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+                 AS obs_freq,
+               {_BENFORD_CASE} AS exp_freq,
+               ABS(ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+                   - {_BENFORD_CASE}) AS abs_dev
+        FROM c
+    """,
+    "q_diversity_simpson": """
+        WITH per_type AS (
+          SELECT user_id, event_type, COUNT(*)::BIGINT AS c
+          FROM events GROUP BY 1, 2
+        ),
+        per_user AS (
+          SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+                 COUNT(*)::BIGINT AS n_types,
+                 CAST(SUM(c * c) AS BIGINT) AS ss
+          FROM per_type GROUP BY 1
+        )
+        SELECT user_id, n_events, n_types,
+               ROUND(1.0 - CAST(ss AS DOUBLE)
+                     / CAST(n_events * n_events AS DOUBLE), 6)
+                 AS simpson_diversity
+        FROM per_user
+    """,
+    "q_gini_concentration": """
+        WITH spend AS (
+          SELECT n.n_name, c.c_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT n_name, cents,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                                         ORDER BY cents, c_custkey)
+                      AS HUGEINT) AS r
+          FROM spend
+        ),
+        agg AS (
+          SELECT n_name, COUNT(*)::BIGINT AS n_customers,
+                 CAST(SUM(cents) AS HUGEINT) AS s,
+                 SUM(r * CAST(cents AS HUGEINT)) AS rs
+          FROM ranked GROUP BY 1
+        )
+        SELECT n_name, n_customers,
+               CAST(s AS DOUBLE) / 100 AS total_spend,
+               ROUND(CAST(2 * rs - (n_customers + 1) * s AS DOUBLE)
+                     / CAST(CAST(n_customers AS HUGEINT) * s AS DOUBLE), 6)
+                 AS gini
+        FROM agg WHERE n_customers > 0
+    """,
+    "q_chi_square_assoc": """
+        WITH cells AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*)::BIGINT AS n_obs
+          FROM orders GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT o_orderpriority, o_orderstatus, n_obs,
+                 CAST(SUM(n_obs) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                   * CAST(SUM(n_obs) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                   / CAST(SUM(n_obs) OVER () AS DOUBLE) AS e
+          FROM cells
+        ),
+        t AS (
+          SELECT o_orderpriority, o_orderstatus, n_obs,
+                 ROUND(e, 4) AS expected,
+                 ROUND((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e)
+                       / e, 4) AS contrib,
+                 CAST(FLOOR((CAST(n_obs AS DOUBLE) - e)
+                            * (CAST(n_obs AS DOUBLE) - e) / e * 1e6 + 0.5)
+                      AS BIGINT) AS micro
+          FROM m
+        )
+        SELECT o_orderpriority, o_orderstatus, n_obs, expected, contrib,
+               ROUND(CAST(SUM(micro) OVER () AS DOUBLE) / 1e6, 4) AS chi2_total
+        FROM t
+    """,
+    "q_outlier_iqr": """
+        WITH base AS (
+          SELECT n.n_name, c.c_custkey,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        ranked AS (
+          SELECT n_name, cents,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                                    ORDER BY cents, c_custkey) AS rnk,
+                 COUNT(*) OVER (PARTITION BY n_name) AS n_customers
+          FROM base
+        ),
+        quart AS (
+          SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+                 MAX(CASE WHEN rnk = (n_customers + 3) // 4 THEN cents END)
+                   AS q1c,
+                 MAX(CASE WHEN rnk = (3 * n_customers + 3) // 4 THEN cents END)
+                   AS q3c
+          FROM ranked GROUP BY 1, 2
+        )
+        SELECT b.n_name, q.n_customers,
+               CAST(q1c AS DOUBLE) / 100 AS q1,
+               CAST(q3c AS DOUBLE) / 100 AS q3,
+               CAST(q3c - q1c AS DOUBLE) / 100 AS iqr,
+               CAST(SUM(CASE WHEN 2 * b.cents < 2 * q1c - 3 * (q3c - q1c)
+                               OR 2 * b.cents > 2 * q3c + 3 * (q3c - q1c)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM base b JOIN quart q ON b.n_name = q.n_name
+        GROUP BY 1, 2, 3, 4, 5
+    """,
+    "q_autocorr_lag": f"""
+        WITH daily AS (
+          SELECT o_orderdate AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY 1
+        ),
+        pairs AS (
+          SELECT cents AS a,
+                 LAG(cents, {AUTOCORR_LAG}) OVER (ORDER BY d) AS b
+          FROM daily
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(a) AS HUGEINT) AS sa,
+                 CAST(SUM(b) AS HUGEINT) AS sb,
+                 SUM(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS saa,
+                 SUM(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS sbb,
+                 SUM(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sab
+          FROM pairs WHERE b IS NOT NULL
+        )
+        SELECT {AUTOCORR_LAG} AS lag_days,
+               CAST(n AS BIGINT) AS n_pairs,
+               ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                     / SQRT(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+                 AS autocorr
+        FROM agg
+    """,
+    "q_bollinger_bands": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT event_type, d,
+                 CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+                 CAST(SUM(cents) OVER w AS HUGEINT) AS s,
+                 SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER w
+                   AS ss
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN {BOLLINGER_WINDOW - 1} PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+               CAST(n AS BIGINT) AS n_days,
+               ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100), 4) AS ma,
+               ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100)
+                     + {BOLLINGER_K} * SQRT(CAST(n * ss - s * s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * 100), 4) AS bb_upper,
+               ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100)
+                     - {BOLLINGER_K} * SQRT(CAST(n * ss - s * s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * 100), 4) AS bb_lower
+        FROM s
+    """,
+    "q_cusum_drift": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        dev AS (
+          SELECT event_type, d, cents,
+                 CAST(FLOOR(CAST(SUM(cents) OVER (PARTITION BY event_type)
+                                 AS DOUBLE)
+                            / CAST(COUNT(*) OVER (PARTITION BY event_type)
+                                   AS DOUBLE)) AS BIGINT) AS target
+          FROM daily
+        ),
+        run AS (
+          SELECT event_type, d, cents, target,
+                 SUM(cents - target) OVER (PARTITION BY event_type ORDER BY d
+                                           ROWS UNBOUNDED PRECEDING) AS r
+          FROM dev
+        ),
+        m AS (
+          SELECT event_type, d, cents, target, r,
+                 r - LEAST(0, MIN(r) OVER (PARTITION BY event_type ORDER BY d
+                                           ROWS UNBOUNDED PRECEDING))
+                   AS cus_high,
+                 GREATEST(0, MAX(r) OVER (PARTITION BY event_type ORDER BY d
+                                          ROWS UNBOUNDED PRECEDING)) - r
+                   AS cus_low
+          FROM run
+        )
+        SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+               CAST(cents AS DOUBLE) / 100 AS rev,
+               CAST(cus_high AS DOUBLE) / 100 AS cusum_high,
+               CAST(cus_low AS DOUBLE) / 100 AS cusum_low,
+               cus_high > {CUSUM_THRESH_X} * target AS drift_flag
+        FROM m
+    """,
+    "q_ewma_dyadic": f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT event_type, d, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+          FROM daily
+        )
+        SELECT c.event_type, STRFTIME(c.d, '%Y-%m-%d') AS day,
+               COUNT(*)::BIGINT AS n_obs,
+               ROUND(CAST(SUM(CAST(h.cents AS HUGEINT)
+                              * CAST(1 << ({EWMA_WINDOW - 1}
+                                           - (c.rn - h.rn)) AS HUGEINT))
+                          AS DOUBLE)
+                     / (CAST(SUM(1 << ({EWMA_WINDOW - 1} - (c.rn - h.rn)))
+                             AS DOUBLE) * 100), 4) AS ewma
+        FROM g c JOIN g h
+          ON c.event_type = h.event_type
+         AND c.rn - h.rn >= 0 AND c.rn - h.rn < {EWMA_WINDOW}
+        GROUP BY 1, 2
+    """,
+}

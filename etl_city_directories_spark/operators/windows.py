@@ -795,3 +795,94 @@ ORACLES = {
         ORDER BY event_type
     """,
 }
+
+
+def q_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / decile of customer balance per nation.
+
+    The three relative-position window functions in one pass, with
+    the ANSI definitions (percent_rank = (rank-1)/(n-1) with
+    tie-shared ranks, cume_dist = peers-or-less / n, NTILE with
+    floor-balanced groups over a TOTAL order — the custkey tiebreak
+    makes the tile assignment deterministic). The ratios are NOT the
+    engines' builtins-then-ROUND: a rank ratio lands exactly on
+    6-dp midpoints (e.g. 41/640), where double ROUND diverges
+    cross-engine, so both sides compute round_half_up(k/d * 1e6) in
+    pure integer space — (2k*1e6 + d) div (2d) — and divide by 1e6
+    once. One window sort over O(customers) rows per nation; at
+    100 TB this keys on the same nation partitioning every
+    per-nation rollup shuffles on, and never widens beyond four
+    columns.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w_val = Window.partitionBy("n_name").orderBy("cents")
+    w_tot = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    w_peers = (
+        Window.partitionBy("n_name")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("n_name"))
+    rnk = F.rank().over(w_val)
+    c_le = F.count(F.lit(1)).over(w_peers)  # peers-or-less (RANGE frame)
+
+    def _ratio6(k, d):
+        # round_half_up(k/d * 1e6) via exact DECIMAL floor-division
+        # (Spark's `/` on bigints is a double divide, unsafe past
+        # 2^53 rows), then one exact /1e6
+        num = (k.cast("bigint") * 2000000 + d).cast("decimal(38,0)")
+        micro = F.floor(num / (2 * d).cast("decimal(38,0)")).cast("bigint")
+        return micro.cast("double") / 1e6
+
+    return base.select(
+        "n_name",
+        "c_custkey",
+        (F.col("cents").cast("double") / 100).alias("acctbal"),
+        F.when(n > 1, _ratio6(rnk - 1, n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        _ratio6(c_le, n).alias("cume_dist"),
+        F.ntile(10).over(w_tot).cast("bigint").alias("decile"),
+    )
+
+
+QUERIES["q_percentile_position"] = q_percentile_position
+
+ORACLES["q_percentile_position"] = """
+    WITH base AS (
+      SELECT n.n_name, c.c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    w AS (
+      SELECT n_name, c_custkey, cents,
+             COUNT(*) OVER (PARTITION BY n_name)::BIGINT AS n,
+             RANK() OVER w_val::BIGINT AS rnk,
+             COUNT(*) OVER (PARTITION BY n_name ORDER BY cents
+                            RANGE UNBOUNDED PRECEDING)::BIGINT AS c_le,
+             NTILE(10) OVER w_tot::BIGINT AS decile
+      FROM base
+      WINDOW
+        w_val AS (PARTITION BY n_name ORDER BY cents),
+        w_tot AS (PARTITION BY n_name ORDER BY cents, c_custkey)
+    )
+    SELECT n_name, c_custkey,
+           CAST(cents AS DOUBLE) / 100 AS acctbal,
+           CASE WHEN n > 1 THEN
+             CAST(((rnk - 1) * 2000000 + (n - 1)) // (2 * (n - 1))
+                  AS DOUBLE) / 1e6
+           ELSE 0.0 END AS pct_rank,
+           CAST((c_le * 2000000 + n) // (2 * n) AS DOUBLE) / 1e6 AS cume_dist,
+           decile
+    FROM w
+"""
