@@ -1,0 +1,423 @@
+"""Nonparametric statistics and seasonal decomposition operators.
+
+Extends the stats suite (operators/stats.py) with the rank- and
+order-statistic toolkit a 100 TB warehouse audit reaches for when the
+data is NOT normal: Mann-Kendall monotone-trend detection, Spearman
+rank correlation, a binned two-sample Kolmogorov-Smirnov distance,
+and a classical trend / day-of-week-seasonal / remainder
+decomposition. The reference pipeline has no corpus statistics at
+all (nypl-spacetime/etl-city-directories city-directories.js:338-451
+emits per-entry objects only); these close that gap for drift and
+data-quality monitoring over event streams.
+
+Cross-engine determinism policy (same as stats.py): collapse the
+fact stream to a bounded grid with ONE map-side-combinable partial
+aggregation, do every comparison in integer/decimal space (signs,
+ranks, cumulative counts, cents), and allow only correctly-rounded
+IEEE double ops (+ - * / sqrt) plus ONE final ROUND at the edge. No
+transcendental functions anywhere, so no libm last-ulp divergence
+can flip a driver hash.
+
+Scale shape: every self-join / window below runs on the collapsed
+grid — O(types x days) or O(types x value buckets), both bounded by
+calendar and value range, not corpus size. The Mann-Kendall pair
+join is O(days^2) per type with days capped by the audit window (a
+year = 365 -> 66k pairs), never O(events^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.operators.stats import _daily_type_cents
+from etl_city_directories_spark.sources.tables import load_table
+
+KS_BUCKET_DOLLARS = 5  # histogram-KS value resolution (integer dollars)
+TREND_HALF = 3  # centered moving-average half-width (7-day trend)
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type (daily revenue).
+
+    S = sum over ordered day pairs (i < j) of sign(x_j - x_i): the
+    classical distribution-free trend statistic — pure integer
+    comparisons on exact cents, so the driver hash cannot drift.
+    tau_a = S / (n(n-1)/2) normalizes to [-1, 1] (one double divide,
+    ROUND 6). The pair join runs on the collapsed O(types x days)
+    grid; fan-out is days-per-type (bounded by the calendar window),
+    so the stage costs O(types x days^2) constants regardless of how
+    many trillion events fed the grid.
+    """
+    daily = _daily_type_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    g = daily.select(
+        "event_type", "cents", F.row_number().over(w).alias("rn")
+    )
+    a = g.select(
+        "event_type", F.col("cents").alias("xa"), F.col("rn").alias("ra")
+    )
+    b = g.select(
+        "event_type", F.col("cents").alias("xb"), F.col("rn").alias("rb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("ra") < F.col("rb"))
+    sign = (
+        F.when(F.col("xb") > F.col("xa"), F.lit(1))
+        .when(F.col("xb") < F.col("xa"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum(sign).cast("bigint").alias("s_stat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return agg.select(
+        "event_type",
+        "s_stat",
+        "n_pairs",
+        F.round(
+            F.col("s_stat").cast("double") / F.col("n_pairs").cast("double"), 6
+        ).alias("tau_a"),
+    ).orderBy("event_type")
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of daily event count vs daily revenue.
+
+    Per event type: are busier days also higher-revenue days, robust
+    to outliers? Fractional (average) ranks are kept exact as DOUBLED
+    integers — r2 = 2*rank + (ties - 1) — so ties never introduce a
+    .5 float; Pearson over the doubled ranks (scale-invariant) uses
+    six DECIMAL(38,0) sufficient sums and one closed-form double
+    expression (sqrt is correctly rounded), ROUND 6. Everything runs
+    on the collapsed O(types x days) grid: two rank windows + one
+    partial agg, no fact-sized shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+    def doubled_rank(col: str) -> F.Column:
+        w_rank = Window.partitionBy("event_type").orderBy(col)
+        w_tie = Window.partitionBy("event_type", col)
+        return (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+
+    ranked = daily.select(
+        "event_type",
+        doubled_rank("n_ev").alias("rx"),
+        doubled_rank("cents").alias("ry"),
+    )
+    d38 = "decimal(38,0)"
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("rx").cast(d38)).alias("sx"),
+        F.sum(F.col("ry").cast(d38)).alias("sy"),
+        F.sum(F.col("rx").cast(d38) * F.col("rx").cast(d38)).alias("sxx"),
+        F.sum(F.col("ry").cast(d38) * F.col("ry").cast(d38)).alias("syy"),
+        F.sum(F.col("rx").cast(d38) * F.col("ry").cast(d38)).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
+    ).orderBy("event_type")
+
+
+def q_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov distance per event type.
+
+    Does each event type's value distribution drift from the rest of
+    the stream? D = max over value buckets of |CDF_type - CDF_rest|,
+    kept exact by cross-multiplying the cumulative counts: d_num =
+    max |c_t * m - c_r * n| with denominator n*m, one double divide
+    at the edge (ROUND 6). Values are binned to integer
+    KS_BUCKET_DOLLARS cells first, so the CDF grid is O(types x
+    buckets) — bounded by the value range, not the corpus — and the
+    per-type cumulative windows never see a fact row. The full
+    types x buckets lattice comes from one tiny cross join of two
+    sub-hundred-row dimension frames.
+    """
+    events = load_table(spark, sf_dir, "events")
+    binned = events.select(
+        "event_type",
+        (F.floor(F.col("value") / KS_BUCKET_DOLLARS)).cast("bigint").alias("b"),
+    ).groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    types = binned.select("event_type").distinct()
+    buckets = binned.select("b").distinct()
+    lattice = types.crossJoin(F.broadcast(buckets))
+    grid = lattice.join(binned, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_bucket_all = grid.groupBy("b").agg(F.sum("c").alias("c_all"))
+    cum = grid.join(F.broadcast(per_bucket_all), "b").select(
+        "event_type",
+        "b",
+        F.sum("c").over(w_cum).alias("cum_t"),
+        F.col("c_all").alias("c_all"),
+    )
+    w_cum_all = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum2 = cum.select(
+        "event_type",
+        "b",
+        "cum_t",
+        (F.sum("c_all").over(w_cum_all) - F.col("cum_t")).alias("cum_r"),
+    )
+    w_tot = Window.partitionBy("event_type")
+    tot = cum2.select(
+        "event_type",
+        "cum_t",
+        "cum_r",
+        F.max("cum_t").over(w_tot).alias("n"),
+        F.max("cum_r").over(w_tot).alias("m"),
+    )
+    d_num = F.abs(F.col("cum_t") * F.col("m") - F.col("cum_r") * F.col("n"))
+    return (
+        tot.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_type"),
+            F.max("m").cast("bigint").alias("n_rest"),
+            F.max(d_num).cast("bigint").alias("d_num"),
+        )
+        .select(
+            "event_type",
+            "n_type",
+            "n_rest",
+            "d_num",
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_type") * F.col("n_rest")).cast("double"),
+                6,
+            ).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_seasonal_dow_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend / day-of-week-seasonal / remainder split of daily revenue.
+
+    Classical seasonal-means decomposition on the global daily order
+    revenue series: trend = centered 7-day moving average (half-up
+    integer rounding to cents — (2S + n) div 2n is exact for the
+    all-positive series), seasonal = per-day-of-week mean of the
+    integer detrended series (exact BIGINT sum, ONE double divide,
+    ROUND 4), remainder = revenue - trend - seasonal of the rounded
+    parts. The fact stream collapses to O(days) rows in one partial
+    agg; the centered window and the 7-key day-of-week agg both run
+    on that grid only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_ma = (
+        Window.partitionBy()
+        .orderBy("d")
+        .rowsBetween(-TREND_HALF, TREND_HALF)
+    )
+    ma = daily.select(
+        "d",
+        "cents",
+        F.count(F.lit(1)).over(w_ma).alias("n_ma"),
+        F.sum("cents").over(w_ma).alias("s_ma"),
+    )
+    # Half-up rounding by INTEGER division ((2S + n) div 2n): `div` stays
+    # BIGINT-exact where a double `/` would lose bits past 2^53 at scale.
+    trend_cents = F.expr("(2 * s_ma + n_ma) div (2 * n_ma)").cast("bigint")
+    t = ma.select(
+        "d",
+        "cents",
+        trend_cents.alias("trend_cents"),
+        (F.col("cents") - trend_cents).alias("detr"),
+        F.dayofweek("d").alias("dow"),
+    )
+    dow_mean = t.groupBy("dow").agg(
+        F.sum("detr").alias("s_detr"), F.count(F.lit(1)).alias("n_dow")
+    )
+    seasonal = F.round(
+        F.col("s_detr").cast("double") / (F.col("n_dow").cast("double") * 100),
+        4,
+    )
+    out = t.join(F.broadcast(dow_mean), "dow")
+    rev = F.col("cents").cast("double") / 100
+    trend = F.round(F.col("trend_cents").cast("double") / 100, 4)
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("dow").cast("int").alias("dow"),
+        rev.alias("rev"),
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.round(rev - trend - seasonal, 4).alias("remainder"),
+    ).orderBy("day")
+
+
+QUERIES = {
+    "q_mann_kendall": q_mann_kendall,
+    "q_spearman_corr": q_spearman_corr,
+    "q_ks_twosample": q_ks_twosample,
+    "q_seasonal_dow_decompose": q_seasonal_dow_decompose,
+}
+
+_DAILY_SQL = """
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+"""
+
+ORACLES = {
+    "q_mann_kendall": f"""
+        WITH daily AS ({_DAILY_SQL}),
+        g AS (
+          SELECT event_type, cents,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+          FROM daily
+        )
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               COUNT(*)::BIGINT AS n_pairs,
+               ROUND(CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                   WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS tau_a
+        FROM g a JOIN g b
+          ON a.event_type = b.event_type AND a.rn < b.rn
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q_spearman_corr": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 COUNT(*) AS n_ev,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT event_type,
+                 2 * RANK() OVER (PARTITION BY event_type ORDER BY n_ev)
+                   + COUNT(*) OVER (PARTITION BY event_type, n_ev) - 1 AS rx,
+                 2 * RANK() OVER (PARTITION BY event_type ORDER BY cents)
+                   + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS ry
+          FROM daily
+        ),
+        agg AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0)))
+                   AS sxx,
+                 SUM(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+                   AS syy,
+                 SUM(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+                   AS sxy
+          FROM ranked GROUP BY 1
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                 AS spearman_rho
+        FROM agg ORDER BY 1
+    """,
+    "q_ks_twosample": f"""
+        WITH binned AS (
+          SELECT event_type,
+                 CAST(FLOOR(value / {KS_BUCKET_DOLLARS}) AS BIGINT) AS b,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        lattice AS (
+          SELECT t.event_type, u.b
+          FROM (SELECT DISTINCT event_type FROM binned) t
+          CROSS JOIN (SELECT DISTINCT b FROM binned) u
+        ),
+        grid AS (
+          SELECT l.event_type, l.b, COALESCE(x.c, 0) AS c
+          FROM lattice l LEFT JOIN binned x
+            ON l.event_type = x.event_type AND l.b = x.b
+        ),
+        alltot AS (SELECT b, SUM(c) AS c_all FROM grid GROUP BY 1),
+        cum AS (
+          SELECT g.event_type, g.b,
+                 SUM(g.c) OVER (PARTITION BY g.event_type ORDER BY g.b
+                                ROWS UNBOUNDED PRECEDING) AS cum_t,
+                 SUM(a.c_all) OVER (PARTITION BY g.event_type ORDER BY g.b
+                                    ROWS UNBOUNDED PRECEDING)
+                   - SUM(g.c) OVER (PARTITION BY g.event_type ORDER BY g.b
+                                    ROWS UNBOUNDED PRECEDING) AS cum_r
+          FROM grid g JOIN alltot a ON g.b = a.b
+        ),
+        tot AS (
+          SELECT event_type, cum_t, cum_r,
+                 MAX(cum_t) OVER (PARTITION BY event_type) AS n,
+                 MAX(cum_r) OVER (PARTITION BY event_type) AS m
+          FROM cum
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_type,
+               CAST(MAX(m) AS BIGINT) AS n_rest,
+               CAST(MAX(ABS(cum_t * m - cum_r * n)) AS BIGINT) AS d_num,
+               ROUND(CAST(MAX(ABS(cum_t * m - cum_r * n)) AS DOUBLE)
+                     / CAST(MAX(n) * MAX(m) AS DOUBLE), 6) AS ks_d
+        FROM tot GROUP BY 1 ORDER BY 1
+    """,
+    "q_seasonal_dow_decompose": f"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        ma AS (
+          SELECT d, cents,
+                 COUNT(*) OVER w AS n_ma, SUM(cents) OVER w AS s_ma
+          FROM daily
+          WINDOW w AS (ORDER BY d
+                       ROWS BETWEEN {TREND_HALF} PRECEDING
+                                AND {TREND_HALF} FOLLOWING)
+        ),
+        t AS (
+          SELECT d, cents,
+                 CAST((2 * s_ma + n_ma) // (2 * n_ma) AS BIGINT)
+                   AS trend_cents,
+                 DAYOFWEEK(d) + 1 AS dow
+          FROM ma
+        ),
+        dm AS (
+          SELECT dow, SUM(cents - trend_cents) AS s_detr,
+                 COUNT(*) AS n_dow
+          FROM t GROUP BY 1
+        )
+        SELECT STRFTIME(t.d, '%Y-%m-%d') AS day,
+               CAST(t.dow AS INT) AS dow,
+               CAST(t.cents AS DOUBLE) / 100 AS rev,
+               ROUND(CAST(t.trend_cents AS DOUBLE) / 100, 4) AS trend,
+               ROUND(CAST(dm.s_detr AS DOUBLE)
+                     / (CAST(dm.n_dow AS DOUBLE) * 100), 4) AS seasonal,
+               ROUND(CAST(t.cents AS DOUBLE) / 100
+                     - ROUND(CAST(t.trend_cents AS DOUBLE) / 100, 4)
+                     - ROUND(CAST(dm.s_detr AS DOUBLE)
+                             / (CAST(dm.n_dow AS DOUBLE) * 100), 4), 4)
+                 AS remainder
+        FROM t JOIN dm ON t.dow = dm.dow
+        ORDER BY day
+    """,
+}

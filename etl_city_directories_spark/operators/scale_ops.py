@@ -1890,3 +1890,69 @@ ORACLES["q_variant_extract"] = """
 """
 
 ORACLES["source_xml_roundtrip"] = ORACLES["source_json_roundtrip"]
+
+
+COMPACT_TARGET_CHARS = 16_000  # per-output-file byte budget
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: next-fit bin packing per source.
+
+    The table-maintenance step every 100 TB lakehouse runs on a
+    cadence: group each source's small files (modeled by the
+    documents inventory: doc_id -> n_chars bytes) into target-sized
+    output bins. Next-fit by running total — bin = cumulative bytes
+    BEFORE the file, integer-divided by the target — is the
+    one-window deterministic plan (first-fit-decreasing needs a
+    sequential scan; next-fit is what Iceberg/Delta compactors
+    actually ship because it preserves sort order). The window sorts
+    each source's inventory only — O(files log files) per source, no
+    fact data moves until the plan is executed. Output is O(bins).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_prev = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w_prev), F.lit(0)).alias("prev"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"prev div {COMPACT_TARGET_CHARS}").cast("bigint").alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+QUERIES["q_compaction_plan"] = q_compaction_plan
+
+ORACLES["q_compaction_plan"] = f"""
+    WITH binned AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING), 0)
+               // {COMPACT_TARGET_CHARS} AS bin
+      FROM documents
+    )
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           COUNT(*)::BIGINT AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+"""

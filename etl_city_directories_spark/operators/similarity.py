@@ -1959,3 +1959,77 @@ ORACLES["emb_quantize_int8"] = """
            ROUND(CAST(SUM(micro) AS DOUBLE) / 1e9, 6) AS l2_err
     FROM e GROUP BY 1
 """
+
+
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding table.
+
+    The embedding-store health check a 100 TB vector pipeline runs
+    before indexing: per dimension n, mean, second moment, min/max
+    and near-zero fraction expose dead dims, scale outliers, and
+    anisotropy at a glance. Per-element values are micro-rounded to
+    BIGINT (half-up, sign-symmetric) BEFORE the sums, so the
+    reduction is order-independent integer arithmetic — the driver
+    hash cannot drift with partitioning; min/max compare exact
+    doubles. ONE map-side-combinable shuffle on the D dimension keys;
+    output is O(D) regardless of corpus size.
+    """
+    vecs = _vectors(spark, sf_dir)
+    dims = vecs.select(
+        "vec_id", F.posexplode("v").alias("i0", "x")
+    ).select((F.col("i0") + 1).alias("dim"), "x")
+    micro = (
+        F.signum("x") * F.floor(F.abs(F.col("x")) * 1e6 + F.lit(0.5))
+    ).cast("bigint")
+    sq_micro = F.floor(F.col("x") * F.col("x") * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    agg = dims.select("dim", micro.alias("m"), sq_micro.alias("s"), "x").groupBy(
+        "dim"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("sum_micro"),
+        F.sum("s").alias("sq_micro"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.sum(F.when(F.abs(F.col("x")) < 1e-3, 1).otherwise(0)).alias("nz"),
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sum_micro").cast("double") / (F.col("n") * 1e6), 6)
+        .alias("mean"),
+        F.round(F.col("sq_micro").cast("double") / (F.col("n") * 1e6), 6)
+        .alias("second_moment"),
+        F.round("mn", 6).alias("min_x"),
+        F.round("mx", 6).alias("max_x"),
+        F.round(F.col("nz").cast("double") / F.col("n"), 6)
+        .alias("near_zero_frac"),
+    ).orderBy("dim")
+
+
+QUERIES["emb_dim_stats"] = emb_dim_stats
+
+ORACLES["emb_dim_stats"] = """
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM vecs
+    ),
+    agg AS (
+      SELECT dim, COUNT(*) AS n,
+             SUM(CAST(SIGN(x) * FLOOR(ABS(x) * 1e6 + 0.5) AS BIGINT))
+               AS sum_micro,
+             SUM(CAST(FLOOR(x * x * 1e6 + 0.5) AS BIGINT)) AS sq_micro,
+             MIN(x) AS mn, MAX(x) AS mx,
+             SUM(CASE WHEN ABS(x) < 1e-3 THEN 1 ELSE 0 END) AS nz
+      FROM dims GROUP BY 1
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(sum_micro AS DOUBLE) / (n * 1e6), 6) AS mean,
+           ROUND(CAST(sq_micro AS DOUBLE) / (n * 1e6), 6) AS second_moment,
+           ROUND(mn, 6) AS min_x, ROUND(mx, 6) AS max_x,
+           ROUND(CAST(nz AS DOUBLE) / n, 6) AS near_zero_frac
+    FROM agg ORDER BY dim
+"""
