@@ -421,3 +421,104 @@ ORACLES = {
         ORDER BY day
     """,
 }
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic (monotone nondecreasing) fit of daily revenue.
+
+    The minimax characterization of isotonic regression — fit_i =
+    max_{j<=i} min_{k>=i} avg(y[j..k]) — replaces the sequential
+    pool-adjacent-violators scan with pure relational algebra: build
+    all (j,k) intervals of the collapsed per-type daily grid from
+    prefix sums, take the suffix-min over k per (type, j) with one
+    window, then the max over j per (type, i) with one aggregation.
+    Interval averages are integer-cents sums over one double divide
+    (deterministic IEEE), so both engines materialize bit-identical
+    fits; ROUND 4 at the edge. Cost is O(types x days^2) interval
+    rows — bounded by the calendar window squared, never by corpus
+    size (the fact stream collapses to the grid in ONE partial agg).
+    """
+    daily = _daily_type_cents(spark, sf_dir)
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    g = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.row_number().over(w_rn).alias("rn"),
+        (
+            F.sum("cents").over(
+                Window.partitionBy("event_type")
+                .orderBy("d")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("ps"),
+    )
+    j = g.select(
+        "event_type",
+        F.col("rn").alias("jj"),
+        (F.col("ps") - F.col("cents")).alias("ps_before"),
+    )
+    k = g.select(
+        "event_type", F.col("rn").alias("kk"), F.col("ps").alias("ps_k")
+    )
+    intervals = j.join(k, "event_type").filter(F.col("jj") <= F.col("kk"))
+    avg = (F.col("ps_k") - F.col("ps_before")).cast("double") / (
+        F.col("kk") - F.col("jj") + 1
+    ).cast("double")
+    w_suf = (
+        Window.partitionBy("event_type", "jj")
+        .orderBy(F.col("kk").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sufmin = intervals.select(
+        "event_type", "jj", "kk", F.min(avg.alias("a")).over(w_suf).alias("m")
+    )
+    fit = sufmin.groupBy("event_type", F.col("kk").alias("rn")).agg(
+        F.max("m").alias("fit_cents")
+    )
+    return (
+        g.join(fit, ["event_type", "rn"])
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (F.col("cents").cast("double") / 100).alias("rev"),
+            F.round(F.col("fit_cents") / 100, 4).alias("isotonic_fit"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+QUERIES["q_isotonic_calibration"] = q_isotonic_calibration
+
+ORACLES["q_isotonic_calibration"] = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    g AS (
+      SELECT event_type, d, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS ps
+      FROM daily
+    ),
+    intervals AS (
+      SELECT j.event_type, j.rn AS jj, k.rn AS kk,
+             CAST(k.ps - (j.ps - j.cents) AS DOUBLE)
+               / CAST(k.rn - j.rn + 1 AS DOUBLE) AS a
+      FROM g j JOIN g k
+        ON j.event_type = k.event_type AND j.rn <= k.rn
+    ),
+    sufmin AS (
+      SELECT event_type, jj, kk,
+             MIN(a) OVER (PARTITION BY event_type, jj ORDER BY kk DESC
+                          ROWS UNBOUNDED PRECEDING) AS m
+      FROM intervals
+    ),
+    fit AS (
+      SELECT event_type, kk AS rn, MAX(m) AS fit_cents
+      FROM sufmin GROUP BY 1, 2
+    )
+    SELECT g.event_type, STRFTIME(g.d, '%Y-%m-%d') AS day,
+           CAST(g.cents AS DOUBLE) / 100 AS rev,
+           ROUND(f.fit_cents / 100, 4) AS isotonic_fit
+    FROM g JOIN fit f ON g.event_type = f.event_type AND g.rn = f.rn
+    ORDER BY 1, 2
+"""

@@ -717,3 +717,127 @@ ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+
+AB_CONV_EVENT = "purchase"  # conversion event for the A/B proportion test
+AB_Z_CRIT = "1.959964"  # two-sided 95% critical value as an exact literal
+
+
+def q_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion, variant = user_id parity.
+
+    The experimentation readout every event warehouse serves: split
+    users into A/B by a deterministic parity assignment, compare
+    "conversion" rates with the pooled two-proportion z statistic.
+    Conversion = the user's purchase count exceeds the global integer
+    mean purchases-per-user — an interior proportion by construction,
+    so the pooled standard error cannot collapse to zero the way a
+    has-any-purchase definition does on a dense stream (every user
+    qualifies and se = 0). Sufficient statistics are four integers
+    (users and converters per arm) from one per-user collapse —
+    map-side combinable, O(1) output — and the z formula is a single
+    closed-form double expression (+ - * / sqrt are all correctly
+    rounded, hence cross-engine bit-stable), ROUND 4, guarded
+    against the still-degenerate se = 0 edge. The critical value is
+    a 6-dp literal, so the significance flag is a deterministic
+    double compare.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == AB_CONV_EVENT, 1).otherwise(0)
+        ).alias("n_purch")
+    )
+    # exact integer threshold: floor(total / users) via div, not /
+    flagged = per_user.withColumn(
+        "thresh",
+        F.expr(
+            "CAST(SUM(n_purch) OVER () AS BIGINT) div "
+            "CAST(COUNT(1) OVER () AS BIGINT)"
+        ),
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        F.when(F.col("n_purch") > F.col("thresh"), 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    arms = flagged.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    a = arms.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("k").alias("k_a")
+    )
+    b = arms.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("k").alias("k_b")
+    )
+    j = a.crossJoin(b)  # two 1-row frames
+    p_a = F.col("k_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("k_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("k_a") + F.col("k_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (1 - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("k_a").cast("bigint").alias("k_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("k_b").cast("bigint").alias("k_b"),
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > F.lit(float(AB_Z_CRIT))).alias("significant"),
+    )
+
+
+QUERIES["q_ab_proportion_ztest"] = q_ab_proportion_ztest
+
+ORACLES["q_ab_proportion_ztest"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = '{AB_CONV_EVENT}' THEN 1 ELSE 0 END)
+               AS n_purch
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             CASE WHEN n_purch >
+                    CAST(SUM(n_purch) OVER () AS BIGINT)
+                    // CAST(COUNT(1) OVER () AS BIGINT)
+                  THEN 1 ELSE 0 END AS conv
+      FROM per_user
+    ),
+    arms AS (
+      SELECT variant, COUNT(*) AS n, SUM(conv) AS k
+      FROM flagged GROUP BY 1
+    ),
+    j AS (
+      SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b
+      FROM (SELECT n, k FROM arms WHERE variant = 0) a
+      CROSS JOIN (SELECT n, k FROM arms WHERE variant = 1) b
+    ),
+    d AS (
+      SELECT n_a, k_a, n_b, k_b,
+             k_a::DOUBLE / n_a::DOUBLE AS p_a,
+             k_b::DOUBLE / n_b::DOUBLE AS p_b,
+             SQRT(((k_a + k_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                  * (1 - (k_a + k_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                  * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS se
+      FROM j
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(k_a AS BIGINT) AS k_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(k_b AS BIGINT) AS k_b,
+           ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+           ROUND(CASE WHEN se > 0 THEN (p_a - p_b) / se ELSE 0.0 END, 4)
+             AS z_stat,
+           ABS(CASE WHEN se > 0 THEN (p_a - p_b) / se ELSE 0.0 END)
+             > {AB_Z_CRIT} AS significant
+    FROM d
+"""

@@ -2546,3 +2546,108 @@ ORACLES["udtf_chunk_windows"] = f"""
     FROM exploded
     ORDER BY doc_id, win_idx
 """
+
+
+BIGRAM_LAMBDA = "0.75"  # interpolation weight as a literal (exact parse)
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal per document.
+
+    One step up from text_unigram_logprob toward the KenLM-style
+    perplexity filter (CCNet, Wenzek et al. 2020): P(w|prev) =
+    0.75 * c(prev,w)/c(prev,*) + 0.25 * (c(w)+1)/(N+V) — bigram MLE
+    backed off to the add-1 unigram. Mean -ln P over a doc's bigrams
+    flags garbage that unigram stats miss (shuffled word salad scores
+    high here, normal here).
+
+    Scale shape: bigram extraction is ONE lag window per doc (shuffle
+    keyed on doc_id, a single corpus pass); the bigram and context
+    tables join back SHUFFLE-keyed on their own keys — at 100 TB the
+    bigram vocabulary is far too large to broadcast, and nothing
+    here assumes it fits anywhere. Only the O(V) unigram table
+    broadcasts. Per-bigram surprisals are quantized to DECIMAL(18,8)
+    before the per-doc sum so accumulation order cannot perturb a
+    bit in either engine.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(norm_col())).alias("pos", "w")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        F.lag("w").over(w_doc).alias("w1"),
+        F.col("w").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bcnt.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    wv = Window.partitionBy()
+    uni = uni.select(
+        F.col("w").alias("w2"),
+        "cu",
+        F.sum("cu").over(wv).alias("n_tok"),
+        F.count(F.lit(1)).over(wv).alias("v_size"),
+    )
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(uni), "w2")
+    )
+    p = F.expr(
+        f"{BIGRAM_LAMBDA} * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))"
+        f" + (1 - {BIGRAM_LAMBDA})"
+        " * (CAST(cu + 1 AS DOUBLE) / CAST(n_tok + v_size AS DOUBLE))"
+    )
+    return (
+        scored.select("doc_id", (-F.log(p)).cast("decimal(18,8)").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+QUERIES["text_bigram_logprob"] = text_bigram_logprob
+
+ORACLES["text_bigram_logprob"] = f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, {_W} AS ws FROM documents)
+    ),
+    big AS (
+      SELECT doc_id,
+             LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             w AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM bcnt GROUP BY 1),
+    uni AS (
+      SELECT w AS w2, COUNT(*) AS cu,
+             SUM(COUNT(*)) OVER () AS n_tok,
+             COUNT(*) OVER () AS v_size
+      FROM toks GROUP BY w
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND((SUM((-ln({BIGRAM_LAMBDA}
+                           * (c12::DOUBLE / c1::DOUBLE)
+                           + (1 - {BIGRAM_LAMBDA})
+                           * ((cu + 1)::DOUBLE
+                              / (n_tok + v_size)::DOUBLE))
+                      )::DECIMAL(18,8)))::DOUBLE / COUNT(*), 4)
+             AS mean_surprisal
+    FROM big b
+    JOIN bcnt USING (w1, w2)
+    JOIN ctx USING (w1)
+    JOIN uni USING (w2)
+    GROUP BY b.doc_id
+"""

@@ -217,3 +217,59 @@ def test_er_clusters_union_find_replay(spark):
         for r in er_match_clusters(spark, SF).collect()
     }
     assert got == expect_multi
+
+
+def test_isotonic_fit_monotone_and_bracketed(spark):
+    from etl_city_directories_spark.operators.nonparam import (
+        q_isotonic_calibration,
+    )
+
+    rows = q_isotonic_calibration(spark, SF).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.day, r.rev, r.isotonic_fit))
+    for series in by_type.values():
+        series.sort()
+        fits = [f for _, _, f in series]
+        revs = [v for _, v, _ in series]
+        # nondecreasing fit, bracketed by the series range
+        assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+        assert min(revs) - 1e-6 <= fits[0] and fits[-1] <= max(revs) + 1e-6
+        # isotonic regression preserves the series mass (projection
+        # onto the monotone cone keeps the mean; PAV block property),
+        # up to the ROUND 4 edge
+        assert abs(sum(fits) - sum(revs)) <= 0.01 * len(fits) + 0.01
+
+
+def test_ab_ztest_counts_and_zero_guard(spark):
+    from etl_city_directories_spark.operators.stats import (
+        q_ab_proportion_ztest,
+    )
+    from etl_city_directories_spark.sources.tables import load_table
+
+    [r] = q_ab_proportion_ztest(spark, SF).collect()
+    users = {
+        u.user_id
+        for u in load_table(spark, SF, "events").select("user_id").distinct().collect()
+    }
+    assert r.n_a + r.n_b == len(users)
+    assert r.n_a == sum(1 for u in users if u % 2 == 0)
+    assert 0 <= r.k_a <= r.n_a and 0 <= r.k_b <= r.n_b
+    # interior by construction: the global-mean threshold splits users
+    assert 0 < r.k_a + r.k_b < r.n_a + r.n_b
+    assert math.isfinite(r.z_stat)
+
+
+def test_bigram_logprob_floor_and_counts(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_bigram_logprob,
+        text_token_count,
+    )
+
+    rows = {r.doc_id: r for r in text_bigram_logprob(spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        # -ln(p) with p <= 1: surprisal is nonnegative
+        assert r.mean_surprisal >= 0.0
+        assert r.n_bigrams >= 1
