@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_city_directories_spark.functions.graph import connected_components
 from etl_city_directories_spark.functions.memo import rolling_persist
 from etl_city_directories_spark.functions.numeric import dec2, ratio
 from etl_city_directories_spark.sources.tables import load_table
@@ -609,6 +610,39 @@ def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the basket co-occurrence graph.
+
+    The general-purpose WCC entry point the LSH cluster former
+    (dedup.py dedup_lsh_clusters) already uses internally, exposed
+    over a relational edge set: alternating large-star/small-star
+    contraction (Kiveris et al. 2014, functions/graph.py), converging
+    in O(log^2 n) rounds regardless of component diameter — each round
+    two groupBy-min shuffles on the edge list, never a per-node
+    adjacency gather. Component id = the minimum part key in the
+    component, so labels are engine-independent. The reference has no
+    corpus-level graph view at all (city-directories.js emits objects
+    row-at-a-time); this is the "which products form one co-purchase
+    family" rollup a directory-scale warehouse asks for.
+
+    Scale: the pair graph is orders of magnitude smaller than the
+    lineitem fact it derives from (a-priori pruned, _basket_graph),
+    and the star rounds touch only that edge list. At 100 TB the same
+    plan holds — WCC cost tracks edges, not facts.
+    """
+    edges, _, _, _ = _oriented_graph(spark, sf_dir)
+    comp = connected_components(edges, src="part_a", dst="part_b")
+    per_comp = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("node").alias("max_node"),
+    )
+    return per_comp.select(
+        F.col("component").cast("bigint").alias("component"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("max_node").cast("bigint").alias("max_node"),
+    ).orderBy("component")
+
+
 QUERIES = {
     "q_market_basket": q_market_basket,
     "q_regr_trend": q_regr_trend,
@@ -619,6 +653,7 @@ QUERIES = {
     "graph_jaccard_neighbors": graph_jaccard_neighbors,
     "q_skyline_pareto": q_skyline_pareto,
     "q_transitive_closure": q_transitive_closure,
+    "graph_wcc": graph_wcc,
 }
 
 ORACLES = {
@@ -853,6 +888,41 @@ ORACLES["q_skyline_pareto"] = """
                < CAST(p.p_retailprice AS DECIMAL(18,2))
              OR q.p_size > p.p_size)
     )
+"""
+
+ORACLES["graph_wcc"] = f"""
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),
+    edges AS (
+      SELECT part_a AS s, part_b AS d FROM pairs
+      UNION
+      SELECT part_b, part_a FROM pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    full_reach AS (
+      SELECT s, d FROM reach
+      UNION
+      SELECT DISTINCT s, s FROM edges
+    ),
+    comp AS (
+      SELECT s AS node, MIN(d) AS component FROM full_reach GROUP BY s
+    )
+    SELECT component::BIGINT AS component,
+           COUNT(*)::BIGINT AS n_nodes,
+           MAX(node)::BIGINT AS max_node
+    FROM comp GROUP BY 1 ORDER BY 1
 """
 
 ORACLES["q_transitive_closure"] = """

@@ -1651,3 +1651,152 @@ ORACLES["dedup_lsh_tuning"] = f"""
 ORACLES["dedup_lsh_tuning"] = ORACLES["dedup_lsh_tuning"].replace(
     "{MINHASH_ORACLE}", ORACLES["dedup_minhash_lsh"]
 )
+
+
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003 "Winnowing:
+# Local Algorithms for Document Fingerprinting"): k-gram size, window
+# width, and the 20-bit hash prefix width used for gram hashing.
+WINNOW_K = 8
+WINNOW_W = 4
+# combined key packs (hash, position) into one int64 so a single MIN
+# implements "smallest hash, rightmost position on ties" — the paper's
+# tie rule — identically in both engines: h * 2^40 + (2^40 - p).
+_WINNOW_POS_BASE = 1 << 40
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003).
+
+    The guarantee-carrying local fingerprinting scheme MOSS uses: hash
+    every k-gram of the alnum-normalized text, slide a w-gram window,
+    and keep each window's minimal hash (rightmost on ties). Any match
+    of length >= k+w-1 between two documents is then guaranteed to
+    share a fingerprint, at expected density 2/(w+1) — the property
+    per-doc minhash lacks (minhash sketches whole-doc similarity;
+    winnowing localizes shared substrings).
+
+    Spark-first shape: explode gram positions (map-side, O(chars)),
+    one window per doc ordered by position with a [current, w-1
+    following] frame doing the per-window MIN, distinct on the packed
+    (hash, pos) key, one groupBy per doc. The only shuffle key is
+    doc_id — at 100 TB this is one fact-shuffle pass, and the window
+    never leaves the doc partition. The (hash, rightmost-pos) tie rule
+    is packed into a single int64 (h * 2^40 + (2^40 - p)) so MIN picks
+    the paper's fingerprint without a struct comparator, bit-identical
+    in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("clean"),
+    )
+    grams = (
+        docs.filter(F.length("clean") >= WINNOW_K)
+        .select(
+            "doc_id",
+            (F.length("clean") - WINNOW_K + 1).alias("n_grams"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("clean") - WINNOW_K + 1)
+            ).alias("p"),
+            "clean",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "p",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr(f"substring(clean, p, {WINNOW_K})")), 1, 5
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * F.lit(_WINNOW_POS_BASE)
+                + (F.lit(_WINNOW_POS_BASE) - F.col("p"))
+            ).alias("combined"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    selected = (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            "p",
+            F.min("combined").over(w).alias("fp_key"),
+        )
+        .filter(F.col("p") <= F.col("n_grams") - WINNOW_W + 1)
+        .select("doc_id", "n_grams", "fp_key")
+        .distinct()
+    )
+    return (
+        selected.groupBy("doc_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            # integer div: fp_key spans 60 bits, a double divide would
+            # round past the 53-bit mantissa and corrupt the hash part
+            F.countDistinct(
+                F.expr(f"fp_key div {_WINNOW_POS_BASE}")
+            ).alias("n_hashes"),
+            F.min(F.expr(f"fp_key div {_WINNOW_POS_BASE}")).alias("min_hash"),
+            F.max(F.expr(f"fp_key div {_WINNOW_POS_BASE}")).alias("max_hash"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_fingerprints").cast("bigint").alias("n_fingerprints"),
+            F.col("n_hashes").cast("bigint").alias("n_hashes"),
+            "min_hash",
+            "max_hash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["text_winnowing"] = text_winnowing
+
+ORACLES["text_winnowing"] = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             len(clean) - {WINNOW_K} + 1 AS n_grams,
+             unnest(generate_series(1, len(clean) - {WINNOW_K} + 1)) AS p,
+             clean
+      FROM docs
+      WHERE len(clean) >= {WINNOW_K}
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, p,
+             CAST('0x' || substr(md5(substr(clean, p, {WINNOW_K})), 1, 5)
+                  AS BIGINT) * {_WINNOW_POS_BASE}
+               + ({_WINNOW_POS_BASE} - p) AS combined
+      FROM grams
+    ),
+    winmin AS (
+      SELECT doc_id, n_grams, p,
+             MIN(combined) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+             ) AS fp_key
+      FROM keyed
+    ),
+    selected AS (
+      SELECT DISTINCT doc_id, n_grams, fp_key
+      FROM winmin
+      WHERE p <= n_grams - {WINNOW_W} + 1
+    )
+    SELECT doc_id,
+           n_grams::BIGINT AS n_grams,
+           COUNT(*)::BIGINT AS n_fingerprints,
+           COUNT(DISTINCT fp_key // {_WINNOW_POS_BASE})::BIGINT AS n_hashes,
+           MIN(fp_key // {_WINNOW_POS_BASE})::BIGINT AS min_hash,
+           MAX(fp_key // {_WINNOW_POS_BASE})::BIGINT AS max_hash
+    FROM selected
+    GROUP BY doc_id, n_grams
+    ORDER BY doc_id
+"""

@@ -610,3 +610,120 @@ ORACLES["mm_frame_sample"] = f"""
                              AS INT)))::DOUBLE / 24, 4) AS frame_mean
     FROM frames
 """
+
+
+def mm_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup report across the three modality tables.
+
+    THE first pass of any 100 TB multimodal ingest: hash every payload
+    byte-for-byte (md5 over the binary column — content-addressed
+    storage semantics), group identical blobs, and report per modality
+    how many payloads collapse and how many bytes dedup saves. All
+    JVM-side expression eval on the binary column: hex+md5 per row map-
+    side, one groupBy on the 32-char digest (the shuffle carries digests
+    and byte counts, never payloads), one dimension-sized rollup.
+
+    The digest is md5(hex(payload)) rather than md5(payload) only
+    because DuckDB's md5() is VARCHAR-only — same discriminating power,
+    and the Spark path still reads and hashes the actual binary column.
+    Duplicates arise exactly when two docs share text AND header params
+    (doc_id mod pattern), so the group structure is a real corpus
+    property, not an artifact.
+    """
+    parts = []
+    for modality, tbl in (
+        ("audio", audio_table(spark, sf_dir)),
+        ("image", images_table(spark, sf_dir)),
+        ("video", videos_table(spark, sf_dir)),
+    ):
+        parts.append(
+            tbl.select(
+                F.lit(modality).alias("modality"),
+                F.md5(F.hex("payload")).alias("digest"),
+                F.length("payload").alias("n_bytes"),
+            )
+        )
+    keyed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    groups = keyed.groupBy("modality", "digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+    return (
+        groups.groupBy("modality")
+        .agg(
+            F.sum("n_copies").cast("bigint").alias("n_payloads"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_groups"),
+            F.sum(F.col("n_bytes") * F.col("n_copies"))
+            .cast("bigint")
+            .alias("bytes_total"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_dedup"),
+        )
+        .select(
+            "modality",
+            "n_payloads",
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "n_dup_groups",
+            "bytes_total",
+            "bytes_dedup",
+        )
+        .orderBy("modality")
+    )
+
+
+QUERIES["mm_dedup_bytes"] = mm_dedup_bytes
+
+# hex replay of the payload builders (_image_payload/_video_payload/
+# _audio_payload above): header words via printf('%08X'), pixel stream
+# = the 32-byte-period md5 stream repeated and cut, everything
+# uppercased because Spark's hex(binary) upcases. floor() before the
+# INT cast — DuckDB CAST(double AS INT) rounds where Spark truncates.
+_MM_PIXELS = (
+    "substr(repeat(md5(text) || md5(text || '#2'), "
+    "CAST(floor({nb} * 2 / 64.0 + 1) AS INT)), 1, {nb} * 2)"
+)
+_MM_HEX = {
+    "image": (
+        "'494D4731' || printf('%08X', doc_id % 8 + 8)"
+        " || printf('%08X', doc_id % 5 + 8) || '00000001' || "
+        + _MM_PIXELS.format(nb="((doc_id % 8 + 8) * (doc_id % 5 + 8))")
+    ),
+    "video": (
+        "'56494431' || printf('%08X', doc_id % 5 + 4) || '00000018' || "
+        + _MM_PIXELS.format(nb="((doc_id % 5 + 4) * 24)")
+    ),
+    "audio": (
+        "'41554431' || '00001F40' || printf('%08X', doc_id % 64 + 64) || "
+        + _MM_PIXELS.format(nb="(doc_id % 64 + 64)")
+    ),
+}
+_MM_SIZES = {
+    "image": "16 + (doc_id % 8 + 8) * (doc_id % 5 + 8)",
+    "video": "12 + (doc_id % 5 + 4) * 24",
+    "audio": "12 + (doc_id % 64 + 64)",
+}
+_MM_KEYED = "\n      UNION ALL\n".join(
+    f"      SELECT '{m}' AS modality, md5(upper({_MM_HEX[m]})) AS digest,"
+    f" ({_MM_SIZES[m]})::BIGINT AS n_bytes FROM documents"
+    for m in ("audio", "image", "video")
+)
+
+ORACLES["mm_dedup_bytes"] = f"""
+    WITH keyed AS (
+{_MM_KEYED}
+    ),
+    groups AS (
+      SELECT modality, digest, COUNT(*) AS n_copies, MIN(n_bytes) AS n_bytes
+      FROM keyed GROUP BY 1, 2
+    )
+    SELECT modality,
+           SUM(n_copies)::BIGINT AS n_payloads,
+           COUNT(*)::BIGINT AS n_distinct,
+           SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_groups,
+           SUM(n_bytes * n_copies)::BIGINT AS bytes_total,
+           SUM(n_bytes)::BIGINT AS bytes_dedup
+    FROM groups GROUP BY 1 ORDER BY 1
+"""

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_city_directories_spark.functions.numeric import dec2
 from etl_city_directories_spark.sources.tables import load_table
 
 # Benford expected first-digit frequencies, log10(1 + 1/d) to 6 dp.
@@ -840,4 +841,240 @@ ORACLES["q_ab_proportion_ztest"] = f"""
            ABS(CASE WHEN se > 0 THEN (p_a - p_b) / se ELSE 0.0 END)
              > {AB_Z_CRIT} AS significant
     FROM d
+"""
+
+
+# --- Welch's unequal-variance t-test -------------------------------
+# Two customer segments compared on order value. Both engines evaluate
+# the IDENTICAL SQL fragments below (Spark via selectExpr, DuckDB
+# verbatim), so the double math cannot diverge even in association
+# order: exact decimal sufficient statistics in, one shared closed
+# form out, single ROUND at the boundary.
+WELCH_SEG_A = "BUILDING"
+WELCH_SEG_B = "MACHINERY"
+
+_W_VA = (
+    "((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)"
+    " / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1))"
+)
+_W_VB = (
+    "((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)"
+    " / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1))"
+)
+_W_SE2 = f"({_W_VA} / CAST(n_a AS DOUBLE) + {_W_VB} / CAST(n_b AS DOUBLE))"
+_W_T = (
+    "((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    " - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    f" / sqrt({_W_SE2}))"
+)
+_W_DF = (
+    f"(({_W_SE2} * {_W_SE2}) / "
+    f"(({_W_VA} / CAST(n_a AS DOUBLE)) * ({_W_VA} / CAST(n_a AS DOUBLE))"
+    " / (CAST(n_a AS DOUBLE) - 1)"
+    f" + ({_W_VB} / CAST(n_b AS DOUBLE)) * ({_W_VB} / CAST(n_b AS DOUBLE))"
+    " / (CAST(n_b AS DOUBLE) - 1)))"
+)
+_WELCH_SELECT = [
+    "CAST(n_a AS BIGINT) AS n_a",
+    "CAST(n_b AS BIGINT) AS n_b",
+    "ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100, 4) AS mean_a",
+    "ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100, 4) AS mean_b",
+    f"ROUND(sqrt({_W_VA}) / 100, 4) AS sd_a",
+    f"ROUND(sqrt({_W_VB}) / 100, 4) AS sd_b",
+    f"ROUND({_W_T}, 6) AS t_stat",
+    f"ROUND({_W_DF}, 2) AS welch_df",
+    f"(abs({_W_T}) > 1.96) AS significant_5pct",
+]
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two customer segments.
+
+    The A/B companion to q_ab_proportion_ztest for CONTINUOUS metrics
+    (order value), the test a warehouse experimentation platform runs
+    thousands of times a day. Each segment's 100 TB of orders reduces
+    map-side to three exact numbers — n, sum(cents), sum(cents^2) in
+    DECIMAL(38,0), order-independent — then the Welch t statistic and
+    Satterthwaite degrees of freedom come from ONE closed-form double
+    expression shared verbatim with the oracle (selectExpr on the same
+    SQL strings), so no engine can associate the arithmetic
+    differently. One shuffle (the custkey join), one 2-row aggregate,
+    one output row.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        cust,
+        orders.o_custkey == cust.c_custkey,
+    ).filter(F.col("c_mktsegment").isin(WELCH_SEG_A, WELCH_SEG_B))
+    cents = (dec2("o_totalprice") * 100).cast("long").cast("decimal(18,0)")
+    is_a = F.col("c_mktsegment") == WELCH_SEG_A
+    suff = joined.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_a, cents).otherwise(F.lit(0).cast("decimal(18,0)")))
+        .cast("decimal(38,0)")
+        .alias("s_a"),
+        F.sum(F.when(is_a, cents * cents).otherwise(F.lit(0).cast("decimal(37,0)")))
+        .cast("decimal(38,0)")
+        .alias("ss_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~is_a, cents).otherwise(F.lit(0).cast("decimal(18,0)")))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+        F.sum(F.when(~is_a, cents * cents).otherwise(F.lit(0).cast("decimal(37,0)")))
+        .cast("decimal(38,0)")
+        .alias("ss_b"),
+    )
+    return suff.selectExpr(*_WELCH_SELECT)
+
+
+QUERIES["q_welch_ttest"] = q_welch_ttest
+
+ORACLES["q_welch_ttest"] = f"""
+    WITH suff AS (
+      SELECT
+        SUM(CASE WHEN c.c_mktsegment = '{WELCH_SEG_A}' THEN 1 ELSE 0 END)
+          AS n_a,
+        SUM(CASE WHEN c.c_mktsegment = '{WELCH_SEG_A}'
+            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            ELSE 0 END)::HUGEINT AS s_a,
+        SUM(CASE WHEN c.c_mktsegment = '{WELCH_SEG_A}'
+            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+            ELSE 0 END) AS ss_a,
+        SUM(CASE WHEN c.c_mktsegment = '{WELCH_SEG_B}' THEN 1 ELSE 0 END)
+          AS n_b,
+        SUM(CASE WHEN c.c_mktsegment = '{WELCH_SEG_B}'
+            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            ELSE 0 END)::HUGEINT AS s_b,
+        SUM(CASE WHEN c.c_mktsegment = '{WELCH_SEG_B}'
+            THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+            ELSE 0 END) AS ss_b
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('{WELCH_SEG_A}', '{WELCH_SEG_B}')
+    )
+    SELECT {", ".join(_WELCH_SELECT)} FROM suff
+"""
+
+
+# --- Two-feature OLS via exact normal equations --------------------
+# Cramer's rule on the 3x3 normal-equation system, every matrix entry
+# an exact decimal sufficient sum. The determinant expressions are
+# shared verbatim between engines (selectExpr / SQL), so association
+# order is pinned. y = order total (cents), x1 = order quantity
+# (centi-units), x2 = line-item count.
+def _d(col: str) -> str:
+    return f"CAST({col} AS DOUBLE)"
+
+
+_O_DET = (
+    f"({_d('n')} * ({_d('s11')} * {_d('s22')} - {_d('s12')} * {_d('s12')})"
+    f" - {_d('sx1')} * ({_d('sx1')} * {_d('s22')} - {_d('s12')} * {_d('sx2')})"
+    f" + {_d('sx2')} * ({_d('sx1')} * {_d('s12')} - {_d('s11')} * {_d('sx2')}))"
+)
+_O_DET0 = (
+    f"({_d('sy')} * ({_d('s11')} * {_d('s22')} - {_d('s12')} * {_d('s12')})"
+    f" - {_d('sx1')} * ({_d('s1y')} * {_d('s22')} - {_d('s12')} * {_d('s2y')})"
+    f" + {_d('sx2')} * ({_d('s1y')} * {_d('s12')} - {_d('s11')} * {_d('s2y')}))"
+)
+_O_DET1 = (
+    f"({_d('n')} * ({_d('s1y')} * {_d('s22')} - {_d('s12')} * {_d('s2y')})"
+    f" - {_d('sy')} * ({_d('sx1')} * {_d('s22')} - {_d('s12')} * {_d('sx2')})"
+    f" + {_d('sx2')} * ({_d('sx1')} * {_d('s2y')} - {_d('s1y')} * {_d('sx2')}))"
+)
+_O_DET2 = (
+    f"({_d('n')} * ({_d('s11')} * {_d('s2y')} - {_d('s1y')} * {_d('s12')})"
+    f" - {_d('sx1')} * ({_d('sx1')} * {_d('s2y')} - {_d('s1y')} * {_d('sx2')})"
+    f" + {_d('sy')} * ({_d('sx1')} * {_d('s12')} - {_d('s11')} * {_d('sx2')}))"
+)
+_O_B0 = f"({_O_DET0} / {_O_DET})"
+_O_B1 = f"({_O_DET1} / {_O_DET})"
+_O_B2 = f"({_O_DET2} / {_O_DET})"
+_O_SST = f"({_d('syy')} - {_d('sy')} * {_d('sy')} / {_d('n')})"
+_O_SSR = (
+    f"({_O_B0} * {_d('sy')} + {_O_B1} * {_d('s1y')} + {_O_B2} * {_d('s2y')}"
+    f" - {_d('sy')} * {_d('sy')} / {_d('n')})"
+)
+_OLS_SELECT = [
+    "CAST(n AS BIGINT) AS n_orders",
+    f"ROUND({_O_B0} / 100, 6) AS intercept_dollars",
+    f"ROUND({_O_B1}, 6) AS beta_qty",
+    f"ROUND({_O_B2} / 100, 6) AS beta_items_dollars",
+    f"ROUND({_O_SSR} / {_O_SST}, 6) AS r_squared",
+]
+
+
+def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (2 features + intercept), exactly.
+
+    Extends q_regr_trend's sufficient-statistics pattern from simple to
+    MULTIPLE regression: predict order total from order quantity and
+    line-item count. The fact table reduces map-side to ten exact
+    decimal sums (n, Sx1, Sx2, Sy, Sx1x1, Sx2x2, Sx1x2, Sx1y, Sx2y,
+    Syy) — the whole 3x3 normal-equation system — then Cramer's rule
+    runs in doubles through expression strings SHARED with the oracle,
+    so both engines execute the same tree. Where Spark's builtin
+    regr_* aggregates are non-deterministic under partial-aggregation
+    order, this is bit-stable at any partitioning: the only
+    order-sensitive step (the decimal sums) is order-independent by
+    construction. One lineitem shuffle (per-order rollup), one
+    orderkey join, one scalar aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum((dec2("l_quantity") * 100).cast("long")).alias("x1"),
+        F.count(F.lit(1)).alias("x2"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), (dec2("o_totalprice") * 100).cast("long").alias("y")
+    )
+    xy = per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+
+    def _s(expr, alias):
+        return F.sum(expr.cast("decimal(38,0)")).cast("decimal(38,0)").alias(alias)
+
+    d18 = lambda c: F.col(c).cast("decimal(18,0)")  # noqa: E731
+    suff = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        _s(d18("x1"), "sx1"),
+        _s(d18("x2"), "sx2"),
+        _s(d18("y"), "sy"),
+        _s(d18("x1") * d18("x1"), "s11"),
+        _s(d18("x2") * d18("x2"), "s22"),
+        _s(d18("x1") * d18("x2"), "s12"),
+        _s(d18("x1") * d18("y"), "s1y"),
+        _s(d18("x2") * d18("y"), "s2y"),
+        _s(d18("y") * d18("y"), "syy"),
+    )
+    return suff.selectExpr(*_OLS_SELECT)
+
+
+QUERIES["q_ols_two_feature"] = q_ols_two_feature
+
+ORACLES["q_ols_two_feature"] = f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS x1,
+             COUNT(*) AS x2
+      FROM lineitem GROUP BY 1
+    ),
+    xy AS (
+      SELECT p.x1::HUGEINT AS x1, p.x2::HUGEINT AS x2,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    ),
+    suff AS (
+      SELECT COUNT(*) AS n,
+             SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+             SUM(x1 * x2) AS s12, SUM(x1 * y) AS s1y,
+             SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+      FROM xy
+    )
+    SELECT {", ".join(_OLS_SELECT)} FROM suff
 """

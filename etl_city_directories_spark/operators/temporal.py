@@ -683,3 +683,111 @@ ORACLES["q_pit_join"] = """
      AND (h.valid_to_us IS NULL OR c.click_ts_us < h.valid_to_us)
     ORDER BY c.event_id
 """
+
+
+# Each event opens a fixed activity lease; overlapping leases coalesce.
+COALESCE_LEASE_US = 900_000_000  # 15 minutes
+
+
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals into islands.
+
+    The interval-union primitive (packing PostGIS ranges / Snowflake
+    MATCH_RECOGNIZE-style island detection into windows): every event
+    opens a [ts, ts+15 min) lease, and leases that overlap an earlier
+    one in the same user's timeline fuse. Classic gaps-and-islands on
+    intervals: a running MAX of interval end over preceding rows marks
+    island heads (start > max end so far), a running SUM of head flags
+    numbers islands, one groupBy collapses them. All integer epoch
+    micros — parquet ts encoding can't perturb the hash.
+
+    One shuffle on user_id; both windows and the final groupBy reuse
+    that partitioning (Catalyst plans a single Exchange), so at 100 TB
+    cost is one fact shuffle — the floor for any per-user timeline op.
+    The reference computes validSince/validUntil intervals per entry
+    (city-directories.js:416-417); this is the corpus-level rollup of
+    exactly such validity leases.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(COALESCE_LEASE_US)).alias("e_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_end = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        "event_id",
+        F.when(prev_end.isNull() | (F.col("s_us") > prev_end), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_head"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum("is_head")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        numbered.groupBy("user_id", "island")
+        .agg(
+            F.min("s_us").alias("island_start_us"),
+            F.max("e_us").alias("island_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("island").cast("bigint").alias("island"),
+            "island_start_us",
+            "island_end_us",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+QUERIES["q_interval_coalesce"] = q_interval_coalesce
+
+ORACLES["q_interval_coalesce"] = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {COALESCE_LEASE_US} AS e_us, event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s_us > MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS is_head,
+             event_id
+      FROM ev
+    ),
+    numbered AS (
+      SELECT user_id, s_us, e_us,
+             SUM(is_head) OVER (
+               PARTITION BY user_id ORDER BY s_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM marked
+    )
+    SELECT user_id, island::BIGINT AS island,
+           MIN(s_us)::BIGINT AS island_start_us,
+           MAX(e_us)::BIGINT AS island_end_us,
+           COUNT(*)::BIGINT AS n_events
+    FROM numbered
+    GROUP BY user_id, island
+    ORDER BY user_id, island
+"""

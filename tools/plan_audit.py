@@ -87,6 +87,16 @@ BNLJ_OK = {
     # per-iteration crossJoin(broadcast(1-row n2 scalar)) — the
     # scalar-subquery idiom for the normalization constant
     "emb_pca_power",
+    # crossJoin of two 1-row conditional-aggregate frames (variant A
+    # totals x variant B totals) — the scalar-subquery idiom
+    "q_ab_proportion_ztest",
+    # date-spine densification: users.crossJoin(broadcast(spine)) —
+    # the spine is O(days), the canonical gap-fill expansion shape
+    "q_gapfill_locf",
+    "q_gapfill_interp",
+    # ECDF lattice: event types crossJoin broadcast O(buckets) grid +
+    # 1-row per-group totals — both sides dimension-sized
+    "q_ks_twosample",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
