@@ -1078,3 +1078,135 @@ ORACLES["q_ols_two_feature"] = f"""
     )
     SELECT {", ".join(_OLS_SELECT)} FROM suff
 """
+
+
+def _dyadic_band(cur: DataFrame, hist: DataFrame, val: str) -> DataFrame:
+    """Shared banded self-join: trailing EWMA_WINDOW dyadic-weighted
+    sums of ``val`` (a decimal column on hist) per (event_type, day).
+    Returns (event_type, day_d, rn_cur, n_obs, num decimal, den bigint).
+    """
+    lag = F.col("rn_cur") - F.col("rn_h")
+    joined = cur.join(hist, "event_type").filter((lag >= 0) & (lag < EWMA_WINDOW))
+    weight = F.expr(
+        f"shiftleft(1L, {EWMA_WINDOW - 1} - int(rn_cur - rn_h))"
+    ).cast("bigint")
+    return joined.groupBy("event_type", "day_d", "rn_cur").agg(
+        F.sum(F.col(val).cast("decimal(38,6)") * weight.cast("decimal(38,0)"))
+        .alias("num"),
+        F.sum(weight).alias("den"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def q_double_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (level + trend forecast).
+
+    The classic trend-aware forecaster (Brown 1959; the fixed-alpha
+    sibling of Holt's method): S1 = EWMA(y), S2 = EWMA(S1), level =
+    2·S1 − S2, trend = S1 − S2 (alpha = 1/2 makes the alpha/(1−alpha)
+    factor exactly 1), forecast(+1) = level + trend. Runs the SAME
+    dyadic-weight banded self-join as q_ewma_dyadic twice — first over
+    daily cents, then over the S1 series quantized to DECIMAL(18,6)
+    (the one double divide per stage is deterministic; quantizing
+    before the second weighted sum keeps that sum order-independent).
+    Both passes are O(grid × 16) on the collapsed (type, day) grid —
+    the fact table is read once, at any corpus size.
+    """
+    daily = _daily_type_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    g = daily.select(
+        "event_type", "d", "cents", F.row_number().over(w).alias("rn")
+    )
+    cur = g.select(
+        "event_type", F.col("d").alias("day_d"), F.col("rn").alias("rn_cur")
+    )
+    hist1 = g.select(
+        "event_type",
+        F.col("cents").cast("decimal(38,6)").alias("v"),
+        F.col("rn").alias("rn_h"),
+    )
+    s1 = _dyadic_band(cur, hist1, "v").select(
+        "event_type",
+        "day_d",
+        "rn_cur",
+        "n_obs",
+        (F.col("num").cast("double") / F.col("den").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("s1"),
+    )
+    hist2 = s1.select(
+        "event_type", F.col("s1").alias("v"), F.col("rn_cur").alias("rn_h")
+    )
+    s2 = _dyadic_band(
+        s1.select("event_type", "day_d", "rn_cur"), hist2, "v"
+    ).select(
+        "event_type",
+        "day_d",
+        (F.col("num").cast("double") / F.col("den").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("s2"),
+    )
+    out = s1.join(s2, ["event_type", "day_d"])
+    lvl = 2 * F.col("s1").cast("double") - F.col("s2").cast("double")
+    trd = F.col("s1").cast("double") - F.col("s2").cast("double")
+    return out.select(
+        "event_type",
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(F.col("s1").cast("double") / 100, 4).alias("s1"),
+        F.round(F.col("s2").cast("double") / 100, 4).alias("s2"),
+        F.round(lvl / 100, 4).alias("level"),
+        F.round(trd / 100, 4).alias("trend_per_day"),
+        F.round((lvl + trd) / 100, 4).alias("forecast_next"),
+    ).orderBy("event_type", "day")
+
+
+QUERIES["q_double_ewma_trend"] = q_double_ewma_trend
+
+ORACLES["q_double_ewma_trend"] = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, d, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ),
+    s1 AS (
+      SELECT c.event_type, c.d AS day_d, c.rn AS rn_cur,
+             COUNT(*) AS n_obs,
+             CAST(SUM(h.cents::DECIMAL(38,6)
+                      * (1::BIGINT << ({EWMA_WINDOW - 1}
+                                       - (c.rn - h.rn)))::DECIMAL(38,0))::DOUBLE
+                  / SUM(1::BIGINT << ({EWMA_WINDOW - 1} - (c.rn - h.rn)))::DOUBLE
+                  AS DECIMAL(18,6)) AS s1
+      FROM g c JOIN g h ON h.event_type = c.event_type
+                       AND c.rn - h.rn >= 0 AND c.rn - h.rn < {EWMA_WINDOW}
+      GROUP BY 1, 2, 3
+    ),
+    s2 AS (
+      SELECT c.event_type, c.day_d,
+             CAST(SUM(h.s1::DECIMAL(38,6)
+                      * (1::BIGINT << ({EWMA_WINDOW - 1}
+                                       - (c.rn_cur - h.rn_cur)))::DECIMAL(38,0))::DOUBLE
+                  / SUM(1::BIGINT << ({EWMA_WINDOW - 1} - (c.rn_cur - h.rn_cur)))::DOUBLE
+                  AS DECIMAL(18,6)) AS s2
+      FROM s1 c JOIN s1 h ON h.event_type = c.event_type
+                         AND c.rn_cur - h.rn_cur >= 0
+                         AND c.rn_cur - h.rn_cur < {EWMA_WINDOW}
+      GROUP BY 1, 2
+    )
+    SELECT s1.event_type,
+           strftime(s1.day_d, '%Y-%m-%d') AS day,
+           s1.n_obs::BIGINT AS n_obs,
+           ROUND(s1.s1::DOUBLE / 100, 4) AS s1,
+           ROUND(s2.s2::DOUBLE / 100, 4) AS s2,
+           ROUND((2 * s1.s1::DOUBLE - s2.s2::DOUBLE) / 100, 4) AS level,
+           ROUND((s1.s1::DOUBLE - s2.s2::DOUBLE) / 100, 4) AS trend_per_day,
+           ROUND((2 * s1.s1::DOUBLE - s2.s2::DOUBLE
+                  + s1.s1::DOUBLE - s2.s2::DOUBLE) / 100, 4) AS forecast_next
+    FROM s1 JOIN s2 ON s2.event_type = s1.event_type AND s2.day_d = s1.day_d
+    ORDER BY s1.event_type, day
+"""

@@ -791,3 +791,96 @@ ORACLES["q_interval_coalesce"] = f"""
     GROUP BY user_id, island
     ORDER BY user_id, island
 """
+
+
+# Band half-width for the bucketed band join (microseconds).
+BAND_US = 120_000_000  # +/- 2 minutes
+
+
+def q_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join (|ts_a − ts_b| ≤ 2 min) via bucketed candidate join.
+
+    The canonical scalable plan for a pure temporal-proximity theta
+    join (cross-user co-occurrence: fraud rings, coordinated bursts).
+    A naive theta join is O(|L|·|R|); bucketing time into band-width
+    buckets makes it an EQUI join: each left row probes its own and
+    both adjacent buckets (3× map-side fan-out), each right row sits
+    in exactly one bucket — so every qualifying pair matches exactly
+    once, no post-dedup — and the |Δts| ≤ band filter runs after the
+    hash join. Shuffle key = (event_type, bucket): cost tracks pairs
+    per band-width window, never |L|·|R|. DuckDB's oracle runs the
+    naive BETWEEN join (its IEJoin), proving identical semantics.
+
+    Output is the per-type pair rollup (count, closest/widest gap,
+    mean |Δ| in seconds) — pair rows themselves would be the operator
+    on a cluster; the audit summary is the query a user runs first.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    left = ev.select(
+        "event_type",
+        F.col("user_id").alias("user_a"),
+        F.col("event_id").alias("id_a"),
+        F.col("t_us").alias("t_a"),
+        F.explode(
+            F.array(
+                (F.col("t_us") / BAND_US).cast("long") - 1,
+                (F.col("t_us") / BAND_US).cast("long"),
+                (F.col("t_us") / BAND_US).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = ev.select(
+        "event_type",
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("t_us").alias("t_b"),
+        (F.col("t_us") / BAND_US).cast("long").alias("bucket"),
+    )
+    pairs = left.join(right, ["event_type", "bucket"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("user_a") != F.col("user_b"))
+        & (F.abs(F.col("t_a") - F.col("t_b")) <= BAND_US)
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("t_a") - F.col("t_b"))).alias("min_gap_us"),
+            F.max(F.abs(F.col("t_a") - F.col("t_b"))).alias("max_gap_us"),
+            F.round(
+                F.sum(F.abs(F.col("t_a") - F.col("t_b"))).cast("double")
+                / (F.count(F.lit(1)).cast("double") * 1_000_000),
+                4,
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q_band_join_bucketed"] = q_band_join_bucketed
+
+ORACLES["q_band_join_bucketed"] = f"""
+    WITH ev AS (
+      SELECT event_type, user_id, event_id, epoch_us(ts) AS t_us FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type, abs(a.t_us - b.t_us) AS gap
+      FROM ev a JOIN ev b
+        ON b.event_type = a.event_type
+       AND b.t_us BETWEEN a.t_us - {BAND_US} AND a.t_us + {BAND_US}
+       AND a.event_id < b.event_id
+       AND a.user_id <> b.user_id
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_pairs,
+           MIN(gap)::BIGINT AS min_gap_us,
+           MAX(gap)::BIGINT AS max_gap_us,
+           ROUND(SUM(gap)::DOUBLE / (COUNT(*)::DOUBLE * 1000000), 4)
+             AS mean_gap_s
+    FROM pairs GROUP BY 1 ORDER BY 1
+"""

@@ -2651,3 +2651,223 @@ ORACLES["text_bigram_logprob"] = f"""
     JOIN uni USING (w2)
     GROUP BY b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# r05 batch 3: BPE vocab coverage, Kneser-Ney bigram LM, lang-ID audit
+# ---------------------------------------------------------------------------
+
+def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility distribution after the trained BPE merges.
+
+    THE go/no-go readout for a tokenizer at corpus scale: how many
+    symbols does each word cost after BPE_MERGE_ROUNDS merges? Groups
+    the trained vocab (shared _bpe_train memo — training is paid once
+    per session, also serving bpe_train_merges/bpe_encode) by
+    symbols-per-word and weights by corpus token frequency: one row
+    per fertility level with word-type count, token mass, and token
+    share. Fully-merged share (n_symbols=1+the _ end marker) is what
+    the vocab "covers"; a fat tail of high-fertility words is wasted
+    sequence length at training time. O(vocab) work after the shared
+    training pass — the corpus is never re-read.
+    """
+    _, final_words = _bpe_train(spark, sf_dir)
+    sized = final_words.select(
+        "freq", F.size(_bpe_sym(F.col("repr"))).alias("n_symbols")
+    )
+    per_level = sized.groupBy("n_symbols").agg(
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+    )
+    wv = Window.partitionBy()
+    return (
+        per_level.select(
+            F.col("n_symbols").cast("bigint").alias("n_symbols"),
+            "n_word_types",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(wv).cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+        .orderBy("n_symbols")
+    )
+
+
+QUERIES["bpe_vocab_coverage"] = bpe_vocab_coverage
+
+ORACLES["bpe_vocab_coverage"] = (
+    "WITH "
+    + _bpe_cte(BPE_MERGE_ROUNDS)
+    + f""",
+    sized AS (
+      SELECT freq,
+             len(string_split(substring(repr, 2, length(repr)-2),
+                              chr(2)||chr(1))) AS n_symbols
+      FROM w{BPE_MERGE_ROUNDS}
+    ),
+    per_level AS (
+      SELECT n_symbols, COUNT(*)::BIGINT AS n_word_types,
+             SUM(freq)::BIGINT AS n_tokens
+      FROM sized GROUP BY 1
+    )
+    SELECT n_symbols::BIGINT AS n_symbols, n_word_types, n_tokens,
+           ROUND(n_tokens::DOUBLE / SUM(n_tokens) OVER ()::DOUBLE, 6)
+             AS token_share
+    FROM per_level ORDER BY n_symbols
+"""
+)
+
+
+# Kneser-Ney absolute discount: 0.75 = 3/4 is exact in binary, so the
+# discounted probability is rational until the final ln().
+KN_DISCOUNT = 0.75
+
+
+def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram surprisal per document.
+
+    The canonical LM smoothing (Kneser & Ney 1995; Chen & Goodman
+    1999's benchmark winner), one step past text_bigram_logprob's
+    simple interpolation: P(w2|w1) = max(c12 - d, 0)/c1 +
+    d·N1+(w1,·)/c1 · P_cont(w2), where the continuation probability
+    P_cont(w2) = N1+(·,w2)/|bigram types| ranks words by how many
+    DISTINCT contexts they follow — the "San Francisco" fix (frequent
+    but context-locked words stop leaking probability). d = 0.75 is
+    exact in binary, so everything is rational until one final ln per
+    bigram, quantized to DECIMAL(18,8) before the per-doc sum.
+
+    Scale shape mirrors text_bigram_logprob: one lag window keyed on
+    doc_id, count tables shuffle on their own keys (never broadcast —
+    the bigram vocabulary outgrows any executor at 100 TB), and the
+    two KN-specific tables (distinct continuations per context,
+    distinct predecessors per word) are one groupBy each over the
+    ALREADY-AGGREGATED bigram table, O(bigram types) not O(corpus).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(norm_col())).alias("pos", "w")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id",
+        F.lag("w").over(w_doc).alias("w1"),
+        F.col("w").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bcnt.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_after")
+    )
+    wv = Window.partitionBy()
+    cont = bcnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n_before"))
+    cont = cont.select("w2", "n_before", F.sum("n_before").over(wv).alias("b_types"))
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+    )
+    p = F.expr(
+        f"greatest(CAST(c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0) / CAST(c1 AS DOUBLE)"
+        f" + ({KN_DISCOUNT} * CAST(n_after AS DOUBLE) / CAST(c1 AS DOUBLE))"
+        " * (CAST(n_before AS DOUBLE) / CAST(b_types AS DOUBLE))"
+    )
+    return (
+        scored.select("doc_id", (-F.log(p)).cast("decimal(18,8)").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_kn_surprisal"),
+        )
+    )
+
+
+QUERIES["text_kneser_ney_logprob"] = text_kneser_ney_logprob
+
+ORACLES["text_kneser_ney_logprob"] = f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, {_W} AS ws FROM documents)
+    ),
+    big AS (
+      SELECT doc_id,
+             LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             w AS w2
+      FROM toks
+      QUALIFY w1 IS NOT NULL
+    ),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS n_after FROM bcnt GROUP BY 1
+    ),
+    cont AS (
+      SELECT w2, COUNT(*) AS n_before,
+             SUM(COUNT(*)) OVER () AS b_types
+      FROM bcnt GROUP BY w2
+    )
+    SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(SUM(CAST(-ln(
+             greatest(CAST(c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+               / CAST(c1 AS DOUBLE)
+             + ({KN_DISCOUNT} * CAST(n_after AS DOUBLE) / CAST(c1 AS DOUBLE))
+               * (CAST(n_before AS DOUBLE) / CAST(b_types AS DOUBLE))
+           ) AS DECIMAL(18,8)))::DOUBLE / COUNT(*)::DOUBLE, 4)
+             AS mean_kn_surprisal
+    FROM big b
+    JOIN bcnt USING (w1, w2)
+    JOIN ctx USING (w1)
+    JOIN cont USING (w2)
+    GROUP BY b.doc_id
+"""
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID audit: confusion matrix of predicted vs labeled lang.
+
+    The eval-side companion of text_lang_id — every model-derived
+    label in a corpus pipeline needs exactly this rollup before anyone
+    trusts a lang filter. Reuses the classifier expression (same
+    stopword-hit argmax, same tie order) and collapses the per-doc
+    verdicts into (actual, predicted) cells with per-actual row share.
+    O(langs²) output from one corpus pass; the rollup rides the same
+    map-side partial aggregation as any low-cardinality groupBy.
+    """
+    verdicts = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = verdicts.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wr = Window.partitionBy("lang")
+    return (
+        cells.select(
+            F.col("lang").alias("actual_lang"),
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(wr).cast("double"),
+                6,
+            ).alias("row_share"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .orderBy("actual_lang", "pred_lang")
+    )
+
+
+QUERIES["text_langid_confusion"] = text_langid_confusion
+
+
+ORACLES["text_langid_confusion"] = f"""
+    WITH verdicts AS ({ORACLES['text_lang_id']}),
+    cells AS (
+      SELECT lang AS actual_lang, pred_lang, COUNT(*)::BIGINT AS n_docs
+      FROM verdicts GROUP BY 1, 2
+    )
+    SELECT actual_lang, pred_lang, n_docs,
+           ROUND(n_docs::DOUBLE / SUM(n_docs)
+                 OVER (PARTITION BY actual_lang)::DOUBLE, 6) AS row_share,
+           actual_lang = pred_lang AS is_correct
+    FROM cells ORDER BY actual_lang, pred_lang
+"""

@@ -227,3 +227,153 @@ def test_mm_dedup_bytes_accounting(spark):
         assert r.bytes_dedup <= r.bytes_total
         # dup groups exist iff dedup saves bytes
         assert (r.n_dup_groups > 0) == (r.n_distinct < r.n_payloads)
+
+
+# --- batch 3: BPE coverage, KN LM, langid audit, Brown smoothing, band join
+
+
+def test_bpe_vocab_coverage_mass_conservation(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        _BPE_RE,
+        bpe_vocab_coverage,
+    )
+
+    rows = bpe_vocab_coverage(spark, SF).collect()
+    total_share = sum(r.token_share for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    n_tokens = sum(r.n_tokens for r in rows)
+    corpus_tokens = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.trim(F.regexp_replace(F.lower("text"), " +", " ")),
+                    F.lit(_BPE_RE),
+                    0,
+                )
+            ).alias("w")
+        )
+        .count()
+    )
+    assert n_tokens == corpus_tokens
+    # every word carries the end-of-word marker symbol, so >= 2 unless
+    # fully merged INTO the marker (impossible in 8 rounds for len>1)
+    assert min(r.n_symbols for r in rows) >= 1
+
+
+def test_kneser_ney_probabilities_sum_to_one(spark):
+    """KN's defining invariant: for any context w1, P(.|w1) sums to 1
+    over the vocabulary — verified by local replay on the collected
+    bigram tables for the highest-frequency context."""
+    from etl_city_directories_spark.operators.dedup import norm_col
+    from etl_city_directories_spark.operators.textstats import (
+        KN_DISCOUNT,
+        _words,
+        text_kneser_ney_logprob,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.posexplode(_words(norm_col())).alias("pos", "w")
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in toks:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.w))
+    from collections import Counter
+
+    big = Counter()
+    for _doc, seq in by_doc.items():
+        seq.sort()
+        for (p1, w1), (p2, w2) in zip(seq, seq[1:]):
+            big[(w1, w2)] += 1
+    ctx = Counter()
+    n_after = Counter()
+    n_before = Counter()
+    for (w1, w2), c in big.items():
+        ctx[w1] += c
+        n_after[w1] += 1
+        n_before[w2] += 1
+    b_types = len(big)
+    w1 = ctx.most_common(1)[0][0]
+    total = 0.0
+    for w2 in n_before:  # all words with continuation mass
+        c12 = big.get((w1, w2), 0)
+        p = max(c12 - KN_DISCOUNT, 0.0) / ctx[w1] + (
+            KN_DISCOUNT * n_after[w1] / ctx[w1]
+        ) * (n_before[w2] / b_types)
+        total += p
+    assert abs(total - 1.0) < 1e-9
+
+    rows = text_kneser_ney_logprob(spark, SF_TINY).collect()
+    assert all(r.mean_kn_surprisal >= 0 for r in rows)
+    assert {r.doc_id for r in rows} <= set(by_doc)
+
+
+def test_langid_confusion_marginals(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_langid_confusion,
+    )
+
+    rows = text_langid_confusion(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    by_actual: dict[str, float] = {}
+    for r in rows:
+        by_actual[r.actual_lang] = by_actual.get(r.actual_lang, 0.0) + r.row_share
+        assert r.is_correct == (r.actual_lang == r.pred_lang)
+    for share in by_actual.values():
+        assert abs(share - 1.0) < 1e-3
+
+
+def test_double_ewma_first_day_degenerates(spark):
+    """With one observation, S1 = S2 = the observation, so trend = 0
+    and forecast = level = s1."""
+    from etl_city_directories_spark.operators.stats import q_double_ewma_trend
+
+    rows = q_double_ewma_trend(spark, SF_TINY).collect()
+    first = {}
+    for r in rows:
+        if r.event_type not in first or r.day < first[r.event_type].day:
+            first[r.event_type] = r
+    for r in first.values():
+        assert r.n_obs == 1
+        assert abs(r.s1 - r.s2) < 1e-9
+        assert abs(r.trend_per_day) < 1e-9
+        assert abs(r.forecast_next - r.level) < 1e-9
+        assert abs(r.level - r.s1) < 1e-9
+
+
+def test_band_join_matches_bruteforce(spark):
+    from etl_city_directories_spark.operators.temporal import (
+        BAND_US,
+        q_band_join_bucketed,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF_TINY}/events.parquet")
+        .select("event_type", "user_id", "event_id", "ts")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r.event_type].append(r)
+    expect = {}
+    for t, rows_t in by_type.items():
+        gaps = []
+        rows_t.sort(key=lambda r: r.ts)
+        for i, a in enumerate(rows_t):
+            for b in rows_t[i + 1 :]:
+                d_us = int((b.ts - a.ts).total_seconds() * 1_000_000)
+                if d_us > BAND_US:
+                    break
+                if a.user_id != b.user_id and a.event_id != b.event_id:
+                    gaps.append(abs(d_us))
+        if gaps:
+            expect[t] = (len(gaps), min(gaps), max(gaps))
+    got = {
+        r.event_type: (r.n_pairs, r.min_gap_us, r.max_gap_us)
+        for r in q_band_join_bucketed(spark, SF_TINY).collect()
+    }
+    assert got == expect
