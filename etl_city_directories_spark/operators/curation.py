@@ -222,3 +222,98 @@ ORACLES = {
         ORDER BY source, split
     """,
 }
+
+
+# Total sample budget for the Neyman allocation readout.
+NEYMAN_BUDGET = 1000
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over (lang, source).
+
+    The variance-minimizing way to spend a labeling/eval budget
+    (Neyman 1934): stratum h gets n_h ∝ N_h·σ_h — big AND
+    internally-diverse strata get the samples; a huge but homogeneous
+    stratum gets few. Strata stats reduce map-side to exact integer
+    (N, Σchars, Σchars²); σ_h is one deterministic sqrt over
+    exact-int-derived doubles; the allocation share and rounded n_h
+    are single double ops mirrored verbatim in the oracle. O(strata)
+    everything after the one corpus pass — the planner every serious
+    eval-set builder runs before sampling 100 TB.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    suff = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            (F.col("n_chars").cast("decimal(18,0)") * F.col("n_chars").cast("decimal(18,0)")).cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    # singleton strata have no within-stratum variance: weight 0
+    sd = F.when(
+        F.col("n_docs") > 1,
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n_docs").cast("double")
+            )
+            / (F.col("n_docs").cast("double") - 1)
+        ),
+    ).otherwise(F.lit(0.0))
+    weighted = suff.select(
+        "lang",
+        "source",
+        "n_docs",
+        sd.alias("sd_chars"),
+        (F.col("n_docs").cast("double") * sd).alias("w"),
+    )
+    wv = Window.partitionBy()
+    return (
+        weighted.select(
+            "lang",
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.round("sd_chars", 4).alias("sd_chars"),
+            F.round(
+                F.col("w") / F.sum("w").over(wv), 6
+            ).alias("alloc_share"),
+            F.floor(
+                F.lit(NEYMAN_BUDGET) * F.col("w") / F.sum("w").over(wv)
+            )
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+QUERIES["sample_neyman_allocation"] = sample_neyman_allocation
+
+ORACLES["sample_neyman_allocation"] = f"""
+    WITH suff AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             SUM(n_chars::HUGEINT) AS s,
+             SUM(n_chars::HUGEINT * n_chars::HUGEINT) AS ss
+      FROM documents GROUP BY 1, 2
+    ),
+    weighted AS (
+      SELECT lang, source, n_docs,
+             CASE WHEN n_docs > 1 THEN
+               sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_docs::DOUBLE)
+                    / (n_docs::DOUBLE - 1))
+             ELSE 0.0 END AS sd_chars,
+             n_docs::DOUBLE
+               * CASE WHEN n_docs > 1 THEN
+                   sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_docs::DOUBLE)
+                        / (n_docs::DOUBLE - 1))
+                 ELSE 0.0 END AS w
+      FROM suff
+    )
+    SELECT lang, source, n_docs::BIGINT AS n_docs,
+           ROUND(sd_chars, 4) AS sd_chars,
+           ROUND(w / SUM(w) OVER (), 6) AS alloc_share,
+           CAST(FLOOR({NEYMAN_BUDGET} * w / SUM(w) OVER ()) AS BIGINT)
+             AS n_alloc
+    FROM weighted ORDER BY lang, source
+"""

@@ -174,3 +174,117 @@ ORACLES = {
         FROM lab GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1
     """,
 }
+
+
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: one golden record per matched entity cluster.
+
+    The step after er_match_clusters in every MDM pipeline: each
+    multi-record entity elects a surviving record by a deterministic
+    rule stack (highest account balance, then lowest key — the
+    "most-complete record wins, stable tiebreak" pattern) and rolls up
+    the cluster's span (record count, distinct nations, combined
+    balance in exact cents). One row_number window over O(matched
+    records) — the cluster membership is the star-contraction output,
+    so nothing here rescans the customer table beyond one hash join.
+    """
+    from pyspark.sql import Window
+
+    edges = er_blocked_pairs(spark, sf_dir).select(
+        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("c_custkey"),
+        F.col("component").cast("bigint").alias("entity_id"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    members = comp.join(cust, "c_custkey")
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("bal_cents"), F.asc("c_custkey")
+    )
+    ranked = members.select(
+        "entity_id",
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "bal_cents",
+        F.row_number().over(w).alias("rk"),
+    )
+    rollup = ranked.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.sum("bal_cents").alias("total_cents"),
+        F.max(F.when(F.col("rk") == 1, F.col("c_custkey"))).alias(
+            "golden_custkey"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("c_name"))).alias("golden_name"),
+        F.max(F.when(F.col("rk") == 1, F.col("bal_cents"))).alias(
+            "golden_cents"
+        ),
+    )
+    return (
+        rollup.filter(F.col("n_records") > 1)
+        .select(
+            "entity_id",
+            F.col("n_records").cast("bigint").alias("n_records"),
+            F.col("n_nations").cast("bigint").alias("n_nations"),
+            "golden_custkey",
+            "golden_name",
+            F.round(F.col("golden_cents").cast("double") / 100, 2).alias(
+                "golden_acctbal"
+            ),
+            F.round(F.col("total_cents").cast("double") / 100, 2).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("entity_id")
+    )
+
+
+QUERIES["er_golden_record"] = er_golden_record
+
+ORACLES["er_golden_record"] = f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+      SELECT custkey_a AS u, custkey_b AS v FROM pairs
+      WHERE edit_dist <= {MAX_EDIT}
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, p.r FROM sym s JOIN reach p ON s.v = p.node
+    ),
+    lab AS (SELECT node, MIN(r) AS entity_id FROM reach GROUP BY 1),
+    members AS (
+      SELECT l.entity_id, c.c_custkey, c.c_name, c.c_nationkey,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS bal_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.entity_id
+               ORDER BY CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+                             AS BIGINT) DESC, c.c_custkey
+             ) AS rk
+      FROM lab l JOIN customer c ON c.c_custkey = l.node
+    )
+    SELECT CAST(entity_id AS BIGINT) AS entity_id,
+           COUNT(*)::BIGINT AS n_records,
+           COUNT(DISTINCT c_nationkey)::BIGINT AS n_nations,
+           CAST(MAX(CASE WHEN rk = 1 THEN c_custkey END) AS BIGINT)
+             AS golden_custkey,
+           MAX(CASE WHEN rk = 1 THEN c_name END) AS golden_name,
+           ROUND(MAX(CASE WHEN rk = 1 THEN bal_cents END)::DOUBLE / 100, 2)
+             AS golden_acctbal,
+           ROUND(SUM(bal_cents)::DOUBLE / 100, 2) AS total_acctbal
+    FROM members
+    GROUP BY entity_id HAVING COUNT(*) > 1 ORDER BY entity_id
+"""

@@ -2033,3 +2033,62 @@ ORACLES["emb_dim_stats"] = """
            ROUND(CAST(nz AS DOUBLE) / n, 6) AS near_zero_frac
     FROM agg ORDER BY dim
 """
+
+
+def emb_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the IVF index against exact brute force, per probe.
+
+    The eval every ANN deployment gates on: for each probe, what
+    fraction of the true top-K (exact cosine, ann_topk_bruteforce)
+    does the IVF candidate list recover? Composes the two existing
+    retrievers — both memoized per data stamp, so this costs two
+    dimension-sized joins, not an index rebuild — and left-joins truth
+    against retrieved so a probe with zero recovered neighbors still
+    reports 0.0 instead of vanishing. O(probes × K) all the way.
+    """
+    truth = ann_topk_bruteforce(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("true_id")
+    )
+    got = ann_ivf_bucketed(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("got_id"), F.lit(1).alias("hit")
+    )
+    joined = truth.join(
+        got,
+        (truth.probe_id == got.probe_id) & (truth.true_id == got.got_id),
+        "left",
+    ).select(truth.probe_id.alias("pid"), F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    return (
+        joined.groupBy(F.col("pid").alias("probe_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("hit").cast("bigint").alias("n_recovered"),
+            F.round(
+                F.sum("hit").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+QUERIES["emb_recall_at_k"] = emb_recall_at_k
+
+ORACLES["emb_recall_at_k"] = f"""
+    WITH truth AS (
+      SELECT probe_id, neighbor_id AS true_id
+      FROM ({ORACLES["ann_topk_bruteforce"]}) t
+    ),
+    got AS (
+      SELECT probe_id, neighbor_id AS got_id
+      FROM ({ORACLES["ann_ivf_bucketed"]}) g
+    )
+    SELECT t.probe_id,
+           COUNT(*)::BIGINT AS k,
+           SUM(CASE WHEN g.got_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_recovered,
+           ROUND(SUM(CASE WHEN g.got_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS recall_at_k
+    FROM truth t
+    LEFT JOIN got g ON g.probe_id = t.probe_id AND g.got_id = t.true_id
+    GROUP BY t.probe_id ORDER BY t.probe_id
+"""

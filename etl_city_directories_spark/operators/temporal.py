@@ -884,3 +884,102 @@ ORACLES["q_band_join_bucketed"] = f"""
              AS mean_gap_s
     FROM pairs GROUP BY 1 ORDER BY 1
 """
+
+
+MARKOV_ROUNDS = 4
+MARKOV_MICRO = 1_000_000  # probability mass in integer micro-units
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain.
+
+    Closes the Markov story q_event_transitions opens: fold the
+    per-user transition counts into a row-stochastic matrix and run
+    MARKOV_ROUNDS unrolled power-iteration steps from the uniform
+    start — the same integer micro-unit replay discipline as
+    graph_pagerank_dupes, so both engines truncate identically at
+    every step (x'_j = Σ_i (x_i·c_ij) div r_i, all BIGINT). The
+    matrix is O(types²) — after the single fact pass for transition
+    counts, every iteration costs a broadcast-sized join, at any
+    corpus size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_tot = pairs.groupBy("from_type").agg(F.sum("c").alias("r"))
+    matrix = pairs.join(row_tot, "from_type")
+    types = events.select(F.col("event_type").alias("t")).distinct()
+    n_types = types.count()  # scalar: |event types| (single digits)
+    x = types.select(
+        "t", F.lit(MARKOV_MICRO // n_types).cast("long").alias("micro")
+    )
+    for _ in range(MARKOV_ROUNDS):
+        x = (
+            x.join(matrix, x.t == matrix.from_type)
+            .select(
+                F.col("to_type").alias("t"),
+                F.expr("micro * c div r").alias("m"),
+            )
+            .groupBy("t")
+            .agg(F.sum("m").cast("long").alias("micro"))
+        )
+    return x.select(
+        F.col("t").alias("event_type"),
+        F.col("micro").alias("stationary_micro"),
+        F.round(F.col("micro").cast("double") / MARKOV_MICRO, 6).alias(
+            "stationary"
+        ),
+    ).orderBy("event_type")
+
+
+QUERIES["q_markov_stationary"] = q_markov_stationary
+
+
+def _markov_oracle() -> str:
+    rounds = []
+    for i in range(1, MARKOV_ROUNDS + 1):
+        rounds.append(f"""
+    x{i} AS (
+      SELECT m.to_type AS t, SUM(x.micro * m.c // m.r)::BIGINT AS micro
+      FROM x{i - 1} x JOIN matrix m ON m.from_type = x.t
+      GROUP BY 1
+    )""")
+    return f"""
+    WITH pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS c FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+      ) WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    matrix AS (
+      SELECT p.from_type, p.to_type, p.c, r.r
+      FROM pairs p JOIN (
+        SELECT from_type, SUM(c) AS r FROM pairs GROUP BY 1
+      ) r USING (from_type)
+    ),
+    x0 AS (
+      SELECT event_type AS t,
+             ({MARKOV_MICRO} // (SELECT COUNT(DISTINCT event_type)
+                                 FROM events))::BIGINT AS micro
+      FROM events GROUP BY 1
+    ),{",".join(rounds)}
+    SELECT t AS event_type, micro AS stationary_micro,
+           ROUND(micro::DOUBLE / {MARKOV_MICRO}, 6) AS stationary
+    FROM x{MARKOV_ROUNDS} ORDER BY event_type
+    """
+
+
+ORACLES["q_markov_stationary"] = _markov_oracle()

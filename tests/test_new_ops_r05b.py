@@ -377,3 +377,78 @@ def test_band_join_matches_bruteforce(spark):
         for r in q_band_join_bucketed(spark, SF_TINY).collect()
     }
     assert got == expect
+
+
+# --- batch 4: golden record, recall@k, Neyman allocation, Markov
+
+
+def test_golden_record_is_cluster_member_with_max_balance(spark):
+    from etl_city_directories_spark.operators.linkage import (
+        er_golden_record,
+        er_match_clusters,
+    )
+
+    clusters = {r.entity_id: r for r in er_match_clusters(spark, SF).collect()}
+    golden = {r.entity_id: r for r in er_golden_record(spark, SF).collect()}
+    assert set(golden) == set(clusters)
+    cust = {
+        r.c_custkey: float(r.c_acctbal)
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    for eid, g in golden.items():
+        c = clusters[eid]
+        assert g.n_records == c.n_records
+        assert c.min_key <= g.golden_custkey <= c.max_key
+        assert abs(cust[g.golden_custkey] - g.golden_acctbal) < 0.005
+
+
+def test_recall_at_k_bounds_and_truth_size(spark):
+    from etl_city_directories_spark.operators.similarity import (
+        N_PROBES,
+        TOP_K,
+        emb_recall_at_k,
+    )
+
+    rows = emb_recall_at_k(spark, SF).collect()
+    assert len(rows) == N_PROBES
+    for r in rows:
+        assert r.k == TOP_K
+        assert 0 <= r.n_recovered <= r.k
+        assert abs(r.recall_at_k - r.n_recovered / r.k) < 1e-9
+    # the IVF index should be a usable index, not a random bucketizer
+    # (0.40 = the established nprobe=2-of-8-cells bar from
+    # tests/test_dedup_quality.py::test_ann_ivf_kmeans_recall_vs_bruteforce)
+    mean_recall = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean_recall >= 0.40
+
+
+def test_neyman_allocation_budget_and_proportionality(spark):
+    from etl_city_directories_spark.operators.curation import (
+        NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, SF).collect()
+    assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-3
+    total = sum(r.n_alloc for r in rows)
+    # floor() loses at most one unit per stratum
+    assert NEYMAN_BUDGET - len(rows) <= total <= NEYMAN_BUDGET
+    # allocation ordering follows N_h * sd_h ordering
+    by_w = sorted(rows, key=lambda r: r.n_docs * r.sd_chars)
+    shares = [r.alloc_share for r in by_w]
+    assert shares == sorted(shares)
+
+
+def test_markov_stationary_mass_and_fixpointness(spark):
+    from etl_city_directories_spark.operators.temporal import (
+        MARKOV_MICRO,
+        q_markov_stationary,
+    )
+
+    rows = q_markov_stationary(spark, SF).collect()
+    total = sum(r.stationary_micro for r in rows)
+    # integer truncation only ever loses micro-units, never creates
+    assert total <= MARKOV_MICRO
+    assert total >= MARKOV_MICRO - 10_000  # <=1% truncation loss
+    for r in rows:
+        assert 0 <= r.stationary <= 1
