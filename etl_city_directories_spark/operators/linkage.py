@@ -96,6 +96,24 @@ def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Match-graph component labels, memoized per data stamp — the
+    entity index er_match_clusters and er_golden_record both read, so
+    the star-contraction rounds run once per (session, corpus)."""
+    from etl_city_directories_spark.functions.memo import memo_df, table_stamp
+
+    return memo_df(
+        spark,
+        ("er_components", sf_dir, table_stamp(sf_dir, ("customer",))),
+        lambda: connected_components(
+            er_blocked_pairs(spark, sf_dir).select(
+                F.col("custkey_a").alias("src"),
+                F.col("custkey_b").alias("dst"),
+            )
+        ),
+    )
+
+
 def er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity clusters: connected components over the match pairs.
 
@@ -106,10 +124,7 @@ def er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     = min custkey (deterministic); output is the per-cluster roster
     size + key span, O(clusters).
     """
-    edges = er_blocked_pairs(spark, sf_dir).select(
-        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
-    )
-    comp = connected_components(edges)
+    comp = _components(spark, sf_dir)
     return (
         comp.groupBy(F.col("component").cast("bigint").alias("entity_id"))
         .agg(
@@ -190,10 +205,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    edges = er_blocked_pairs(spark, sf_dir).select(
-        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
-    )
-    comp = connected_components(edges).select(
+    comp = _components(spark, sf_dir).select(
         F.col("node").alias("c_custkey"),
         F.col("component").cast("bigint").alias("entity_id"),
     )
