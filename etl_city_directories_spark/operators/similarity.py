@@ -665,13 +665,15 @@ _SUB_D2 = (
 _SUBS_VALUES = ", ".join(f"({s})" for s in range(M_SUB))
 
 
-def _pq_oracle(ivf: bool = False) -> str:
-    """Replay PQ training, encoding, the probe LUT, and ADC scoring.
-    With ``ivf`` the ADC scan is additionally restricted to the
-    probe's IVF_NPROBE coarse cells (the km_-prefixed kmeans chain) —
-    the composed FAISS-style IVFPQ pipeline."""
+_PQ_FINAL = f"cents{PQ_UPDATES}"
+
+
+def _pq_train_prefix() -> str:
+    """The CTE chain replaying PQ training + corpus encoding (subs →
+    seeds → cents0 → Lloyd rounds → codes), shared by the ADC oracle
+    and the distortion-eval oracle. Trained centroids land in
+    ``{_PQ_FINAL}``; encodings in ``codes``."""
     slice_ = f"[(t.sub * {_SUB_DIM} + 1):(t.sub * {_SUB_DIM} + {_SUB_DIM})]"
-    final = f"cents{PQ_UPDATES}"
     train_ctes = []
     for it in range(PQ_UPDATES):
         train_ctes.append(f"""assign{it} AS (
@@ -699,27 +701,7 @@ def _pq_oracle(ivf: bool = False) -> str:
           GROUP BY sub, cluster_id
         )""")
     train_sql = ",\n        ".join(train_ctes)
-    ivf_ctes = f"{_kmeans_ctes('km_')},\n        " if ivf else ""
-    cand_cte = (
-        f"""cand AS (
-          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
-          FROM km_cells p JOIN km_cells c ON c.cell = p.cell
-          WHERE p.vec_id < {N_PROBES} AND c.cell_rank = 1
-            AND c.vec_id != p.vec_id
-        ),
-        """
-        if ivf
-        else ""
-    )
-    cand_join = (
-        "JOIN cand ON cand.probe_id = lut.probe_id"
-        " AND cand.neighbor_id = codes.vec_id"
-        if ivf
-        else ""
-    )
-    return f"""
-        WITH {_VEC_CTE},
-        {ivf_ctes}subs AS (
+    return f"""subs AS (
           SELECT vec_id, t.sub, v{slice_} AS sv
           FROM vecs CROSS JOIN (VALUES {_SUBS_VALUES}) t(sub)
         ),
@@ -741,9 +723,38 @@ def _pq_oracle(ivf: bool = False) -> str:
                      PARTITION BY s.vec_id, s.sub
                      ORDER BY {_SUB_D2}, c.cluster_id
                    ) AS rn
-            FROM subs s JOIN {final} c ON c.sub = s.sub
+            FROM subs s JOIN {_PQ_FINAL} c ON c.sub = s.sub
           ) WHERE rn = 1
+        )"""
+
+
+def _pq_oracle(ivf: bool = False) -> str:
+    """Replay PQ training, encoding, the probe LUT, and ADC scoring.
+    With ``ivf`` the ADC scan is additionally restricted to the
+    probe's IVF_NPROBE coarse cells (the km_-prefixed kmeans chain) —
+    the composed FAISS-style IVFPQ pipeline."""
+    final = _PQ_FINAL
+    ivf_ctes = f"{_kmeans_ctes('km_')},\n        " if ivf else ""
+    cand_cte = (
+        f"""cand AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+          FROM km_cells p JOIN km_cells c ON c.cell = p.cell
+          WHERE p.vec_id < {N_PROBES} AND c.cell_rank = 1
+            AND c.vec_id != p.vec_id
         ),
+        """
+        if ivf
+        else ""
+    )
+    cand_join = (
+        "JOIN cand ON cand.probe_id = lut.probe_id"
+        " AND cand.neighbor_id = codes.vec_id"
+        if ivf
+        else ""
+    )
+    return f"""
+        WITH {_VEC_CTE},
+        {ivf_ctes}{_pq_train_prefix()},
         lut AS (
           SELECT s.vec_id AS probe_id, s.sub, c.cluster_id AS code,
                  ({_SUB_D2})::DECIMAL(27,12) AS pd2
@@ -2091,4 +2102,180 @@ ORACLES["emb_recall_at_k"] = f"""
     FROM truth t
     LEFT JOIN got g ON g.probe_id = t.probe_id AND g.got_id = t.true_id
     GROUP BY t.probe_id ORDER BY t.probe_id
+"""
+
+
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ reconstruction error — the codebook health check.
+
+    recall@K (emb_recall_at_k) grades the END of the ANN pipeline;
+    this grades the middle: how much geometry does the 8x32 codebook
+    destroy per subspace? Mean squared reconstruction error
+    ||sv − c_code||² per subspace over the whole corpus, from the
+    memoized codebook artifacts (zero retraining). A subspace whose
+    MSE is an outlier is where to spend more centroids — the standard
+    FAISS tuning readout. Per-vector d² quantizes to DECIMAL(27,12)
+    before the mean so the sum is order-independent; one broadcast
+    join (32-row codebook per subspace) + one O(subspaces) rollup.
+    """
+    cents, codes = _pq_codebooks(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    subs = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), 1 + s * _SUB_DIM, _SUB_DIM)
+                    for s in range(M_SUB)
+                ]
+            )
+        ).alias("sub", "sv"),
+    )
+    recon = subs.join(codes, ["vec_id", "sub"]).join(
+        F.broadcast(cents.withColumnRenamed("cluster_id", "code")),
+        ["sub", "code"],
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("decimal(27,12)")
+    return (
+        recon.select("sub", d2.alias("d2"))
+        .groupBy("sub")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("d2").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mse"),
+        )
+        .select(
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            "mse",
+        )
+        .orderBy("sub")
+    )
+
+
+QUERIES["emb_pq_distortion"] = emb_pq_distortion
+
+ORACLES["emb_pq_distortion"] = f"""
+    WITH {_VEC_CTE},
+    {_pq_train_prefix()},
+    recon AS (
+      SELECT s.sub,
+             (list_reduce(list_transform(list_zip(s.sv, c.c),
+                x -> (x[1] - x[2]) * (x[1] - x[2])),
+                (p, q) -> p + q))::DECIMAL(27,12) AS d2
+      FROM subs s
+      JOIN codes ON codes.vec_id = s.vec_id AND codes.sub = s.sub
+      JOIN {_PQ_FINAL} c ON c.sub = s.sub AND c.cluster_id = codes.code
+    )
+    SELECT sub::BIGINT AS sub, COUNT(*)::BIGINT AS n_vecs,
+           ROUND((SUM(d2))::DOUBLE / COUNT(*)::DOUBLE, 6) AS mse
+    FROM recon GROUP BY 1 ORDER BY 1
+"""
+
+
+def emb_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between two corpus snapshots.
+
+    The ML-ops monitor run on every embedding refresh: split the
+    corpus into reference vs current (deterministic vec_id parity —
+    the stand-in for yesterday/today partitions), compute each label's
+    exact-decimal centroid per snapshot, and report the centroid
+    cosine (1.0 = no drift) plus the population shift. Centroid means
+    use the same DECIMAL(27,6) sum discipline as the PQ/k-means
+    training (order-independent), the cosine is one closed-form double
+    per label, and everything after the map-side per-(label, half,
+    dim) partial aggregation is O(labels × dims).
+    """
+    vecs = _vectors(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("v").alias("dim", "x"),
+    )
+    cent = vecs.groupBy("label", "is_ref", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    ref = cent.filter(F.col("is_ref")).select(
+        "label", "dim", F.col("m").alias("mr"), F.col("nd").alias("n_ref")
+    )
+    cur = cent.filter(~F.col("is_ref")).select(
+        "label", "dim", F.col("m").alias("mc"), F.col("nd").alias("n_cur")
+    )
+    per_label = (
+        ref.join(cur, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.sum(
+                (F.col("mr") * F.col("mc")).cast("decimal(27,12)")
+            ).alias("dot"),
+            F.sum(
+                (F.col("mr") * F.col("mr")).cast("decimal(27,12)")
+            ).alias("nr"),
+            F.sum(
+                (F.col("mc") * F.col("mc")).cast("decimal(27,12)")
+            ).alias("nc"),
+        )
+    )
+    return per_label.select(
+        "label",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("nr").cast("double"))
+                * F.sqrt(F.col("nc").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.col("n_cur").cast("double") / F.col("n_ref").cast("double"), 4
+        ).alias("population_ratio"),
+    ).orderBy("label")
+
+
+QUERIES["emb_drift_monitor"] = emb_drift_monitor
+
+ORACLES["emb_drift_monitor"] = f"""
+    WITH {_VEC_CTE},
+    expl AS (
+      SELECT label, vec_id % 2 = 0 AS is_ref,
+             generate_subscripts(v, 1) AS dim, unnest(v) AS x
+      FROM vecs
+    ),
+    cent AS (
+      SELECT label, is_ref, dim,
+             (SUM(x::DECIMAL(27,6)))::DOUBLE / COUNT(*)::DOUBLE AS m,
+             COUNT(*) AS nd
+      FROM expl GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT r.label, r.dim, r.m AS mr, c.m AS mc,
+             r.nd AS n_ref, c.nd AS n_cur
+      FROM (SELECT * FROM cent WHERE is_ref) r
+      JOIN (SELECT * FROM cent WHERE NOT is_ref) c
+        ON c.label = r.label AND c.dim = r.dim
+    )
+    SELECT label,
+           MAX(n_ref)::BIGINT AS n_ref,
+           MAX(n_cur)::BIGINT AS n_cur,
+           ROUND((SUM((mr * mc)::DECIMAL(27,12)))::DOUBLE
+                 / (sqrt((SUM((mr * mr)::DECIMAL(27,12)))::DOUBLE)
+                    * sqrt((SUM((mc * mc)::DECIMAL(27,12)))::DOUBLE)), 6)
+             AS centroid_cosine,
+           ROUND(MAX(n_cur)::DOUBLE / MAX(n_ref)::DOUBLE, 4)
+             AS population_ratio
+    FROM paired GROUP BY label ORDER BY label
 """

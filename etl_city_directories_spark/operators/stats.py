@@ -1210,3 +1210,104 @@ ORACLES["q_double_ewma_trend"] = f"""
     FROM s1 JOIN s2 ON s2.event_type = s1.event_type AND s2.day_d = s1.day_d
     ORDER BY s1.event_type, day
 """
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles, 6-dp literals
+# (parsing a decimal string is deterministic; libm's inverse-normal is
+# not available in either engine anyway).
+POWER_Z_ALPHA = 1.959964
+POWER_Z_BETA = 0.841621
+POWER_TARGET_REL = 0.02  # planning target: +2% relative uplift
+
+_MDE_SHARED = [
+    "CAST(n_a AS BIGINT) AS n_a",
+    "CAST(n_b AS BIGINT) AS n_b",
+    "ROUND(p_pool, 6) AS p_pool",
+    f"ROUND(({POWER_Z_ALPHA} + {POWER_Z_BETA})"
+    " * sqrt(2 * p_pool * (1 - p_pool) / CAST(n_a AS DOUBLE)), 6)"
+    " AS mde_abs",
+    f"ROUND(({POWER_Z_ALPHA} + {POWER_Z_BETA})"
+    " * sqrt(2 * p_pool * (1 - p_pool) / CAST(n_a AS DOUBLE)) / p_pool, 6)"
+    " AS mde_rel",
+    f"CAST(ceil(({POWER_Z_ALPHA} + {POWER_Z_BETA})"
+    f" * ({POWER_Z_ALPHA} + {POWER_Z_BETA}) * 2 * p_pool * (1 - p_pool)"
+    f" / (({POWER_TARGET_REL} * p_pool) * ({POWER_TARGET_REL} * p_pool)))"
+    " AS BIGINT) AS n_per_arm_for_2pct",
+]
+
+
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning: MDE now, sample size for +2%.
+
+    The question asked BEFORE q_ab_proportion_ztest is asked after:
+    with the traffic we have, what's the minimum detectable effect at
+    alpha=.05 / power=.80, and how many users per arm would a +2%
+    relative uplift need? Reuses the z-test's arm assignment and
+    conversion definition (same parity split, same interior-by-
+    construction threshold), reduces to (n_a, n_b, pooled p), then
+    evaluates the textbook closed forms through expression strings
+    shared verbatim with the oracle — normal quantiles are 6-dp
+    literals, so no inverse-CDF enters either engine.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == AB_CONV_EVENT, 1).otherwise(0)
+        ).alias("n_purch")
+    )
+    flagged = per_user.withColumn(
+        "thresh",
+        F.expr(
+            "CAST(SUM(n_purch) OVER () AS BIGINT) div "
+            "CAST(COUNT(1) OVER () AS BIGINT)"
+        ),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.when(F.col("n_purch") > F.col("thresh"), 1).otherwise(0).alias("conv"),
+    )
+    arms = flagged.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    a = arms.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("k").alias("k_a")
+    )
+    b = arms.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("k").alias("k_b")
+    )
+    j = a.crossJoin(b).withColumn(
+        "p_pool",
+        (F.col("k_a") + F.col("k_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
+    return j.selectExpr(*_MDE_SHARED)
+
+
+QUERIES["q_ab_power_mde"] = q_ab_power_mde
+
+ORACLES["q_ab_power_mde"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = '{AB_CONV_EVENT}' THEN 1 ELSE 0 END)
+               AS n_purch
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT CAST(user_id % 2 AS INT) AS variant,
+             CASE WHEN n_purch >
+                    CAST(SUM(n_purch) OVER () AS BIGINT)
+                    // CAST(COUNT(1) OVER () AS BIGINT)
+                  THEN 1 ELSE 0 END AS conv
+      FROM per_user
+    ),
+    arms AS (
+      SELECT variant, COUNT(*) AS n, SUM(conv) AS k
+      FROM flagged GROUP BY 1
+    ),
+    j AS (
+      SELECT a.n AS n_a, a.k AS k_a, b.n AS n_b, b.k AS k_b,
+             (a.k + b.k)::DOUBLE / (a.n + b.n)::DOUBLE AS p_pool
+      FROM (SELECT n, k FROM arms WHERE variant = 0) a
+      CROSS JOIN (SELECT n, k FROM arms WHERE variant = 1) b
+    )
+    SELECT {", ".join(_MDE_SHARED)} FROM j
+"""

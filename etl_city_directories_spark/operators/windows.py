@@ -886,3 +886,66 @@ ORACLES["q_percentile_position"] = """
            decile
     FROM w
 """
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users — the top-line web metric.
+
+    A user is "new" on their first-ever active day, "returning" on
+    every later active day. One distinct (user, day) collapse, a
+    per-user MIN window that reuses the same user_id shuffle, and a
+    day rollup. Per-user state is one date — at 100 TB the plan is
+    exactly one fact-wide shuffle plus a days-sized aggregation, the
+    floor for any first-seen classification (the streaming twin would
+    be transformWithState keyed on user).
+    """
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    marked = active.select(
+        "d",
+        (F.col("d") == F.min("d").over(w)).alias("is_new"),
+    )
+    return (
+        marked.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            (F.col("n_active") - F.col("n_new")).cast("bigint").alias(
+                "n_returning"
+            ),
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_active").cast("double"),
+                4,
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["q_new_vs_returning"] = q_new_vs_returning
+
+ORACLES["q_new_vs_returning"] = """
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    marked AS (
+      SELECT d, d = MIN(d) OVER (PARTITION BY user_id) AS is_new
+      FROM active
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           COUNT(*)::BIGINT AS n_active,
+           SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_new,
+           (COUNT(*) - SUM(CASE WHEN is_new THEN 1 ELSE 0 END))::BIGINT
+             AS n_returning,
+           ROUND(SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 4) AS new_share
+    FROM marked GROUP BY d ORDER BY day
+"""

@@ -452,3 +452,78 @@ def test_markov_stationary_mass_and_fixpointness(spark):
     assert total >= MARKOV_MICRO - 10_000  # <=1% truncation loss
     for r in rows:
         assert 0 <= r.stationary <= 1
+
+
+# --- batch 5: PQ distortion, drift monitor, power planning, new-vs-returning
+
+
+def test_pq_distortion_nonnegative_and_complete(spark):
+    from etl_city_directories_spark.operators.similarity import (
+        M_SUB,
+        emb_pq_distortion,
+    )
+
+    rows = emb_pq_distortion(spark, SF).collect()
+    assert len(rows) == M_SUB
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    for r in rows:
+        assert r.n_vecs == n_vecs
+        assert r.mse >= 0
+    # quantization must beat the trivial all-zero codebook: MSE well
+    # below the mean squared subvector norm
+    assert max(r.mse for r in rows) < 4.0
+
+
+def test_drift_monitor_split_and_bounds(spark):
+    from etl_city_directories_spark.operators.similarity import emb_drift_monitor
+
+    rows = emb_drift_monitor(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_ref + r.n_cur for r in rows) == total
+    for r in rows:
+        # cosine is a valid cosine; the synthetic labels are NOT
+        # directionally clustered, so near-zero values are correct
+        # (random halves of an isotropic cloud have ~orthogonal means)
+        assert -1.0 <= r.centroid_cosine <= 1.0
+        # parity split of a label's members should not skew wildly
+        assert 0.5 < r.population_ratio < 2.0
+
+
+def test_power_mde_consistency(spark):
+    import math
+
+    from etl_city_directories_spark.operators.stats import (
+        POWER_TARGET_REL,
+        POWER_Z_ALPHA,
+        POWER_Z_BETA,
+        q_ab_power_mde,
+    )
+
+    r = q_ab_power_mde(spark, SF).collect()[0]
+    assert 0 < r.p_pool < 1
+    z = POWER_Z_ALPHA + POWER_Z_BETA
+    mde = z * math.sqrt(2 * r.p_pool * (1 - r.p_pool) / r.n_a)
+    assert abs(r.mde_abs - mde) < 1e-4
+    assert abs(r.mde_rel - mde / r.p_pool) < 1e-3
+    n_req = math.ceil(
+        z * z * 2 * r.p_pool * (1 - r.p_pool)
+        / (POWER_TARGET_REL * r.p_pool) ** 2
+    )
+    assert abs(r.n_per_arm_for_2pct - n_req) <= 1
+    # detecting a 2% uplift needs more users than one MDE-now arm
+    # whenever the current MDE exceeds 2% relative
+    if r.mde_rel > POWER_TARGET_REL:
+        assert r.n_per_arm_for_2pct > r.n_a
+
+
+def test_new_vs_returning_conservation(spark):
+    from etl_city_directories_spark.operators.windows import q_new_vs_returning
+
+    rows = q_new_vs_returning(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    # every user is new exactly once
+    assert sum(r.n_new for r in rows) == n_users
+    assert all(r.n_active == r.n_new + r.n_returning for r in rows)
+    # day 1 has no possible returners
+    assert rows[0].n_returning == 0

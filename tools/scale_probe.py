@@ -91,6 +91,25 @@ OPS = [
     "text_ngram_novelty",
     "dedup_lsh_tuning",
     "q_validate_fk",
+    # r05 batch 2-4 additions. Deliberately absent: er_blocked_pairs /
+    # er_match_clusters / er_golden_record (the probe's customer copies
+    # repeat c_name verbatim, so cross-copy match pairs grow K² by
+    # CONSTRUCTION — the operator is block-bounded on real data) and
+    # q_band_join_bucketed (copies share identical timestamps, so
+    # in-band pairs also grow K² semantically).
+    "text_winnowing",
+    "text_kneser_ney_logprob",
+    "text_langid_confusion",
+    "bpe_vocab_coverage",
+    "mm_dedup_bytes",
+    "q_interval_coalesce",
+    "q_markov_stationary",
+    "q_double_ewma_trend",
+    "q_welch_ttest",
+    "q_ols_two_feature",
+    "sample_neyman_allocation",
+    "emb_recall_at_k",
+    "graph_wcc",
 ]
 
 
