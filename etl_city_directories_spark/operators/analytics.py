@@ -946,3 +946,189 @@ ORACLES["q_transitive_closure"] = """
     )
     SELECT descendant, ancestor, depth FROM closure
 """
+
+
+def q_decile_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table: cumulative revenue share by customer decile.
+
+    The model-eval readout scored campaigns live on: rank customers by
+    exact-cent spend (custkey tiebreak), NTILE(10), then per decile
+    the cumulative customer and revenue shares plus lift (share of
+    revenue / share of customers). The fact collapses to one decimal
+    row per customer FIRST — the global sort ranks O(customers), never
+    orders — and the cumulative window runs over the 10-row decile
+    rollup. Exact integer cents until the final share divides (ROUND
+    6). Same dimension-sized-sort discipline as q_pareto_abc / RFM.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum((dec2("o_totalprice") * 100).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    tiled = spend.select(
+        "cents", F.ntile(10).over(w).alias("decile")
+    )
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("dec_cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return (
+        per_dec.select(
+            "decile",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            (F.col("dec_cents").cast("double") / 100).alias("dec_rev"),
+            F.sum("n_customers").over(wc).alias("cum_cust"),
+            F.sum("dec_cents").over(wc).alias("cum_cents"),
+            F.sum("n_customers").over(wt).alias("tot_cust"),
+            F.sum("dec_cents").over(wt).alias("tot_cents"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            F.round("dec_rev", 2).alias("decile_revenue"),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.col("tot_cents").cast("double"),
+                6,
+            ).alias("cum_revenue_share"),
+            F.round(
+                (
+                    F.col("cum_cents").cast("double")
+                    / F.col("tot_cents").cast("double")
+                )
+                / (
+                    F.col("cum_cust").cast("double")
+                    / F.col("tot_cust").cast("double")
+                ),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+QUERIES["q_decile_lift_curve"] = q_decile_lift_curve
+
+ORACLES["q_decile_lift_curve"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               ::HUGEINT AS cents
+      FROM orders GROUP BY 1
+    ),
+    tiled AS (
+      SELECT cents,
+             NTILE(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile
+      FROM spend
+    ),
+    per_dec AS (
+      SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS dec_cents
+      FROM tiled GROUP BY 1
+    )
+    SELECT decile,
+           n_customers::BIGINT AS n_customers,
+           ROUND(dec_cents::DOUBLE / 100, 2) AS decile_revenue,
+           ROUND(SUM(dec_cents) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                 / SUM(dec_cents) OVER ()::DOUBLE, 6) AS cum_revenue_share,
+           ROUND((SUM(dec_cents) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                  / SUM(dec_cents) OVER ()::DOUBLE)
+                 / (SUM(n_customers) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                    / SUM(n_customers) OVER ()::DOUBLE), 6) AS cum_lift
+    FROM per_dec ORDER BY decile
+"""
+
+
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-ship latency distribution per order priority.
+
+    The operations SLA readout: per order, days from order date to its
+    LAST line shipment (the customer-visible completion), rolled up to
+    exact latency percentiles per priority class. One lineitem
+    collapse keyed on orderkey, one join to orders, one grid-sized
+    percentile sort per priority — the fact tables are each read once.
+    Exact integer day arithmetic; median/p90 via the same closed-form
+    index rule both engines share (ordered row_number against
+    ceil(q*n), no interpolation).
+    """
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    lat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("last_ship", "od").cast("long").alias("days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days")
+    ranked = lat.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.min("days").alias("min_days"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("days"))
+            ).alias("median_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 9 / 10), F.col("days")
+                )
+            ).alias("p90_days"),
+            F.max("days").alias("max_days"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            "min_days",
+            "median_days",
+            "p90_days",
+            "max_days",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["q_fulfillment_latency"] = q_fulfillment_latency
+
+ORACLES["q_fulfillment_latency"] = """
+    WITH li AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE), li.last_ship)
+               ::BIGINT AS days
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT o_orderpriority, days,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority ORDER BY days
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM lat
+    )
+    SELECT o_orderpriority,
+           MAX(n)::BIGINT AS n_orders,
+           MIN(days)::BIGINT AS min_days,
+           MAX(CASE WHEN rn = CEIL(n / 2.0) THEN days END)::BIGINT
+             AS median_days,
+           MAX(CASE WHEN rn = CEIL(n * 9 / 10.0) THEN days END)::BIGINT
+             AS p90_days,
+           MAX(days)::BIGINT AS max_days
+    FROM ranked GROUP BY 1 ORDER BY 1
+"""

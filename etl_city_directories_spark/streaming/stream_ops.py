@@ -1616,3 +1616,144 @@ def _cdc_oracle() -> str:
 
 
 ORACLES["stream_cdc_apply"] = _cdc_oracle()
+
+
+_NVR_OUT = "user_id LONG, day LONG, is_new BOOLEAN"
+
+
+def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen classification: daily new-vs-returning
+    purchasers with the first-seen day held in per-user state.
+
+    The streaming twin of q_new_vs_returning (purchase-scoped): each
+    user's earliest active day lives in a ValueState; every (user,
+    day) observation classifies as new iff it IS that earliest day.
+    Replayed over the shared time-split two-file fixture
+    (maxFilesPerTrigger=1) so the state provably carries across
+    microbatches — a user active in both halves classifies "new" only
+    in the first. Days are integer epoch-day numbers (ts_us div
+    86400e6), so no date-encoding drift can touch the hash. Same
+    dual path as stream_stateful_processor: typed
+    transformWithStateInPandas when protobuf exists, identical
+    applyInPandasWithState fallback otherwise.
+    """
+    src = _purchase_replay_source(spark, sf_dir)
+    schema = "user_id LONG, ts_us LONG, event_id LONG, value DOUBLE"
+    day_us = 86_400_000_000
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("day", F.expr(f"ts_us div {day_us}"))
+    )
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if has_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _FirstSeen(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._first = handle.getValueState("first_day", "d BIGINT")
+
+            def handleInputRows(self, key, rows, timer_values):
+                cur = self._first.get()
+                first = cur[0] if cur else None
+                days: set[int] = set()
+                for pdf in rows:
+                    days.update(int(d) for d in pdf["day"])
+                if days:
+                    lo = min(days)
+                    first = lo if first is None or lo < first else first
+                    self._first.update((int(first),))
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]] * len(days),
+                            "day": sorted(days),
+                            "is_new": [d == first for d in sorted(days)],
+                        }
+                    )
+
+            def close(self) -> None:
+                pass
+
+        result = stream.groupBy("user_id").transformWithStateInPandas(
+            _FirstSeen(), _NVR_OUT, "Update", "None"
+        )
+    else:
+
+        def _first_seen_group(
+            key: tuple[Any, ...],
+            batches: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            first = state.get[0] if state.exists else None
+            days: set[int] = set()
+            for pdf in batches:
+                days.update(int(d) for d in pdf["day"])
+            if days:
+                lo = min(days)
+                first = lo if first is None or lo < first else first
+                state.update((int(first),))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(days),
+                        "day": sorted(days),
+                        "is_new": [d == first for d in sorted(days)],
+                    }
+                )
+
+        result = stream.groupBy("user_id").applyInPandasWithState(
+            _first_seen_group,
+            outputStructType=_NVR_OUT,
+            stateStructType="d BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    _run_to_table(
+        result, "stream_new_vs_returning_sink", "update", state_partitions=8
+    )
+    emitted = spark.table("stream_new_vs_returning_sink").distinct()
+    return (
+        emitted.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+        )
+        .select(
+            F.col("day").cast("bigint").alias("epoch_day"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            (F.col("n_active") - F.col("n_new")).cast("bigint").alias(
+                "n_returning"
+            ),
+        )
+        .orderBy("epoch_day")
+    )
+
+
+QUERIES["stream_new_vs_returning"] = stream_new_vs_returning
+
+ORACLES["stream_new_vs_returning"] = """
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT day, day = MIN(day) OVER (PARTITION BY user_id) AS is_new
+      FROM act
+    )
+    SELECT day::BIGINT AS epoch_day,
+           COUNT(*)::BIGINT AS n_active,
+           SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_new,
+           (COUNT(*) - SUM(CASE WHEN is_new THEN 1 ELSE 0 END))::BIGINT
+             AS n_returning
+    FROM marked GROUP BY day ORDER BY epoch_day
+"""

@@ -527,3 +527,81 @@ def test_new_vs_returning_conservation(spark):
     assert all(r.n_active == r.n_new + r.n_returning for r in rows)
     # day 1 has no possible returners
     assert rows[0].n_returning == 0
+
+
+# --- batch 6: streaming first-seen, lift curve, fulfillment latency
+
+
+def test_stream_new_vs_returning_matches_batch_twin(spark):
+    """The streaming classification must agree with a batch replay of
+    the same purchase-scoped first-seen logic."""
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_new_vs_returning,
+    )
+
+    got = {
+        r.epoch_day: (r.n_active, r.n_new, r.n_returning)
+        for r in stream_new_vs_returning(spark, SF).collect()
+    }
+    from etl_city_directories_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    marked = ev.select(
+        "day", (F.col("day") == F.min("day").over(W.partitionBy("user_id"))).alias("nw")
+    )
+    exp = {
+        r.day: (r.a, r.n, r.a - r.n)
+        for r in marked.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("a"), F.sum(F.col("nw").cast("int")).alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_decile_lift_monotone_and_normalized(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_decile_lift_curve,
+    )
+
+    rows = q_decile_lift_curve(spark, SF).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_revenue_share for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    assert abs(rows[-1].cum_lift - 1.0) < 1e-6
+    # top decile of spenders must over-index
+    assert rows[0].cum_lift > 1.0
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+
+
+def test_fulfillment_latency_percentile_order(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_fulfillment_latency,
+    )
+
+    rows = q_fulfillment_latency(spark, SF).collect()
+    # only orders with at least one line item have a ship latency
+    n_shippable = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_shippable
+    for r in rows:
+        assert r.min_days <= r.median_days <= r.p90_days <= r.max_days
