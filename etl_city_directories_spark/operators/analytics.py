@@ -1132,3 +1132,158 @@ ORACLES["q_fulfillment_latency"] = """
            MAX(days)::BIGINT AS max_days
     FROM ranked GROUP BY 1 ORDER BY 1
 """
+
+
+def q_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classes — the companion axis to ABC.
+
+    Inventory planning's second dimension: per part, the coefficient
+    of variation of monthly demand (X = steady CV < 0.5, Y =
+    fluctuating < 1.0, Z = erratic). Monthly demand collapses map-side
+    to exact integer (n, Σqty, Σqty²) per part over the months the
+    part actually traded; CV = population sd / mean is one closed
+    double expression; class edges are literal compares. Output is the
+    per-class rollup (part counts + demand mass), O(parts) work after
+    a single lineitem pass — join with q_pareto_abc for the classic
+    9-cell ABC/XYZ planning matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        ((F.year("l_shipdate")) * 12 + F.month("l_shipdate")).alias("m"),
+        (dec2("l_quantity") * 100).cast("long").alias("cq"),
+    )
+    monthly = li.groupBy("l_partkey", "m").agg(
+        F.sum("cq").cast("decimal(18,0)").alias("q")
+    )
+    suff = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_months").cast("double")
+    var_pop = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_months").cast("double")
+    ) / F.col("n_months").cast("double")
+    cv = F.sqrt(var_pop) / mean
+    classed = suff.select(
+        "l_partkey",
+        "n_months",
+        F.col("s").alias("demand"),
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.avg(F.col("n_months").cast("double")), 4
+            ).alias("avg_active_months"),
+            F.round(F.sum("demand").cast("double") / 100, 2).alias(
+                "total_demand"
+            ),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+QUERIES["q_xyz_variability"] = q_xyz_variability
+
+ORACLES["q_xyz_variability"] = """
+    WITH monthly AS (
+      SELECT l_partkey,
+             YEAR(CAST(l_shipdate AS DATE)) * 12
+               + MONTH(CAST(l_shipdate AS DATE)) AS m,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               ::HUGEINT AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    suff AS (
+      SELECT l_partkey, COUNT(*) AS n_months,
+             SUM(q) AS s, SUM(q * q) AS ss
+      FROM monthly GROUP BY 1
+    ),
+    classed AS (
+      SELECT l_partkey, n_months, s AS demand,
+             CASE WHEN sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE
+                             / n_months::DOUBLE) / n_months::DOUBLE)
+                       / (s::DOUBLE / n_months::DOUBLE) < 0.5 THEN 'X'
+                  WHEN sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE
+                             / n_months::DOUBLE) / n_months::DOUBLE)
+                       / (s::DOUBLE / n_months::DOUBLE) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM suff
+    )
+    SELECT xyz_class,
+           COUNT(*)::BIGINT AS n_parts,
+           ROUND(AVG(n_months::DOUBLE), 4) AS avg_active_months,
+           ROUND(SUM(demand)::DOUBLE / 100, 2) AS total_demand
+    FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per market segment.
+
+    The board-deck query: yearly exact-cent revenue per segment, LAG
+    one year on the (segments × years)-sized rollup, growth = one
+    double divide (ROUND 6, NULL for the first year — no fabricated
+    zero). The fact pass is one map-side-combined shuffle; the window
+    runs over dozens of rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("yr")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    yearly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "yr")
+        .agg(
+            F.sum((dec2("o_totalprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("yr")
+    with_prev = yearly.select(
+        "c_mktsegment",
+        "yr",
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+    )
+    return with_prev.select(
+        "c_mktsegment",
+        F.col("yr").cast("bigint").alias("yr"),
+        F.round(F.col("cents").cast("double") / 100, 2).alias("revenue"),
+        F.round(
+            (F.col("cents") - F.col("prev")).cast("double")
+            / F.col("prev").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    ).orderBy("c_mktsegment", "yr")
+
+
+QUERIES["q_yoy_growth"] = q_yoy_growth
+
+ORACLES["q_yoy_growth"] = """
+    WITH yearly AS (
+      SELECT c.c_mktsegment, YEAR(CAST(o.o_orderdate AS DATE)) AS yr,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT))::HUGEINT AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, yr::BIGINT AS yr,
+           ROUND(cents::DOUBLE / 100, 2) AS revenue,
+           ROUND((cents - LAG(cents) OVER (
+                    PARTITION BY c_mktsegment ORDER BY yr))::DOUBLE
+                 / LAG(cents) OVER (
+                    PARTITION BY c_mktsegment ORDER BY yr)::DOUBLE, 6)
+             AS yoy_growth
+    FROM yearly ORDER BY c_mktsegment, yr
+"""

@@ -1311,3 +1311,136 @@ ORACLES["q_ab_power_mde"] = f"""
     )
     SELECT {", ".join(_MDE_SHARED)} FROM j
 """
+
+
+PSI_BUCKETS = 10
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two halves of the stream.
+
+    THE model-monitoring drift score: bucket the metric (event value)
+    on reference-period decile edges, compare bucket shares between
+    reference (first half of time) and current (second half), PSI =
+    Σ (p_cur − p_ref)·ln(p_cur/p_ref). Reference edges come from
+    exact NTILE deciles of the reference half (o(1) rows); both
+    halves then classify map-side against the broadcast edge table.
+    The ln per bucket quantizes to DECIMAL(18,8) before the sum
+    (same discipline as the LM surprisal ops), so accumulation order
+    cannot flip a bit. Output is per-bucket shares + the one-row PSI
+    verdict folded in as a column (grand total via window over the
+    10-row rollup). >0.2 = investigate — the industry threshold.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    split = events.agg(
+        ((F.min(ts_us) + F.max(ts_us)) / 2).cast("long").alias("s")
+    )
+    vals = events.crossJoin(F.broadcast(split)).select(
+        (ts_us >= F.col("s")).alias("is_cur"),
+        (dec2("value") * 100).cast("long").alias("cents"),
+    )
+    ref = vals.filter(~F.col("is_cur"))
+    w = Window.orderBy("cents")
+    # decile upper edges from the reference half: max cents per NTILE
+    edges = (
+        ref.select(F.ntile(PSI_BUCKETS).over(w.orderBy("cents")).alias("b"), "cents")
+        .groupBy("b")
+        .agg(F.max("cents").alias("hi"))
+        .filter(F.col("b") < PSI_BUCKETS)  # top bucket is open-ended
+        .select("b", "hi")
+    )
+    edge_arr = edges.agg(
+        F.array_sort(F.collect_list(F.struct("b", "hi"))).alias("es")
+    )
+    bucketed = vals.crossJoin(F.broadcast(edge_arr)).select(
+        "is_cur",
+        (
+            F.size(F.filter("es", lambda e: e["hi"] < F.col("cents"))) + 1
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+    )
+    wt = Window.partitionBy()
+    shares = counts.select(
+        "bucket",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        (
+            F.col("n_ref").cast("double")
+            / F.sum("n_ref").over(wt).cast("double")
+        ).alias("p_ref"),
+        (
+            F.col("n_cur").cast("double")
+            / F.sum("n_cur").over(wt).cast("double")
+        ).alias("p_cur"),
+    )
+    term = (
+        ((F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref")))
+        .cast("decimal(18,8)")
+    )
+    with_term = shares.select(
+        "bucket", "n_ref", "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        term.alias("t"),
+    )
+    return (
+        with_term.select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            "p_ref",
+            "p_cur",
+            F.round(F.col("t").cast("double"), 6).alias("psi_term"),
+            F.round(F.sum("t").over(wt).cast("double"), 6).alias("psi_total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["q_psi_drift"] = q_psi_drift
+
+ORACLES["q_psi_drift"] = f"""
+    WITH vals AS (
+      SELECT epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                              FROM events) AS is_cur,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    edges AS (
+      SELECT b, MAX(cents) AS hi FROM (
+        SELECT NTILE({PSI_BUCKETS}) OVER (ORDER BY cents) AS b, cents
+        FROM vals WHERE NOT is_cur
+      ) GROUP BY b HAVING b < {PSI_BUCKETS}
+    ),
+    bucketed AS (
+      SELECT is_cur,
+             (SELECT COUNT(*) FROM edges e WHERE e.hi < v.cents) + 1 AS bucket
+      FROM vals v
+    ),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+      FROM bucketed GROUP BY 1
+    ),
+    shares AS (
+      SELECT bucket, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur,
+             n_ref::DOUBLE / SUM(n_ref) OVER ()::DOUBLE AS p_ref,
+             n_cur::DOUBLE / SUM(n_cur) OVER ()::DOUBLE AS p_cur
+      FROM counts
+    ),
+    terms AS (
+      SELECT bucket, n_ref, n_cur, p_ref, p_cur,
+             CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(18,8)) AS t
+      FROM shares
+    )
+    SELECT bucket, n_ref, n_cur,
+           ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+           ROUND(t::DOUBLE, 6) AS psi_term,
+           ROUND((SUM(t) OVER ())::DOUBLE, 6) AS psi_total
+    FROM terms ORDER BY bucket
+"""

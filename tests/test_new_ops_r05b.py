@@ -605,3 +605,54 @@ def test_fulfillment_latency_percentile_order(spark):
     assert sum(r.n_orders for r in rows) == n_shippable
     for r in rows:
         assert r.min_days <= r.median_days <= r.p90_days <= r.max_days
+
+
+# --- batch 7: PSI drift, XYZ classes, YoY growth
+
+
+def test_psi_terms_sum_and_share_normalization(spark):
+    from etl_city_directories_spark.operators.stats import q_psi_drift
+
+    rows = q_psi_drift(spark, SF).collect()
+    assert len(rows) == 10
+    assert abs(sum(r.p_ref for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.p_cur for r in rows) - 1.0) < 1e-3
+    # psi_total is the same on every row and equals the term sum
+    totals = {r.psi_total for r in rows}
+    assert len(totals) == 1
+    assert abs(sum(r.psi_term for r in rows) - rows[0].psi_total) < 1e-4
+    # PSI is non-negative up to per-term rounding slack
+    assert rows[0].psi_total >= -1e-6
+    # stationary synthetic stream: drift must be tiny
+    assert rows[0].psi_total < 0.25
+
+
+def test_xyz_partition_of_parts(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_xyz_variability,
+    )
+
+    rows = q_xyz_variability(spark, SF).collect()
+    n_parts = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert {r.xyz_class for r in rows} <= {"X", "Y", "Z"}
+
+
+def test_yoy_growth_replays_locally(spark):
+    from etl_city_directories_spark.operators.analytics import q_yoy_growth
+
+    rows = q_yoy_growth(spark, SF_TINY).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r.yr)
+        assert rs[0].yoy_growth is None
+        for prev, cur in zip(rs, rs[1:]):
+            expect = (cur.revenue - prev.revenue) / prev.revenue
+            assert abs(cur.yoy_growth - expect) < 1e-3, (seg, cur.yr)
