@@ -34,7 +34,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -726,4 +726,96 @@ ORACLES["mm_dedup_bytes"] = f"""
            SUM(n_bytes * n_copies)::BIGINT AS bytes_total,
            SUM(n_bytes)::BIGINT AS bytes_dedup
     FROM groups GROUP BY 1 ORDER BY 1
+"""
+
+
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value Shannon entropy per modality — the corruption and
+    compressibility screen binary ingest runs before spending decode
+    or storage budget (near-0 bits = stuck/blank payloads, ~8 bits =
+    already-compressed or encrypted; a healthy synthetic md5 stream
+    sits high).
+
+    All JVM-side: hex the binary column once, explode byte positions
+    (O(total payload bytes), map-side), one (modality, byte) count
+    shuffle — 3×256 cells — then entropy over the cell grid with each
+    p·ln p quantized to DECIMAL(18,8) before the sum. Output is 3
+    rows: byte-count, distinct byte values, entropy in bits.
+    """
+    parts = []
+    for modality, tbl in (
+        ("audio", audio_table(spark, sf_dir)),
+        ("image", images_table(spark, sf_dir)),
+        ("video", videos_table(spark, sf_dir)),
+    ):
+        parts.append(
+            tbl.select(
+                F.lit(modality).alias("modality"), F.hex("payload").alias("hx")
+            )
+        )
+    hx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    bytes_ = hx.select(
+        "modality",
+        F.explode(
+            F.expr("transform(sequence(1, length(hx) div 2), "
+                   "p -> substring(hx, 2 * p - 1, 2))")
+        ).alias("b"),
+    )
+    cells = bytes_.groupBy("modality", "b").agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("modality")
+    terms = cells.select(
+        "modality",
+        "c",
+        F.sum("c").over(wt).alias("n"),
+        (
+            -(F.col("c").cast("double") / F.sum("c").over(wt).cast("double"))
+            * F.log2(
+                F.col("c").cast("double") / F.sum("c").over(wt).cast("double")
+            )
+        )
+        .cast("decimal(18,8)")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("modality")
+        .agg(
+            F.max("n").cast("bigint").alias("n_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_bytes"),
+            F.round(F.sum("t").cast("double"), 6).alias("entropy_bits"),
+        )
+        .orderBy("modality")
+    )
+
+
+QUERIES["mm_payload_entropy"] = mm_payload_entropy
+
+_MM_ENT_KEYED = "\n      UNION ALL\n".join(
+    f"      SELECT '{m}' AS modality, upper({_MM_HEX[m]}) AS hx FROM documents"
+    for m in ("audio", "image", "video")
+)
+
+ORACLES["mm_payload_entropy"] = f"""
+    WITH hx AS (
+{_MM_ENT_KEYED}
+    ),
+    bytes_ AS (
+      SELECT modality, substring(hx, 2 * p - 1, 2) AS b
+      FROM hx, LATERAL unnest(generate_series(1, length(hx) // 2)) AS t(p)
+    ),
+    cells AS (
+      SELECT modality, b, COUNT(*) AS c FROM bytes_ GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT modality, c, SUM(c) OVER (PARTITION BY modality) AS n,
+             CAST(-(c::DOUBLE / SUM(c) OVER (PARTITION BY modality)::DOUBLE)
+                  * log2(c::DOUBLE
+                         / SUM(c) OVER (PARTITION BY modality)::DOUBLE)
+                  AS DECIMAL(18,8)) AS t
+      FROM cells
+    )
+    SELECT modality,
+           MAX(n)::BIGINT AS n_bytes,
+           COUNT(*)::BIGINT AS n_distinct_bytes,
+           ROUND((SUM(t))::DOUBLE, 6) AS entropy_bits
+    FROM terms GROUP BY 1 ORDER BY 1
 """

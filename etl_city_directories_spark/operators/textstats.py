@@ -2871,3 +2871,159 @@ ORACLES["text_langid_confusion"] = f"""
            actual_lang = pred_lang AS is_correct
     FROM cells ORDER BY actual_lang, pred_lang
 """
+
+
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: TTR, hapax share, top-word mass.
+
+    The corpus-linguistics quality trio a repetition filter can't see:
+    type-token ratio (distinct words / words), hapax legomena share
+    (words occurring once — low = template/spam), and the mass of the
+    single most frequent word (high = keyword stuffing). One explode +
+    per-(doc, word) count + per-doc rollup — the same doc_id-keyed
+    single shuffle as every per-doc text op, exact integers until the
+    final ROUND 4 divides.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(_words(norm_col())).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("c").alias("top_count"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("ttr"),
+        F.round(
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double"),
+            4,
+        ).alias("hapax_share"),
+        F.round(
+            F.col("top_count").cast("double") / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("top_word_mass"),
+    ).orderBy("doc_id")
+
+
+QUERIES["text_lexical_diversity"] = text_lexical_diversity
+
+ORACLES["text_lexical_diversity"] = f"""
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest({_W}) AS w FROM documents
+      ) GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+             MAX(c) AS top_count
+      FROM wc GROUP BY 1
+    )
+    SELECT doc_id,
+           n_tokens::BIGINT AS n_tokens,
+           n_types::BIGINT AS n_types,
+           ROUND(n_types::DOUBLE / n_tokens::DOUBLE, 4) AS ttr,
+           ROUND(n_hapax::DOUBLE / n_types::DOUBLE, 4) AS hapax_share,
+           ROUND(top_count::DOUBLE / n_tokens::DOUBLE, 4) AS top_word_mass
+    FROM per_doc ORDER BY doc_id
+"""
+
+
+ZIPF_TOP_RANKS = 100
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the corpus word-frequency distribution.
+
+    Natural corpora fit log(freq) ≈ a − s·log(rank) with s ≈ 1;
+    machine-generated or heavily-templated corpora bend away — the
+    quickest whole-corpus authenticity check there is. Ranks come from
+    the exact global word counts (count desc, word asc tiebreak);
+    the OLS over the top-100 (rank, freq) pairs runs in log space with
+    every log quantized to DECIMAL(18,8) BEFORE the sufficient sums
+    (the repo's transcendental-function discipline), closed-form slope
+    with one double divide. The corpus collapses to O(vocab) counts in
+    one pass; the fit input is 100 rows.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_words(norm_col())).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    top = counts.select(
+        F.row_number().over(w_rank).alias("rank"), "c"
+    ).filter(F.col("rank") <= ZIPF_TOP_RANKS)
+    logged = top.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(18,8)").alias("lx"),
+        F.log(F.col("c").cast("double")).cast("decimal(18,8)").alias("ly"),
+    )
+    suff = logged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,16)")).alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,16)")).alias("sxy"),
+    )
+    return suff.selectExpr(
+        "CAST(n AS BIGINT) AS n_ranks",
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope",
+        "ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE), 6) AS log_intercept",
+    )
+
+
+QUERIES["text_zipf_slope"] = text_zipf_slope
+
+ORACLES["text_zipf_slope"] = f"""
+    WITH counts AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest({_W}) AS w FROM documents
+      ) GROUP BY 1
+    ),
+    top AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank, c
+      FROM counts QUALIFY rank <= {ZIPF_TOP_RANKS}
+    ),
+    logged AS (
+      SELECT CAST(ln(rank::DOUBLE) AS DECIMAL(18,8)) AS lx,
+             CAST(ln(c::DOUBLE) AS DECIMAL(18,8)) AS ly
+      FROM top
+    ),
+    suff AS (
+      SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(CAST(lx * lx AS DECIMAL(38,16))) AS sxx,
+             SUM(CAST(lx * ly AS DECIMAL(38,16))) AS sxy
+      FROM logged
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS log_intercept
+    FROM suff
+"""

@@ -949,3 +949,90 @@ ORACLES["q_new_vs_returning"] = """
                  / COUNT(*)::DOUBLE, 4) AS new_share
     FROM marked GROUP BY d ORDER BY day
 """
+
+
+WEIGHTED_PCT_Q = "0.5"  # median; the rule generalizes to any q
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag.
+
+    The weighted percentile every pricing analysis needs (a plain
+    median over line items over-weights small lots): sort each group
+    by price with the deterministic (price, orderkey, linenumber)
+    tiebreak, take the first row whose RUNNING quantity weight reaches
+    half the group's total — exact integer weight comparison by
+    cross-multiplication (2·cum ≥ total), no double thresholds. One
+    shuffle on the group key; the cumulative window rides the same
+    sort. Output also carries the exact total weight and row count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (dec2("l_extendedprice") * 100).cast("long").alias("price_c"),
+        (dec2("l_quantity") * 100).cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ws = Window.partitionBy("l_returnflag").orderBy(
+        "price_c", "l_orderkey", "l_linenumber"
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(ws.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+        F.count(F.lit(1)).over(wt).alias("n_rows"),
+    )
+    hits = cum.filter(2 * F.col("cw") >= F.col("tw"))
+    wmin = Window.partitionBy("l_returnflag").orderBy("cw", "price_c")
+    first = hits.select(
+        "l_returnflag",
+        "price_c",
+        "tw",
+        "n_rows",
+        F.row_number().over(wmin).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return first.select(
+        "l_returnflag",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("tw").cast("double") / 100).alias("total_qty"),
+        F.round(F.col("price_c").cast("double") / 100, 2).alias(
+            "weighted_median_price"
+        ),
+    ).orderBy("l_returnflag")
+
+
+QUERIES["q_weighted_median"] = q_weighted_median
+
+ORACLES["q_weighted_median"] = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price_c,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY price_c, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n_rows
+      FROM li
+    ),
+    first AS (
+      SELECT l_returnflag, price_c, tw, n_rows,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cw, price_c) AS rk
+      FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT l_returnflag,
+           n_rows::BIGINT AS n_rows,
+           tw::DOUBLE / 100 AS total_qty,
+           ROUND(price_c::DOUBLE / 100, 2) AS weighted_median_price
+    FROM first WHERE rk = 1 ORDER BY l_returnflag
+"""

@@ -656,3 +656,81 @@ def test_yoy_growth_replays_locally(spark):
         for prev, cur in zip(rs, rs[1:]):
             expect = (cur.revenue - prev.revenue) / prev.revenue
             assert abs(cur.yoy_growth - expect) < 1e-3, (seg, cur.yr)
+
+
+# --- batch 8: weighted median, lexical diversity, Zipf, byte entropy
+
+
+def test_weighted_median_local_replay(spark):
+    from etl_city_directories_spark.operators.windows import q_weighted_median
+
+    got = {
+        r.l_returnflag: r.weighted_median_price
+        for r in q_weighted_median(spark, SF_TINY).collect()
+    }
+    li = spark.read.parquet(f"{SF_TINY}/lineitem.parquet").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(
+            (round(float(r.l_extendedprice) * 100), round(float(r.l_quantity) * 100))
+        )
+    for flag, rows_g in groups.items():
+        rows_g.sort()
+        total = sum(w for _, w in rows_g)
+        cum = 0
+        for price, w in rows_g:
+            cum += w
+            if 2 * cum >= total:
+                assert abs(got[flag] - price / 100) < 0.005, flag
+                break
+
+
+def test_lexical_diversity_bounds(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_lexical_diversity,
+    )
+
+    rows = text_lexical_diversity(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r.ttr <= 1.0
+        assert 0 <= r.hapax_share <= 1.0
+        assert 0 < r.top_word_mass <= 1.0
+        assert r.n_types <= r.n_tokens
+
+
+def test_zipf_slope_negative(spark):
+    from etl_city_directories_spark.operators.textstats import text_zipf_slope
+
+    r = text_zipf_slope(spark, SF).collect()[0]
+    vocab = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.explode(
+                F.split(
+                    F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " "
+                )
+            ).alias("w")
+        )
+        .distinct()
+        .count()
+    )
+    assert r.n_ranks == min(100, vocab)
+    # frequency decreases with rank in ANY corpus with a rank tiebreak
+    assert r.zipf_slope < 0
+
+
+def test_payload_entropy_bounds(spark):
+    from etl_city_directories_spark.operators.multimodal import (
+        mm_payload_entropy,
+    )
+
+    rows = mm_payload_entropy(spark, SF).collect()
+    assert {r.modality for r in rows} == {"audio", "image", "video"}
+    for r in rows:
+        assert 0 <= r.entropy_bits <= 8.0 + 1e-6
+        assert 1 <= r.n_distinct_bytes <= 256
+        # md5-stream payloads should look near-uniform, headers aside
+        assert r.entropy_bits > 6.0
