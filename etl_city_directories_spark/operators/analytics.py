@@ -1287,3 +1287,204 @@ ORACLES["q_yoy_growth"] = """
              AS yoy_growth
     FROM yearly ORDER BY c_mktsegment, yr
 """
+
+
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the basket graph + heavy-tail slope.
+
+    The first diagnostic on any production graph: the (degree, node
+    count) histogram — reusing the memoized degree table the triangle
+    and Jaccard queries built, so this costs one O(nodes) rollup —
+    with each degree bucket's share and the cumulative share from the
+    hub side (the "what fraction of nodes have degree ≥ d" curve
+    planners size salting and orientation strategies from). Exact
+    integers until the ROUND 6 shares.
+    """
+    _, deg, _, _ = _oriented_graph(spark, sf_dir)
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    wt = Window.partitionBy()
+    wcum = Window.orderBy(F.desc("deg")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.select(
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.round(
+                F.col("n_nodes").cast("double")
+                / F.sum("n_nodes").over(wt).cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.sum("n_nodes").over(wcum).cast("double")
+                / F.sum("n_nodes").over(wt).cast("double"),
+                6,
+            ).alias("cum_share_from_top"),
+        )
+        .orderBy(F.desc("degree"))
+    )
+
+
+QUERIES["graph_degree_distribution"] = graph_degree_distribution
+
+ORACLES["graph_degree_distribution"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT part_a AS node FROM pairs
+        UNION ALL SELECT part_b FROM pairs) GROUP BY 1
+    ),
+    hist AS (
+      SELECT d AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1
+    )
+    SELECT degree::BIGINT AS degree, n_nodes::BIGINT AS n_nodes,
+           ROUND(n_nodes::DOUBLE / SUM(n_nodes) OVER ()::DOUBLE, 6) AS share,
+           ROUND(SUM(n_nodes) OVER (ORDER BY degree DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                 / SUM(n_nodes) OVER ()::DOUBLE, 6) AS cum_share_from_top
+    FROM hist ORDER BY degree DESC
+"""
+
+
+FUNNEL_PCT_STEPS = ("signup_to_click", "click_to_purchase")
+
+
+def q_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution between funnel stages.
+
+    q_funnel counts who converts; this measures HOW LONG conversion
+    takes — the metric latency SLOs for onboarding funnels are set
+    on. Reuses the funnel's single-shuffle chained-window timestamps
+    (first signup → first later click → first later purchase), then
+    per stage-gap the exact min/median/p90/max in seconds via the
+    shared row_number-vs-ceil(q·n) closed form. Output is one row per
+    stage transition; everything after the per-user collapse is
+    O(converting users) narrow rows.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "signup_us",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "click_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("signup_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("click_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("signup_us").alias("s"),
+        F.first("click_us").alias("c"),
+        F.first("purchase_us").alias("p"),
+    )
+    gaps = per_user.select(
+        F.lit("signup_to_click").alias("step"),
+        ((F.col("c") - F.col("s")) / 1_000_000).cast("long").alias("secs"),
+    ).filter(F.col("secs").isNotNull()).unionByName(
+        per_user.select(
+            F.lit("click_to_purchase").alias("step"),
+            ((F.col("p") - F.col("c")) / 1_000_000).cast("long").alias("secs"),
+        ).filter(F.col("secs").isNotNull())
+    )
+    wr = Window.partitionBy("step").orderBy("secs")
+    wn = Window.partitionBy("step")
+    ranked = gaps.select(
+        "step",
+        "secs",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("step")
+        .agg(
+            F.max("n").cast("bigint").alias("n_users"),
+            F.min("secs").alias("min_s"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("secs"))
+            ).alias("median_s"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 9 / 10), F.col("secs")
+                )
+            ).alias("p90_s"),
+            F.max("secs").alias("max_s"),
+        )
+        .orderBy("step")
+    )
+
+
+QUERIES["q_funnel_time_percentiles"] = q_funnel_time_percentiles
+
+ORACLES["q_funnel_time_percentiles"] = """
+    WITH staged AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s
+      FROM events GROUP BY 1
+    ),
+    with_c AS (
+      SELECT st.user_id, st.s,
+             MIN(CASE WHEN e.event_type = 'click'
+                       AND epoch_us(e.ts) > st.s
+                      THEN epoch_us(e.ts) END) AS c
+      FROM staged st JOIN events e ON e.user_id = st.user_id
+      GROUP BY 1, 2
+    ),
+    with_p AS (
+      SELECT wc.user_id, wc.s, wc.c,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) > wc.c
+                      THEN epoch_us(e.ts) END) AS p
+      FROM with_c wc JOIN events e ON e.user_id = wc.user_id
+      GROUP BY 1, 2, 3
+    ),
+    gaps AS (
+      SELECT 'signup_to_click' AS step, (c - s) // 1000000 AS secs
+      FROM with_p WHERE c IS NOT NULL AND s IS NOT NULL
+      UNION ALL
+      SELECT 'click_to_purchase', (p - c) // 1000000
+      FROM with_p WHERE p IS NOT NULL AND c IS NOT NULL
+    ),
+    ranked AS (
+      SELECT step, secs,
+             ROW_NUMBER() OVER (PARTITION BY step ORDER BY secs) AS rn,
+             COUNT(*) OVER (PARTITION BY step) AS n
+      FROM gaps
+    )
+    SELECT step,
+           MAX(n)::BIGINT AS n_users,
+           MIN(secs)::BIGINT AS min_s,
+           MAX(CASE WHEN rn = CEIL(n / 2.0) THEN secs END)::BIGINT
+             AS median_s,
+           MAX(CASE WHEN rn = CEIL(n * 9 / 10.0) THEN secs END)::BIGINT
+             AS p90_s,
+           MAX(secs)::BIGINT AS max_s
+    FROM ranked GROUP BY 1 ORDER BY 1
+"""

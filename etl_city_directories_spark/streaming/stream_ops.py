@@ -1757,3 +1757,50 @@ ORACLES["stream_new_vs_returning"] = """
              AS n_returning
     FROM marked GROUP BY day ORDER BY epoch_day
 """
+
+
+def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact distinct users per hourly window.
+
+    The hourly-actives counter: dropDuplicates on (window, user) keeps
+    one state entry per active user per window — the minimal state any
+    exact distinct needs — and the downstream tumbling count then runs
+    on the DEDUPLICATED stream, so the aggregate sees each (window,
+    user) once. The watermark bounds both state stores: closed windows
+    evict. Twin of the batch q_distinct_users family; with the finite
+    availableNow replay the complete-mode result equals the batch
+    COUNT(DISTINCT) exactly.
+    """
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    agg = (
+        ev.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_start_us"),
+            F.col("n_distinct_users").cast("bigint").alias("n_distinct_users"),
+        )
+    )
+    _run_to_table(
+        agg,
+        "stream_windowed_distinct_users_sink",
+        "complete",
+        state_partitions=8,
+    )
+    return spark.table("stream_windowed_distinct_users_sink").orderBy(
+        "bucket_start_us"
+    )
+
+
+QUERIES["stream_windowed_distinct_users"] = stream_windowed_distinct_users
+
+ORACLES["stream_windowed_distinct_users"] = """
+    SELECT epoch_us(date_trunc('hour', ts)) AS bucket_start_us,
+           COUNT(DISTINCT user_id)::BIGINT AS n_distinct_users
+    FROM events
+    GROUP BY 1 ORDER BY 1
+"""

@@ -734,3 +734,59 @@ def test_payload_entropy_bounds(spark):
         assert 1 <= r.n_distinct_bytes <= 256
         # md5-stream payloads should look near-uniform, headers aside
         assert r.entropy_bits > 6.0
+
+
+# --- batch 9: degree distribution, funnel latency, streaming distinct
+
+
+def test_degree_distribution_conservation(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        _oriented_graph,
+        graph_degree_distribution,
+    )
+
+    rows = graph_degree_distribution(spark, SF).collect()
+    edges, _, _, n_edges = _oriented_graph(spark, SF)
+    # handshake lemma: sum(degree * n_nodes) = 2|E|
+    assert sum(r.degree * r.n_nodes for r in rows) == 2 * n_edges
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    # cumulative-from-top ends at 1 on the smallest degree
+    assert abs(rows[-1].cum_share_from_top - 1.0) < 1e-6
+
+
+def test_funnel_latency_agrees_with_funnel_counts(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_funnel_time_percentiles,
+    )
+    from etl_city_directories_spark.operators.temporal import q_funnel
+
+    lat = {r.step: r for r in q_funnel_time_percentiles(spark, SF).collect()}
+    fun = q_funnel(spark, SF).collect()[0]
+    assert lat["signup_to_click"].n_users == fun.n_click_after
+    assert lat["click_to_purchase"].n_users == fun.n_purchase_after
+    for r in lat.values():
+        assert r.min_s <= r.median_s <= r.p90_s <= r.max_s
+        assert r.min_s > 0  # strictly-after semantics
+
+
+def test_stream_windowed_distinct_matches_batch(spark):
+    from etl_city_directories_spark.sources.tables import load_table
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_windowed_distinct_users,
+    )
+
+    got = {
+        r.bucket_start_us: r.n_distinct_users
+        for r in stream_windowed_distinct_users(spark, SF).collect()
+    }
+    exp = {
+        r.b: r.n
+        for r in load_table(spark, SF, "events")
+        .select(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("b"), "user_id"
+        )
+        .groupBy("b")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp
