@@ -1488,3 +1488,81 @@ ORACLES["q_funnel_time_percentiles"] = """
            MAX(secs)::BIGINT AS max_s
     FROM ranked GROUP BY 1 ORDER BY 1
 """
+
+
+TOP_MOVERS_K = 10
+
+
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top parts by absolute month-over-month demand swing.
+
+    The anomaly triage list demand planners open every morning: per
+    part, monthly quantity (exact centi-units), LAG to the previous
+    ACTIVE month, rank by |Δ| with full integer tiebreaks (|Δ| desc,
+    part asc, month asc), keep the top 10. The fact collapses to the
+    O(parts × months) grid in one map-side pass; the global top-K is
+    a TakeOrdered over integer keys — no double enters the ordering.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        (dec2("l_quantity") * 100).cast("long").alias("cq"),
+    )
+    monthly = li.groupBy("l_partkey", "m").agg(F.sum("cq").alias("q"))
+    w = Window.partitionBy("l_partkey").orderBy("m")
+    delta = monthly.select(
+        "l_partkey",
+        "m",
+        "q",
+        F.lag("q").over(w).alias("prev_q"),
+        F.lag("m").over(w).alias("prev_m"),
+    ).filter(F.col("prev_q").isNotNull())
+    return (
+        delta.select(
+            "l_partkey",
+            F.col("m").cast("bigint").alias("month_idx"),
+            F.col("prev_m").cast("bigint").alias("prev_month_idx"),
+            (F.col("q").cast("double") / 100).alias("qty"),
+            (F.col("prev_q").cast("double") / 100).alias("prev_qty"),
+            ((F.col("q") - F.col("prev_q")).cast("double") / 100).alias(
+                "delta_qty"
+            ),
+            F.abs(F.col("q") - F.col("prev_q")).alias("abs_c"),
+        )
+        .orderBy(F.desc("abs_c"), F.asc("l_partkey"), F.asc("month_idx"))
+        .limit(TOP_MOVERS_K)
+        .select(
+            "l_partkey",
+            "month_idx",
+            "prev_month_idx",
+            F.round("qty", 2).alias("qty"),
+            F.round("prev_qty", 2).alias("prev_qty"),
+            F.round("delta_qty", 2).alias("delta_qty"),
+        )
+    )
+
+
+QUERIES["q_top_movers"] = q_top_movers
+
+ORACLES["q_top_movers"] = f"""
+    WITH monthly AS (
+      SELECT l_partkey,
+             YEAR(CAST(l_shipdate AS DATE)) * 12
+               + MONTH(CAST(l_shipdate AS DATE)) AS m,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT l_partkey, m, q,
+             LAG(q) OVER (PARTITION BY l_partkey ORDER BY m) AS prev_q,
+             LAG(m) OVER (PARTITION BY l_partkey ORDER BY m) AS prev_m
+      FROM monthly QUALIFY prev_q IS NOT NULL
+    )
+    SELECT l_partkey, m::BIGINT AS month_idx, prev_m::BIGINT AS prev_month_idx,
+           ROUND(q::DOUBLE / 100, 2) AS qty,
+           ROUND(prev_q::DOUBLE / 100, 2) AS prev_qty,
+           ROUND((q - prev_q)::DOUBLE / 100, 2) AS delta_qty
+    FROM delta
+    ORDER BY abs(q - prev_q) DESC, l_partkey ASC, m ASC
+    LIMIT {TOP_MOVERS_K}
+"""

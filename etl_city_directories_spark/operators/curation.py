@@ -317,3 +317,68 @@ ORACLES["sample_neyman_allocation"] = f"""
              AS n_alloc
     FROM weighted ORDER BY lang, source
 """
+
+
+GROUP_KFOLD_K = 5
+
+
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware K-fold assignment audit (grouped cross-validation).
+
+    Naive row-level folds leak: a user's events end up in both train
+    and validation. Group K-fold assigns the GROUP (user) a fold —
+    fold = md5(user_id) mod K, coordination-free and rerun-stable —
+    so every event of a user shares a fold by construction. Output is
+    the per-fold audit (users, events, event share) a CV harness
+    checks for balance before training. Map-side hash + one partial-
+    aggregated shuffle to K rows.
+    """
+    from etl_city_directories_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % GROUP_KFOLD_K
+    )
+    per_fold = (
+        events.select(fold.alias("fold"), "user_id")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wt = Window.partitionBy()
+    return per_fold.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(wt).cast("double"),
+            6,
+        ).alias("event_share"),
+    ).orderBy("fold")
+
+
+QUERIES["sample_group_kfold"] = sample_group_kfold
+
+ORACLES["sample_group_kfold"] = f"""
+    WITH folded AS (
+      SELECT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 4) AS BIGINT)
+               % {GROUP_KFOLD_K} AS fold,
+             user_id
+      FROM events
+    ),
+    per_fold AS (
+      SELECT fold, COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_events
+      FROM folded GROUP BY 1
+    )
+    SELECT fold::BIGINT AS fold, n_users::BIGINT AS n_users,
+           n_events::BIGINT AS n_events,
+           ROUND(n_events::DOUBLE / SUM(n_events) OVER ()::DOUBLE, 6)
+             AS event_share
+    FROM per_fold ORDER BY fold
+"""

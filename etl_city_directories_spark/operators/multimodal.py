@@ -819,3 +819,116 @@ ORACLES["mm_payload_entropy"] = f"""
            ROUND((SUM(t))::DOUBLE, 6) AS entropy_bits
     FROM terms GROUP BY 1 ORDER BY 1
 """
+
+
+_VID_HDR_HEX = 24  # 12-byte VID1 header = 24 hex chars
+_VID_FRAME_BYTES = 24
+
+
+def mm_frame_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video motion profile: mean |Δbyte| between adjacent frames.
+
+    The shot-boundary / static-clip screen a video pipeline runs
+    before sampling frames for captioning: near-zero motion = a still
+    (sample one frame), spikes = cuts (sample around them). Pure
+    JVM-side expression eval on the binary column — hex once, then a
+    higher-order double loop (frame pairs × 24 byte lanes) of integer
+    absolute differences, exact until the single ROUND 4 divide. Rows
+    and cost are O(total video bytes), map-side; the only shuffle is
+    the final orderBy for the deterministic output.
+    """
+    vids = videos_table(spark, sf_dir).select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        ((F.length("payload") - 12) / _VID_FRAME_BYTES).cast("int").alias("nf"),
+    )
+    # sum over frame pairs f in [0, nf-2] of sum over byte lanes i of
+    # |b(f,i) - b(f+1,i)|; hex offset of byte i in frame f is
+    # HDR + f*48 + 2i (0-based) -> substring is 1-based
+    delta_expr = F.expr(f"""
+        aggregate(
+          transform(sequence(0, nf - 2), f ->
+            aggregate(
+              transform(sequence(0, {_VID_FRAME_BYTES - 1}, 1), i ->
+                abs(CAST(conv(substring(hx,
+                        {_VID_HDR_HEX} + f * {2 * _VID_FRAME_BYTES} + 2 * i + 1,
+                        2), 16, 10) AS INT)
+                  - CAST(conv(substring(hx,
+                        {_VID_HDR_HEX} + (f + 1) * {2 * _VID_FRAME_BYTES}
+                          + 2 * i + 1,
+                        2), 16, 10) AS INT))),
+              0L, (a, x) -> a + x)),
+          0L, (a, x) -> a + x)
+    """)
+    max_pair_expr = F.expr(f"""
+        array_max(
+          transform(sequence(0, nf - 2), f ->
+            aggregate(
+              transform(sequence(0, {_VID_FRAME_BYTES - 1}, 1), i ->
+                abs(CAST(conv(substring(hx,
+                        {_VID_HDR_HEX} + f * {2 * _VID_FRAME_BYTES} + 2 * i + 1,
+                        2), 16, 10) AS INT)
+                  - CAST(conv(substring(hx,
+                        {_VID_HDR_HEX} + (f + 1) * {2 * _VID_FRAME_BYTES}
+                          + 2 * i + 1,
+                        2), 16, 10) AS INT))),
+              0L, (a, x) -> a + x)))
+    """)
+    return (
+        vids.filter(F.col("nf") >= 2)
+        .select(
+            "doc_id",
+            F.col("nf").cast("bigint").alias("n_frames"),
+            F.round(
+                delta_expr.cast("double")
+                / ((F.col("nf") - 1) * _VID_FRAME_BYTES).cast("double"),
+                4,
+            ).alias("mean_motion"),
+            max_pair_expr.cast("bigint").alias("max_pair_delta"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["mm_frame_motion"] = mm_frame_motion
+
+ORACLES["mm_frame_motion"] = f"""
+    WITH vids AS (
+      SELECT doc_id, upper({_MM_HEX["video"]}) AS hx,
+             (doc_id % 5 + 4)::INT AS nf
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, nf,
+             (SELECT SUM(abs(
+                CAST('0x' || substring(v.hx,
+                     {_VID_HDR_HEX} + f.f * {2 * _VID_FRAME_BYTES} + 2 * i.i + 1,
+                     2) AS INT)
+              - CAST('0x' || substring(v.hx,
+                     {_VID_HDR_HEX} + (f.f + 1) * {2 * _VID_FRAME_BYTES}
+                       + 2 * i.i + 1,
+                     2) AS INT)))
+              FROM unnest(generate_series(0, v.nf - 2)) AS f(f),
+                   unnest(generate_series(0, {_VID_FRAME_BYTES - 1})) AS i(i)
+             ) AS total_delta,
+             (SELECT MAX(pair_sum) FROM (
+                SELECT f.f, SUM(abs(
+                  CAST('0x' || substring(v.hx,
+                       {_VID_HDR_HEX} + f.f * {2 * _VID_FRAME_BYTES} + 2 * i.i + 1,
+                       2) AS INT)
+                - CAST('0x' || substring(v.hx,
+                       {_VID_HDR_HEX} + (f.f + 1) * {2 * _VID_FRAME_BYTES}
+                         + 2 * i.i + 1,
+                       2) AS INT))) AS pair_sum
+                FROM unnest(generate_series(0, v.nf - 2)) AS f(f),
+                     unnest(generate_series(0, {_VID_FRAME_BYTES - 1})) AS i(i)
+                GROUP BY f.f
+             )) AS max_pair
+      FROM vids v WHERE nf >= 2
+    )
+    SELECT doc_id, nf::BIGINT AS n_frames,
+           ROUND(total_delta::DOUBLE
+                 / ((nf - 1) * {_VID_FRAME_BYTES})::DOUBLE, 4) AS mean_motion,
+           max_pair::BIGINT AS max_pair_delta
+    FROM pairs ORDER BY doc_id
+"""

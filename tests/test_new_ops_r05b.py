@@ -790,3 +790,81 @@ def test_stream_windowed_distinct_matches_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+# --- batch 10: frame motion, top movers, group k-fold
+
+
+def test_frame_motion_covers_all_videos(spark):
+    from etl_city_directories_spark.operators.multimodal import (
+        mm_frame_motion,
+        videos_table,
+    )
+
+    rows = mm_frame_motion(spark, SF_TINY).collect()
+    n_multi = videos_table(spark, SF_TINY).filter(
+        (F.length("payload") - 12) / 24 >= 2
+    ).count()
+    assert len(rows) == n_multi
+    for r in rows:
+        assert r.n_frames >= 2
+        assert 0 <= r.mean_motion <= 255
+        assert 0 <= r.max_pair_delta <= 255 * 24
+        # max pair >= mean per-pair total
+        assert r.max_pair_delta >= r.mean_motion * 24 - 1e-6
+
+
+def test_frame_motion_matches_python_decode(spark):
+    """Byte-exact against a local numpy decode of the same payloads."""
+    import numpy as np
+
+    from etl_city_directories_spark.operators.multimodal import (
+        mm_frame_motion,
+        videos_table,
+    )
+
+    got = {r.doc_id: r for r in mm_frame_motion(spark, SF_TINY).collect()}
+    for doc_id, payload in (
+        videos_table(spark, SF_TINY).limit(50).collect()
+    ):
+        payload = bytes(payload)
+        nf = int.from_bytes(payload[4:8], "big")
+        if nf < 2:
+            continue
+        frames = np.frombuffer(payload[12:], dtype=np.uint8).reshape(nf, 24)
+        deltas = np.abs(
+            frames[1:].astype(int) - frames[:-1].astype(int)
+        ).sum(axis=1)
+        r = got[doc_id]
+        assert r.max_pair_delta == int(deltas.max())
+        assert abs(r.mean_motion - deltas.sum() / ((nf - 1) * 24)) < 5e-5
+
+
+def test_top_movers_are_global_maxima(spark):
+    from etl_city_directories_spark.operators.analytics import q_top_movers
+
+    rows = q_top_movers(spark, SF_TINY).collect()
+    assert len(rows) <= 10
+    deltas = [abs(r.delta_qty) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+
+
+def test_group_kfold_no_leakage(spark):
+    from etl_city_directories_spark.operators.curation import (
+        GROUP_KFOLD_K,
+        sample_group_kfold,
+    )
+    from etl_city_directories_spark.sources.tables import load_table
+
+    rows = sample_group_kfold(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    assert len(rows) <= GROUP_KFOLD_K
+    # leakage-free by construction: fold is a function of user_id only;
+    # verify on a sample of users
+    import hashlib
+
+    for u in [r.user_id for r in ev.select("user_id").distinct().limit(20).collect()]:
+        expected_fold = int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % GROUP_KFOLD_K
+        assert 0 <= expected_fold < GROUP_KFOLD_K
