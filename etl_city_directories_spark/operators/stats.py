@@ -1444,3 +1444,227 @@ ORACLES["q_psi_drift"] = f"""
            ROUND((SUM(t) OVER ())::DOUBLE, 6) AS psi_total
     FROM terms ORDER BY bucket
 """
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier repeat-purchase curve, in the log domain.
+
+    Survival analysis on "days from first to second order" with
+    right-censoring (one-order customers censor at the dataset's last
+    order date) — the retention readout subscription businesses live
+    on. Per-duration (events d, censors c) counts collapse map-side;
+    n_at_risk is total minus the running count of everyone who left
+    strictly earlier, and the KM product Π(1 − d/n) is carried as a
+    SUM of per-step ln(1 − d/n) terms quantized to DECIMAL(18,8) —
+    reporting log-survival keeps the whole pipeline inside the repo's
+    deterministic-transcendental discipline (no cross-engine exp at
+    the boundary). O(customers) collapse + O(distinct durations)
+    windows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od")
+    firsts = orders.select(
+        "o_custkey",
+        "od",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    per_cust = firsts.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("d2"),
+    )
+    anchor = orders.agg(F.max("od").alias("dmax"))
+    durs = per_cust.crossJoin(F.broadcast(anchor)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        ).otherwise(F.datediff("dmax", "d1")).cast("long").alias("t"),
+        F.col("d2").isNotNull().alias("is_event"),
+    )
+    per_t = durs.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(~F.col("is_event"), 1).otherwise(0)).alias("c"),
+    )
+    wt = Window.partitionBy()
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risky = per_t.select(
+        "t",
+        "d",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wt)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0))
+        ).alias("n_risk"),
+    ).filter(F.col("d") > 0)
+    # the terminal step (d == n_risk) sends survival to exactly 0:
+    # its log term is -inf, so that row reports NULL log-survival
+    term = (
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+        )
+    ).cast("decimal(18,8)")
+    wsurv = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = risky.select(
+        "t",
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.round(
+            F.col("d").cast("double") / F.col("n_risk").cast("double"), 6
+        ).alias("hazard"),
+        term.alias("lt"),
+    )
+    return (
+        stepped.select(
+            F.col("t").alias("t_days"),
+            "d_events",
+            "n_at_risk",
+            "hazard",
+            F.when(
+                F.col("d_events") < F.col("n_at_risk"),
+                F.round(F.sum("lt").over(wsurv).cast("double"), 6),
+            ).alias("log_survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+QUERIES["q_survival_km"] = q_survival_km
+
+ORACLES["q_survival_km"] = """
+    WITH firsts AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_orderdate AS DATE)) AS rn
+      FROM orders QUALIFY rn <= 2
+    ),
+    per_cust AS (
+      SELECT o_custkey,
+             MIN(CASE WHEN rn = 1 THEN od END) AS d1,
+             MIN(CASE WHEN rn = 2 THEN od END) AS d2
+      FROM firsts GROUP BY 1
+    ),
+    durs AS (
+      SELECT CASE WHEN d2 IS NOT NULL
+                  THEN date_diff('day', d1, d2)
+                  ELSE date_diff('day', d1,
+                         (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+             END::BIGINT AS t,
+             d2 IS NOT NULL AS is_event
+      FROM per_cust
+    ),
+    per_t AS (
+      SELECT t,
+             SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS c
+      FROM durs GROUP BY 1
+    ),
+    risky AS (
+      SELECT t, d,
+             SUM(d + c) OVER ()
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t QUALIFY d > 0
+    ),
+    stepped AS (
+      SELECT t, d, n_risk,
+             CASE WHEN d < n_risk THEN
+               CAST(ln(1.0 - d::DOUBLE / n_risk::DOUBLE) AS DECIMAL(18,8))
+             END AS lt
+      FROM risky
+    )
+    SELECT t AS t_days,
+           d::BIGINT AS d_events,
+           n_risk::BIGINT AS n_at_risk,
+           ROUND(d::DOUBLE / n_risk::DOUBLE, 6) AS hazard,
+           CASE WHEN d < n_risk THEN
+             ROUND((SUM(lt) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE,
+                   6)
+           END AS log_survival
+    FROM stepped ORDER BY t_days
+"""
+
+
+def q_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand curve slope per part type prefix (elasticity proxy).
+
+    The classic econometric readout: regress ln(quantity) on
+    ln(unit price) across a type family's line items — the slope is
+    the (proxy) price elasticity of demand. Unit price and quantity
+    reduce to exact integer centi-units first; both logs quantize to
+    DECIMAL(18,8) BEFORE the sufficient sums (the Zipf/LM
+    discipline), then the closed-form OLS slope runs per group with
+    one double divide. One map-side pass to O(groups) rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 10).alias("type_bucket"),
+        (dec2("l_extendedprice") * 100).cast("long").alias("price_c"),
+        (dec2("l_quantity") * 100).cast("long").alias("qty_c"),
+    )
+    logged = li.select(
+        "type_bucket",
+        F.log(F.col("price_c").cast("double") / F.col("qty_c").cast("double"))
+        .cast("decimal(18,8)")
+        .alias("lx"),
+        F.log(F.col("qty_c").cast("double") / 100)
+        .cast("decimal(18,8)")
+        .alias("ly"),
+    )
+    suff = logged.groupBy("type_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,16)")).alias("sxx"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,16)")).alias("sxy"),
+    )
+    return (
+        suff.selectExpr(
+            "CAST(type_bucket AS BIGINT) AS type_bucket",
+            "CAST(n AS BIGINT) AS n_lines",
+            "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+            " AS elasticity",
+        )
+        .orderBy("type_bucket")
+    )
+
+
+QUERIES["q_elasticity_loglog"] = q_elasticity_loglog
+
+ORACLES["q_elasticity_loglog"] = """
+    WITH li AS (
+      SELECT l_partkey % 10 AS type_bucket,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
+      FROM lineitem
+    ),
+    logged AS (
+      SELECT type_bucket,
+             CAST(ln(price_c::DOUBLE / qty_c::DOUBLE) AS DECIMAL(18,8)) AS lx,
+             CAST(ln(qty_c::DOUBLE / 100) AS DECIMAL(18,8)) AS ly
+      FROM li
+    ),
+    suff AS (
+      SELECT type_bucket, COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(CAST(CAST(lx AS DECIMAL(19,8)) * lx AS DECIMAL(38,16)))
+               AS sxx,
+             SUM(CAST(CAST(lx AS DECIMAL(19,8)) * ly AS DECIMAL(38,16)))
+               AS sxy
+      FROM logged GROUP BY 1
+    )
+    SELECT CAST(type_bucket AS BIGINT) AS type_bucket,
+           CAST(n AS BIGINT) AS n_lines,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS elasticity
+    FROM suff ORDER BY type_bucket
+"""

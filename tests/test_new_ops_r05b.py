@@ -868,3 +868,56 @@ def test_group_kfold_no_leakage(spark):
     for u in [r.user_id for r in ev.select("user_id").distinct().limit(20).collect()]:
         expected_fold = int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % GROUP_KFOLD_K
         assert 0 <= expected_fold < GROUP_KFOLD_K
+
+
+# --- batch 11: survival, elasticity, blocking quality
+
+
+def test_km_survival_monotone_and_risk_decreasing(spark):
+    from etl_city_directories_spark.operators.stats import q_survival_km
+
+    rows = q_survival_km(spark, SF_TINY).collect()
+    assert rows
+    prev_ls, prev_risk = 0.0, None
+    for r in rows:
+        assert 0 < r.hazard <= 1
+        if prev_risk is not None:
+            assert r.n_at_risk < prev_risk  # strictly fewer at risk
+        prev_risk = r.n_at_risk
+        if r.log_survival is not None:
+            assert r.log_survival <= prev_ls + 1e-9  # survival only drops
+            prev_ls = r.log_survival
+    # KM identity on the first event time: log S = ln(1 - d/n)
+    import math
+
+    first = rows[0]
+    assert abs(
+        first.log_survival
+        - math.log(1 - first.d_events / first.n_at_risk)
+    ) < 1e-4
+
+
+def test_elasticity_slope_sign_and_groups(spark):
+    from etl_city_directories_spark.operators.stats import q_elasticity_loglog
+
+    rows = q_elasticity_loglog(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # ln(qty) regressed on ln(price/qty): mechanically negative
+        # (qty appears on both sides) — the sanity direction check
+        assert r.elasticity < 0
+        assert r.n_lines > 0
+
+
+def test_blocking_quality_bounds(spark):
+    from etl_city_directories_spark.operators.linkage import (
+        er_blocking_quality,
+    )
+
+    rows = er_blocking_quality(spark, SF).collect()
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_true
+        assert r.n_candidates <= r.n_total_pairs
+        assert 0 <= r.reduction_ratio <= 1
+        if r.pairs_completeness is not None:
+            assert 0 <= r.pairs_completeness <= 1
