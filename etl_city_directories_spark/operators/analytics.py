@@ -1566,3 +1566,106 @@ ORACLES["q_top_movers"] = f"""
     ORDER BY abs(q - prev_q) DESC, l_partkey ASC, m ASC
     LIMIT {TOP_MOVERS_K}
 """
+
+
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-tier migration matrix between the two data halves.
+
+    The churn-and-upgrade view a CRM plans campaigns from: quintile
+    customers by exact-cent spend WITHIN each time half (orders split
+    at the median order date), then count the 5×5 tier transitions —
+    plus 'new'/'lapsed' rows for customers active in only one half.
+    Both NTILEs order (spend desc, custkey) so tile edges are
+    bit-stable; the matrix is a dimension-sized rollup after two
+    per-customer collapses.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.to_date("o_orderdate").alias("od")
+    )
+    split = orders.agg(
+        F.date_add(F.min("od"), (F.datediff(F.max("od"), F.min("od")) / 2).cast("int")).alias("mid")
+    )
+    tagged = orders.crossJoin(F.broadcast(split)).select(
+        "o_custkey",
+        (F.col("od") > F.col("mid")).alias("is_h2"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = tagged.groupBy("o_custkey", "is_h2").agg(
+        F.sum("cents").alias("spend")
+    )
+    w = Window.partitionBy("is_h2").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    tiered = per.select(
+        "o_custkey", "is_h2", F.ntile(5).over(w).alias("tier")
+    )
+    h1 = tiered.filter(~F.col("is_h2")).select(
+        "o_custkey", F.col("tier").alias("tier_h1")
+    )
+    h2 = tiered.filter(F.col("is_h2")).select(
+        "o_custkey", F.col("tier").alias("tier_h2")
+    )
+    joined = h1.join(h2, "o_custkey", "full").select(
+        F.coalesce(F.col("tier_h1").cast("string"), F.lit("new")).alias(
+            "from_tier"
+        ),
+        F.coalesce(F.col("tier_h2").cast("string"), F.lit("lapsed")).alias(
+            "to_tier"
+        ),
+    )
+    wt = Window.partitionBy("from_tier")
+    return (
+        joined.groupBy("from_tier", "to_tier")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "from_tier",
+            "to_tier",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            F.round(
+                F.col("n_customers").cast("double")
+                / F.sum("n_customers").over(wt).cast("double"),
+                6,
+            ).alias("row_share"),
+        )
+        .orderBy("from_tier", "to_tier")
+    )
+
+
+QUERIES["q_segment_migration"] = q_segment_migration
+
+ORACLES["q_segment_migration"] = """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    tagged AS (
+      SELECT o_custkey,
+             CAST(o.o_orderdate AS DATE) >
+               (b.lo + CAST(date_diff('day', b.lo, b.hi) // 2 AS INT))
+               AS is_h2,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o, bounds b
+    ),
+    per AS (
+      SELECT o_custkey, is_h2, SUM(cents) AS spend
+      FROM tagged GROUP BY 1, 2
+    ),
+    tiered AS (
+      SELECT o_custkey, is_h2,
+             NTILE(5) OVER (PARTITION BY is_h2
+                            ORDER BY spend DESC, o_custkey) AS tier
+      FROM per
+    ),
+    joined AS (
+      SELECT COALESCE(CAST(h1.tier AS VARCHAR), 'new') AS from_tier,
+             COALESCE(CAST(h2.tier AS VARCHAR), 'lapsed') AS to_tier
+      FROM (SELECT o_custkey, tier FROM tiered WHERE NOT is_h2) h1
+      FULL JOIN (SELECT o_custkey, tier FROM tiered WHERE is_h2) h2
+        USING (o_custkey)
+    )
+    SELECT from_tier, to_tier, COUNT(*)::BIGINT AS n_customers,
+           ROUND(COUNT(*)::DOUBLE
+                 / SUM(COUNT(*)) OVER (PARTITION BY from_tier)::DOUBLE, 6)
+             AS row_share
+    FROM joined GROUP BY 1, 2 ORDER BY 1, 2
+"""

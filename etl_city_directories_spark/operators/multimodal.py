@@ -932,3 +932,104 @@ ORACLES["mm_frame_motion"] = f"""
            max_pair::BIGINT AS max_pair_delta
     FROM pairs ORDER BY doc_id
 """
+
+
+_AUD_HDR_HEX = 24  # 12-byte AUD1 header = 24 hex chars
+AUDIO_SILENCE_BELOW = 64  # sample byte value < 64 counts as quiet
+
+
+def mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run profile per audio payload (VAD pre-screen).
+
+    The pre-filter a speech pipeline runs before spending ASR compute:
+    how much of the clip is quiet, and how long is the longest quiet
+    run? Samples are the payload bytes after the 12-byte header; a
+    sample is "quiet" below AUDIO_SILENCE_BELOW. Longest run =
+    gaps-and-islands over the quiet positions, expressed as a pure
+    JVM higher-order fold over the hexed binary (position minus
+    quiet-rank is constant within a run — the classic islands trick,
+    here inside one array expression: group quiet positions by
+    p - rank). All integer; one map-side pass, O(total audio bytes).
+    """
+    aud = audio_table(spark, sf_dir).select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        (F.length("payload") - 12).cast("int").alias("ns"),
+    )
+    quiet_pos = F.expr(f"""
+        filter(transform(sequence(0, ns - 1), i ->
+          CASE WHEN CAST(conv(substring(hx, {_AUD_HDR_HEX} + 2 * i + 1, 2),
+                             16, 10) AS INT) < {AUDIO_SILENCE_BELOW}
+               THEN i ELSE -1 END), x -> x >= 0)
+    """)
+    # island key = pos - index_in_quiet_list is constant per run;
+    # longest run = max island population, folded array-side
+    runs = aud.select(
+        "doc_id",
+        F.col("ns").cast("bigint").alias("n_samples"),
+        quiet_pos.alias("qp"),
+    ).select(
+        "doc_id",
+        "n_samples",
+        F.size("qp").cast("bigint").alias("n_quiet"),
+        F.coalesce(
+            F.array_max(
+                F.expr(
+                    "transform(array_distinct(zip_with(qp, "
+                    "sequence(0, size(qp) - 1), (p, r) -> p - r)), k -> "
+                    "size(filter(zip_with(qp, sequence(0, size(qp) - 1), "
+                    "(p, r) -> p - r), x -> x = k)))"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("longest_quiet_run"),
+    )
+    return runs.select(
+        "doc_id",
+        "n_samples",
+        "n_quiet",
+        F.round(
+            F.col("n_quiet").cast("double") / F.col("n_samples").cast("double"),
+            4,
+        ).alias("quiet_share"),
+        "longest_quiet_run",
+    ).orderBy("doc_id")
+
+
+QUERIES["mm_audio_silence"] = mm_audio_silence
+
+ORACLES["mm_audio_silence"] = f"""
+    WITH aud AS (
+      SELECT doc_id, upper({_MM_HEX["audio"]}) AS hx,
+             (doc_id % 64 + 64)::INT AS ns
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, ns, i.i AS p,
+             CAST('0x' || substring(hx, {_AUD_HDR_HEX} + 2 * i.i + 1, 2)
+                  AS INT) AS v
+      FROM aud, LATERAL unnest(generate_series(0, ns - 1)) AS i(i)
+    ),
+    quiet AS (
+      SELECT doc_id, ns, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM samples WHERE v < {AUDIO_SILENCE_BELOW}
+    ),
+    run_lengths AS (
+      SELECT doc_id, ns, island, COUNT(*) AS run_len
+      FROM quiet GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT a.doc_id, a.ns,
+             COALESCE(SUM(r.run_len), 0) AS n_quiet,
+             COALESCE(MAX(r.run_len), 0) AS longest
+      FROM aud a LEFT JOIN run_lengths r ON r.doc_id = a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, ns::BIGINT AS n_samples, n_quiet::BIGINT AS n_quiet,
+           ROUND(n_quiet::DOUBLE / ns::DOUBLE, 4) AS quiet_share,
+           longest::BIGINT AS longest_quiet_run
+    FROM per_doc ORDER BY doc_id
+"""

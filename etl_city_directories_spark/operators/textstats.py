@@ -3027,3 +3027,86 @@ ORACLES["text_zipf_slope"] = f"""
              AS log_intercept
     FROM suff
 """
+
+
+HEAPS_BUCKET_DOCS = 50
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law) over the corpus in doc order.
+
+    Zipf's companion diagnostic: natural corpora grow vocabulary like
+    V(n) ≈ K·n^β with β ≈ 0.4–0.6; templated or looped generations
+    flatline early. Each word charges its FIRST-occurrence doc (one
+    min per word — O(vocab) rows), first-docs bucket by
+    HEAPS_BUCKET_DOCS, and a running sum over the bucket grid yields
+    cumulative vocabulary alongside cumulative tokens — both exact
+    integers, shares ROUND 6. One corpus pass + O(buckets) windows.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_words(norm_col())).alias("w"))
+    firsts = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    bucket = (F.col("first_doc") / HEAPS_BUCKET_DOCS).cast("long")
+    new_per_bucket = firsts.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    tok_bucket = (F.col("doc_id") / HEAPS_BUCKET_DOCS).cast("long")
+    toks_per_bucket = toks.groupBy(tok_bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    grid = toks_per_bucket.join(new_per_bucket, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_words", F.lit(0)).alias("new_words"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return grid.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("new_words").cast("bigint").alias("new_words"),
+        F.sum("new_words").over(wc).cast("bigint").alias("cum_vocab"),
+        F.sum("n_tokens").over(wc).cast("bigint").alias("cum_tokens"),
+        F.round(
+            F.sum("new_words").over(wc).cast("double")
+            / F.sum("n_tokens").over(wc).cast("double"),
+            6,
+        ).alias("vocab_per_token"),
+    ).orderBy("bucket")
+
+
+QUERIES["text_heaps_law"] = text_heaps_law
+
+ORACLES["text_heaps_law"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_W}) AS w FROM documents
+    ),
+    firsts AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY 1
+    ),
+    new_per_bucket AS (
+      SELECT first_doc // {HEAPS_BUCKET_DOCS} AS bucket,
+             COUNT(*) AS new_words
+      FROM firsts GROUP BY 1
+    ),
+    toks_per_bucket AS (
+      SELECT doc_id // {HEAPS_BUCKET_DOCS} AS bucket, COUNT(*) AS n_tokens
+      FROM toks GROUP BY 1
+    ),
+    grid AS (
+      SELECT t.bucket, t.n_tokens, COALESCE(n.new_words, 0) AS new_words
+      FROM toks_per_bucket t LEFT JOIN new_per_bucket n USING (bucket)
+    )
+    SELECT bucket::BIGINT AS bucket,
+           new_words::BIGINT AS new_words,
+           (SUM(new_words) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             AS cum_vocab,
+           (SUM(n_tokens) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+             AS cum_tokens,
+           ROUND(SUM(new_words) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                 / SUM(n_tokens) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE,
+                 6) AS vocab_per_token
+    FROM grid ORDER BY bucket
+"""

@@ -921,3 +921,77 @@ def test_blocking_quality_bounds(spark):
         assert 0 <= r.reduction_ratio <= 1
         if r.pairs_completeness is not None:
             assert 0 <= r.pairs_completeness <= 1
+
+
+# --- batch 12: audio silence, segment migration, Heaps' law
+
+
+def test_audio_silence_matches_python_decode(spark):
+    from etl_city_directories_spark.operators.multimodal import (
+        AUDIO_SILENCE_BELOW,
+        audio_table,
+        mm_audio_silence,
+    )
+
+    got = {r.doc_id: r for r in mm_audio_silence(spark, SF_TINY).collect()}
+    for doc_id, payload in audio_table(spark, SF_TINY).limit(50).collect():
+        payload = bytes(payload)
+        samples = payload[12:]
+        quiet = [i for i, b in enumerate(samples) if b < AUDIO_SILENCE_BELOW]
+        longest = cur = 0
+        prev = None
+        for i in quiet:
+            cur = cur + 1 if prev is not None and i == prev + 1 else 1
+            longest = max(longest, cur)
+            prev = i
+        r = got[doc_id]
+        assert r.n_samples == len(samples)
+        assert r.n_quiet == len(quiet)
+        assert r.longest_quiet_run == longest
+
+
+def test_segment_migration_conservation(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_segment_migration,
+    )
+
+    rows = q_segment_migration(spark, SF).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        by_from[r.from_tier] += r.row_share
+        assert r.from_tier in {"1", "2", "3", "4", "5", "new"}
+        assert r.to_tier in {"1", "2", "3", "4", "5", "lapsed"}
+    for share in by_from.values():
+        assert abs(share - 1.0) < 1e-3
+
+
+def test_heaps_curve_monotone_and_totals(spark):
+    from etl_city_directories_spark.operators.textstats import text_heaps_law
+
+    rows = text_heaps_law(spark, SF).collect()
+    vocab = rows[-1].cum_vocab
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    true_vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), " +", " ")), " ")
+            ).alias("w")
+        )
+        .distinct()
+        .count()
+    )
+    assert vocab == true_vocab
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_vocab >= a.cum_vocab
+        assert b.cum_tokens > a.cum_tokens
+        # marginal vocabulary rate decays (Heaps): weakly, allow ties
+        assert b.vocab_per_token <= a.vocab_per_token + 1e-9
