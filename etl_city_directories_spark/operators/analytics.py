@@ -1669,3 +1669,98 @@ ORACLES["q_segment_migration"] = """
              AS row_share
     FROM joined GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the basket graph (Newman 2002).
+
+    Do hubs connect to hubs (r > 0, social-network-like) or to leaves
+    (r < 0, hub-and-spoke)? The Pearson correlation of endpoint
+    degrees over every edge counted in BOTH directions — computed
+    from five exact integer sums over the memoized (edges ⋈ degree)
+    view, one closed-form double at the end. Decides whether skew
+    mitigation should target a few hubs (disassortative) or whole
+    hub communities (assortative). O(edges) map-side work.
+    """
+    edges, deg, _, _ = _oriented_graph(spark, sf_dir)
+    da = F.broadcast(
+        deg.select(F.col("node").alias("part_a"), F.col("deg").alias("dx"))
+    )
+    db = F.broadcast(
+        deg.select(F.col("node").alias("part_b"), F.col("deg").alias("dy"))
+    )
+    both = edges.join(da, "part_a").join(db, "part_b")
+    # symmetric view: every undirected edge contributes (dx,dy), (dy,dx)
+    sym = both.select("dx", "dy").unionAll(
+        both.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    d38 = "decimal(38,0)"
+    suff = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("dx").cast(d38)).alias("sx"),
+        F.sum(F.col("dy").cast(d38)).alias("sy"),
+        F.sum((F.col("dx").cast(d38) * F.col("dy")).cast(d38)).alias("sxy"),
+        F.sum((F.col("dx").cast(d38) * F.col("dx")).cast(d38)).alias("sxx"),
+        F.sum((F.col("dy").cast(d38) * F.col("dy")).cast(d38)).alias("syy"),
+    )
+    num = (
+        "CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
+    den = (
+        "sqrt(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return suff.selectExpr(
+        "CAST(m2 div 2 AS BIGINT) AS n_edges",
+        f"ROUND(({num}) / ({den}), 6) AS assortativity",
+    )
+
+
+QUERIES["graph_assortativity"] = graph_assortativity
+
+ORACLES["graph_assortativity"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),
+    deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT part_a AS node FROM pairs
+        UNION ALL SELECT part_b FROM pairs) GROUP BY 1
+    ),
+    sym AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM pairs p JOIN deg da ON da.node = p.part_a
+                   JOIN deg db ON db.node = p.part_b
+      UNION ALL
+      SELECT db.d, da.d
+      FROM pairs p JOIN deg da ON da.node = p.part_a
+                   JOIN deg db ON db.node = p.part_b
+    ),
+    suff AS (
+      SELECT COUNT(*) AS m2,
+             SUM(dx)::HUGEINT AS sx, SUM(dy)::HUGEINT AS sy,
+             SUM(dx::HUGEINT * dy) AS sxy,
+             SUM(dx::HUGEINT * dx) AS sxx,
+             SUM(dy::HUGEINT * dy) AS syy
+      FROM sym
+    )
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           ROUND((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM suff
+"""

@@ -1668,3 +1668,110 @@ ORACLES["q_elasticity_loglog"] = """
              AS elasticity
     FROM suff ORDER BY type_bucket
 """
+
+
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across all market segments on order value.
+
+    Welch's t compares two segments; ANOVA asks the k-group question
+    ("does segment matter at all?"). Per-group exact decimal
+    (n, Σcents, Σcents²) collapse map-side, then the classic
+    decomposition on the k-row table: SSB = Σ nᵢ(mᵢ − m)²,
+    SSW = Σ (ssᵢ − sᵢ²/nᵢ), F = (SSB/(k−1)) / (SSW/(N−k)) — one
+    closed-form double chain per output cell, mirrored verbatim in
+    the oracle. Output: one row with the F statistic, df pair, and
+    eta² effect size.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (dec2("o_totalprice") * 100).cast("long").cast("decimal(18,0)")
+    per_seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("decimal(38,0)").alias("s"),
+            F.sum((cents * cents).cast("decimal(38,0)")).alias("ss"),
+        )
+    )
+    # fold the k-row group table into one row of exact totals plus the
+    # decimal-quantized between/within components
+    grand = per_seg.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").cast("decimal(38,0)").alias("s_tot"),
+        F.sum("ss").cast("decimal(38,0)").alias("ss_tot"),
+        F.sum(
+            (
+                (F.col("s").cast("double") * F.col("s").cast("double"))
+                / F.col("n").cast("double")
+            ).cast("decimal(38,6)")
+        ).alias("sum_sq_over_n"),
+    )
+    ssb = (
+        "CAST(sum_sq_over_n AS DOUBLE)"
+        " - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)"
+        " / CAST(n_total AS DOUBLE)"
+    )
+    ssw = "CAST(ss_tot AS DOUBLE) - CAST(sum_sq_over_n AS DOUBLE)"
+    f_stat = (
+        f"(({ssb}) / (CAST(k AS DOUBLE) - 1))"
+        f" / (({ssw}) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))"
+    )
+    eta2 = f"({ssb}) / (({ssb}) + ({ssw}))"
+    return grand.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(n_total AS BIGINT) AS n_total",
+        f"ROUND({f_stat}, 6) AS f_stat",
+        "CAST(k - 1 AS BIGINT) AS df_between",
+        "CAST(n_total - k AS BIGINT) AS df_within",
+        f"ROUND({eta2}, 6) AS eta_squared",
+    )
+
+
+QUERIES["q_anova_oneway"] = q_anova_oneway
+
+ORACLES["q_anova_oneway"] = """
+    WITH per_seg AS (
+      SELECT c.c_mktsegment,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               ::HUGEINT AS s,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS HUGEINT)) AS ss
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    grand AS (
+      SELECT COUNT(*) AS k, SUM(n) AS n_total,
+             SUM(s) AS s_tot, SUM(ss) AS ss_tot,
+             SUM(CAST(s::DOUBLE * s::DOUBLE / n::DOUBLE AS DECIMAL(38,6)))
+               AS sum_sq_over_n
+      FROM per_seg
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           ROUND(((CAST(sum_sq_over_n AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n_total AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+                 / ((CAST(ss_tot AS DOUBLE) - CAST(sum_sq_over_n AS DOUBLE))
+                    / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+             AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_total - k AS BIGINT) AS df_within,
+           ROUND((CAST(sum_sq_over_n AS DOUBLE)
+                  - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                    / CAST(n_total AS DOUBLE))
+                 / ((CAST(sum_sq_over_n AS DOUBLE)
+                     - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                       / CAST(n_total AS DOUBLE))
+                    + (CAST(ss_tot AS DOUBLE)
+                       - CAST(sum_sq_over_n AS DOUBLE))), 6)
+             AS eta_squared
+    FROM grand
+"""

@@ -3110,3 +3110,76 @@ ORACLES["text_heaps_law"] = f"""
                  6) AS vocab_per_token
     FROM grid ORDER BY bucket
 """
+
+
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources.
+
+    The domain-similarity matrix mixture planners read before setting
+    sampling weights (near-duplicate sources waste budget; disjoint
+    ones need their own quality gates). Each source collapses to its
+    distinct word set once — O(Σ per-source vocab) rows, never
+    corpus² — pair intersections come from ONE self-join on the word
+    key, and union sizes derive as |A| + |B| − |A∩B| from the
+    broadcast per-source totals. Upper-triangle output, exact
+    integers, one ROUND 6.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sv = (
+        docs.select("source", F.explode(_words(norm_col())).alias("w"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = sv.select(F.col("source").alias("src_a"), "w")
+    b = sv.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("v").alias("va")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("v").alias("vb")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("va").cast("bigint").alias("vocab_a"),
+            F.col("vb").cast("bigint").alias("vocab_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+QUERIES["text_source_vocab_overlap"] = text_source_vocab_overlap
+
+ORACLES["text_source_vocab_overlap"] = f"""
+    WITH sv AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, unnest({_W}) AS w FROM documents
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS v FROM sv GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           sa.v::BIGINT AS vocab_a, sb.v::BIGINT AS vocab_b,
+           n_common::BIGINT AS n_common,
+           ROUND(n_common::DOUBLE / (sa.v + sb.v - n_common)::DOUBLE, 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = inter.src_a
+    JOIN sizes sb ON sb.source = inter.src_b
+    ORDER BY src_a, src_b
+"""

@@ -995,3 +995,63 @@ def test_heaps_curve_monotone_and_totals(spark):
         assert b.cum_tokens > a.cum_tokens
         # marginal vocabulary rate decays (Heaps): weakly, allow ties
         assert b.vocab_per_token <= a.vocab_per_token + 1e-9
+
+
+# --- batch 13: ANOVA, vocab overlap, assortativity
+
+
+def test_anova_matches_local_computation(spark):
+    from etl_city_directories_spark.operators.stats import q_anova_oneway
+
+    r = q_anova_oneway(spark, SF_TINY).collect()[0]
+    orders = spark.read.parquet(f"{SF_TINY}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_TINY}/customer.parquet")
+    data = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for row in data:
+        groups[row.c_mktsegment].append(round(float(row.o_totalprice) * 100))
+    n_total = sum(len(v) for v in groups.values())
+    grand_mean = sum(sum(v) for v in groups.values()) / n_total
+    ssb = sum(len(v) * (sum(v) / len(v) - grand_mean) ** 2 for v in groups.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values())
+    k = len(groups)
+    f_local = (ssb / (k - 1)) / (ssw / (n_total - k))
+    assert r.k_groups == k and r.n_total == n_total
+    assert abs(r.f_stat - f_local) / max(f_local, 1e-9) < 1e-3
+    assert 0 <= r.eta_squared <= 1
+
+
+def test_vocab_overlap_symmetric_complete(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_source_vocab_overlap,
+    )
+
+    rows = text_source_vocab_overlap(spark, SF).collect()
+    n_sources = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    # upper triangle over sources that share at least one word: on a
+    # same-generator corpus that's ALL pairs
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0 < r.jaccard <= 1
+        assert r.n_common <= min(r.vocab_a, r.vocab_b)
+
+
+def test_assortativity_in_valid_range(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        _oriented_graph,
+        graph_assortativity,
+    )
+
+    r = graph_assortativity(spark, SF).collect()[0]
+    _, _, _, n_edges = _oriented_graph(spark, SF)
+    assert r.n_edges == n_edges
+    assert -1.0 <= r.assortativity <= 1.0
