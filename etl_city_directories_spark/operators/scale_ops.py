@@ -1956,3 +1956,119 @@ ORACLES["q_compaction_plan"] = f"""
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
     FROM binned GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def q_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew audit for the two natural fact partitionings.
+
+    The planning readout run BEFORE choosing a table's partition
+    column: for each candidate key (order month, ship month), the
+    per-partition row counts collapse to a skew profile — partitions,
+    rows, max/mean skew factor, largest-partition share, and the
+    count of partitions above 2× mean (the AQE-skew-threshold shape).
+    A key whose skew factor is high needs salting or a different
+    layout; this makes that decision one query instead of a manual
+    groupBy per candidate. One map-side-combined pass per key over
+    the fact, O(partitions) everything after.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    candidates = [
+        (
+            "orders.o_orderdate month",
+            orders.select(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                    "pk"
+                )
+            ),
+        ),
+        (
+            "lineitem.l_shipdate month",
+            li.select(
+                (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias(
+                    "pk"
+                )
+            ),
+        ),
+    ]
+    outs = []
+    for name, keyed in candidates:
+        counts = keyed.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+        wt = Window.partitionBy()
+        prof = counts.select(
+            F.lit(name).alias("partition_key"),
+            F.count(F.lit(1)).over(wt).alias("n_partitions"),
+            F.sum("n").over(wt).alias("n_rows"),
+            F.max("n").over(wt).alias("max_rows"),
+            F.sum(
+                F.when(
+                    F.col("n") * F.count(F.lit(1)).over(wt)
+                    > 2 * F.sum("n").over(wt),
+                    1,
+                ).otherwise(0)
+            )
+            .over(wt)
+            .alias("n_hot"),
+        ).limit(1)
+        outs.append(prof)
+    combined = outs[0].unionByName(outs[1])
+    return combined.select(
+        "partition_key",
+        F.col("n_partitions").cast("bigint").alias("n_partitions"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_rows").cast("bigint").alias("max_rows"),
+        F.round(
+            F.col("max_rows").cast("double")
+            * F.col("n_partitions").cast("double")
+            / F.col("n_rows").cast("double"),
+            4,
+        ).alias("skew_factor"),
+        F.round(
+            F.col("max_rows").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("max_share"),
+        F.col("n_hot").cast("bigint").alias("n_hot_partitions"),
+    ).orderBy("partition_key")
+
+
+QUERIES["q_partition_skew_audit"] = q_partition_skew_audit
+
+ORACLES["q_partition_skew_audit"] = """
+    WITH keyed AS (
+      SELECT 'orders.o_orderdate month' AS partition_key,
+             YEAR(CAST(o_orderdate AS DATE)) * 100
+               + MONTH(CAST(o_orderdate AS DATE)) AS pk
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_shipdate month',
+             YEAR(CAST(l_shipdate AS DATE)) * 100
+               + MONTH(CAST(l_shipdate AS DATE))
+      FROM lineitem
+    ),
+    counts AS (
+      SELECT partition_key, pk, COUNT(*) AS n
+      FROM keyed GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT partition_key, COUNT(*) AS n_partitions,
+             SUM(n) AS n_rows, MAX(n) AS max_rows
+      FROM counts GROUP BY 1
+    ),
+    hot AS (
+      SELECT c.partition_key,
+             SUM(CASE WHEN c.n * t.n_partitions > 2 * t.n_rows
+                      THEN 1 ELSE 0 END) AS n_hot
+      FROM counts c JOIN tot t USING (partition_key)
+      GROUP BY 1
+    )
+    SELECT t.partition_key,
+           n_partitions::BIGINT AS n_partitions,
+           n_rows::BIGINT AS n_rows,
+           max_rows::BIGINT AS max_rows,
+           ROUND(max_rows::DOUBLE * n_partitions::DOUBLE / n_rows::DOUBLE, 4)
+             AS skew_factor,
+           ROUND(max_rows::DOUBLE / n_rows::DOUBLE, 6) AS max_share,
+           n_hot::BIGINT AS n_hot_partitions
+    FROM tot t JOIN hot USING (partition_key)
+    ORDER BY partition_key
+"""

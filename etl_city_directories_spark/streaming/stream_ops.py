@@ -1804,3 +1804,122 @@ ORACLES["stream_windowed_distinct_users"] = """
     FROM events
     GROUP BY 1 ORDER BY 1
 """
+
+
+ZSCORE_FLAG = 3.0  # |z| threshold
+
+
+def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly alerts: batch-2 purchases scored against
+    reference statistics accumulated in state from batch 1.
+
+    The canonical "train state on yesterday, score today" monitor:
+    microbatch 1 (first time half of the replay fixture) only
+    accumulates per-user (n, Σcents, Σcents²) into ValueState;
+    microbatch 2 scores each arriving purchase against the FROZEN
+    batch-1 stats — deterministic regardless of intra-batch order,
+    because scoring never reads stats that include the scored batch.
+    Users need ≥ 2 reference purchases (else no variance). Emitted
+    alerts = |value − mean| > 3σ (population σ), exact integer cents
+    until the double compare. Output: per-user alert counts.
+    """
+    src = _purchase_replay_source(spark, sf_dir)
+    schema = "user_id LONG, ts_us LONG, event_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    out_schema = "user_id LONG, n_scored LONG, n_alerts LONG"
+
+    def _score_group(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in batches:
+            rows.extend(int(c) for c in pdf["cents"])
+        n_scored = n_alerts = 0
+        if state.exists and n >= 2:
+            mean = s / n
+            var = ss / n - mean * mean
+            sd = math.sqrt(var) if var > 0 else 0.0
+            for c in rows:
+                n_scored += 1
+                if sd > 0 and abs(c - mean) > ZSCORE_FLAG * sd:
+                    n_alerts += 1
+        for c in rows:
+            n, s, ss = n + 1, s + c, ss + c * c
+        state.update((int(n), int(s), int(ss)))
+        if n_scored:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_scored": [n_scored],
+                    "n_alerts": [n_alerts],
+                }
+            )
+
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        _score_group,
+        outputStructType=out_schema,
+        stateStructType="n BIGINT, s BIGINT, ss BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_table(result, "stream_zscore_alerts_sink", "update", state_partitions=8)
+    emitted = spark.table("stream_zscore_alerts_sink")
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.sum("n_scored").cast("bigint").alias("n_scored"),
+            F.sum("n_alerts").cast("bigint").alias("n_alerts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["stream_zscore_alerts"] = stream_zscore_alerts
+
+# batch twin: reference = first time half (strictly before the fixture
+# split at (min+max)//2 of purchase ts), scored = second half; users
+# with >= 2 reference purchases score every later purchase against the
+# frozen reference stats. Population sigma, exact cents.
+ORACLES["stream_zscore_alerts"] = f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    split AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS s FROM p
+    ),
+    ref AS (
+      SELECT user_id, COUNT(*) AS n, SUM(cents) AS sm,
+             SUM(cents * cents) AS ss
+      FROM p, split WHERE ts_us < split.s GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.user_id, p.cents, r.n, r.sm, r.ss
+      FROM p JOIN split ON p.ts_us >= split.s
+      JOIN ref r ON r.user_id = p.user_id
+      WHERE r.n >= 2
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_scored,
+           SUM(CASE WHEN (ss::DOUBLE / n::DOUBLE
+                          - (sm::DOUBLE / n::DOUBLE)
+                            * (sm::DOUBLE / n::DOUBLE)) > 0
+                     AND abs(cents - sm::DOUBLE / n::DOUBLE)
+                         > {ZSCORE_FLAG} * sqrt(ss::DOUBLE / n::DOUBLE
+                              - (sm::DOUBLE / n::DOUBLE)
+                                * (sm::DOUBLE / n::DOUBLE))
+                    THEN 1 ELSE 0 END)::BIGINT AS n_alerts
+    FROM scored GROUP BY 1 ORDER BY user_id
+"""

@@ -1055,3 +1055,73 @@ def test_assortativity_in_valid_range(spark):
     _, _, _, n_edges = _oriented_graph(spark, SF)
     assert r.n_edges == n_edges
     assert -1.0 <= r.assortativity <= 1.0
+
+
+# --- batch 14: streaming z-score alerts, partition skew audit
+
+
+def test_zscore_alerts_match_frozen_reference_replay(spark):
+    from etl_city_directories_spark.sources.tables import load_table
+    from etl_city_directories_spark.streaming.stream_ops import (
+        ZSCORE_FLAG,
+        stream_zscore_alerts,
+    )
+
+    got = {
+        r.user_id: (r.n_scored, r.n_alerts)
+        for r in stream_zscore_alerts(spark, SF_TINY).collect()
+    }
+    p = (
+        load_table(spark, SF_TINY, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.round(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    lo = min(r.t for r in p)
+    hi = max(r.t for r in p)
+    split = (lo + hi) // 2
+    import math
+    from collections import defaultdict
+
+    ref = defaultdict(list)
+    cur = defaultdict(list)
+    for r in p:
+        (ref if r.t < split else cur)[r.user_id].append(r.c)
+    exp = {}
+    for uid, later in cur.items():
+        base = ref.get(uid, [])
+        if len(base) < 2:
+            continue
+        n = len(base)
+        mean = sum(base) / n
+        var = sum(x * x for x in base) / n - mean * mean
+        sd = math.sqrt(var) if var > 0 else 0.0
+        alerts = sum(
+            1 for c in later if sd > 0 and abs(c - mean) > ZSCORE_FLAG * sd
+        )
+        exp[uid] = (len(later), alerts)
+    assert got == exp
+
+
+def test_partition_skew_audit_sanity(spark):
+    from etl_city_directories_spark.operators.scale_ops import (
+        q_partition_skew_audit,
+    )
+
+    rows = q_partition_skew_audit(spark, SF).collect()
+    assert len(rows) == 2
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    n_li = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    by_key = {r.partition_key: r for r in rows}
+    assert by_key["orders.o_orderdate month"].n_rows == n_orders
+    assert by_key["lineitem.l_shipdate month"].n_rows == n_li
+    for r in rows:
+        assert r.skew_factor >= 1.0
+        assert 0 < r.max_share <= 1.0
+        assert r.n_hot_partitions >= 0
