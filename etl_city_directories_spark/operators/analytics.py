@@ -1764,3 +1764,314 @@ ORACLES["graph_assortativity"] = f"""
              AS assortativity
     FROM suff
 """
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 9-cell ABC×XYZ inventory planning matrix.
+
+    Composes the two classification axes this module already computes
+    — revenue importance (ABC, exact cross-multiplied cumulative
+    boundaries) and demand variability (XYZ, exact CV) — into the
+    grid every stocking policy is written against (AX = automate,
+    CZ = discontinue). Both classifications re-derive from their
+    per-part collapses (each one map-side pass over lineitem; Catalyst
+    reuses the scan), joined on partkey, rolled up to at most 9 rows
+    with part counts and revenue mass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    revenue = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(revenue).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_part.agg(F.sum("rev").alias("t"))
+    abc = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "rev",
+            F.when(F.col("cum") * 10 <= F.col("t") * 8, "A")
+            .when(F.col("cum") * 20 <= F.col("t") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+    ).agg((F.sum(dec2("l_quantity")) * 100).cast("decimal(18,0)").alias("q"))
+    suff = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("nm"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
+    )
+    cv = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("nm").cast("double")
+        )
+        / F.col("nm").cast("double")
+    ) / (F.col("s").cast("double") / F.col("nm").cast("double"))
+    xyz = suff.select(
+        "l_partkey",
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    cells = abc.join(xyz, "l_partkey")
+    wt = Window.partitionBy()
+    return (
+        cells.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("rev_dec"),
+        )
+        .select(
+            "abc_class",
+            "xyz_class",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.round(
+                F.col("rev_dec").cast("double")
+                / F.sum("rev_dec").over(wt).cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+QUERIES["q_abc_xyz_matrix"] = q_abc_xyz_matrix
+
+ORACLES["q_abc_xyz_matrix"] = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev) AS t FROM per_part),
+    abc AS (
+      SELECT l_partkey, rev,
+             CASE
+               WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) * 10
+                    <= tot.t * 8 THEN 'A'
+               WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                   ROWS UNBOUNDED PRECEDING) * 20
+                    <= tot.t * 19 THEN 'B'
+               ELSE 'C'
+             END AS abc_class
+      FROM per_part, tot
+    ),
+    monthly AS (
+      SELECT l_partkey,
+             YEAR(CAST(l_shipdate AS DATE)) * 12
+               + MONTH(CAST(l_shipdate AS DATE)) AS m,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(18,0)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    suff AS (
+      SELECT l_partkey, COUNT(*) AS nm,
+             SUM(q)::HUGEINT AS s, SUM(q::HUGEINT * q::HUGEINT) AS ss
+      FROM monthly GROUP BY 1
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / nm::DOUBLE)
+                            / nm::DOUBLE)
+                       / (s::DOUBLE / nm::DOUBLE) < 0.5 THEN 'X'
+                  WHEN sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / nm::DOUBLE)
+                            / nm::DOUBLE)
+                       / (s::DOUBLE / nm::DOUBLE) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM suff
+    )
+    SELECT a.abc_class, x.xyz_class,
+           COUNT(*)::BIGINT AS n_parts,
+           ROUND((SUM(a.rev))::DOUBLE / (SUM(SUM(a.rev)) OVER ())::DOUBLE, 6)
+             AS revenue_share
+    FROM abc a JOIN xyz x USING (l_partkey)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SaaS-style revenue growth accounting between the two data halves.
+
+    The board-level bridge from last period's revenue to this
+    period's: every customer classifies as new / churned / expanded /
+    contracted / flat by comparing exact-cent spend across the halves
+    (orders split at the median order date), and each class reports
+    both customer counts and the SIGNED revenue delta it contributes.
+    The identity Σ deltas = H2 − H1 total is exact by construction —
+    two per-customer collapses, one full join, O(classes) output.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.to_date("o_orderdate").alias("od")
+    )
+    split = orders.agg(
+        F.date_add(
+            F.min("od"), (F.datediff(F.max("od"), F.min("od")) / 2).cast("int")
+        ).alias("mid")
+    )
+    tagged = orders.crossJoin(F.broadcast(split)).select(
+        "o_custkey",
+        (F.col("od") > F.col("mid")).alias("is_h2"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = tagged.groupBy("o_custkey").agg(
+        F.sum(F.when(~F.col("is_h2"), F.col("cents")).otherwise(0)).alias("h1"),
+        F.sum(F.when(F.col("is_h2"), F.col("cents")).otherwise(0)).alias("h2"),
+    )
+    klass = (
+        F.when((F.col("h1") == 0) & (F.col("h2") > 0), "new")
+        .when((F.col("h1") > 0) & (F.col("h2") == 0), "churned")
+        .when(F.col("h2") > F.col("h1"), "expanded")
+        .when(F.col("h2") < F.col("h1"), "contracted")
+        .otherwise("flat")
+    )
+    return (
+        per.select(
+            klass.alias("class"), "h1", "h2", (F.col("h2") - F.col("h1")).alias("delta")
+        )
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("h1").cast("double") / 100, 2).alias("h1_revenue"),
+            F.round(F.sum("h2").cast("double") / 100, 2).alias("h2_revenue"),
+            F.round(F.sum("delta").cast("double") / 100, 2).alias(
+                "revenue_delta"
+            ),
+        )
+        .orderBy("class")
+    )
+
+
+QUERIES["q_growth_accounting"] = q_growth_accounting
+
+ORACLES["q_growth_accounting"] = """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    tagged AS (
+      SELECT o_custkey,
+             CAST(o.o_orderdate AS DATE) >
+               (b.lo + CAST(date_diff('day', b.lo, b.hi) // 2 AS INT))
+               AS is_h2,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o, bounds b
+    ),
+    per AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN NOT is_h2 THEN cents ELSE 0 END) AS h1,
+             SUM(CASE WHEN is_h2 THEN cents ELSE 0 END) AS h2
+      FROM tagged GROUP BY 1
+    ),
+    classed AS (
+      SELECT CASE
+               WHEN h1 = 0 AND h2 > 0 THEN 'new'
+               WHEN h1 > 0 AND h2 = 0 THEN 'churned'
+               WHEN h2 > h1 THEN 'expanded'
+               WHEN h2 < h1 THEN 'contracted'
+               ELSE 'flat'
+             END AS class,
+             h1, h2, h2 - h1 AS delta
+      FROM per
+    )
+    SELECT class, COUNT(*)::BIGINT AS n_customers,
+           ROUND(SUM(h1)::DOUBLE / 100, 2) AS h1_revenue,
+           ROUND(SUM(h2)::DOUBLE / 100, 2) AS h2_revenue,
+           ROUND(SUM(delta)::DOUBLE / 100, 2) AS revenue_delta
+    FROM classed GROUP BY 1 ORDER BY 1
+"""
+
+
+STICKY_WINDOW_DAYS = 7
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-WAU stickiness per day — the product-health ratio.
+
+    Exact rolling distinct users: the (user, day) distinct activity
+    table joins the day spine against itself within the trailing
+    7-day band (band fan-out is a constant 7 per activity row, keyed
+    on the day grid — never a corpus self-join), counts distinct
+    users per anchor day, and divides DAU by WAU (ROUND 4). Only days
+    with a full trailing window emit, so the ratio is never inflated
+    by a short window.
+    """
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    dau = act.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    # each activity row registers into the 7 anchor days it supports
+    anchors = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + STICKY_WINDOW_DAYS - 1)
+        ).alias("anchor"),
+    )
+    wau = (
+        anchors.groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("anchor").alias("day"), "wau")
+    )
+    lo_hi = act.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(lo_hi))
+        .filter(F.col("day") >= F.col("lo") + STICKY_WINDOW_DAYS - 1)
+        .filter(F.col("day") <= F.col("hi"))
+        .select(
+            F.col("day").cast("bigint").alias("epoch_day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 4
+            ).alias("stickiness"),
+        )
+        .orderBy("epoch_day")
+    )
+
+
+QUERIES["q_dau_wau_stickiness"] = q_dau_wau_stickiness
+
+ORACLES["q_dau_wau_stickiness"] = f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    dau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY 1
+    ),
+    anchors AS (
+      SELECT user_id, day + o.o AS anchor
+      FROM act, LATERAL unnest(generate_series(0,
+                    {STICKY_WINDOW_DAYS - 1})) AS o(o)
+    ),
+    wau AS (
+      SELECT anchor AS day, COUNT(DISTINCT user_id) AS wau
+      FROM anchors GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM act)
+    SELECT d.day::BIGINT AS epoch_day,
+           d.dau::BIGINT AS dau,
+           w.wau::BIGINT AS wau,
+           ROUND(d.dau::DOUBLE / w.wau::DOUBLE, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day), bounds b
+    WHERE d.day >= b.lo + {STICKY_WINDOW_DAYS - 1} AND d.day <= b.hi
+    ORDER BY epoch_day
+"""

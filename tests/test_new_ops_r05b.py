@@ -1125,3 +1125,55 @@ def test_partition_skew_audit_sanity(spark):
         assert r.skew_factor >= 1.0
         assert 0 < r.max_share <= 1.0
         assert r.n_hot_partitions >= 0
+
+
+# --- batch 15: growth accounting, ABC-XYZ, stickiness
+
+
+def test_growth_accounting_bridge_identity(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_growth_accounting,
+    )
+
+    rows = q_growth_accounting(spark, SF).collect()
+    h1 = sum(r.h1_revenue for r in rows)
+    h2 = sum(r.h2_revenue for r in rows)
+    delta = sum(r.revenue_delta for r in rows)
+    assert abs((h2 - h1) - delta) < 0.05
+    classes = {r["class"] for r in rows}
+    assert classes <= {"new", "churned", "expanded", "contracted", "flat"}
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+
+
+def test_abc_xyz_matrix_partitions_parts(spark):
+    from etl_city_directories_spark.operators.analytics import q_abc_xyz_matrix
+
+    rows = q_abc_xyz_matrix(spark, SF).collect()
+    n_parts = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.abc_class in "ABC" and r.xyz_class in "XYZ"
+
+
+def test_stickiness_bounds_and_window(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_dau_wau_stickiness,
+    )
+
+    rows = q_dau_wau_stickiness(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
