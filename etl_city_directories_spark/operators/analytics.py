@@ -2075,3 +2075,93 @@ ORACLES["q_dau_wau_stickiness"] = f"""
     WHERE d.day >= b.lo + {STICKY_WINDOW_DAYS - 1} AND d.day <= b.hi
     ORDER BY epoch_day
 """
+
+
+def q_did_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: PROMO parts vs the rest across halves.
+
+    The workhorse causal readout when there's no experiment: treated =
+    PROMO-type parts, control = everything else, periods = lineitem
+    ship-date halves. Revenue collapses to the exact-decimal 2×2
+    (group × period) grid map-side — the whole DiD then runs on four
+    numbers: did = (T2 − T1) − (C2 − C1), reported absolute and
+    relative to the counterfactual T1 + (C2 − C1). One broadcast dim
+    join + one fact pass at any scale.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("treated")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("sd"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    split = li.agg(
+        F.date_add(
+            F.min("sd"), (F.datediff(F.max("sd"), F.min("sd")) / 2).cast("int")
+        ).alias("mid")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    grid = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(split))
+        .groupBy("treated", (F.col("sd") > F.col("mid")).alias("is_h2"))
+        .agg(F.sum(rev).cast("decimal(38,6)").alias("r"))
+    )
+    # fold the 4-cell grid via conditional sums
+    folded = grid.agg(
+        F.sum(F.when(F.col("treated") & ~F.col("is_h2"), F.col("r"))).alias("t1"),
+        F.sum(F.when(F.col("treated") & F.col("is_h2"), F.col("r"))).alias("t2"),
+        F.sum(F.when(~F.col("treated") & ~F.col("is_h2"), F.col("r"))).alias("c1"),
+        F.sum(F.when(~F.col("treated") & F.col("is_h2"), F.col("r"))).alias("c2"),
+    )
+    return folded.selectExpr(
+        "ROUND(CAST(t1 AS DOUBLE), 2) AS treated_h1",
+        "ROUND(CAST(t2 AS DOUBLE), 2) AS treated_h2",
+        "ROUND(CAST(c1 AS DOUBLE), 2) AS control_h1",
+        "ROUND(CAST(c2 AS DOUBLE), 2) AS control_h2",
+        "ROUND(CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE), 2) AS did_abs",
+        "ROUND((CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE))"
+        " / (CAST(t1 AS DOUBLE) + CAST(c2 - c1 AS DOUBLE)), 6) AS did_rel",
+    )
+
+
+QUERIES["q_did_promo"] = q_did_promo
+
+ORACLES["q_did_promo"] = """
+    WITH bounds AS (
+      SELECT MIN(CAST(l_shipdate AS DATE)) AS lo,
+             MAX(CAST(l_shipdate AS DATE)) AS hi
+      FROM lineitem
+    ),
+    grid AS (
+      SELECT p.p_type = 'PROMO' AS treated,
+             CAST(l.l_shipdate AS DATE) >
+               (b.lo + CAST(date_diff('day', b.lo, b.hi) // 2 AS INT))
+               AS is_h2,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DECIMAL(38,6)) AS r
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, bounds b
+      GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT SUM(CASE WHEN treated AND NOT is_h2 THEN r END) AS t1,
+             SUM(CASE WHEN treated AND is_h2 THEN r END) AS t2,
+             SUM(CASE WHEN NOT treated AND NOT is_h2 THEN r END) AS c1,
+             SUM(CASE WHEN NOT treated AND is_h2 THEN r END) AS c2
+      FROM grid
+    )
+    SELECT ROUND(CAST(t1 AS DOUBLE), 2) AS treated_h1,
+           ROUND(CAST(t2 AS DOUBLE), 2) AS treated_h2,
+           ROUND(CAST(c1 AS DOUBLE), 2) AS control_h1,
+           ROUND(CAST(c2 AS DOUBLE), 2) AS control_h2,
+           ROUND(CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE), 2)
+             AS did_abs,
+           ROUND((CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE))
+                 / (CAST(t1 AS DOUBLE) + CAST(c2 - c1 AS DOUBLE)), 6)
+             AS did_rel
+    FROM folded
+"""

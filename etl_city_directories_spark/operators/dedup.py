@@ -1800,3 +1800,149 @@ ORACLES["text_winnowing"] = f"""
     GROUP BY doc_id, n_grams
     ORDER BY doc_id
 """
+
+
+# hot-fingerprint cap: a fingerprint shared by more than this many docs
+# is boilerplate, not evidence — drop it before pair generation
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 4
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints.
+
+    Closes text_winnowing into an actual dedup stage: documents
+    sharing >= WINNOW_MIN_SHARED selected fingerprint hashes are
+    candidates for substring-level overlap (the guarantee: any shared
+    run >= k+w−1 chars forces >= 1 shared fingerprint, so recall for
+    long overlaps is structural). Pair generation is an inverted
+    index on the fingerprint hash — df-capped at WINNOW_MAX_DF so a
+    boilerplate fingerprint can never go quadratic — followed by one
+    groupBy on the pair; the shuffle key is the fingerprint, cost
+    O(Σ df²) over rare fingerprints, never corpus². Same banding
+    algebra as minhash-LSH, but localized overlap instead of whole-doc
+    similarity.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("clean"),
+    )
+    grams = (
+        docs.filter(F.length("clean") >= WINNOW_K)
+        .select(
+            "doc_id",
+            (F.length("clean") - WINNOW_K + 1).alias("n_grams"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("clean") - WINNOW_K + 1)
+            ).alias("p"),
+            "clean",
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "p",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.expr(f"substring(clean, p, {WINNOW_K})")), 1, 5
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * F.lit(_WINNOW_POS_BASE)
+                + (F.lit(_WINNOW_POS_BASE) - F.col("p"))
+            ).alias("combined"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    selected = (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            "p",
+            F.min("combined").over(w).alias("fp_key"),
+        )
+        .filter(F.col("p") <= F.col("n_grams") - WINNOW_W + 1)
+        .select(
+            "doc_id", F.expr(f"fp_key div {_WINNOW_POS_BASE}").alias("h")
+        )
+        .distinct()
+    )
+    df_ok = (
+        selected.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("h")
+    )
+    postings = selected.join(df_ok, "h")
+    a = postings.select(F.col("doc_id").alias("doc_a"), "h")
+    b = postings.select(F.col("doc_id").alias("doc_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared_fp").cast("bigint").alias("n_shared_fp"),
+    ).orderBy(F.desc("n_shared_fp"), "doc_a", "doc_b")
+
+
+QUERIES["dedup_winnowing_pairs"] = dedup_winnowing_pairs
+
+ORACLES["dedup_winnowing_pairs"] = f"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             len(clean) - {WINNOW_K} + 1 AS n_grams,
+             unnest(generate_series(1, len(clean) - {WINNOW_K} + 1)) AS p,
+             clean
+      FROM docs
+      WHERE len(clean) >= {WINNOW_K}
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, p,
+             CAST('0x' || substr(md5(substr(clean, p, {WINNOW_K})), 1, 5)
+                  AS BIGINT) * {_WINNOW_POS_BASE}
+               + ({_WINNOW_POS_BASE} - p) AS combined
+      FROM grams
+    ),
+    winmin AS (
+      SELECT doc_id, n_grams, p,
+             MIN(combined) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+             ) AS fp_key
+      FROM keyed
+    ),
+    selected AS (
+      SELECT DISTINCT doc_id, fp_key // {_WINNOW_POS_BASE} AS h
+      FROM winmin
+      WHERE p <= n_grams - {WINNOW_W} + 1
+    ),
+    df_ok AS (
+      SELECT h FROM selected GROUP BY h
+      HAVING COUNT(*) <= {WINNOW_MAX_DF}
+    ),
+    postings AS (
+      SELECT s.doc_id, s.h FROM selected s JOIN df_ok USING (h)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fp
+      FROM postings a JOIN postings b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, n_shared_fp::BIGINT AS n_shared_fp
+    FROM pairs ORDER BY n_shared_fp DESC, doc_a, doc_b
+"""

@@ -1177,3 +1177,36 @@ def test_stickiness_bounds_and_window(spark):
     for r in rows:
         assert r.dau <= r.wau
         assert 0 < r.stickiness <= 1.0
+
+
+# --- batch 16: winnowing pairs, DiD
+
+
+def test_winnowing_pairs_thresholds_and_determinism(spark):
+    """Candidate contract: ordered pairs, evidence >= the threshold,
+    and rerun-stable output. (The exact-dup structural guarantee holds
+    WITHOUT the df cap; this corpus's tiny vocabulary drives most
+    fingerprints past the cap, so the guarantee is asserted via the
+    hash-checked oracle instead of a per-pair replay here.)"""
+    from etl_city_directories_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        dedup_winnowing_pairs,
+    )
+
+    rows = dedup_winnowing_pairs(spark, SF).collect()
+    assert rows, "dense corpus must produce candidates"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.n_shared_fp >= WINNOW_MIN_SHARED
+    again = dedup_winnowing_pairs(spark, SF).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_did_promo_identity(spark):
+    from etl_city_directories_spark.operators.analytics import q_did_promo
+
+    r = q_did_promo(spark, SF).collect()[0]
+    did = (r.treated_h2 - r.treated_h1) - (r.control_h2 - r.control_h1)
+    assert abs(r.did_abs - did) < 0.05
+    counterfactual = r.treated_h1 + (r.control_h2 - r.control_h1)
+    assert abs(r.did_rel - r.did_abs / counterfactual) < 1e-4
