@@ -2279,3 +2279,57 @@ ORACLES["emb_drift_monitor"] = f"""
              AS population_ratio
     FROM paired GROUP BY label ORDER BY label
 """
+
+
+def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit — the index-ops health check.
+
+    Probe latency on an IVF index is gated by its LARGEST cells (a
+    probe scans whole cells), so the balance profile — per-cell
+    population, share, and the max/mean balance factor — is the
+    number an ANN operator watches after every retrain. Reads the
+    memoized rank-1 cell assignments (zero training cost here),
+    O(cells) output. Balance factor near 1 = healthy; a factor near
+    n_cells means one mega-cell owns the corpus and nprobe tuning
+    can't save it.
+    """
+    cells = memo_df(
+        spark,
+        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
+    ).filter(F.col("cell_rank") == 1)
+    per_cell = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy()
+    return (
+        per_cell.select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wt).cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("n").cast("double")
+                * F.count(F.lit(1)).over(wt).cast("double")
+                / F.sum("n").over(wt).cast("double"),
+                4,
+            ).alias("balance_factor"),
+        )
+        .orderBy("cell")
+    )
+
+
+QUERIES["emb_ivf_balance"] = emb_ivf_balance
+
+ORACLES["emb_ivf_balance"] = f"""
+    WITH {_VEC_CTE},
+    {_kmeans_ctes()},
+    per_cell AS (
+      SELECT cell, COUNT(*) AS n FROM cells WHERE cell_rank = 1 GROUP BY 1
+    )
+    SELECT cell::BIGINT AS cell, n::BIGINT AS n_vectors,
+           ROUND(n::DOUBLE / SUM(n) OVER ()::DOUBLE, 6) AS share,
+           ROUND(n::DOUBLE * COUNT(*) OVER ()::DOUBLE
+                 / SUM(n) OVER ()::DOUBLE, 4) AS balance_factor
+    FROM per_cell ORDER BY cell
+"""

@@ -3183,3 +3183,69 @@ ORACLES["text_source_vocab_overlap"] = f"""
     JOIN sizes sb ON sb.source = inter.src_b
     ORDER BY src_a, src_b
 """
+
+
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document-length percentiles per source.
+
+    The first fact on any new corpus source's dataset card: the
+    length distribution (min / p25 / median / p90 / max chars). The
+    closed-form rank rule (row_number vs ceil(q·n), doc_id tiebreak)
+    shared across the repo's percentile ops keeps it bit-stable; one
+    shuffle on source, O(docs) narrow rows.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 4), F.col("n_chars"))
+            ).alias("p25_chars"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("n_chars"))
+            ).alias("median_chars"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 9 / 10), F.col("n_chars")
+                )
+            ).alias("p90_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_length_percentiles"] = text_length_percentiles
+
+ORACLES["text_length_percentiles"] = """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source,
+           MAX(n)::BIGINT AS n_docs,
+           MIN(n_chars)::BIGINT AS min_chars,
+           MAX(CASE WHEN rn = CEIL(n / 4.0) THEN n_chars END)::BIGINT
+             AS p25_chars,
+           MAX(CASE WHEN rn = CEIL(n / 2.0) THEN n_chars END)::BIGINT
+             AS median_chars,
+           MAX(CASE WHEN rn = CEIL(n * 9 / 10.0) THEN n_chars END)::BIGINT
+             AS p90_chars,
+           MAX(n_chars)::BIGINT AS max_chars
+    FROM ranked GROUP BY source ORDER BY source
+"""

@@ -1210,3 +1210,40 @@ def test_did_promo_identity(spark):
     assert abs(r.did_abs - did) < 0.05
     counterfactual = r.treated_h1 + (r.control_h2 - r.control_h1)
     assert abs(r.did_rel - r.did_abs / counterfactual) < 1e-4
+
+
+# --- batch 17: IVF balance, length percentiles
+
+
+def test_ivf_balance_partition_of_corpus(spark):
+    from etl_city_directories_spark.operators.similarity import (
+        N_CELLS,
+        emb_ivf_balance,
+    )
+
+    rows = emb_ivf_balance(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == total
+    assert len(rows) >= N_CELLS // 2  # training didn't collapse
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    # mean of balance factors weighted by 1/n_cells is 1 by definition
+    mean_bf = sum(r.balance_factor for r in rows) / len(rows)
+    assert abs(mean_bf - 1.0) < 0.01
+
+
+def test_length_percentiles_ordering(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_length_percentiles,
+    )
+
+    rows = text_length_percentiles(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert (
+            r.min_chars
+            <= r.p25_chars
+            <= r.median_chars
+            <= r.p90_chars
+            <= r.max_chars
+        )
