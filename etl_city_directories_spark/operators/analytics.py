@@ -2165,3 +2165,204 @@ ORACLES["q_did_promo"] = """
              AS did_rel
     FROM folded
 """
+
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres and Paasche price indices between the data halves.
+
+    The econ-textbook inflation pair: how much did this basket's
+    prices move, weighted by base-period (Laspeyres) vs current-period
+    (Paasche) quantities? Per (part, half): exact decimal quantity and
+    a DECIMAL(18,6)-quantized mean unit price (one divide, then
+    quantize — both engines identical); parts present in both halves
+    contribute p·q cross terms as exact decimal products. Output is
+    one row with both indices and the Fisher geometric mean left in
+    squared form (fisher_sq = L·P — no cross-engine sqrt needed at
+    the boundary, and the caller can sqrt it).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("sd"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    split = li.agg(
+        F.date_add(
+            F.min("sd"), (F.datediff(F.max("sd"), F.min("sd")) / 2).cast("int")
+        ).alias("mid")
+    )
+    half = li.crossJoin(F.broadcast(split)).select(
+        "l_partkey",
+        (F.col("sd") > F.col("mid")).alias("is_h2"),
+        dec2("l_extendedprice").alias("ep"),
+        dec2("l_quantity").alias("q"),
+    )
+    per = half.groupBy("l_partkey", "is_h2").agg(
+        F.sum("q").cast("decimal(18,2)").alias("qty"),
+        (F.sum("ep").cast("double") / F.sum("q").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("unit_p"),
+    )
+    h1 = per.filter(~F.col("is_h2")).select(
+        "l_partkey", F.col("qty").alias("q1"), F.col("unit_p").alias("p1")
+    )
+    h2 = per.filter(F.col("is_h2")).select(
+        "l_partkey", F.col("qty").alias("q2"), F.col("unit_p").alias("p2")
+    )
+    both = h1.join(h2, "l_partkey")
+    sums = both.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum((F.col("p1") * F.col("q1")).cast("decimal(38,8)")).alias("p1q1"),
+        F.sum((F.col("p2") * F.col("q1")).cast("decimal(38,8)")).alias("p2q1"),
+        F.sum((F.col("p1") * F.col("q2")).cast("decimal(38,8)")).alias("p1q2"),
+        F.sum((F.col("p2") * F.col("q2")).cast("decimal(38,8)")).alias("p2q2"),
+    )
+    return sums.selectExpr(
+        "CAST(n_parts AS BIGINT) AS n_parts",
+        "ROUND(CAST(p2q1 AS DOUBLE) / CAST(p1q1 AS DOUBLE), 6) AS laspeyres",
+        "ROUND(CAST(p2q2 AS DOUBLE) / CAST(p1q2 AS DOUBLE), 6) AS paasche",
+        "ROUND((CAST(p2q1 AS DOUBLE) / CAST(p1q1 AS DOUBLE))"
+        " * (CAST(p2q2 AS DOUBLE) / CAST(p1q2 AS DOUBLE)), 6) AS fisher_sq",
+    )
+
+
+QUERIES["q_price_index"] = q_price_index
+
+ORACLES["q_price_index"] = """
+    WITH bounds AS (
+      SELECT MIN(CAST(l_shipdate AS DATE)) AS lo,
+             MAX(CAST(l_shipdate AS DATE)) AS hi
+      FROM lineitem
+    ),
+    half AS (
+      SELECT l_partkey,
+             CAST(l_shipdate AS DATE) >
+               (b.lo + CAST(date_diff('day', b.lo, b.hi) // 2 AS INT))
+               AS is_h2,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q
+      FROM lineitem, bounds b
+    ),
+    per AS (
+      SELECT l_partkey, is_h2,
+             CAST(SUM(q) AS DECIMAL(18,2)) AS qty,
+             CAST(SUM(ep)::DOUBLE / SUM(q)::DOUBLE AS DECIMAL(18,6))
+               AS unit_p
+      FROM half GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT h1.l_partkey, h1.qty AS q1, h1.unit_p AS p1,
+             h2.qty AS q2, h2.unit_p AS p2
+      FROM (SELECT * FROM per WHERE NOT is_h2) h1
+      JOIN (SELECT * FROM per WHERE is_h2) h2 USING (l_partkey)
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n_parts,
+             SUM(CAST(p1 * q1 AS DECIMAL(38,8))) AS p1q1,
+             SUM(CAST(p2 * q1 AS DECIMAL(38,8))) AS p2q1,
+             SUM(CAST(p1 * q2 AS DECIMAL(38,8))) AS p1q2,
+             SUM(CAST(p2 * q2 AS DECIMAL(38,8))) AS p2q2
+      FROM matched
+    )
+    SELECT CAST(n_parts AS BIGINT) AS n_parts,
+           ROUND(CAST(p2q1 AS DOUBLE) / CAST(p1q1 AS DOUBLE), 6) AS laspeyres,
+           ROUND(CAST(p2q2 AS DOUBLE) / CAST(p1q2 AS DOUBLE), 6) AS paasche,
+           ROUND((CAST(p2q1 AS DOUBLE) / CAST(p1q1 AS DOUBLE))
+                 * (CAST(p2q2 AS DOUBLE) / CAST(p1q2 AS DOUBLE)), 6)
+             AS fisher_sq
+    FROM sums
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve per signup cohort (money twin of retention).
+
+    Cohort = a customer's first-order quarter; age = quarters since;
+    each (cohort, age) cell accumulates exact-cent revenue, and the
+    curve reports cumulative revenue per cohort member — the number
+    payback-period decisions read off. Two passes over orders (first
+    order via min-window on the same custkey shuffle, then the cell
+    rollup); the cumulative window runs over the O(cohorts × ages)
+    grid.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).alias("q"),
+    )
+    w = Window.partitionBy("o_custkey")
+    marked = orders.select(
+        "o_custkey",
+        "q",
+        F.min("q").over(w).alias("cohort_q"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohort_sizes = (
+        marked.select("o_custkey", "cohort_q")
+        .distinct()
+        .groupBy("cohort_q")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    cells = marked.groupBy(
+        "cohort_q", (F.col("q") - F.col("cohort_q")).alias("age_q")
+    ).agg(F.sum("cents").alias("cents"))
+    wcum = Window.partitionBy("cohort_q").orderBy("age_q").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_q")
+        .select(
+            F.col("cohort_q").cast("bigint").alias("cohort_q"),
+            F.col("age_q").cast("bigint").alias("age_q"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.round(F.col("cents").cast("double") / 100, 2).alias(
+                "period_revenue"
+            ),
+            # exact integer micro-dollars: cents*100 div members —
+            # truncation is engine-identical where a 4dp double ROUND
+            # can tie at the half-ulp
+            (
+                F.expr("(sum(cents) OVER (PARTITION BY cohort_q ORDER BY age_q"
+                       " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                       " * 100) div n_members")
+            )
+            .cast("bigint")
+            .alias("cum_ltv_micro"),
+        )
+        .orderBy("cohort_q", "age_q")
+    )
+
+
+QUERIES["q_cohort_ltv"] = q_cohort_ltv
+
+ORACLES["q_cohort_ltv"] = """
+    WITH marked AS (
+      SELECT o_custkey,
+             YEAR(CAST(o_orderdate AS DATE)) * 4
+               + QUARTER(CAST(o_orderdate AS DATE)) - 1 AS q,
+             MIN(YEAR(CAST(o_orderdate AS DATE)) * 4
+                 + QUARTER(CAST(o_orderdate AS DATE)) - 1)
+               OVER (PARTITION BY o_custkey) AS cohort_q,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    cohort_sizes AS (
+      SELECT cohort_q, COUNT(*) AS n_members FROM (
+        SELECT DISTINCT o_custkey, cohort_q FROM marked
+      ) GROUP BY 1
+    ),
+    cells AS (
+      SELECT cohort_q, q - cohort_q AS age_q, SUM(cents) AS cents
+      FROM marked GROUP BY 1, 2
+    )
+    SELECT c.cohort_q::BIGINT AS cohort_q,
+           c.age_q::BIGINT AS age_q,
+           s.n_members::BIGINT AS n_members,
+           ROUND(c.cents::DOUBLE / 100, 2) AS period_revenue,
+           ((SUM(c.cents) OVER (PARTITION BY c.cohort_q ORDER BY c.age_q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100)
+             // s.n_members)::BIGINT AS cum_ltv_micro
+    FROM cells c JOIN cohort_sizes s USING (cohort_q)
+    ORDER BY cohort_q, age_q
+"""

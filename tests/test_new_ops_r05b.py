@@ -1247,3 +1247,41 @@ def test_length_percentiles_ordering(spark):
             <= r.p90_chars
             <= r.max_chars
         )
+
+
+# --- batch 18: price index, cohort LTV
+
+
+def test_price_index_fisher_identity(spark):
+    from etl_city_directories_spark.operators.analytics import q_price_index
+
+    r = q_price_index(spark, SF).collect()[0]
+    assert r.n_parts > 0
+    assert r.laspeyres > 0 and r.paasche > 0
+    assert abs(r.fisher_sq - r.laspeyres * r.paasche) < 1e-3
+    # stationary synthetic prices: indices near 1
+    assert 0.8 < r.laspeyres < 1.25
+    assert 0.8 < r.paasche < 1.25
+
+
+def test_cohort_ltv_monotone_per_cohort(spark):
+    from collections import defaultdict
+
+    from etl_city_directories_spark.operators.analytics import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, SF).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_q].append(r)
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(rs[0].n_members for rs in by_cohort.values()) == n_cust
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.age_q)
+        assert rs[0].age_q == 0  # cohort period always trades
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_ltv_micro >= a.cum_ltv_micro
