@@ -2366,3 +2366,135 @@ ORACLES["q_cohort_ltv"] = """
     FROM cells c JOIN cohort_sizes s USING (cohort_q)
     ORDER BY cohort_q, age_q
 """
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk: per-part supplier HHI, rolled up.
+
+    Procurement's single-source-risk screen: for each part, the
+    Herfindahl index of quantity share across its suppliers (10000 =
+    sole-sourced; competitive parts sit low). HHI stays fully
+    rational — Σ qᵢ² · 10000 / (Σ qᵢ)² in exact decimal cross-
+    multiplication, ONE double divide per part — then parts roll up
+    into the standard concentration bands. Two chained map-side
+    collapses on (part, supplier) → part; nothing rescans the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (dec2("l_quantity") * 100).cast("long").alias("cq"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("cq").cast("decimal(18,0)").alias("q")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").cast("decimal(38,0)").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("ss"),
+    )
+    hhi = F.round(
+        F.col("ss").cast("double")
+        * 10000
+        / (F.col("s").cast("double") * F.col("s").cast("double")),
+        2,
+    )
+    banded = per_part.select(
+        "l_partkey",
+        "n_suppliers",
+        hhi.alias("hhi"),
+        F.when(hhi >= 5000, "concentrated")
+        .when(hhi >= 2500, "moderate")
+        .otherwise("competitive")
+        .alias("band"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.avg(F.col("n_suppliers").cast("double")), 4).alias(
+                "avg_suppliers"
+            ),
+            F.round(F.avg("hhi"), 2).alias("avg_hhi"),
+        )
+        .orderBy("band")
+    )
+
+
+QUERIES["q_supplier_hhi"] = q_supplier_hhi
+
+ORACLES["q_supplier_hhi"] = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS DECIMAL(18,0)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey, COUNT(*) AS n_suppliers,
+             SUM(q)::HUGEINT AS s, SUM(q::HUGEINT * q::HUGEINT) AS ss
+      FROM ps GROUP BY 1
+    ),
+    banded AS (
+      SELECT l_partkey, n_suppliers,
+             ROUND(ss::DOUBLE * 10000 / (s::DOUBLE * s::DOUBLE), 2) AS hhi,
+             CASE WHEN ROUND(ss::DOUBLE * 10000
+                             / (s::DOUBLE * s::DOUBLE), 2) >= 5000
+                    THEN 'concentrated'
+                  WHEN ROUND(ss::DOUBLE * 10000
+                             / (s::DOUBLE * s::DOUBLE), 2) >= 2500
+                    THEN 'moderate'
+                  ELSE 'competitive' END AS band
+      FROM per_part
+    )
+    SELECT band, COUNT(*)::BIGINT AS n_parts,
+           ROUND(AVG(n_suppliers::DOUBLE), 4) AS avg_suppliers,
+           ROUND(AVG(hhi), 2) AS avg_hhi
+    FROM banded GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap of the event stream.
+
+    The 7×24 grid behind every traffic dashboard: exact event counts
+    and decimal-exact value mass per cell, with each cell's share of
+    the week. Pure map-side classification (dayofweek/hour on the
+    normalized timestamp) into 168 cells — one partial-aggregated
+    shuffle at any scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    grid = events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).cast("double").alias("total_value"),
+    )
+    wt = Window.partitionBy()
+    return grid.select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("hour").cast("bigint").alias("hour"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(wt).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("dow", "hour")
+
+
+QUERIES["q_dow_hour_heatmap"] = q_dow_hour_heatmap
+
+ORACLES["q_dow_hour_heatmap"] = """
+    WITH grid AS (
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow::BIGINT AS dow, hour::BIGINT AS hour,
+           n_events::BIGINT AS n_events,
+           ROUND(total_value::DOUBLE, 2) AS total_value,
+           ROUND(n_events::DOUBLE / SUM(n_events) OVER ()::DOUBLE, 6) AS share
+    FROM grid ORDER BY dow, hour
+"""

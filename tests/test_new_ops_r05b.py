@@ -1285,3 +1285,34 @@ def test_cohort_ltv_monotone_per_cohort(spark):
         assert rs[0].age_q == 0  # cohort period always trades
         for a, b in zip(rs, rs[1:]):
             assert b.cum_ltv_micro >= a.cum_ltv_micro
+
+
+# --- batch 19: supplier HHI, dow-hour heatmap
+
+
+def test_supplier_hhi_bounds(spark):
+    from etl_city_directories_spark.operators.analytics import q_supplier_hhi
+
+    rows = q_supplier_hhi(spark, SF).collect()
+    n_parts = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts
+    for r in rows:
+        assert 0 < r.avg_hhi <= 10000
+        assert r.avg_suppliers >= 1
+
+
+def test_dow_hour_heatmap_grid(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_dow_hour_heatmap,
+    )
+
+    rows = q_dow_hour_heatmap(spark, SF).collect()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
