@@ -97,6 +97,20 @@ BNLJ_OK = {
     # ECDF lattice: event types crossJoin broadcast O(buckets) grid +
     # 1-row per-group totals — both sides dimension-sized
     "q_ks_twosample",
+    # r05 batch 11-19: every flag below is crossJoin(broadcast(1-row
+    # scalar)) — the split date / anchor horizon / decile-edge array /
+    # arm-totals / global-total scalar-subquery idiom
+    "q_psi_drift",              # split scalar + 9-edge array broadcast
+    "q_survival_km",            # censor-horizon scalar
+    "q_segment_migration",      # median-date scalar (x2 halves)
+    "q_growth_accounting",      # median-date scalar
+    "q_did_promo",              # median-shipdate scalar
+    "q_price_index",            # median-shipdate scalar (x2 passes)
+    "q_abc_xyz_matrix",         # revenue-total scalar (ABC boundary)
+    "q_dau_wau_stickiness",     # day-bounds scalar
+    "q_ab_power_mde",           # two 1-row arm frames crossJoined
+    # wraps the allowlisted brute-force baseline's capped-probe != join
+    "emb_recall_at_k",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops

@@ -110,6 +110,31 @@ OPS = [
     "sample_neyman_allocation",
     "emb_recall_at_k",
     "graph_wcc",
+    # r05 batch 11-19 additions (er_blocking_quality excluded like the
+    # other er_* ops: verbatim customer-name copies make its true match
+    # count K²-by-construction in this corpus; q_segment_migration /
+    # q_growth_accounting / q_price_index / q_did_promo are single-pass
+    # grid folds and probe like the stats suite)
+    "q_survival_km",
+    "q_elasticity_loglog",
+    "mm_audio_silence",
+    "q_segment_migration",
+    "text_heaps_law",
+    "q_anova_oneway",
+    "text_source_vocab_overlap",
+    "graph_assortativity",
+    "q_partition_skew_audit",
+    "q_growth_accounting",
+    "q_abc_xyz_matrix",
+    "q_dau_wau_stickiness",
+    "dedup_winnowing_pairs",
+    "q_did_promo",
+    "emb_ivf_balance",
+    "text_length_percentiles",
+    "q_price_index",
+    "q_cohort_ltv",
+    "q_supplier_hhi",
+    "q_dow_hour_heatmap",
 ]
 
 
