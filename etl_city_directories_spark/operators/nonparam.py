@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_city_directories_spark.functions.numeric import dec2
 from etl_city_directories_spark.operators.stats import _daily_type_cents
 from etl_city_directories_spark.sources.tables import load_table
 
@@ -521,4 +522,130 @@ ORACLES["q_isotonic_calibration"] = f"""
            ROUND(f.fit_cents / 100, 4) AS isotonic_fit
     FROM g JOIN fit f ON g.event_type = f.event_type AND g.rn = f.rn
     ORDER BY 1, 2
+"""
+
+
+WILCOXON_Z_CRIT = 1.959964  # two-sided 5% literal
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did per-customer spend shift H1→H2?
+
+    The paired nonparametric test (the distribution-free twin of a
+    paired t-test): customers active in BOTH halves difference their
+    exact-cent spend, zeros drop, |d| midranks assign in exact HALF-
+    UNITS (mid2 = 2·rank_min + ties − 1 — integers, no fractional-rank
+    doubles), and W⁺ = Σ midranks over positive differences. The
+    normal approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24) is
+    one closed-form double (tie-variance correction omitted — noted,
+    conservative here). One custkey collapse + one O(pairs) rank sort.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    split = orders.agg(
+        F.date_add(
+            F.min("od"), (F.datediff(F.max("od"), F.min("od")) / 2).cast("int")
+        ).alias("mid")
+    )
+    per = (
+        orders.crossJoin(F.broadcast(split))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("od") <= F.col("mid"),
+                    (dec2("o_totalprice") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("h1"),
+            F.sum(
+                F.when(
+                    F.col("od") > F.col("mid"),
+                    (dec2("o_totalprice") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("h2"),
+        )
+        .filter((F.col("h1") > 0) & (F.col("h2") > 0))
+        .select((F.col("h2") - F.col("h1")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    w_rank = Window.orderBy(F.abs(F.col("d")))
+    ranked = per.select(
+        "d",
+        F.rank().over(w_rank).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.abs(F.col("d")))).alias(
+            "ties"
+        ),
+    )
+    suff = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("d") > 0, 2 * F.col("rmin") + F.col("ties") - 1
+            ).otherwise(0)
+        ).alias("w2"),  # 2 * W+ in exact integers
+    )
+    z = (
+        "((CAST(w2 AS DOUBLE) / 2) - CAST(n AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) + 1) / 4)"
+        " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)"
+        " * (2 * CAST(n AS DOUBLE) + 1) / 24)"
+    )
+    return suff.selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs",
+        "ROUND(CAST(w2 AS DOUBLE) / 2, 1) AS w_plus",
+        f"ROUND({z}, 4) AS z_stat",
+        f"(abs({z}) > {WILCOXON_Z_CRIT}) AS significant_5pct",
+    )
+
+
+QUERIES["q_wilcoxon_signed_rank"] = q_wilcoxon_signed_rank
+
+ORACLES["q_wilcoxon_signed_rank"] = f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    per AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN CAST(o.o_orderdate AS DATE) <=
+                    (b.lo + CAST(date_diff('day', b.lo, b.hi) // 2 AS INT))
+                  THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) ELSE 0 END) AS h1,
+             SUM(CASE WHEN CAST(o.o_orderdate AS DATE) >
+                    (b.lo + CAST(date_diff('day', b.lo, b.hi) // 2 AS INT))
+                  THEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) ELSE 0 END) AS h2
+      FROM orders o, bounds b GROUP BY 1
+    ),
+    diffs AS (
+      SELECT h2 - h1 AS d FROM per
+      WHERE h1 > 0 AND h2 > 0 AND h2 <> h1
+    ),
+    ranked AS (
+      SELECT d,
+             RANK() OVER (ORDER BY abs(d)) AS rmin,
+             COUNT(*) OVER (PARTITION BY abs(d)) AS ties
+      FROM diffs
+    ),
+    suff AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN d > 0 THEN 2 * rmin + ties - 1 ELSE 0 END) AS w2
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(w2 AS DOUBLE) / 2, 1) AS w_plus,
+           ROUND(((CAST(w2 AS DOUBLE) / 2) - CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                        * (2 * CAST(n AS DOUBLE) + 1) / 24), 4) AS z_stat,
+           abs(((CAST(w2 AS DOUBLE) / 2) - CAST(n AS DOUBLE)
+                * (CAST(n AS DOUBLE) + 1) / 4)
+               / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                      * (2 * CAST(n AS DOUBLE) + 1) / 24))
+             > {WILCOXON_Z_CRIT} AS significant_5pct
+    FROM suff
 """

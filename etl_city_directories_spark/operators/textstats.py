@@ -3249,3 +3249,116 @@ ORACLES["text_length_percentiles"] = """
            MAX(n_chars)::BIGINT AS max_chars
     FROM ranked GROUP BY source ORDER BY source
 """
+
+
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram LMs.
+
+    The distributional companion to text_source_vocab_overlap:
+    overlap asks "same words?", JS asks "same word FREQUENCIES?" —
+    templated mirrors score ≈0 nats, disjoint domains approach ln 2.
+    Per-source unigram probabilities are exact count ratios; each
+    p·ln(p/m) term (m = the pairwise mixture) quantizes to
+    DECIMAL(18,8) before the per-pair sum, per the repo's
+    transcendental discipline. The word-keyed FULL join per pair is
+    the same O(union vocab) shape as the overlap matrix — never
+    corpus²; absent words contribute their closed-form
+    0.5·p·ln 2 terms exactly.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_words(norm_col())).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source", "w", (F.col("c").cast("double") / F.col("t").cast("double")).alias("p")
+    )
+    sources = totals.select("source")
+    # register every (word, p) of source X into each pair (X, other):
+    # the per-pair UNION vocabulary then falls out of one full outer
+    # join on (pair, word) — absent-side words keep their 0.5·p·ln 2
+    # mass instead of silently dropping with a NULL pair key
+    left = (
+        probs.crossJoin(
+            F.broadcast(sources.select(F.col("source").alias("src_b")))
+        )
+        .filter(F.col("source") < F.col("src_b"))
+        .select(
+            F.col("source").alias("src_a"), "src_b", "w", F.col("p").alias("pa")
+        )
+    )
+    right = (
+        probs.crossJoin(
+            F.broadcast(sources.select(F.col("source").alias("src_a")))
+        )
+        .filter(F.col("src_a") < F.col("source"))
+        .select(
+            "src_a", F.col("source").alias("src_b"), "w", F.col("p").alias("pb")
+        )
+    )
+    pairs = left.join(right, ["src_a", "src_b", "w"], "full")
+    pa = F.coalesce(F.col("pa"), F.lit(0.0))
+    pb = F.coalesce(F.col("pb"), F.lit(0.0))
+    m = (pa + pb) / 2
+    term = (
+        (
+            F.when(pa > 0, 0.5 * pa * F.log(pa / m)).otherwise(F.lit(0.0))
+            + F.when(pb > 0, 0.5 * pb * F.log(pb / m)).otherwise(F.lit(0.0))
+        )
+    ).cast("decimal(18,8)")
+    return (
+        pairs.select("src_a", "src_b", term.alias("t"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_union_words"),
+            F.round(F.sum("t").cast("double"), 6).alias("js_divergence"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+QUERIES["text_source_js_divergence"] = text_source_js_divergence
+
+ORACLES["text_source_js_divergence"] = f"""
+    WITH counts AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source, unnest({_W}) AS w FROM documents
+      ) GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, SUM(c) AS t FROM counts GROUP BY 1),
+    probs AS (
+      SELECT c.source, c.w, c.c::DOUBLE / t.t::DOUBLE AS p
+      FROM counts c JOIN totals t USING (source)
+    ),
+    lefts AS (
+      SELECT p.source AS src_a, t.source AS src_b, p.w, p.p AS pa
+      FROM probs p JOIN totals t ON p.source < t.source
+    ),
+    rights AS (
+      SELECT t.source AS src_a, p.source AS src_b, p.w, p.p AS pb
+      FROM probs p JOIN totals t ON t.source < p.source
+    ),
+    pairs AS (
+      SELECT COALESCE(l.src_a, r.src_a) AS src_a,
+             COALESCE(l.src_b, r.src_b) AS src_b,
+             COALESCE(l.pa, 0.0) AS pa, COALESCE(r.pb, 0.0) AS pb
+      FROM lefts l FULL JOIN rights r
+        ON r.src_a = l.src_a AND r.src_b = l.src_b AND r.w = l.w
+    ),
+    terms AS (
+      SELECT src_a, src_b,
+             CAST(
+               CASE WHEN pa > 0
+                    THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END
+               + CASE WHEN pb > 0
+                      THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END
+               AS DECIMAL(18,8)) AS t
+      FROM pairs
+    )
+    SELECT src_a, src_b,
+           COUNT(*)::BIGINT AS n_union_words,
+           ROUND((SUM(t))::DOUBLE, 6) AS js_divergence
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+"""

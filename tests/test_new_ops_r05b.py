@@ -1316,3 +1316,67 @@ def test_dow_hour_heatmap_grid(spark):
     assert sum(r.n_events for r in rows) == n_events
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in rows)
+
+
+# --- batch 20: Wilcoxon, JS divergence
+
+
+def test_wilcoxon_matches_local_ranks(spark):
+    from etl_city_directories_spark.operators.nonparam import (
+        q_wilcoxon_signed_rank,
+    )
+
+    r = q_wilcoxon_signed_rank(spark, SF_TINY).collect()[0]
+    orders = spark.read.parquet(f"{SF_TINY}/orders.parquet").collect()
+    lo = min(x.o_orderdate for x in orders)
+    hi = max(x.o_orderdate for x in orders)
+    import datetime
+
+    mid = lo + datetime.timedelta(days=(hi - lo).days // 2)
+    from collections import defaultdict
+
+    h1, h2 = defaultdict(int), defaultdict(int)
+    for x in orders:
+        c = round(float(x.o_totalprice) * 100)
+        (h1 if x.o_orderdate <= mid else h2)[x.o_custkey] += c
+    diffs = [
+        h2[k] - h1[k]
+        for k in set(h1) & set(h2)
+        if h1[k] > 0 and h2[k] > 0 and h1[k] != h2[k]
+    ]
+    diffs.sort(key=abs)
+    # midranks with ties on |d|
+    n = len(diffs)
+    w_plus = 0.0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and abs(diffs[j]) == abs(diffs[i]):
+            j += 1
+        mid_rank = (i + 1 + j) / 2
+        for k in range(i, j):
+            if diffs[k] > 0:
+                w_plus += mid_rank
+        i = j
+    assert r.n_pairs == n
+    assert abs(r.w_plus - w_plus) < 0.51
+
+
+def test_js_divergence_bounds_and_symmetric_inputs(spark):
+    import math
+
+    from etl_city_directories_spark.operators.textstats import (
+        text_source_js_divergence,
+    )
+
+    rows = text_source_js_divergence(spark, SF).collect()
+    n_sources = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        # JS in nats lives in [0, ln 2]
+        assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-9
