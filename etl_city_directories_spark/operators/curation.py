@@ -382,3 +382,87 @@ ORACLES["sample_group_kfold"] = f"""
              AS event_share
     FROM per_fold ORDER BY fold
 """
+
+
+def decontaminate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage audit across the train/valid/test split.
+
+    The eval-integrity check every dataset card should print: a
+    near-dup pair with one member in train and the other in test IS
+    contamination even after exact decontamination passes. Joins the
+    verified LSH near-dup pairs (shared minhash pipeline — the pair
+    set is memoized with the dedup family) against the deterministic
+    hash-threshold split and rolls up pair counts per (split_a,
+    split_b) cell with the cross-split leak share. O(pairs) work on
+    top of the shared candidates.
+    """
+    from etl_city_directories_spark.operators.dedup import dedup_minhash_lsh
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(key < _SPLIT_TRAIN_HI, "train")
+        .when(key < _SPLIT_VALID_HI, "valid")
+        .otherwise("test")
+    )
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    labeled = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    )
+    wt = Window.partitionBy()
+    return (
+        labeled.groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+            F.round(
+                F.col("n_pairs").cast("double")
+                / F.sum("n_pairs").over(wt).cast("double"),
+                6,
+            ).alias("pair_share"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+QUERIES["decontaminate_split_leakage"] = decontaminate_split_leakage
+
+
+# the pairs CTE chain is the dedup module's minhash oracle up through
+# `pairs`; _CC_CTES already packages exactly that prefix
+from etl_city_directories_spark.operators.dedup import _CC_CTES as _DEDUP_CC_CTES
+
+ORACLES["decontaminate_split_leakage"] = f"""{_DEDUP_CC_CTES},
+    labeled AS (
+      SELECT least(
+               CASE WHEN md5(a.doc_id::VARCHAR) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                    WHEN md5(a.doc_id::VARCHAR) < '{_SPLIT_VALID_HI}' THEN 'valid'
+                    ELSE 'test' END,
+               CASE WHEN md5(b.doc_id::VARCHAR) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                    WHEN md5(b.doc_id::VARCHAR) < '{_SPLIT_VALID_HI}' THEN 'valid'
+                    ELSE 'test' END) AS split_lo,
+             greatest(
+               CASE WHEN md5(a.doc_id::VARCHAR) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                    WHEN md5(a.doc_id::VARCHAR) < '{_SPLIT_VALID_HI}' THEN 'valid'
+                    ELSE 'test' END,
+               CASE WHEN md5(b.doc_id::VARCHAR) < '{_SPLIT_TRAIN_HI}' THEN 'train'
+                    WHEN md5(b.doc_id::VARCHAR) < '{_SPLIT_VALID_HI}' THEN 'valid'
+                    ELSE 'test' END) AS split_hi
+      FROM pairs p
+      JOIN documents a ON a.doc_id = p.doc_a
+      JOIN documents b ON b.doc_id = p.doc_b
+    )
+    SELECT split_lo, split_hi, COUNT(*)::BIGINT AS n_pairs,
+           split_lo <> split_hi AS is_leak,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER ()::DOUBLE, 6)
+             AS pair_share
+    FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -649,3 +649,129 @@ ORACLES["q_wilcoxon_signed_rank"] = f"""
              > {WILCOXON_Z_CRIT} AS significant_5pct
     FROM suff
 """
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA across market segments.
+
+    The k-group nonparametric companion to q_anova_oneway: does
+    customer spend RANK differently by segment? Runs on the
+    per-customer collapse (the fact never enters the sort — same
+    dimension-sized-rank discipline as RFM/Gini), with global
+    midranks in exact half-units (2·rank_min + ties − 1). H =
+    12/(N(N+1)) Σ R_j²/n_j − 3(N+1) evaluates with rank sums held as
+    exact integers until the closed-form double chain. Tie-correction
+    divisor 1 − Σ(t³−t)/(N³−N) folds in from the exact per-tie
+    counts.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum((dec2("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "cents")
+    )
+    w = Window.orderBy("cents")
+    ranked = spend.select(
+        "c_mktsegment",
+        F.rank().over(w).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("ties"),
+    )
+    per_seg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum(2 * F.col("rmin") + F.col("ties") - 1).alias("r2j"),  # 2·Rj
+    )
+    tie_table = (
+        spend.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                (F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t"))
+                - F.col("t")
+            ).alias("tie3")
+        )
+    )
+    suff = per_seg.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum(
+            (
+                (F.col("r2j").cast("double") / 2)
+                * (F.col("r2j").cast("double") / 2)
+                / F.col("nj").cast("double")
+            ).cast("decimal(38,6)")
+        ).alias("sum_r2_over_n"),
+    ).crossJoin(F.broadcast(tie_table))
+    h_raw = (
+        "12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))"
+        " * CAST(sum_r2_over_n AS DOUBLE)"
+        " - 3 * (CAST(n AS DOUBLE) + 1)"
+    )
+    tie_corr = (
+        "1.0 - CAST(tie3 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        " - CAST(n AS DOUBLE))"
+    )
+    return suff.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(n AS BIGINT) AS n_customers",
+        f"ROUND({h_raw}, 6) AS h_stat",
+        f"ROUND(({h_raw}) / ({tie_corr}), 6) AS h_stat_tie_corrected",
+        "CAST(k - 1 AS BIGINT) AS df",
+    )
+
+
+QUERIES["q_kruskal_wallis"] = q_kruskal_wallis
+
+ORACLES["q_kruskal_wallis"] = """
+    WITH spend AS (
+      SELECT c.c_mktsegment,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_mktsegment
+    ),
+    ranked AS (
+      SELECT c_mktsegment,
+             RANK() OVER (ORDER BY cents) AS rmin,
+             COUNT(*) OVER (PARTITION BY cents) AS ties
+      FROM spend
+    ),
+    per_seg AS (
+      SELECT c_mktsegment, COUNT(*) AS nj,
+             SUM(2 * rmin + ties - 1) AS r2j
+      FROM ranked GROUP BY 1
+    ),
+    tie_table AS (
+      SELECT SUM(t::HUGEINT * t * t - t) AS tie3 FROM (
+        SELECT cents, COUNT(*) AS t FROM spend GROUP BY 1
+      )
+    ),
+    suff AS (
+      SELECT COUNT(*) AS k, SUM(nj) AS n,
+             SUM(CAST((r2j::DOUBLE / 2) * (r2j::DOUBLE / 2) / nj::DOUBLE
+                      AS DECIMAL(38,6))) AS sum_r2_over_n
+      FROM per_seg
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n_customers,
+           ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                 * CAST(sum_r2_over_n AS DOUBLE)
+                 - 3 * (CAST(n AS DOUBLE) + 1), 6) AS h_stat,
+           ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                  * CAST(sum_r2_over_n AS DOUBLE)
+                  - 3 * (CAST(n AS DOUBLE) + 1))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+             AS h_stat_tie_corrected,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM suff, tie_table
+"""

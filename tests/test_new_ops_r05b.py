@@ -1380,3 +1380,38 @@ def test_js_divergence_bounds_and_symmetric_inputs(spark):
     for r in rows:
         # JS in nats lives in [0, ln 2]
         assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-9
+
+
+# --- batch 21: Kruskal-Wallis, split leakage
+
+
+def test_kruskal_wallis_properties(spark):
+    from etl_city_directories_spark.operators.nonparam import q_kruskal_wallis
+
+    r = q_kruskal_wallis(spark, SF).collect()[0]
+    assert r.k_groups == 5 and r.df == 4
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert r.n_customers == n_cust
+    assert r.h_stat >= -1e-6
+    # tie correction can only inflate H
+    assert r.h_stat_tie_corrected >= r.h_stat - 1e-9
+
+
+def test_split_leakage_covers_all_pairs(spark):
+    from etl_city_directories_spark.operators.curation import (
+        decontaminate_split_leakage,
+    )
+    from etl_city_directories_spark.operators.dedup import dedup_minhash_lsh
+
+    rows = decontaminate_split_leakage(spark, SF).collect()
+    n_pairs = dedup_minhash_lsh(spark, SF).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.split_lo <= r.split_hi
+        assert r.is_leak == (r.split_lo != r.split_hi)
+    assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-3
