@@ -111,6 +111,13 @@ BNLJ_OK = {
     "q_ab_power_mde",           # two 1-row arm frames crossJoined
     # wraps the allowlisted brute-force baseline's capped-probe != join
     "emb_recall_at_k",
+    # r05 batch 20-21: median-date scalar (wilcoxon), 1-row tie-table
+    # crossJoin (kruskal), and the pair-registration crossJoin against
+    # the broadcast O(sources) list (JS divergence) — all
+    # dimension-sized broadcast sides
+    "q_wilcoxon_signed_rank",
+    "q_kruskal_wallis",
+    "text_source_js_divergence",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops

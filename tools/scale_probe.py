@@ -135,6 +135,10 @@ OPS = [
     "q_cohort_ltv",
     "q_supplier_hhi",
     "q_dow_hour_heatmap",
+    "q_wilcoxon_signed_rank",
+    "q_kruskal_wallis",
+    "text_source_js_divergence",
+    "decontaminate_split_leakage",
 ]
 
 
