@@ -1946,3 +1946,69 @@ ORACLES["dedup_winnowing_pairs"] = f"""
     SELECT doc_a, doc_b, n_shared_fp::BIGINT AS n_shared_fp
     FROM pairs ORDER BY n_shared_fp DESC, doc_a, doc_b
 """
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-feed dedup scoreboard.
+
+    dedup_report grades the corpus as a whole; operations needs the
+    rate PER FEED to know which crawler to fix. One md5-groupBy within
+    (source, hash) — map-side combinable — then an O(sources) rollup:
+    docs, distinct texts, dup rate, and the wasted-bytes share the
+    feed pays for re-crawled content. Exact integers to ROUND 6.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    groups = docs.groupBy(
+        "source", F.md5(norm_col()).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min("n_chars").alias("keep_chars"),
+    )
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("chars")).cast("bigint").alias("total_chars"),
+            F.sum(F.col("chars") - F.col("keep_chars"))
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            F.round(
+                F.col("dup_chars").cast("double")
+                / F.col("total_chars").cast("double"),
+                6,
+            ).alias("wasted_char_share"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
+
+ORACLES["dedup_rate_by_source"] = """
+    WITH groups AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+             COUNT(*) AS n, SUM(n_chars) AS chars,
+             MIN(n_chars) AS keep_chars
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           SUM(n)::BIGINT AS n_docs,
+           COUNT(*)::BIGINT AS n_distinct,
+           ROUND((SUM(n) - COUNT(*))::DOUBLE / SUM(n)::DOUBLE, 6) AS dup_rate,
+           ROUND(SUM(chars - keep_chars)::DOUBLE / SUM(chars)::DOUBLE, 6)
+             AS wasted_char_share
+    FROM groups GROUP BY 1 ORDER BY 1
+"""

@@ -1036,3 +1036,56 @@ ORACLES["q_weighted_median"] = """
            ROUND(price_c::DOUBLE / 100, 2) AS weighted_median_price
     FROM first WHERE rk = 1 ORDER BY l_returnflag
 """
+
+
+def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: line items per order, as a histogram.
+
+    The order-shape profile batching and picking logistics are sized
+    from: one map-side count per order, then an O(sizes) histogram
+    with shares and the cumulative curve. Two chained partial-agg
+    shuffles; nothing sorts the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    hist = per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    wt = Window.partitionBy()
+    wc = Window.orderBy("n_items").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(wt).cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.sum("n_orders").over(wc).cast("double")
+            / F.sum("n_orders").over(wt).cast("double"),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("n_items")
+
+
+QUERIES["q_order_size_histogram"] = q_order_size_histogram
+
+ORACLES["q_order_size_histogram"] = """
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY 1
+    ),
+    hist AS (
+      SELECT n_items, COUNT(*) AS n_orders FROM per_order GROUP BY 1
+    )
+    SELECT n_items::BIGINT AS n_items,
+           n_orders::BIGINT AS n_orders,
+           ROUND(n_orders::DOUBLE / SUM(n_orders) OVER ()::DOUBLE, 6)
+             AS share,
+           ROUND(SUM(n_orders) OVER (ORDER BY n_items
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                 / SUM(n_orders) OVER ()::DOUBLE, 6) AS cum_share
+    FROM hist ORDER BY n_items
+"""

@@ -1415,3 +1415,42 @@ def test_split_leakage_covers_all_pairs(spark):
         assert r.split_lo <= r.split_hi
         assert r.is_leak == (r.split_lo != r.split_hi)
     assert abs(sum(r.pair_share for r in rows) - 1.0) < 1e-3
+
+
+# --- batch 22: per-source dup rate, order-size histogram
+
+
+def test_dup_rate_by_source_consistent_with_exact_dedup(spark):
+    from etl_city_directories_spark.operators.dedup import (
+        dedup_rate_by_source,
+        norm_col,
+    )
+
+    rows = dedup_rate_by_source(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    n_distinct_total = (
+        docs.select("source", F.md5(norm_col()).alias("h")).distinct().count()
+    )
+    assert sum(r.n_distinct for r in rows) == n_distinct_total
+    for r in rows:
+        assert 0 <= r.dup_rate < 1
+        assert 0 <= r.wasted_char_share < 1
+
+
+def test_order_size_histogram_totals(spark):
+    from etl_city_directories_spark.operators.windows import (
+        q_order_size_histogram,
+    )
+
+    rows = q_order_size_histogram(spark, SF).collect()
+    n_orders = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
