@@ -536,3 +536,71 @@ ORACLES = {
         ORDER BY c_mktsegment
     """,
 }
+
+
+def q_discount_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume by discount depth band.
+
+    Pricing's first question: how much revenue moves at each discount
+    level, and what's the give-back? Discount bands come from the
+    exact 2-dp decimal (never a float bucket edge), revenue and the
+    discount give-back accumulate as exact decimals, shares ROUND 6.
+    One map-side classification + a bands-sized rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = dec2("l_discount")
+    band = (
+        F.when(disc == 0, "0: none")
+        .when(disc <= 0.03, "1: 1-3%")
+        .when(disc <= 0.06, "2: 4-6%")
+        .otherwise("3: 7%+")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (one - disc)
+    giveback = dec2("l_extendedprice") * disc
+    grid = li.groupBy(band.alias("discount_band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+        F.sum(giveback).cast("decimal(38,4)").alias("give_back"),
+    )
+    wt = Window.partitionBy()
+    return grid.select(
+        "discount_band",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(F.col("give_back").cast("double"), 2).alias("give_back"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(wt).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    ).orderBy("discount_band")
+
+
+QUERIES["q_discount_depth_profile"] = q_discount_depth_profile
+
+ORACLES["q_discount_depth_profile"] = """
+    WITH grid AS (
+      SELECT CASE
+               WHEN CAST(l_discount AS DECIMAL(18,2)) = 0 THEN '0: none'
+               WHEN CAST(l_discount AS DECIMAL(18,2)) <= 0.03 THEN '1: 1-3%'
+               WHEN CAST(l_discount AS DECIMAL(18,2)) <= 0.06 THEN '2: 4-6%'
+               ELSE '3: 7%+'
+             END AS discount_band,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DECIMAL(38,4)) AS revenue,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS give_back
+      FROM lineitem GROUP BY 1
+    )
+    SELECT discount_band,
+           n_lines::BIGINT AS n_lines,
+           ROUND(revenue::DOUBLE, 2) AS revenue,
+           ROUND(give_back::DOUBLE, 2) AS give_back,
+           ROUND(revenue::DOUBLE / SUM(revenue) OVER ()::DOUBLE, 6)
+             AS revenue_share
+    FROM grid ORDER BY discount_band
+"""

@@ -1089,3 +1089,90 @@ ORACLES["q_order_size_histogram"] = """
                  / SUM(n_orders) OVER ()::DOUBLE, 6) AS cum_share
     FROM hist ORDER BY n_items
 """
+
+
+def q_order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution per market segment.
+
+    The purchase-cadence profile replenishment and CRM timing read:
+    days between a customer's consecutive orders, rolled to exact
+    min/median/p90/max per segment via the shared closed-form rank
+    rule. One custkey-partitioned lag window (orderdate, orderkey
+    tiebreak), one segment-partitioned rank — both dimension-scale
+    sorts after the fact collapses to (customer, date) rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od"), "o_orderkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff("od", F.lag("od").over(w)).cast("long").alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "gap")
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy("gap")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = gaps.select(
+        "c_mktsegment",
+        "gap",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            F.min("gap").alias("min_days"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("gap"))
+            ).alias("median_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 9 / 10), F.col("gap")
+                )
+            ).alias("p90_days"),
+            F.max("gap").alias("max_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["q_order_gap_percentiles"] = q_order_gap_percentiles
+
+ORACLES["q_order_gap_percentiles"] = """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+               CAST(o_orderdate AS DATE))::BIGINT AS gap
+      FROM orders QUALIFY gap IS NOT NULL
+    ),
+    seg AS (
+      SELECT c.c_mktsegment, g.gap
+      FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, gap,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY gap) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM seg
+    )
+    SELECT c_mktsegment,
+           MAX(n)::BIGINT AS n_gaps,
+           MIN(gap)::BIGINT AS min_days,
+           MAX(CASE WHEN rn = CEIL(n / 2.0) THEN gap END)::BIGINT
+             AS median_days,
+           MAX(CASE WHEN rn = CEIL(n * 9 / 10.0) THEN gap END)::BIGINT
+             AS p90_days,
+           MAX(gap)::BIGINT AS max_days
+    FROM ranked GROUP BY 1 ORDER BY 1
+"""

@@ -1454,3 +1454,40 @@ def test_order_size_histogram_totals(spark):
     assert abs(rows[-1].cum_share - 1.0) < 1e-6
     shares = [r.cum_share for r in rows]
     assert shares == sorted(shares)
+
+
+# --- batch 23: order gaps, discount profile
+
+
+def test_order_gap_totals_and_ordering(spark):
+    from etl_city_directories_spark.operators.windows import (
+        q_order_gap_percentiles,
+    )
+
+    rows = q_order_gap_percentiles(spark, SF).collect()
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    # every customer's k orders produce k-1 gaps
+    assert sum(r.n_gaps for r in rows) == n_orders - n_cust
+    for r in rows:
+        assert r.min_days <= r.median_days <= r.p90_days <= r.max_days
+
+
+def test_discount_profile_conservation(spark):
+    from etl_city_directories_spark.operators.relational_ext import (
+        q_discount_depth_profile,
+    )
+
+    rows = q_discount_depth_profile(spark, SF).collect()
+    n_li = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert sum(r.n_lines for r in rows) == n_li
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.give_back >= 0
+        if r.discount_band == "0: none":
+            assert r.give_back == 0
