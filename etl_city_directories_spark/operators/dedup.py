@@ -36,6 +36,15 @@ NUM_HASHES = 8
 NUM_BANDS = 4  # rows-per-band = 2
 LSH_VERIFY_THRESHOLD = 0.2
 NGRAM_REPORT_THRESHOLD = 0.05
+# Per-(lang, source, band_idx, band_key) document-frequency cap for the
+# r=1 ngram-jaccard bands: a bucket holding d docs emits d(d-1)/2
+# candidates, so one boilerplate-heavy block would otherwise go
+# quadratic at 100 TB. A hot bucket is DROPPED whole (the winnowing /
+# containment device) — with 8 independent bands a true near-dup pair
+# still has 7 other chances to collide, so recall loss is confined to
+# pairs whose every band is boilerplate-hot. The oracle replays the
+# identical cap, so output stays bit-identical.
+NGRAM_BAND_MAXDF = 32
 EMBED_COS_THRESHOLD = 0.35
 SIMHASH_HAMMING_MAX = 12
 
@@ -202,10 +211,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-recall banding for the low 0.05 report threshold: P[collide] =
     1-(1-j)^8, so even j≈0.3 pairs are caught w.p. ~0.94) restricted to
     the (lang, source) block, then exact jaccard scores only those. The
-    band key is the shuffle key — O(collisions), not O(n² per block) —
-    which is what survives a hot block at 100 TB. The DuckDB oracle
-    replays the identical candidate generation, so the threshold-filtered
-    output is bit-identical.
+    band key is the shuffle key, and each (block, band, key) bucket is
+    df-capped at NGRAM_BAND_MAXDF (hot buckets dropped whole before the
+    self-join), so candidate mass is O(Σ min(df, cap)²) — bounded even
+    when a boilerplate-heavy block floods one band value at 100 TB. The
+    DuckDB oracle replays the identical candidate generation including
+    the cap, so the threshold-filtered output is bit-identical.
     """
     # bands + both verify sides; rolling: released on re-entry
     sh = rolling_persist(
@@ -227,6 +238,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "band_key"),
     )
     bands = rolling_persist(spark, ("ngram_bands", sf_dir), bands)
+    # df cap: drop hot buckets whole before the self-join (see
+    # NGRAM_BAND_MAXDF). The cap scan reuses the persisted bands.
+    bucket_ok = (
+        bands.groupBy("lang", "source", "band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= NGRAM_BAND_MAXDF)
+        .select("lang", "source", "band_idx", "band_key")
+    )
+    bands = bands.join(bucket_ok, ["lang", "source", "band_idx", "band_key"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -834,10 +854,19 @@ ORACLES = {
         bands AS (
 {_NGRAM_BAND_SELECTS}
         ),
+        bucket_ok AS (
+          SELECT lang, source, band_idx, band_key
+          FROM bands GROUP BY 1, 2, 3, 4
+          HAVING COUNT(*) <= {NGRAM_BAND_MAXDF}
+        ),
+        capped AS (
+          SELECT b.* FROM bands b
+          JOIN bucket_ok USING (lang, source, band_idx, band_key)
+        ),
         cand AS (
           SELECT DISTINCT a.lang, a.source,
                           a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
+          FROM capped a JOIN capped b
             ON a.lang = b.lang AND a.source = b.source
            AND a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id

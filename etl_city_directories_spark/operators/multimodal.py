@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 import math
+import sys
 
 import numpy as np
 import pandas as pd
@@ -139,10 +140,25 @@ def _round4(x: float) -> float:
     return math.floor(x * 10000.0 + 0.5) / 10000.0
 
 
+_PIL_NOTICE_EMITTED = False
+
+
 def _decode_pixels(payload: bytes) -> tuple[str, int, int, int, bytes]:
-    """Parse the IMG1 container. Real impl: PIL.Image.open(BytesIO(...))."""
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real image decode not wired in this container")
+    """Parse the IMG1 container. Real impl: PIL.Image.open(BytesIO(...)).
+
+    The deterministic container parse is ALWAYS the primary path: these
+    payloads are IMG1 fixtures, not real JPEG/PNG bytes, so PIL could not
+    decode them anyway. If PIL happens to be installed we log once (never
+    raise) that a real deployment would swap in PIL.Image.open here.
+    """
+    global _PIL_NOTICE_EMITTED
+    if HAVE_PIL and not _PIL_NOTICE_EMITTED:  # pragma: no cover
+        _PIL_NOTICE_EMITTED = True
+        print(
+            "[multimodal] PIL detected; still using the deterministic "
+            "IMG1 container parse (swap in PIL.Image.open for real images)",
+            file=sys.stderr,
+        )
     magic = payload[:4].decode("ascii")
     width = int.from_bytes(payload[4:8], "big")
     height = int.from_bytes(payload[8:12], "big")

@@ -123,10 +123,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # Zero-variance guard: a type whose daily counts (or cents) are all
+    # equal has vx*vy = 0 and 0/0 = NaN, whose serialization is
+    # engine-specific — return NULL on both sides instead.
+    rho = F.when(
+        (vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6)
+    ).otherwise(F.lit(None).cast("double"))
     return agg.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(num / F.sqrt(vx * vy), 6).alias("spearman_rho"),
+        rho.alias("spearman_rho"),
     ).orderBy("event_type")
 
 
@@ -332,9 +338,12 @@ ORACLES = {
           FROM ranked GROUP BY 1
         )
         SELECT event_type, CAST(n AS BIGINT) AS n_days,
-               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
-                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                     AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                 THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                 ELSE NULL END
                  AS spearman_rho
         FROM agg ORDER BY 1
     """,

@@ -17,6 +17,8 @@ float noise below 1e-6 can't flip ranks across engines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -109,6 +111,16 @@ KMEANS_ITERS = 2
 IVF_NPROBE = 2
 
 
+def _ivf_n_cells() -> int:
+    """Resolve the IVF/SemDeDup cell count K. Defaults to N_CELLS=8 —
+    the value the bit-exact Lloyd DuckDB oracles replay. Production
+    scales K ~ sqrt(n) (SemDeDup used 50k cells for LAION); the
+    SPARK_GRAFT_IVF_CELLS env override lets the scale probe resize K
+    with N and show the within-cell (N/K)² cost stays linear when K
+    follows the data, without touching the oracle-pinned default."""
+    return int(os.environ.get("SPARK_GRAFT_IVF_CELLS", N_CELLS))
+
+
 def _dist2(v: Column, c: Column) -> Column:
     """Squared L2 distance as a sequential left fold (bit-identical to
     the DuckDB list_reduce fold)."""
@@ -146,17 +158,26 @@ def kmeans_cells(spark: SparkSession, sf_dir: str, n_best: int = 1) -> DataFrame
     construction runs once, every query amortizes it (functions.memo).
     """
     vecs = _vectors(spark, sf_dir)
+    n_cells = _ivf_n_cells()
     return vecs.join(
         memo_df(
             spark,
-            ("ivf_cells", sf_dir, n_best, table_stamp(sf_dir, ("embeddings",))),
-            lambda: _kmeans_assign(spark, sf_dir, n_best),
+            (
+                "ivf_cells",
+                sf_dir,
+                n_best,
+                n_cells,
+                table_stamp(sf_dir, ("embeddings",)),
+            ),
+            lambda: _kmeans_assign(spark, sf_dir, n_best, n_cells),
         ),
         "vec_id",
     )
 
 
-def _kmeans_assign(spark: SparkSession, sf_dir: str, n_best: int) -> DataFrame:
+def _kmeans_assign(
+    spark: SparkSession, sf_dir: str, n_best: int, n_cells: int = N_CELLS
+) -> DataFrame:
     """The Lloyd training loop behind kmeans_cells (memoized there)."""
     vecs = _vectors(spark, sf_dir)
     seeds = (
@@ -164,7 +185,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str, n_best: int) -> DataFrame:
             "vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
         .orderBy("h")
-        .limit(N_CELLS)
+        .limit(n_cells)
     )
     w_seed = Window.orderBy("h")  # 8 rows post-limit; the window is tiny
     cents = seeds.withColumn("cluster_id", F.row_number().over(w_seed)).select(
@@ -229,7 +250,13 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell assignments ARE the IVF index — build once per data stamp
     vecs = memo_df(
         spark,
-        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        (
+            "ivf_vecs",
+            sf_dir,
+            IVF_NPROBE,
+            _ivf_n_cells(),
+            table_stamp(sf_dir, ("embeddings",)),
+        ),
         lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
     )
     probes = vecs.filter(F.col("vec_id") < N_PROBES).select(
@@ -1404,7 +1431,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_id so each probe scores only its own cells' codes."""
     cells = memo_df(
         spark,
-        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        (
+            "ivf_vecs",
+            sf_dir,
+            IVF_NPROBE,
+            _ivf_n_cells(),
+            table_stamp(sf_dir, ("embeddings",)),
+        ),
         lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
     )
     cents, codes = _pq_codebooks(spark, sf_dir)
@@ -1786,7 +1819,13 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_bucketed."""
     cells = memo_df(
         spark,
-        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        (
+            "ivf_vecs",
+            sf_dir,
+            IVF_NPROBE,
+            _ivf_n_cells(),
+            table_stamp(sf_dir, ("embeddings",)),
+        ),
         lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
     )
     probes = (
@@ -2295,7 +2334,13 @@ def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cells = memo_df(
         spark,
-        ("ivf_vecs", sf_dir, IVF_NPROBE, table_stamp(sf_dir, ("embeddings",))),
+        (
+            "ivf_vecs",
+            sf_dir,
+            IVF_NPROBE,
+            _ivf_n_cells(),
+            table_stamp(sf_dir, ("embeddings",)),
+        ),
         lambda: kmeans_cells(spark, sf_dir, n_best=IVF_NPROBE),
     ).filter(F.col("cell_rank") == 1)
     per_cell = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
