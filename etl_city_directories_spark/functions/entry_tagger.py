@@ -64,7 +64,13 @@ def _det(i: int, salt: str, n: int) -> int:
 def synth_training_corpus(n: int = 600) -> list[tuple[list[str], list[str]]]:
     """Labeled (tokens, labels) lines from the entry grammar: plain
     work-address entries, home pairs, widow forms, marker-led and
-    number-less corner locations — the classes real pages hit."""
+    number-less corner locations — the classes real pages hit — plus
+    the messy real-scan forms the reference's training data carries
+    (entry-parser.js training contract): OCR dot-run artifacts INSIDE
+    name tokens ("W..m"), widow entries that also carry an occupation
+    ("wid. Peter, seamstress, 14 Elm" — the wid.+OCC collision), and
+    number-less corner locations as bare WORK addresses with no
+    marker ("porter, Pearl c Cherry")."""
     out: list[tuple[list[str], list[str]]] = []
     for i in range(n):
         toks: list[str] = []
@@ -76,14 +82,21 @@ def synth_training_corpus(n: int = 600) -> list[tuple[list[str], list[str]]]:
 
         last = _NAMES_FIRST[_det(i, "ln", len(_NAMES_FIRST))]
         first = _NAMES_SECOND[_det(i, "fn", len(_NAMES_SECOND))]
+        if _det(i, "dotn", 6) == 0:
+            # OCR dot-run inside the surname: "Sm..ith"
+            cut = 1 + _det(i, "dotp", max(1, len(last) - 1))
+            last = f"{last[:cut]}..{last[cut:]}"
         emit(last, "SUBJ")
         name_form = _det(i, "nf", 3)
         if name_form == 0:  # middle initial: "Brown Wm. H,"
             emit(f"{first}.", "SUBJ")
             emit(f"{'ABCDEFGHJW'[_det(i, 'mi', 10)]},", "SUBJ")
         else:
+            if _det(i, "dotf", 8) == 0:
+                # dot-run inside the given name: "W..m,"
+                first = f"{first[:1]}..{first[1:]}"
             emit(f"{first},", "SUBJ")
-        form = _det(i, "form", 6)
+        form = _det(i, "form", 8)
         if form == 0:  # widow of John, h 23 Pearl
             emit("widow", "WID")
             emit("of", "WID")
@@ -91,6 +104,10 @@ def synth_training_corpus(n: int = 600) -> list[tuple[list[str], list[str]]]:
         elif form == 1:  # wid. Peter, 14 Elm
             emit("wid.", "WID")
             emit(f"{_NAMES_SECOND[_det(i, 'wn', len(_NAMES_SECOND))]},", "WID")
+        elif form == 6:  # wid.+occupation collision: wid. Peter, seamstress, 14 Elm
+            emit("wid.", "WID")
+            emit(f"{_NAMES_SECOND[_det(i, 'wn', len(_NAMES_SECOND))]},", "WID")
+            emit(f"{_OCCS[_det(i, 'occ', len(_OCCS))]},", "OCC")
         else:
             occ = _OCCS[_det(i, "occ", len(_OCCS))]
             if _det(i, "on", 4) == 0:  # collapsed OCR dot-run: "grocer.,"
@@ -112,6 +129,10 @@ def synth_training_corpus(n: int = 600) -> list[tuple[list[str], list[str]]]:
             emit(f"{street},", "LOC")
             emit("h", "MARK")
             emit(str(_det(i, "num2", 300) + 1), "LOC")
+            emit(_STREETS[_det(i, "st2", len(_STREETS))], "LOC")
+        elif form == 7:  # number-less corner WORK address, no marker
+            emit(street, "LOC")
+            emit("c", "LOC")
             emit(_STREETS[_det(i, "st2", len(_STREETS))], "LOC")
         else:  # bare work address (+ home for widows half the time)
             emit(num, "LOC")

@@ -139,3 +139,72 @@ def test_tagger_agrees_with_grammar_on_fixture(spark, entries_archive):
         assert t.locations_all == "|".join(
             f"{l.value}:{l.loc_type}" for l in g.locations
         ), subj
+
+
+# --- r06: messy real-scan forms (entry-parser.js training contract) --------
+
+
+def _tag_entry(toks):
+    from etl_city_directories_spark.functions import entry_tagger
+
+    labs = entry_tagger.tag(toks, entry_tagger.model())
+    return entry_tagger.entry_from_tags(toks, labs)
+
+
+def test_tagger_dot_run_inside_name():
+    """OCR dot-runs inside name tokens must still tag as SUBJ."""
+    e = _tag_entry(["Sm..ith", "W..m,", "grocer,", "14", "Elm"])
+    assert e["subject"] == "Sm..ith W..m"
+    assert e["occupations"] == ["grocer"]
+    assert [(l["value"], l["loc_type"]) for l in e["locations"]] == [
+        ("14 Elm", "address")
+    ]
+
+
+def test_tagger_wid_occupation_collision():
+    """A widow entry that ALSO carries an occupation: wid. must not
+    swallow the trade, the trade must not swallow the husband name."""
+    e = _tag_entry(["Jones", "Sarah,", "wid.", "Peter,", "seamstress,", "14", "Elm"])
+    assert e["subject"] == "Jones Sarah"
+    assert e["widow_of"] == "Peter"
+    assert e["occupations"] == ["seamstress"]
+    assert [(l["value"], l["loc_type"]) for l in e["locations"]] == [
+        ("14 Elm", "address")
+    ]
+
+
+def test_tagger_numberless_corner_work_address():
+    """Corner location with no house number and no marker is a plain
+    work address, not part of the occupation."""
+    e = _tag_entry(["Wilson", "Jas,", "porter,", "Pearl", "c", "Cherry"])
+    assert e["subject"] == "Wilson Jas"
+    assert e["occupations"] == ["porter"]
+    assert [(l["value"], l["loc_type"]) for l in e["locations"]] == [
+        ("Pearl c Cherry", "address")
+    ]
+
+
+def test_tagger_messy_forms_heldout_accuracy():
+    """Held-out accuracy must hold ON the messy slices specifically
+    (dot-run names, wid.+occ, bare corners), not just in aggregate."""
+    from etl_city_directories_spark.functions import entry_tagger
+
+    corpus = entry_tagger.synth_training_corpus(1000)
+    m = entry_tagger.train(corpus[:700])
+    slices = {"dot": [0, 0], "widocc": [0, 0], "corner": [0, 0]}
+    for toks, labs in corpus[700:]:
+        pred = entry_tagger.tag(toks, m)
+        joined = " ".join(toks)
+        keys = []
+        if ".." in joined:
+            keys.append("dot")
+        if "wid." in joined and "OCC" in labs:
+            keys.append("widocc")
+        if "c" in toks and "MARK" not in labs:
+            keys.append("corner")
+        for k in keys:
+            slices[k][0] += sum(p == g for p, g in zip(pred, labs))
+            slices[k][1] += len(labs)
+    for k, (ok, tot) in slices.items():
+        assert tot > 0, f"slice {k} empty — generator regression"
+        assert ok / tot >= 0.95, f"slice {k} accuracy {ok / tot:.3f}"

