@@ -2498,3 +2498,218 @@ ORACLES["q_dow_hour_heatmap"] = """
            ROUND(n_events::DOUBLE / SUM(n_events) OVER ()::DOUBLE, 6) AS share
     FROM grid ORDER BY dow, hour
 """
+
+
+# --- r06 additions: operations audit + graph link prediction ---------------
+
+AGING_BUCKETS = ((0, 30), (31, 90), (91, 180))  # days; beyond last = "180+"
+CN_MAX_DEG = 12  # wedge-center degree cap (hot hubs dropped whole)
+CN_TOP_K = 20
+
+
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: non-finished orders bucketed by age
+    (days since order date, measured at the corpus' latest order date)
+    per order status, with counts and open value.
+
+    The operations-dashboard staple. One pass: the as-of date is a
+    single scalar aggregate broadcast into the row-level bucket expr
+    (1-row crossJoin — the allowlisted scalar-broadcast shape), then
+    one map-side-combinable groupBy((status, bucket)). Age arithmetic
+    is integer days; money sums in DECIMAL cents cast once at the
+    edge — nothing for an engine to round differently at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "o_orderstatus",
+            F.datediff(F.col("asof"), F.to_date("o_orderdate")).alias("age_d"),
+            dec2("o_totalprice").alias("price"),
+        )
+    )
+    b = F.when(F.col("age_d") <= AGING_BUCKETS[0][1], F.lit("000-030"))
+    b = b.when(F.col("age_d") <= AGING_BUCKETS[1][1], F.lit("031-090"))
+    b = b.when(F.col("age_d") <= AGING_BUCKETS[2][1], F.lit("091-180"))
+    b = b.otherwise(F.lit("180+"))
+    return (
+        aged.select("o_orderstatus", b.alias("age_bucket"), "price")
+        .groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("open_value"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+def q_shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: line items
+    joined back to their order header (the canonical fact-to-fact
+    equi-join, both sides shuffled on l_orderkey/o_orderkey — the
+    shape AQE handles at 100 TB), delay bucketed in integer days plus
+    the exact mean delay.
+
+    Every statistic is a ratio of integer sums (count, sum of day
+    deltas), so the single ROUND(.,4) at the edge is the only double
+    op — bit-stable across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("ord_d")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", F.datediff("ship_d", "ord_d").alias("delay_d")
+    )
+    b = F.when(F.col("delay_d") <= 7, F.lit("00-07"))
+    b = b.when(F.col("delay_d") <= 30, F.lit("08-30"))
+    b = b.when(F.col("delay_d") <= 90, F.lit("31-90"))
+    b = b.otherwise(F.lit("90+"))
+    return (
+        j.select("o_orderpriority", b.alias("delay_bucket"), "delay_d")
+        .groupBy("o_orderpriority", "delay_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum("delay_d").cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("avg_delay_days"),
+        )
+        .orderBy("o_orderpriority", "delay_bucket")
+    )
+
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the basket graph: the CN_TOP_K NON-adjacent
+    part pairs with the most common neighbors (the classical
+    common-neighbors score, Liben-Nowell & Kleinberg 2003).
+
+    Candidates come from wedges centered on LOW-degree nodes only
+    (deg <= CN_MAX_DEG; hot hubs are dropped whole — the same
+    deterministic drop-the-bucket device as the df-capped LSH bands,
+    replayed by the oracle): a hub center contributes deg² wedge
+    pairs of near-zero specificity, so the cap bounds wedge mass at
+    O(cap · m) while keeping the informative low-degree evidence. The
+    existing-edge anti-join removes already-linked pairs; top-K is a
+    takeOrdered, never a global sort.
+    """
+    edges, deg, _, _ = _oriented_graph(spark, sf_dir)
+    sym = edges.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    ).unionAll(edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v")))
+    centers = deg.filter(F.col("deg") <= CN_MAX_DEG).select(
+        F.col("node").alias("u")
+    )
+    adj = sym.join(F.broadcast(centers), "u")
+    w1 = adj.select("u", F.col("v").alias("x"))
+    w2 = adj.select("u", F.col("v").alias("y"))
+    cand = (
+        w1.join(w2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_edges = cand.join(
+        edges,
+        (cand.x == edges.part_a) & (cand.y == edges.part_b),
+        "left_anti",
+    )
+    return (
+        non_edges.orderBy(
+            F.col("n_common").desc(), F.col("x"), F.col("y")
+        )
+        .limit(CN_TOP_K)
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            "n_common",
+        )
+    )
+
+
+QUERIES["q_backlog_aging"] = q_backlog_aging
+QUERIES["q_shipping_delay_profile"] = q_shipping_delay_profile
+QUERIES["graph_common_neighbors"] = graph_common_neighbors
+
+ORACLES["q_backlog_aging"] = """
+    WITH asof_d AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders
+    ),
+    aged AS (
+      SELECT o_orderstatus,
+             datediff('day', CAST(o_orderdate AS DATE), asof_d.d) AS age_d,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders, asof_d
+      WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age_d <= 30 THEN '000-030'
+                WHEN age_d <= 90 THEN '031-090'
+                WHEN age_d <= 180 THEN '091-180'
+                ELSE '180+' END AS age_bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS open_value
+    FROM aged
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["q_shipping_delay_profile"] = """
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS delay_d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CASE WHEN delay_d <= 7 THEN '00-07'
+                WHEN delay_d <= 30 THEN '08-30'
+                WHEN delay_d <= 90 THEN '31-90'
+                ELSE '90+' END AS delay_bucket,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(delay_d)::DOUBLE / COUNT(*), 4) AS avg_delay_days
+    FROM j
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["graph_common_neighbors"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),
+    deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT part_a AS node FROM pairs
+        UNION ALL SELECT part_b FROM pairs) GROUP BY 1
+    ),
+    sym AS (
+      SELECT part_a AS u, part_b AS v FROM pairs
+      UNION ALL
+      SELECT part_b, part_a FROM pairs
+    ),
+    adj AS (
+      SELECT s.u, s.v FROM sym s JOIN deg ON deg.node = s.u
+      WHERE deg.d <= {CN_MAX_DEG}
+    ),
+    cand AS (
+      SELECT a.v AS x, b.v AS y, COUNT(*) AS n_common
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+      GROUP BY 1, 2
+    )
+    SELECT c.x AS part_a, c.y AS part_b, c.n_common
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p WHERE p.part_a = c.x AND p.part_b = c.y
+    )
+    ORDER BY c.n_common DESC, c.x, c.y
+    LIMIT {CN_TOP_K}
+"""

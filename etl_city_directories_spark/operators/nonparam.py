@@ -784,3 +784,92 @@ ORACLES["q_kruskal_wallis"] = """
            CAST(k - 1 AS BIGINT) AS df
     FROM suff, tie_table
 """
+
+
+# --- r06: Theil–Sen robust slope --------------------------------------------
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type: the median of all
+    pairwise slopes (cents/day) over the daily revenue grid — the
+    estimator that shrugs off the outlier days OLS chases.
+
+    Slopes divide exact integer cents by exact integer day gaps (one
+    correctly-rounded IEEE divide, ROUND 6); the median is selected
+    positionally — order by (slope, day_a, day_b), take row
+    ⌈m/2⌉ (the lower median, PERCENTILE_DISC semantics) — so both
+    engines pick the identical pair instead of averaging two doubles.
+    Pair fan-out is O(days² per type) on the collapsed grid, bounded
+    by the calendar window exactly like q_mann_kendall.
+    """
+    daily = _daily_type_cents(spark, sf_dir).select(
+        "event_type",
+        F.datediff("d", F.lit("1995-01-01")).alias("x"),
+        "cents",
+    )
+    a = daily.select(
+        "event_type", F.col("x").alias("xa"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("x").alias("xb"), F.col("cents").alias("cb")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("xa") < F.col("xb"))
+    sl = F.round(
+        (F.col("cb") - F.col("ca")).cast("double")
+        / (F.col("xb") - F.col("xa")).cast("double"),
+        6,
+    )
+    ranked = pairs.select(
+        "event_type", sl.alias("slope"), "xa", "xb"
+    ).select(
+        "event_type",
+        "slope",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("slope", "xa", "xb"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2))
+        .select(
+            "event_type",
+            F.col("m").cast("bigint").alias("n_pairs"),
+            F.col("slope").alias("ts_slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q_theil_sen"] = q_theil_sen
+
+ORACLES["q_theil_sen"] = f"""
+    WITH daily AS ({_DAILY_SQL}),
+    g AS (
+      SELECT event_type,
+             datediff('day', DATE '1995-01-01', d) AS x, cents
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             ROUND((b.cents - a.cents)::DOUBLE / (b.x - a.x)::DOUBLE, 6)
+               AS slope,
+             a.x AS xa, b.x AS xb
+      FROM g a JOIN g b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY slope, xa, xb) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(m AS BIGINT) AS n_pairs,
+           slope AS ts_slope_cents_per_day
+    FROM ranked
+    WHERE rn = CAST(FLOOR((m + 1) / 2) AS BIGINT)
+    ORDER BY event_type
+"""

@@ -2072,3 +2072,103 @@ ORACLES["q_partition_skew_audit"] = """
     FROM tot t JOIN hot USING (partition_key)
     ORDER BY partition_key
 """
+
+
+# --- r06: KMV (k-minimum-values) distinct sketch ----------------------------
+
+KMV_K = 64
+KMV_SPACE = 281474976710656  # 2^48 — the md5-prefix hash space
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-user sketch per event
+    type (Bar-Yossef et al. 2002): keep the KMV_K smallest 48-bit
+    md5(user_id) values; if the k-th smallest is h_k, the estimate is
+    (k−1) · 2^48 / h_k. Unlike HLL the summary is just k hashes —
+    trivially mergeable across days/tables with a min-k union, and
+    100 % deterministic, so the DuckDB oracle replays it bit-for-bit
+    (approx_count_distinct's HLL internals never could).
+
+    Distributed shape: after the distinct pass, every shuffle
+    partition is pruned to its own k smallest FIRST (the global k
+    smallest survive any partitioning, so the prune is lossless and
+    partition-count-independent), and only ≤ k·P candidate rows reach
+    the per-type selection window — the state that moves is O(k), not
+    O(distinct users). Types with fewer than k distinct users report
+    their exact count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hashes = (
+        events.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    # per-shuffle-partition prune: k smallest per (type, partition) —
+    # collect_set is bounded by the partition's slice, the slice output
+    # by KMV_K; deterministic because the global bottom-k is invariant
+    # to where the prune runs
+    pruned = (
+        hashes.withColumn("pid", F.spark_partition_id())
+        .groupBy("event_type", "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, KMV_K).alias("hs"))
+        .select("event_type", F.explode("hs").alias("h"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = pruned.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    exact = hashes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    agg = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        (KMV_K - 1) * F.lit(float(KMV_SPACE)) / F.col("h_k").cast("double")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.floor(est + 0.5).cast("bigint").alias("kmv_estimate"),
+            F.col("n_exact").cast("bigint").alias("exact_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q_kmv_distinct"] = q_kmv_distinct
+
+ORACLES["q_kmv_distinct"] = f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashes
+    ),
+    agg AS (
+      SELECT event_type,
+             COUNT(*) FILTER (rn <= {KMV_K}) AS n_kept,
+             MAX(CASE WHEN rn = {KMV_K} THEN h END) AS h_k,
+             COUNT(*) AS n_exact
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(FLOOR(CASE WHEN n_kept < {KMV_K} THEN n_kept::DOUBLE
+                 ELSE ({KMV_K} - 1) * {float(KMV_SPACE)} / h_k::DOUBLE
+                 END + 0.5) AS BIGINT) AS kmv_estimate,
+           n_exact::BIGINT AS exact_distinct
+    FROM agg ORDER BY event_type
+"""

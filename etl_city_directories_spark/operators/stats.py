@@ -1775,3 +1775,79 @@ ORACLES["q_anova_oneway"] = """
              AS eta_squared
     FROM grand
 """
+
+
+# --- r06: most-likely changepoint (CUSUM argmax) ----------------------------
+
+
+def q_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely level-shift day per event type: the day k whose
+    centered CUSUM |S_k| = |n·cum_k − k·total| is largest (the
+    classical changepoint location estimator behind binary
+    segmentation). Cross-multiplied to keep everything BIGINT — no
+    mean, no float — so the argmax day cannot differ between engines;
+    ties break to the earliest day. Runs entirely on the collapsed
+    O(types × days) grid; the only corpus-sized work is the one
+    map-side partial agg that builds the grid.
+    """
+    daily = _daily_type_cents(spark, sf_dir)
+    per_type = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = daily.select(
+        "event_type",
+        "d",
+        (
+            F.count(F.lit(1)).over(per_type) * F.sum("cents").over(w_run)
+            - F.row_number().over(Window.partitionBy("event_type").orderBy("d"))
+            * F.sum("cents").over(per_type)
+        ).alias("s_k"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_k")).desc(), F.col("d")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.abs(F.col("s_k")).cast("bigint").alias("cusum_abs"),
+            F.when(F.col("s_k") > 0, F.lit("down")).otherwise(F.lit("up"))
+            .alias("shift_direction"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["q_changepoint_argmax"] = q_changepoint_argmax
+
+ORACLES["q_changepoint_argmax"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, d,
+             COUNT(*) OVER (PARTITION BY event_type)
+               * SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING)
+             - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+               * SUM(cents) OVER (PARTITION BY event_type) AS s_k
+      FROM daily
+    ),
+    picked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ABS(s_k) DESC, d) AS rn
+      FROM scored
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS change_day,
+           CAST(ABS(s_k) AS BIGINT) AS cusum_abs,
+           CASE WHEN s_k > 0 THEN 'down' ELSE 'up' END AS shift_direction
+    FROM picked WHERE rn = 1 ORDER BY event_type
+"""

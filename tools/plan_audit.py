@@ -118,6 +118,13 @@ BNLJ_OK = {
     "q_wilcoxon_signed_rank",
     "q_kruskal_wallis",
     "text_source_js_divergence",
+    # r06 additions: 1-row scalar-aggregate crossJoins (as-of date /
+    # corpus totals) — the scalar-subquery idiom
+    "q_backlog_aging",          # as-of (max order date) scalar
+    "feature_woe_binning",      # 1-row good/bad-totals frame
+    # capped broadcast-probe != join (the bruteforce-baseline shape,
+    # both cosines computed in the one pair scan)
+    "emb_matryoshka_recall",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops

@@ -139,6 +139,22 @@ OPS = [
     "q_kruskal_wallis",
     "text_source_js_divergence",
     "decontaminate_split_leakage",
+    # r06 additions (stream_hash_sample excluded like the other
+    # stream_* keys: the probe harness is batch-only)
+    "q_kmv_distinct",
+    "q_theil_sen",
+    "q_changepoint_argmax",
+    "q_backlog_aging",
+    "q_shipping_delay_profile",
+    "graph_common_neighbors",
+    "text_readability",
+    "text_code_detect",
+    "feature_target_encode",
+    "feature_woe_binning",
+    "feature_hash_encode",
+    "emb_outlier_zscore",
+    "emb_matryoshka_recall",
+    "corpus_curriculum_order",
 ]
 
 
