@@ -2713,3 +2713,170 @@ ORACLES["graph_common_neighbors"] = f"""
     ORDER BY c.n_common DESC, c.x, c.y
     LIMIT {CN_TOP_K}
 """
+
+
+# --- r06 batch 2: k-core + repeat-purchase retention ------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition progress on the basket graph: KCORE_ROUNDS
+    rounds of the standard peel (drop nodes with degree < KCORE_K,
+    recompute), reporting surviving node/edge counts per round — the
+    fixed-round distributed form (each round = one degree agg + one
+    semi-join, the Pregel peel step) whose unrolled replay the oracle
+    can run; full convergence just continues the loop until a round
+    removes nothing.
+
+    At 100 TB the edge list is the only big table; each round shuffles
+    O(E) on the node key and the survivor set shrinks monotonically.
+    """
+    edges, _, _, _ = _oriented_graph(spark, sf_dir)
+    cur = edges.select("part_a", "part_b")
+    out_rows = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("part_a").alias("node"))
+            .unionAll(cur.select(F.col("part_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "part_a"), "part_a")
+            .join(keep.withColumnRenamed("node", "part_b"), "part_b")
+            .select("part_a", "part_b")
+        )
+        # localCheckpoint (not just persist): each round's plan embeds
+        # the previous round's twice (two semi-joins) on top of the
+        # basket-graph build, so the UNTRUNCATED lineage grows
+        # exponentially in rounds — the round-3 plan string alone OOMs
+        # a modest driver. Truncating per round is the standard move
+        # for iterative graph algorithms (same device as memo_df).
+        cur = cur.localCheckpoint(eager=True)
+        n_nodes = (
+            cur.select(F.col("part_a").alias("n"))
+            .unionAll(cur.select(F.col("part_b").alias("n")))
+            .distinct()
+            .count()
+        )
+        out_rows.append((rnd, n_nodes, cur.count()))
+    return spark.createDataFrame(
+        out_rows, "round int, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")
+
+
+def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase retention curve: how many customers reach an
+    n-th order, with the step-to-step continuation rate — the curve
+    behind every retention/LTV model. One window (per-customer order
+    rank) + one groupBy(rank); the lag for the continuation ratio runs
+    on the O(max-rank) curve itself. Capped at rank 10 for a stable
+    reporting surface.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey", F.row_number().over(w).alias("rank_n")
+    ).filter(F.col("rank_n") <= 10)
+    curve = ranked.groupBy("rank_n").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    w_lag = Window.orderBy("rank_n")
+    return (
+        curve.select(
+            "rank_n",
+            "n_customers",
+            F.lag("n_customers").over(w_lag).alias("prev"),
+        )
+        .select(
+            "rank_n",
+            "n_customers",
+            F.when(
+                F.col("prev").isNotNull(),
+                F.round(
+                    F.col("n_customers").cast("double")
+                    / F.col("prev").cast("double"),
+                    4,
+                ),
+            ).alias("continuation_rate"),
+        )
+        .orderBy("rank_n")
+    )
+
+
+QUERIES["graph_kcore"] = graph_kcore
+QUERIES["q_repeat_purchase_curve"] = q_repeat_purchase_curve
+
+# AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+# reference, and each peel round references the previous one three
+# times — un-materialized, the basket-pair build re-executes 3^rounds
+# times and spills the disk at sf0.1.
+_KCORE_PEEL = """
+    d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT part_a AS node FROM e{p}
+        UNION ALL SELECT part_b FROM e{p}) GROUP BY 1
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT c.part_a, c.part_b FROM e{p} c
+      JOIN d{r} ka ON ka.node = c.part_a AND ka.deg >= {k}
+      JOIN d{r} kb ON kb.node = c.part_b AND kb.deg >= {k}
+    )"""
+
+ORACLES["graph_kcore"] = (
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),"""
+    + ",".join(
+        _KCORE_PEEL.format(r=r, p=r - 1, k=KCORE_K)
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    + "".join(
+        f""",
+    s{r} AS (
+      SELECT {r} AS round,
+             (SELECT COUNT(DISTINCT n) FROM (
+                SELECT part_a AS n FROM e{r}
+                UNION ALL SELECT part_b FROM e{r})) AS n_nodes,
+             (SELECT COUNT(*) FROM e{r}) AS n_edges
+    )"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    + f"""
+    SELECT CAST(round AS INT) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM ({' UNION ALL '.join(f'SELECT * FROM s{r}' for r in range(1, KCORE_ROUNDS + 1))})
+    ORDER BY round
+"""
+)
+
+ORACLES["q_repeat_purchase_curve"] = """
+    WITH ranked AS (
+      SELECT o_custkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rank_n
+      FROM orders
+    ),
+    curve AS (
+      SELECT rank_n, COUNT(*) AS n_customers
+      FROM ranked WHERE rank_n <= 10 GROUP BY 1
+    )
+    SELECT rank_n, n_customers,
+           CASE WHEN LAG(n_customers) OVER (ORDER BY rank_n) IS NOT NULL
+             THEN ROUND(n_customers::DOUBLE
+                        / LAG(n_customers) OVER (ORDER BY rank_n)::DOUBLE, 4)
+             ELSE NULL END AS continuation_rate
+    FROM curve ORDER BY rank_n
+"""

@@ -2041,3 +2041,173 @@ ORACLES["dedup_rate_by_source"] = """
              AS wasted_char_share
     FROM groups GROUP BY 1 ORDER BY 1
 """
+
+
+# --- r06: dedup diagnostics --------------------------------------------------
+
+
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: for each exact-dup cluster
+    size s, how many clusters and how many documents — the one-line
+    answer to "how much of the corpus is copies?" that sizes the dedup
+    stage's savings before anyone runs it. Two map-side-combinable
+    groupBys (hash, then size); corpus share is a ratio of exact
+    integer counts against a 1-row total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = (
+        docs.select(F.md5(norm_col()).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    total = docs.count()  # scalar; reused as an output literal
+    return (
+        clusters.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("s").alias("cluster_size"),
+            "n_clusters",
+            (F.col("s") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                (F.col("s") * F.col("n_clusters")).cast("double") / total, 4
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def dedup_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-fidelity audit for the minhash index: on every banded-LSH
+    candidate pair, the signature-agreement jaccard ESTIMATE
+    (matching minhashes / NUM_HASHES — the unbiased sketch estimator)
+    against the exact jaccard, with the absolute error. The eval that
+    tells you whether NUM_HASHES is big enough BEFORE trusting the
+    sketch at 100 TB, over exactly the pairs the index will surface.
+    Shares the persisted shingle/signature stages with
+    dedup_minhash_lsh; pair mass is the LSH collision set, never n².
+    """
+    sh = rolling_persist(
+        spark, ("fidelity_sh", sf_dir), _shingled_df(spark, sf_dir)
+    )
+    sigs = sh.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.array_min(F.transform("shingles", minhash_fn(j)))
+                for j in range(1, NUM_HASHES + 1)
+            ]
+        ).alias("sig"),
+    )
+    sigs = rolling_persist(spark, ("fidelity_sigs", sf_dir), sigs)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.element_at("sig", 2 * b + 1),
+                            F.element_at("sig", 2 * b + 2),
+                        )
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_match.cast("double") / NUM_HASHES, 4).alias("est_jaccard"),
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES["dedup_cluster_size_hist"] = dedup_cluster_size_hist
+QUERIES["dedup_minhash_fidelity"] = dedup_minhash_fidelity
+
+ORACLES["dedup_cluster_size_hist"] = """
+    WITH clusters AS (
+      SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+             COUNT(*) AS s
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT s AS cluster_size,
+           COUNT(*) AS n_clusters,
+           (s * COUNT(*))::BIGINT AS n_docs,
+           ROUND((s * COUNT(*))::DOUBLE / tot.n::DOUBLE, 4) AS corpus_share
+    FROM clusters, tot
+    GROUP BY s, tot.n ORDER BY cluster_size
+"""
+
+_SIG_MATCH = " + ".join(
+    f"CASE WHEN sa.sig{j} = sb.sig{j} THEN 1 ELSE 0 END"
+    for j in range(1, NUM_HASHES + 1)
+)
+
+ORACLES["dedup_minhash_fidelity"] = f"""
+    WITH {SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, shingles, {_SIG_COLS}
+      FROM shingled
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(({_SIG_MATCH})::DOUBLE / {NUM_HASHES}, 4) AS est_jaccard,
+           {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")}
+             AS exact_jaccard,
+           ROUND(ABS(ROUND(({_SIG_MATCH})::DOUBLE / {NUM_HASHES}, 4)
+                     - {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")}), 4)
+             AS abs_err
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    ORDER BY doc_a, doc_b
+"""

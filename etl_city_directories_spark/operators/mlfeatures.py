@@ -501,3 +501,108 @@ ORACLES = {
         ORDER BY lang, curriculum_pos
     """,
 }
+
+
+# --- r06 batch 2: robust scaling --------------------------------------------
+
+
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of order value within each market
+    segment — the outlier-proof standardization (sklearn's
+    RobustScaler) for long-tailed money features.
+
+    The quartiles are selected POSITIONALLY from the exact integer
+    cents order (row_number over (cents, orderkey), pick rows
+    ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ — PERCENTILE_DISC semantics), so both
+    engines pick identical pivot VALUES instead of interpolating
+    doubles; the scaled feature is one exact-integer difference over
+    one exact-integer IQR, ROUND 4, with a degenerate-IQR guard. The
+    per-segment sort is range-partitionable at scale; the quartile
+    table is dimension-sized and broadcast back.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
+    ranked = j.select(
+        "o_orderkey",
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    picks = (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") / 4))
+            | (F.col("rn") == F.ceil(F.col("n") / 2))
+            | (F.col("rn") == F.ceil(F.col("n") * 3 / 4))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("cents"))
+            ).alias("med"),
+            F.min(
+                F.when(F.col("rn") == F.ceil(F.col("n") / 4), F.col("cents"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 3 / 4), F.col("cents"))
+            ).alias("q3"),
+        )
+    )
+    # + 0.0 normalizes IEEE -0.0 to +0.0 (x + 0.0 is the identity for
+    # every other value) — engines disagree on -0.0 serialization
+    scaled = F.when(
+        F.col("q3") > F.col("q1"),
+        F.round(
+            (F.col("cents") - F.col("med")).cast("double")
+            / (F.col("q3") - F.col("q1")).cast("double"),
+            4,
+        )
+        + 0.0,
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        ranked.join(F.broadcast(picks), "c_mktsegment")
+        .select("o_orderkey", "c_mktsegment", scaled.alias("robust_scaled"))
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES["feature_robust_scale"] = feature_robust_scale
+
+ORACLES["feature_robust_scale"] = """
+    WITH j AS (
+      SELECT o.o_orderkey, c.c_mktsegment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM j
+    ),
+    picks AS (
+      SELECT c_mktsegment,
+             MIN(CASE WHEN rn = CEIL(n / 2.0) THEN cents END) AS med,
+             MIN(CASE WHEN rn = CEIL(n / 4.0) THEN cents END) AS q1,
+             MIN(CASE WHEN rn = CEIL(n * 3 / 4.0) THEN cents END) AS q3
+      FROM ranked
+      WHERE rn = CEIL(n / 4.0) OR rn = CEIL(n / 2.0) OR rn = CEIL(n * 3 / 4.0)
+      GROUP BY 1
+    )
+    SELECT r.o_orderkey, r.c_mktsegment,
+           CASE WHEN p.q3 > p.q1
+             THEN ROUND((r.cents - p.med)::DOUBLE / (p.q3 - p.q1)::DOUBLE, 4)
+                  + 0.0
+             ELSE NULL END AS robust_scaled
+    FROM ranked r JOIN picks p USING (c_mktsegment)
+    ORDER BY r.o_orderkey
+"""

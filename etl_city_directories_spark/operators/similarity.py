@@ -2378,3 +2378,114 @@ ORACLES["emb_ivf_balance"] = f"""
                  / SUM(n) OVER ()::DOUBLE, 4) AS balance_factor
     FROM per_cell ORDER BY cell
 """
+
+
+# --- r06: duplicate-rate-vs-threshold curve ---------------------------------
+
+CURVE_PCTS = (30, 35, 40, 45, 50, 55, 60, 65, 70, 75, 80)
+
+
+def emb_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-tuning curve: how many candidate pairs would a cosine
+    near-dup pass drop at each threshold — the sweep every SemDeDup /
+    embedding-dedup deployment runs to PICK its threshold before
+    committing to a full pass.
+
+    Candidates are the SRP-LSH bucket collisions (the memoized
+    multi-table index ann_lsh_cosine builds — O(collisions), never
+    n²); each distinct pair scores one exact cosine, then the
+    O(thresholds) curve is a single explode + groupBy on the scored
+    pair set. Thresholds are integer percents so the group key is
+    never a float.
+    """
+    vecs = _vectors(spark, sf_dir)
+    signs = _plane_signs()
+    buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
+    hashed = memo_df(
+        spark,
+        ("srp_hashed", sf_dir, table_stamp(sf_dir, ("embeddings",))),
+        lambda: vecs.select(
+            "vec_id", "v", "nrm", F.posexplode(buckets).alias("t", "bucket")
+        ),
+    )
+    a = hashed.select(
+        F.col("vec_id").alias("va"), "t", "bucket",
+        F.col("v").alias("xa"), F.col("nrm").alias("na"),
+    )
+    b = hashed.select(
+        F.col("vec_id").alias("vb"), "t", "bucket",
+        F.col("v").alias("xb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.min(
+                F.round(_cos(F.col("xa"), F.col("xb"), F.col("na"), F.col("nb")), 6)
+            ).alias("cos_r6")
+        )
+    )
+    pairs = rolling_persist(spark, ("cos_curve_pairs", sf_dir), pairs)
+    total = pairs.count()  # scalar; the curve's denominator
+    curve = (
+        pairs.select(
+            F.explode(F.array(*[F.lit(p) for p in CURVE_PCTS])).alias(
+                "threshold_pct"
+            ),
+            "cos_r6",
+        )
+        .filter(F.col("cos_r6") * 100 >= F.col("threshold_pct"))
+        .groupBy("threshold_pct")
+        .agg(F.count(F.lit(1)).alias("n_pairs_at_or_above"))
+    )
+    # left join against the full threshold list so empty levels report 0
+    grid = spark.createDataFrame(
+        [(p,) for p in CURVE_PCTS], "threshold_pct int"
+    )
+    return (
+        grid.join(curve, "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_pairs_at_or_above", F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs_at_or_above"),
+            F.round(
+                F.coalesce("n_pairs_at_or_above", F.lit(0)).cast("double")
+                / F.lit(float(max(total, 1))),
+                4,
+            ).alias("candidate_share"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+QUERIES["emb_cosine_threshold_curve"] = emb_cosine_threshold_curve
+
+ORACLES["emb_cosine_threshold_curve"] = f"""
+    WITH {_VEC_CTE},
+    hashed AS (
+{_hashed_sql()}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             MIN(ROUND({_COS.format(a="a", b="b")}, 6)) AS cos_r6
+      FROM hashed a JOIN hashed b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM pairs),
+    grid AS (SELECT unnest({list(CURVE_PCTS)}) AS threshold_pct)
+    SELECT g.threshold_pct,
+           COALESCE(c.n_pairs, 0)::BIGINT AS n_pairs_at_or_above,
+           ROUND(COALESCE(c.n_pairs, 0)::DOUBLE
+                 / greatest(tot.n, 1)::DOUBLE, 4) AS candidate_share
+    FROM grid g
+    LEFT JOIN (
+      SELECT g2.threshold_pct, COUNT(*) AS n_pairs
+      FROM pairs p JOIN (SELECT unnest({list(CURVE_PCTS)}) AS threshold_pct) g2
+        ON p.cos_r6 * 100 >= g2.threshold_pct
+      GROUP BY 1
+    ) c USING (threshold_pct), tot
+    ORDER BY g.threshold_pct
+"""

@@ -3466,3 +3466,77 @@ ORACLES["text_code_detect"] = f"""
              AS looks_like_code
     FROM m
 """
+
+
+# --- r06 batch 2: per-source quality rollup ---------------------------------
+
+
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-triage rollup: quality components aggregated per
+    (source, lang) — the dashboard a curation team reads before
+    deciding which feeds to keep, re-crawl, or drop.
+
+    Every reported ratio is a ratio of EXACT integer sums (chars,
+    punct chars, words, English stopword hits) aggregated
+    map-side-combinably — never an average of per-doc doubles, whose
+    shuffle order would differ between engines. One groupBy; output is
+    dimension-sized (sources × langs).
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = _words(norm)
+    n_chars = F.length(norm)
+    n_punct = n_chars - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
+    agg = (
+        docs.select(
+            "source",
+            "lang",
+            n_chars.alias("c"),
+            n_punct.alias("p"),
+            F.size(w).alias("nw"),
+            _hits(w, "en").alias("sh"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("sc"),
+            F.sum("p").alias("sp"),
+            F.sum("nw").alias("sw"),
+            F.sum("sh").alias("ss"),
+        )
+    )
+    return agg.select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("sw").cast("double") / F.col("n_docs"), 4).alias(
+            "avg_words_per_doc"
+        ),
+        F.round(F.col("sp").cast("double") / F.col("sc"), 4).alias(
+            "punct_share"
+        ),
+        F.round(F.col("ss").cast("double") / F.col("sw"), 4).alias(
+            "en_stopword_share"
+        ),
+    ).orderBy("source", "lang")
+
+
+QUERIES["text_quality_by_source"] = text_quality_by_source
+
+ORACLES["text_quality_by_source"] = f"""
+    WITH m AS (
+      SELECT source, lang,
+             length({_NORM}) AS c,
+             length({_NORM})
+               - length(regexp_replace({_NORM}, '[^a-z0-9 ]', '', 'g')) AS p,
+             len({_W}) AS nw,
+             {_hits_sql('en')} AS sh
+      FROM documents
+    )
+    SELECT source, lang,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(SUM(nw)::DOUBLE / COUNT(*), 4) AS avg_words_per_doc,
+           ROUND(SUM(p)::DOUBLE / SUM(c), 4) AS punct_share,
+           ROUND(SUM(sh)::DOUBLE / SUM(nw), 4) AS en_stopword_share
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""

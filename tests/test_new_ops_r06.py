@@ -218,3 +218,103 @@ def test_stream_sample_is_exact_hash_slice(spark):
     # 1/MOD expected share; allow generous binomial slack
     share = len(a) / n_total
     assert 0.3 / STREAM_SAMPLE_MOD < share < 3.0 / STREAM_SAMPLE_MOD
+
+
+# --- r06 batch 2 ------------------------------------------------------------
+
+
+def test_kcore_monotone_shrink(spark):
+    from etl_city_directories_spark.operators.analytics import graph_kcore
+
+    rows = sorted(graph_kcore(spark, SF).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes and b.n_edges <= a.n_edges
+
+
+def test_repeat_purchase_curve_monotone(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_repeat_purchase_curve,
+    )
+
+    rows = sorted(
+        q_repeat_purchase_curve(spark, SF).collect(), key=lambda r: r.rank_n
+    )
+    counts = [r.n_customers for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows[1:]:
+        assert r.continuation_rate is not None
+        assert 0.0 < r.continuation_rate <= 1.0
+
+
+def test_cluster_size_hist_accounts_for_corpus(spark):
+    from etl_city_directories_spark.operators.dedup import (
+        dedup_cluster_size_hist,
+    )
+    from etl_city_directories_spark.sources.tables import load_table
+
+    rows = dedup_cluster_size_hist(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_minhash_fidelity_error_bounded(spark):
+    """The 8-hash estimator has sd <= 0.5/sqrt(8) ~ 0.18 per pair;
+    the MEAN abs error over candidates must be well inside that and
+    the estimate always a multiple of 1/8."""
+    from etl_city_directories_spark.operators.dedup import (
+        NUM_HASHES,
+        dedup_minhash_fidelity,
+    )
+
+    rows = dedup_minhash_fidelity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_jaccard * NUM_HASHES - round(r.est_jaccard * NUM_HASHES)) < 1e-9
+        assert r.abs_err <= 1.0
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err <= 0.25
+
+
+def test_quality_by_source_ratios_valid(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_quality_by_source,
+    )
+
+    rows = text_quality_by_source(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.avg_words_per_doc > 0
+        assert 0.0 <= r.punct_share <= 1.0
+        assert 0.0 <= r.en_stopword_share <= 1.0
+
+
+def test_robust_scale_centered_at_median(spark):
+    """Exactly the median row scales to 0; ~half the rows are <= 0."""
+    from etl_city_directories_spark.operators.mlfeatures import (
+        feature_robust_scale,
+    )
+
+    rows = feature_robust_scale(spark, SF).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.robust_scaled)
+    for seg, vals in by_seg.items():
+        vals = [v for v in vals if v is not None]
+        n_neg = sum(1 for v in vals if v <= 0)
+        assert 0.4 <= n_neg / len(vals) <= 0.6, seg
+        assert any(v == 0.0 for v in vals), seg
+
+
+def test_threshold_curve_monotone_nonincreasing(spark):
+    from etl_city_directories_spark.operators.similarity import (
+        emb_cosine_threshold_curve,
+    )
+
+    rows = sorted(
+        emb_cosine_threshold_curve(spark, SF).collect(),
+        key=lambda r: r.threshold_pct,
+    )
+    counts = [r.n_pairs_at_or_above for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0.0 <= r.candidate_share <= 1.0 for r in rows)

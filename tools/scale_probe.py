@@ -155,6 +155,14 @@ OPS = [
     "emb_outlier_zscore",
     "emb_matryoshka_recall",
     "corpus_curriculum_order",
+    # r06 batch 2
+    "graph_kcore",
+    "q_repeat_purchase_curve",
+    "dedup_cluster_size_hist",
+    "dedup_minhash_fidelity",
+    "text_quality_by_source",
+    "feature_robust_scale",
+    "emb_cosine_threshold_curve",
 ]
 
 
