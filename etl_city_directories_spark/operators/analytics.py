@@ -2880,3 +2880,137 @@ ORACLES["q_repeat_purchase_curve"] = """
              ELSE NULL END AS continuation_rate
     FROM curve ORDER BY rank_n
 """
+
+
+# --- r06 batch 3: ops + funnel health ---------------------------------------
+
+ERROR_BUDGET_SHARE = 0.45  # SLO: error events <= 45% of traffic (synthetic mix)
+
+
+def q_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily view→purchase abandonment per user cohort day: of the
+    users who viewed that day, how many never purchased the same day —
+    THE e-commerce funnel-health number. Exact set arithmetic on two
+    per-(day, user) distinct collapses joined on the day grid; the
+    fact stream is touched once per leg, map-side combinable, and the
+    join key is the day — dimension-sized.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily_users = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.to_date("ts").alias("d"),
+            "user_id",
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+        .groupBy("d", "user_id")
+        .agg(F.max(F.when(F.col("is_p"), 1).otherwise(0)).alias("purchased"),
+             F.max(F.when(~F.col("is_p"), 1).otherwise(0)).alias("viewed"))
+    )
+    per_day = daily_users.filter(F.col("viewed") == 1).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.sum("purchased").alias("n_converted"),
+    )
+    return per_day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_viewers").cast("bigint").alias("n_viewers"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.round(
+            (F.col("n_viewers") - F.col("n_converted")).cast("double")
+            / F.col("n_viewers").cast("double"),
+            4,
+        ).alias("abandonment_rate"),
+    ).orderBy("day")
+
+
+def q_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn per day: error-event share of traffic vs
+    the ERROR_BUDGET_SHARE objective, with the cumulative burn ratio a
+    paging policy reads (burn > 1 = the budget is being spent faster
+    than the SLO window allows). Integer counts, cross-multiplied
+    compares, two windows on the O(days) grid only.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w_cum).alias("cum_total"),
+        F.sum("n_err").over(w_cum).alias("cum_err"),
+    )
+    budget = F.lit(ERROR_BUDGET_SHARE)
+    return cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_err").cast("bigint").alias("n_err"),
+        F.round(F.col("n_err").cast("double") / F.col("n_total"), 4).alias(
+            "err_share"
+        ),
+        F.round(
+            F.col("cum_err").cast("double")
+            / (F.col("cum_total").cast("double") * budget),
+            4,
+        ).alias("budget_burn"),
+        (
+            F.col("cum_err").cast("double")
+            > F.col("cum_total").cast("double") * budget
+        ).alias("budget_exceeded"),
+    ).orderBy("day")
+
+
+QUERIES["q_cart_abandonment"] = q_cart_abandonment
+QUERIES["q_error_budget_burn"] = q_error_budget_burn
+
+ORACLES["q_cart_abandonment"] = """
+    WITH du AS (
+      SELECT CAST(ts AS DATE) AS d, user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchased,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2
+    ),
+    per_day AS (
+      SELECT d, COUNT(*) AS n_viewers, SUM(purchased) AS n_converted
+      FROM du WHERE viewed = 1 GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           n_viewers::BIGINT AS n_viewers,
+           n_converted::BIGINT AS n_converted,
+           ROUND((n_viewers - n_converted)::DOUBLE / n_viewers::DOUBLE, 4)
+             AS abandonment_rate
+    FROM per_day ORDER BY day
+"""
+
+ORACLES["q_error_budget_burn"] = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             COUNT(*) AS n_total,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, n_total, n_err,
+             SUM(n_total) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+               AS cum_total,
+             SUM(n_err) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_err
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           n_total::BIGINT AS n_total,
+           n_err::BIGINT AS n_err,
+           ROUND(n_err::DOUBLE / n_total, 4) AS err_share,
+           ROUND(cum_err::DOUBLE / (cum_total::DOUBLE * {ERROR_BUDGET_SHARE}), 4)
+             AS budget_burn,
+           (cum_err::DOUBLE > cum_total::DOUBLE * {ERROR_BUDGET_SHARE})
+             AS budget_exceeded
+    FROM cum ORDER BY day
+"""

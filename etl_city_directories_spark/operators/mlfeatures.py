@@ -606,3 +606,293 @@ ORACLES["feature_robust_scale"] = """
     FROM ranked r JOIN picks p USING (c_mktsegment)
     ORDER BY r.o_orderkey
 """
+
+
+# --- r06 batch 3: label separation, k-center coreset, one-hot dict ----------
+
+KC_CENTERS = 5  # greedy k-center rounds (Gonzalez 1985) after the seed
+OH_TOP_K = 10  # one-hot dictionary width before the __other__ bucket
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid arrays (the emb_outlier_zscore idiom):
+    decimal-exact per-dim means, assembled in dim order."""
+    vecs = _vectors(spark, sf_dir)
+    return (
+        vecs.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+    )
+
+
+def _d2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit per label: mean intra-label distance² to
+    the own centroid vs the distance² to the NEAREST other centroid —
+    the silhouette-style ratio that tells you which classes an
+    embedding model actually separates before anyone trains on it.
+
+    Intra distances are quantized to DECIMAL(18,8) and averaged
+    exactly; the inter table is the K×K centroid self-join (labels are
+    few — a broadcast of dimension size); nearest-other picks on
+    (rounded d², label id) so both engines elect the same neighbor.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cent = F.broadcast(_label_centroids(spark, sf_dir))
+    intra = (
+        vecs.join(cent, "label")
+        .select(
+            "label", _d2(F.col("v"), F.col("c")).cast("decimal(18,8)").alias("d2q")
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("d2q") / F.count(F.lit(1))).cast("double").alias("mean_intra_d2"),
+        )
+    )
+    ca = cent.select(F.col("label").alias("la"), F.col("c").alias("cla"))
+    cb = cent.select(F.col("label").alias("lb"), F.col("c").alias("clb"))
+    inter = (
+        ca.join(cb, F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            F.round(_d2(F.col("cla"), F.col("clb")), 6).alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("la").orderBy("d2", "lb")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("nearest_label"),
+            F.col("d2").alias("nearest_centroid_d2"),
+        )
+    )
+    return (
+        intra.join(inter, "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round("mean_intra_d2", 4).alias("mean_intra_d2"),
+            "nearest_label",
+            F.round("nearest_centroid_d2", 4).alias("nearest_centroid_d2"),
+            F.round(
+                F.col("nearest_centroid_d2") / F.col("mean_intra_d2"), 4
+            ).alias("separation_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985): seed at the
+    md5-min vector, then KC_CENTERS−1 rounds of "add the point
+    farthest from every chosen center" — the classical 2-approximation
+    whose selected set is the diversity coreset active-learning and
+    data-pruning pipelines draw. Each round is ONE broadcast distance
+    pass + one takeOrdered argmax (distances rounded to 6 dp with a
+    vec_id tiebreak, so the replayed oracle elects identical centers);
+    the running min-distance column updates functionally — no state
+    beyond the O(k) chosen list.
+
+    Output: (rank, vec_id, radius) where radius is the max-min
+    distance the round resolved — the coverage guarantee curve.
+    """
+    vecs = _vectors(spark, sf_dir).select("vec_id", "v")
+    seed = (
+        vecs.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .collect()[0]
+        .vec_id
+    )
+    chosen = [(1, seed, None)]
+    cur = vecs.join(
+        F.broadcast(vecs.filter(F.col("vec_id") == seed).select(
+            F.col("v").alias("cv")
+        )),
+    ).select(
+        "vec_id", "v", F.round(_d2(F.col("v"), F.col("cv")), 6).alias("mind2")
+    )
+    for rank in range(2, KC_CENTERS + 1):
+        cur = cur.localCheckpoint(eager=True)  # O(rounds) lineage cap
+        far = (
+            cur.orderBy(F.col("mind2").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((rank, far.vec_id, float(far.mind2)))
+        cv = F.broadcast(
+            vecs.filter(F.col("vec_id") == far.vec_id).select(
+                F.col("v").alias("cv")
+            )
+        )
+        cur = cur.join(cv).select(
+            "vec_id",
+            "v",
+            F.least(
+                F.col("mind2"), F.round(_d2(F.col("v"), F.col("cv")), 6)
+            ).alias("mind2"),
+        )
+    return spark.createDataFrame(
+        [(r, v, d) for r, v, d in chosen],
+        "rank int, vec_id bigint, radius_d2 double",
+    ).orderBy("rank")
+
+
+def feature_onehot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot dictionary builder for a categorical column (part
+    brand): the OH_TOP_K most frequent categories get indexes 1..K
+    (by count desc, then name — fully deterministic), everything else
+    collapses to index 0 (__other__) — the fixed-width encoding
+    contract a training job ships with the model. One groupBy + one
+    dimension-sized window.
+    """
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+    w = Window.orderBy(F.col("n_parts").desc(), F.col("p_brand"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    return ranked.select(
+        F.col("p_brand").alias("category"),
+        F.col("n_parts").cast("bigint").alias("n_rows"),
+        F.when(F.col("rk") <= OH_TOP_K, F.col("rk"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("onehot_index"),
+    ).orderBy(F.col("onehot_index") == 0, "onehot_index", "category")
+
+
+QUERIES["emb_label_separation"] = emb_label_separation
+QUERIES["sample_coreset_kcenter"] = sample_coreset_kcenter
+QUERIES["feature_onehot_topk"] = feature_onehot_topk
+
+_CENT_CTES = """
+    expl AS (
+      SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+      FROM vecs
+    ),
+    cent AS (
+      SELECT label, dim,
+             (SUM(x::DECIMAL(27,6)))::DOUBLE / COUNT(*)::DOUBLE AS m
+      FROM expl GROUP BY 1, 2
+    ),
+    cent_arr AS (
+      SELECT label, list(m ORDER BY dim) AS c FROM cent GROUP BY 1
+    )
+"""
+
+_D2_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> (x[1] - x[2]) * (x[1] - x[2])), (p, q) -> p + q)"
+)
+
+ORACLES["emb_label_separation"] = f"""
+    WITH {_VEC_CTE},
+    {_CENT_CTES},
+    intra AS (
+      SELECT vecs.label, COUNT(*) AS n_vecs,
+             (SUM(CAST({_D2_SQL.format(a="vecs.v", b="ca.c")} AS DECIMAL(18,8)))
+              / COUNT(*))::DOUBLE AS mean_intra_d2
+      FROM vecs JOIN cent_arr ca USING (label)
+      GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.label AS la, b.label AS lb,
+             ROUND({_D2_SQL.format(a="a.c", b="b.c")}, 6) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY a.label
+               ORDER BY ROUND({_D2_SQL.format(a="a.c", b="b.c")}, 6), b.label)
+               AS rn
+      FROM cent_arr a JOIN cent_arr b ON a.label != b.label
+    )
+    SELECT i.label, i.n_vecs::BIGINT AS n_vecs,
+           ROUND(i.mean_intra_d2, 4) AS mean_intra_d2,
+           n.lb AS nearest_label,
+           ROUND(n.d2, 4) AS nearest_centroid_d2,
+           ROUND(n.d2 / i.mean_intra_d2, 4) AS separation_ratio
+    FROM intra i JOIN (SELECT * FROM inter WHERE rn = 1) n ON n.la = i.label
+    ORDER BY i.label
+"""
+
+_KC_ROUND = """
+    c{r} AS MATERIALIZED (
+      SELECT vec_id, v, mind2 FROM m{p}
+      ORDER BY mind2 DESC, vec_id LIMIT 1
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT m.vec_id, m.v,
+             least(m.mind2,
+                   ROUND({d2}, 6)) AS mind2
+      FROM m{p} m, c{r} c
+    )"""
+
+ORACLES["sample_coreset_kcenter"] = (
+    f"""
+    WITH {_VEC_CTE},
+    seed AS MATERIALIZED (
+      SELECT vec_id, v FROM vecs
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+    ),
+    m1 AS MATERIALIZED (
+      SELECT vecs.vec_id, vecs.v,
+             ROUND({_D2_SQL.format(a="vecs.v", b="seed.v")}, 6) AS mind2
+      FROM vecs, seed
+    ),"""
+    + ",".join(
+        _KC_ROUND.format(
+            r=r, p=r - 1, d2=_D2_SQL.format(a="m.v", b="c.v")
+        )
+        for r in range(2, KC_CENTERS + 1)
+    )
+    + f"""
+    SELECT 1 AS rank, seed.vec_id, NULL::DOUBLE AS radius_d2 FROM seed
+    UNION ALL
+    {" UNION ALL ".join(
+        f"SELECT {r} AS rank, c{r}.vec_id, c{r}.mind2 AS radius_d2 FROM c{r}"
+        for r in range(2, KC_CENTERS + 1)
+    )}
+    ORDER BY rank
+"""
+)
+
+ORACLES["feature_onehot_topk"] = f"""
+    WITH counts AS (
+      SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY 1
+    ),
+    ranked AS (
+      SELECT p_brand, n_parts,
+             ROW_NUMBER() OVER (ORDER BY n_parts DESC, p_brand) AS rk
+      FROM counts
+    )
+    SELECT p_brand AS category,
+           n_parts::BIGINT AS n_rows,
+           CAST(CASE WHEN rk <= {OH_TOP_K} THEN rk ELSE 0 END AS INT)
+             AS onehot_index
+    FROM ranked
+    ORDER BY (CASE WHEN rk <= {OH_TOP_K} THEN rk ELSE 0 END) = 0,
+             CASE WHEN rk <= {OH_TOP_K} THEN rk ELSE 0 END, category
+"""

@@ -2172,3 +2172,63 @@ ORACLES["q_kmv_distinct"] = f"""
            n_exact::BIGINT AS exact_distinct
     FROM agg ORDER BY event_type
 """
+
+
+# --- r06: cross-table freshness audit ----------------------------------------
+
+
+def q_data_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse freshness audit: per fact table, row count, the latest
+    event/order/ship date, and the staleness in days behind the
+    freshest table — the landing-page check every ingestion SLA
+    dashboard opens with. Three 1-row full-scan aggregates (each
+    map-side-combinable min/max/count) unioned into a 3-row frame; the
+    freshest-date scalar joins back by broadcast. Nothing here grows
+    with data except the three scans themselves.
+    """
+    events = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.to_date("ts")).alias("latest"),
+    ).select(F.lit("events").alias("table_name"), "n_rows", "latest")
+    orders = load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.to_date("o_orderdate")).alias("latest"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "latest")
+    lineitem = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.to_date("l_shipdate")).alias("latest"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_rows", "latest")
+    all_t = events.unionAll(orders).unionAll(lineitem)
+    freshest = all_t.agg(F.max("latest").alias("freshest"))
+    return (
+        all_t.crossJoin(F.broadcast(freshest))
+        .select(
+            "table_name",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.date_format("latest", "yyyy-MM-dd").alias("latest_date"),
+            F.datediff("freshest", "latest").cast("bigint").alias(
+                "staleness_days"
+            ),
+        )
+        .orderBy("table_name")
+    )
+
+
+QUERIES["q_data_freshness_audit"] = q_data_freshness_audit
+
+ORACLES["q_data_freshness_audit"] = """
+    WITH all_t AS (
+      SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+             MAX(CAST(ts AS DATE)) AS latest FROM events
+      UNION ALL
+      SELECT 'orders', COUNT(*), MAX(CAST(o_orderdate AS DATE)) FROM orders
+      UNION ALL
+      SELECT 'lineitem', COUNT(*), MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+    ),
+    f AS (SELECT MAX(latest) AS freshest FROM all_t)
+    SELECT table_name, n_rows::BIGINT AS n_rows,
+           strftime(latest, '%Y-%m-%d') AS latest_date,
+           datediff('day', latest, f.freshest)::BIGINT AS staleness_days
+    FROM all_t, f
+    ORDER BY table_name
+"""

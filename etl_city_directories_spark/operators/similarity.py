@@ -2383,6 +2383,15 @@ ORACLES["emb_ivf_balance"] = f"""
 # --- r06: duplicate-rate-vs-threshold curve ---------------------------------
 
 CURVE_PCTS = (30, 35, 40, 45, 50, 55, 60, 65, 70, 75, 80)
+# Per-(table, bucket) deterministic sample cap: the SRP bucket space is
+# FIXED (N_TABLES × 2^N_PLANES), so bucket occupancy grows with corpus
+# density and the within-bucket pair mass grows quadratically (the r06
+# 10× probe measured 16.6× before the cap). Keeping only the
+# CURVE_MAXDF md5-smallest vectors per bucket bounds pair mass at
+# O(buckets · cap²) while staying a uniform (hash-ordered) sample of
+# each bucket — the curve is a tuning estimate, and the estimate's
+# sample is replayed exactly by the oracle.
+CURVE_MAXDF = 32
 
 
 def emb_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2392,11 +2401,12 @@ def emb_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing to a full pass.
 
     Candidates are the SRP-LSH bucket collisions (the memoized
-    multi-table index ann_lsh_cosine builds — O(collisions), never
-    n²); each distinct pair scores one exact cosine, then the
-    O(thresholds) curve is a single explode + groupBy on the scored
-    pair set. Thresholds are integer percents so the group key is
-    never a float.
+    multi-table index ann_lsh_cosine builds), down-sampled to the
+    CURVE_MAXDF md5-smallest vectors per bucket (see above — bounded
+    pair mass at any corpus density); each distinct pair scores one
+    exact cosine, then the O(thresholds) curve is a single explode +
+    groupBy on the scored pair set. Thresholds are integer percents so
+    the group key is never a float.
     """
     vecs = _vectors(spark, sf_dir)
     signs = _plane_signs()
@@ -2407,6 +2417,14 @@ def emb_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: vecs.select(
             "vec_id", "v", "nrm", F.posexplode(buckets).alias("t", "bucket")
         ),
+    )
+    w_cap = Window.partitionBy("t", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    hashed = (
+        hashed.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= CURVE_MAXDF)
+        .drop("rn")
     )
     a = hashed.select(
         F.col("vec_id").alias("va"), "t", "bucket",
@@ -2464,8 +2482,16 @@ QUERIES["emb_cosine_threshold_curve"] = emb_cosine_threshold_curve
 
 ORACLES["emb_cosine_threshold_curve"] = f"""
     WITH {_VEC_CTE},
-    hashed AS (
+    hashed_raw AS (
 {_hashed_sql()}
+    ),
+    hashed AS (
+      SELECT * FROM (
+        SELECT h.*, ROW_NUMBER() OVER (
+          PARTITION BY t, bucket
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM hashed_raw h
+      ) WHERE rn <= {CURVE_MAXDF}
     ),
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,

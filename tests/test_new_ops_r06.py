@@ -318,3 +318,89 @@ def test_threshold_curve_monotone_nonincreasing(spark):
     counts = [r.n_pairs_at_or_above for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(0.0 <= r.candidate_share <= 1.0 for r in rows)
+
+
+# --- r06 batch 3 ------------------------------------------------------------
+
+
+def test_abandonment_rate_bounds(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_cart_abandonment,
+    )
+
+    rows = q_cart_abandonment(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_viewers
+        assert 0.0 <= r.abandonment_rate <= 1.0
+
+
+def test_error_budget_burn_consistency(spark):
+    """budget_exceeded must equal burn > 1 on every day (same exact
+    integers behind both columns)."""
+    from etl_city_directories_spark.operators.analytics import (
+        q_error_budget_burn,
+    )
+
+    rows = q_error_budget_burn(spark, SF).collect()
+    for r in rows:
+        assert r.budget_exceeded == (r.budget_burn > 1.0) or abs(
+            r.budget_burn - 1.0
+        ) < 1e-3
+        assert 0.0 <= r.err_share <= 1.0
+
+
+def test_freshness_audit_has_zero_baseline(spark):
+    from etl_city_directories_spark.operators.scale_ops import (
+        q_data_freshness_audit,
+    )
+
+    rows = q_data_freshness_audit(spark, SF).collect()
+    assert len(rows) == 3
+    assert min(r.staleness_days for r in rows) == 0
+    assert all(r.staleness_days >= 0 for r in rows)
+
+
+def test_label_separation_ratio_positive(spark):
+    from etl_city_directories_spark.operators.mlfeatures import (
+        emb_label_separation,
+    )
+
+    rows = emb_label_separation(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.mean_intra_d2 > 0 and r.nearest_centroid_d2 >= 0
+        assert r.nearest_label != r.label
+
+
+def test_kcenter_radius_monotone_decreasing(spark):
+    """Greedy k-center's coverage radius is non-increasing: each new
+    center is the farthest point, so the NEXT farthest can't be
+    farther."""
+    from etl_city_directories_spark.operators.mlfeatures import (
+        KC_CENTERS,
+        sample_coreset_kcenter,
+    )
+
+    rows = sorted(
+        sample_coreset_kcenter(spark, SF).collect(), key=lambda r: r.rank
+    )
+    assert len(rows) == KC_CENTERS
+    assert len({r.vec_id for r in rows}) == KC_CENTERS  # distinct centers
+    radii = [r.radius_d2 for r in rows if r.radius_d2 is not None]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_onehot_dictionary_contract(spark):
+    from etl_city_directories_spark.operators.mlfeatures import (
+        OH_TOP_K,
+        feature_onehot_topk,
+    )
+
+    rows = feature_onehot_topk(spark, SF).collect()
+    idx = [r.onehot_index for r in rows]
+    non_other = sorted(i for i in idx if i > 0)
+    assert non_other == list(range(1, min(OH_TOP_K, len(rows)) + 1))
+    # top-1 index belongs to (one of) the most frequent categories
+    top1 = next(r for r in rows if r.onehot_index == 1)
+    assert top1.n_rows == max(r.n_rows for r in rows)

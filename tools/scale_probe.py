@@ -163,6 +163,13 @@ OPS = [
     "text_quality_by_source",
     "feature_robust_scale",
     "emb_cosine_threshold_curve",
+    # r06 batch 3
+    "q_cart_abandonment",
+    "q_error_budget_burn",
+    "q_data_freshness_audit",
+    "emb_label_separation",
+    "sample_coreset_kcenter",
+    "feature_onehot_topk",
 ]
 
 
