@@ -1973,3 +1973,141 @@ ORACLES["stream_hash_sample"] = f"""
           % {STREAM_SAMPLE_MOD} = 0
     ORDER BY event_id
 """
+
+
+# --- r06 batch 3: streaming funnel + SLO share -------------------------------
+
+
+def stream_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel readout: the purchase←click interval join
+    (stream_stream_join's bounded-state topology — both sides
+    watermarked, state evicted past watermark + interval) rolled up to
+    conversions per purchase hour and converting users.
+
+    The rollup runs BATCH-side over the join's materialized emissions
+    (the memory sink), the same post-collapse idiom as
+    stream_stateful_processor's final snapshot: with the finite
+    availableNow replay the inner join emits exactly the batch
+    interval-join result, so hour counts over it are deterministic —
+    and at production scale the same rollup is the downstream batch
+    job reading the join's sink table.
+    """
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MIN} MINUTES")
+        ),
+    ).select("p_user", "p_id", "p_ts")
+    _run_to_table(
+        joined, "stream_funnel_conversions_sink", "append", state_partitions=8
+    )
+    emitted = spark.table("stream_funnel_conversions_sink")
+    return (
+        emitted.select(
+            F.unix_micros(F.date_trunc("hour", "p_ts")).alias("hour_us"),
+            "p_user",
+            "p_id",
+        )
+        .groupBy("hour_us")
+        .agg(
+            F.countDistinct("p_id").alias("n_converted_purchases"),
+            F.countDistinct("p_user").alias("n_converting_users"),
+        )
+        .orderBy("hour_us")
+    )
+
+
+def stream_error_share_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLO monitor: hourly error share of traffic (complete-
+    mode tumbling agg — the twin of q_error_budget_burn's daily grid at
+    stream granularity). Integer counts only; the share divides once
+    at the edge. State is O(hours × 1) counters — the cheapest
+    possible stateful query, and the first thing an on-call dashboard
+    subscribes to.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_err"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "n_total",
+            "n_err",
+        )
+    )
+    _run_to_table(
+        agg, "stream_error_share_hourly_sink", "complete", state_partitions=8
+    )
+    return (
+        spark.table("stream_error_share_hourly_sink")
+        .select(
+            "hour_us",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("n_err").cast("bigint").alias("n_err"),
+            F.round(
+                F.col("n_err").cast("double") / F.col("n_total"), 4
+            ).alias("err_share"),
+        )
+        .orderBy("hour_us")
+    )
+
+
+QUERIES["stream_funnel_conversions"] = stream_funnel_conversions
+QUERIES["stream_error_share_hourly"] = stream_error_share_hourly
+
+ORACLES["stream_funnel_conversions"] = f"""
+    WITH p AS (
+      SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS c_user, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT DISTINCT p.p_user, p.p_id, p.p_ts
+      FROM p JOIN c
+        ON p.p_user = c.c_user
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts >= p.p_ts - INTERVAL {JOIN_WINDOW_MIN} MINUTES
+    )
+    SELECT epoch_us(date_trunc('hour', p_ts)) AS hour_us,
+           COUNT(DISTINCT p_id) AS n_converted_purchases,
+           COUNT(DISTINCT p_user) AS n_converting_users
+    FROM j GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["stream_error_share_hourly"] = """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           COUNT(*)::BIGINT AS n_total,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS n_err,
+           ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS err_share
+    FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -404,3 +404,42 @@ def test_onehot_dictionary_contract(spark):
     # top-1 index belongs to (one of) the most frequent categories
     top1 = next(r for r in rows if r.onehot_index == 1)
     assert top1.n_rows == max(r.n_rows for r in rows)
+
+
+def test_stream_funnel_conversions_subset_of_purchases(spark):
+    """Every converted purchase hour count is bounded by that hour's
+    purchase count (a conversion IS a purchase with a preceding
+    click)."""
+    from etl_city_directories_spark.sources.tables import load_table
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_funnel_conversions,
+    )
+
+    conv = {
+        r.hour_us: r.n_converted_purchases
+        for r in stream_funnel_conversions(spark, SF_TINY).collect()
+    }
+    purch = {
+        r.hour_us: r.n
+        for r in load_table(spark, SF_TINY, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert conv
+    for h, n in conv.items():
+        assert n <= purch.get(h, 0)
+
+
+def test_stream_error_share_hourly_totals(spark):
+    from etl_city_directories_spark.sources.tables import load_table
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_error_share_hourly,
+    )
+
+    rows = stream_error_share_hourly(spark, SF_TINY).collect()
+    total = sum(r.n_total for r in rows)
+    assert total == load_table(spark, SF_TINY, "events").count()
+    for r in rows:
+        assert 0 <= r.n_err <= r.n_total

@@ -125,6 +125,12 @@ BNLJ_OK = {
     # capped broadcast-probe != join (the bruteforce-baseline shape,
     # both cosines computed in the one pair scan)
     "emb_matryoshka_recall",
+    # r06 batch 3: freshest-date 1-row scalar; per-round 1-row
+    # broadcast center (the k-center distance pass); K×K centroid
+    # != join (labels are dimension-sized)
+    "q_data_freshness_audit",
+    "sample_coreset_kcenter",
+    "emb_label_separation",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
