@@ -3014,3 +3014,117 @@ ORACLES["q_error_budget_burn"] = f"""
              AS budget_exceeded
     FROM cum ORDER BY day
 """
+
+
+# --- r06 batch 4: growth streaks + catalog adoption --------------------------
+
+
+def q_runlength_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive revenue-growth days per event type —
+    gaps-and-islands on the SIGN OF THE DELTA instead of on presence:
+    day-over-day growth flags from one lag, islands by the classic
+    rownum-difference trick, one max. All on the collapsed O(types ×
+    days) grid; signs are exact integer-cents compares.
+    """
+    from etl_city_directories_spark.operators.stats import _daily_type_cents
+
+    daily = _daily_type_cents(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("d")
+    flagged = daily.select(
+        "event_type",
+        "d",
+        (F.col("cents") > F.lag("cents").over(w)).alias("grew"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("grew"))
+    w2 = Window.partitionBy("event_type").orderBy("d")
+    islands = flagged.select(
+        "event_type",
+        (F.col("rn") - F.row_number().over(w2)).alias("grp"),
+    )
+    runs = islands.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.max("run_len").cast("bigint").alias("longest_growth_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_new_product_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog adoption curve: parts first ever ordered in each month
+    and the cumulative distinct catalog coverage — "how fast does the
+    assortment get discovered". First-touch is ONE min-date partial
+    agg per part (never a distinct over the fact), then the curve is
+    an O(months) window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    first_touch = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.min("od").alias("first_d"))
+    )
+    monthly = first_touch.groupBy(
+        F.date_format("first_d", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_new_parts"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.col("n_new_parts").cast("bigint").alias("n_new_parts"),
+        F.sum("n_new_parts").over(w).cast("bigint").alias("cum_parts"),
+    ).orderBy("month")
+
+
+QUERIES["q_runlength_streaks"] = q_runlength_streaks
+QUERIES["q_new_product_adoption"] = q_new_product_adoption
+
+ORACLES["q_runlength_streaks"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT event_type, d,
+             cents > LAG(cents) OVER (PARTITION BY event_type ORDER BY d)
+               AS grew,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ),
+    islands AS (
+      SELECT event_type,
+             rn - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+               AS grp
+      FROM flagged WHERE grew
+    ),
+    runs AS (
+      SELECT event_type, grp, COUNT(*) AS run_len
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT event_type,
+           MAX(run_len)::BIGINT AS longest_growth_streak,
+           COUNT(*)::BIGINT AS n_streaks
+    FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["q_new_product_adoption"] = """
+    WITH ft AS (
+      SELECT l.l_partkey, MIN(CAST(o.o_orderdate AS DATE)) AS first_d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ),
+    monthly AS (
+      SELECT strftime(first_d, '%Y-%m') AS month, COUNT(*) AS n_new_parts
+      FROM ft GROUP BY 1
+    )
+    SELECT month, n_new_parts::BIGINT AS n_new_parts,
+           SUM(n_new_parts) OVER (ORDER BY month
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_parts
+    FROM monthly ORDER BY month
+"""

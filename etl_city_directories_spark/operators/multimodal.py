@@ -1049,3 +1049,62 @@ ORACLES["mm_audio_silence"] = f"""
            longest::BIGINT AS longest_quiet_run
     FROM per_doc ORDER BY doc_id
 """
+
+
+# --- r06: aspect-ratio inventory ---------------------------------------------
+
+
+def mm_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image aspect-ratio inventory: width/height parsed from the IMG1
+    container header in PURE JVM expressions (the mm_payload_stats
+    fast path — whole-stage codegen, no Python), bucketed into the
+    portrait / square-ish / landscape bands a vision-training pipeline
+    balances before resize. Ratio compares are CROSS-MULTIPLIED
+    integer tests (w·10 vs h·{8,12}) so no float ever decides a
+    bucket; the rounded ratio is display-only.
+    """
+    def u32(off: int) -> Column:
+        return F.conv(
+            F.hex(F.substring(F.col("payload"), off, 4)), 16, 10
+        ).cast("bigint")
+
+    imgs = images_table(spark, sf_dir).select(
+        u32(5).alias("w"), u32(9).alias("h")
+    )
+    bucket = (
+        F.when(F.col("w") * 10 < F.col("h") * 8, F.lit("portrait"))
+        .when(F.col("w") * 10 <= F.col("h") * 12, F.lit("squareish"))
+        .otherwise(F.lit("landscape"))
+    )
+    return (
+        imgs.select(
+            bucket.alias("ar_bucket"),
+            "w",
+            "h",
+        )
+        .groupBy("ar_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(
+                F.sum("w").cast("double") / F.sum("h").cast("double"), 4
+            ).alias("mean_aspect"),
+        )
+        .orderBy("ar_bucket")
+    )
+
+
+QUERIES["mm_aspect_ratio_buckets"] = mm_aspect_ratio_buckets
+
+ORACLES["mm_aspect_ratio_buckets"] = """
+    WITH imgs AS (
+      SELECT (doc_id % 8 + 8)::BIGINT AS w, (doc_id % 5 + 8)::BIGINT AS h
+      FROM documents
+    )
+    SELECT CASE WHEN w * 10 < h * 8 THEN 'portrait'
+                WHEN w * 10 <= h * 12 THEN 'squareish'
+                ELSE 'landscape' END AS ar_bucket,
+           COUNT(*) AS n_images,
+           ROUND(SUM(w)::DOUBLE / SUM(h)::DOUBLE, 4) AS mean_aspect
+    FROM imgs
+    GROUP BY 1 ORDER BY 1
+"""

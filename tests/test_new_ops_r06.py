@@ -443,3 +443,48 @@ def test_stream_error_share_hourly_totals(spark):
     assert total == load_table(spark, SF_TINY, "events").count()
     for r in rows:
         assert 0 <= r.n_err <= r.n_total
+
+
+def test_aspect_buckets_cover_all_images(spark):
+    from etl_city_directories_spark.operators.multimodal import (
+        mm_aspect_ratio_buckets,
+    )
+    from etl_city_directories_spark.sources.tables import load_table
+
+    rows = mm_aspect_ratio_buckets(spark, SF).collect()
+    assert sum(r.n_images for r in rows) == load_table(
+        spark, SF, "documents"
+    ).count()
+    for r in rows:
+        assert r.mean_aspect > 0
+
+
+def test_runlength_streaks_bounded_by_days(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_runlength_streaks,
+    )
+    from etl_city_directories_spark.operators.stats import _daily_type_cents
+
+    days = {
+        r.event_type: r.n
+        for r in _daily_type_cents(spark, SF)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in q_runlength_streaks(spark, SF).collect():
+        assert 1 <= r.longest_growth_streak < days[r.event_type]
+
+
+def test_adoption_curve_cumulative(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        q_new_product_adoption,
+    )
+
+    rows = sorted(
+        q_new_product_adoption(spark, SF).collect(), key=lambda r: r.month
+    )
+    run = 0
+    for r in rows:
+        run += r.n_new_parts
+        assert r.cum_parts == run

@@ -170,6 +170,10 @@ OPS = [
     "emb_label_separation",
     "sample_coreset_kcenter",
     "feature_onehot_topk",
+    # r06 batch 4
+    "mm_aspect_ratio_buckets",
+    "q_runlength_streaks",
+    "q_new_product_adoption",
 ]
 
 
