@@ -97,38 +97,108 @@ def extract_lines(hocr: str) -> list[tuple[int, int, int, int, str]]:
 MAX_INDENT_PX = 120
 
 
-def column_centers(
-    lines: list[tuple[int, int, int, int, str]], column_count: int
-) -> list[int]:
-    """Cluster line x0 starts into ``column_count`` column start
-    positions (left to right)."""
-    if not lines:
-        return []
-    xs = sorted(l[0] for l in lines)
-    # greedy 1-D clustering of start positions
+def _greedy_clusters(xs: list[int]) -> list[list[int]]:
     clusters: list[list[int]] = [[xs[0]]]
     for x in xs[1:]:
         if x - clusters[-1][-1] <= COLUMN_TOLERANCE_PX:
             clusters[-1].append(x)
         else:
             clusters.append([x])
+    return clusters
+
+
+# Skew handling: below this estimated slope a page is treated as clean
+# (correction would be sub-pixel noise; keeps clean-page output
+# bit-identical to the pre-deskew algorithm). Pairs closer than
+# MIN_Y_GAP_PX vertically are excluded from the slope estimate —
+# a 1-px x jitter over a 10-px y gap would read as a huge slope.
+SKEW_MIN_SLOPE = 0.005
+SKEW_MAX_SLOPE = 0.2
+MIN_Y_GAP_PX = 200
+
+
+def estimate_skew(lines: list[tuple[int, int, int, int, str]]) -> float:
+    """Robust page-skew estimate (px of x drift per px of y): the
+    median of pairwise slopes between well-separated lines of the
+    most-populated x0 cluster — the Theil-Sen estimator, so up to half
+    the cluster can be OCR junk (gutter bleed, broken boxes) without
+    moving the answer. Scans skewed past COLUMN_TOLERANCE_PX over the
+    page height split one physical column into several clusters under
+    a fixed-tolerance scheme (the `hocr-detect-columns` failure mode on
+    pathological pages); correcting x0 by this slope first restores
+    the clean-page geometry."""
+    if len(lines) < 4:
+        return 0.0
+    xs = sorted((l[0], l[1]) for l in lines)
+    clusters: list[list[tuple[int, int]]] = [[xs[0]]]
+    for p in xs[1:]:
+        if p[0] - clusters[-1][-1][0] <= COLUMN_TOLERANCE_PX:
+            clusters[-1].append(p)
+        else:
+            clusters.append([p])
+    big = max(clusters, key=len)
+    if len(big) < 3:
+        return 0.0
+    big = sorted(big, key=lambda p: p[1])  # by y
+    slopes = []
+    for i, (x_i, y_i) in enumerate(big):
+        for x_j, y_j in big[i + 1:]:
+            if y_j - y_i >= MIN_Y_GAP_PX:
+                slopes.append((x_j - x_i) / (y_j - y_i))
+    if not slopes:
+        return 0.0
+    slopes.sort()
+    slope = slopes[(len(slopes) - 1) // 2]  # lower median, deterministic
+    if abs(slope) < SKEW_MIN_SLOPE or abs(slope) > SKEW_MAX_SLOPE:
+        return 0.0
+    return slope
+
+
+def deskew_x0(
+    lines: list[tuple[int, int, int, int, str]], slope: float
+) -> list[int]:
+    """Skew-corrected x0 per line (x0 − slope·(y0 − min y0)); the raw
+    bboxes stay untouched — only the COLUMN DECISIONS use these."""
+    if not lines or slope == 0.0:
+        return [l[0] for l in lines]
+    y_min = min(l[1] for l in lines)
+    return [int(round(l[0] - slope * (l[1] - y_min))) for l in lines]
+
+
+def column_centers(
+    lines: list[tuple[int, int, int, int, str]],
+    column_count: int,
+    xs_corr: list[int] | None = None,
+) -> list[int]:
+    """Cluster line x0 starts into ``column_count`` column start
+    positions (left to right). Centers are cluster MEDIANS, not means:
+    gutter-bleed junk that merges into a real column's cluster shifts
+    a mean toward the spine but leaves the median on the column."""
+    if not lines:
+        return []
+    xs = sorted(xs_corr if xs_corr is not None else [l[0] for l in lines])
+    clusters = _greedy_clusters(xs)
     # the column_count most-populated clusters, left to right
     best = sorted(
         sorted(clusters, key=len, reverse=True)[:column_count],
         key=lambda c: c[0],
     )
-    return [sum(c) // len(c) for c in best]
+    return [c[(len(c) - 1) // 2] for c in best]
 
 
 def assign_columns(
-    lines: list[tuple[int, int, int, int, str]], column_count: int
+    lines: list[tuple[int, int, int, int, str]],
+    column_count: int,
+    xs_corr: list[int] | None = None,
 ) -> list[int | None]:
     """Column detection in the spirit of hocr-detect-columns: a line
     gets the index of the column whose start it sits within tolerance
-    of, else None (indented continuation / stray lines)."""
-    centers = column_centers(lines, column_count)
+    of, else None (indented continuation / stray lines). Decisions use
+    the skew-corrected x0s when provided."""
+    centers = column_centers(lines, column_count, xs_corr)
+    xs = xs_corr if xs_corr is not None else [l[0] for l in lines]
     out: list[int | None] = []
-    for x0, *_ in lines:
+    for x0 in xs:
         idx = None
         for i, cx in enumerate(centers):
             if abs(x0 - cx) <= COLUMN_TOLERANCE_PX:
@@ -142,6 +212,7 @@ def stitch_continuations(
     lines: list[tuple[int, int, int, int, str]],
     cols: list[int | None],
     centers: list[int],
+    xs_corr: list[int] | None = None,
 ) -> list[tuple[int, int, int, int, int, str, int]]:
     """Merge indented continuation lines into the preceding entry of
     their column, the hocr-detect-columns ``completeText`` contract: a
@@ -159,6 +230,7 @@ def stitch_continuations(
     Returns [(line_index, x0, y0, x1, y1, text, column_index)] with
     continuations folded into their base entries, in document order.
     """
+    xs = xs_corr if xs_corr is not None else [l[0] for l in lines]
     out: list[list] = []  # mutable [idx, x0, y0, x1, y1, text, cidx]
     last_in_col: dict[int, int] = {}  # column_index -> position in out
     for i, ((x0, y0, x1, y1, text), cidx) in enumerate(zip(lines, cols)):
@@ -166,10 +238,11 @@ def stitch_continuations(
             last_in_col[cidx] = len(out)
             out.append([i, x0, y0, x1, y1, text, cidx])
             continue
-        # candidate column: the rightmost start this line is indented past
+        # candidate column: the rightmost start this line is indented
+        # past (indent measured on the skew-corrected x)
         cand = None
         for j, cx in enumerate(centers):
-            if COLUMN_TOLERANCE_PX < x0 - cx <= MAX_INDENT_PX:
+            if COLUMN_TOLERANCE_PX < xs[i] - cx <= MAX_INDENT_PX:
                 cand = j
         if cand is None or cand not in last_in_col:
             continue  # stray (or continuation with nothing to continue)
@@ -243,10 +316,13 @@ def parse_hocr_lines(pages: DataFrame, column_count: int = 2) -> DataFrame:
             rows = []
             for rec in batch.itertuples(index=False):
                 lines = extract_lines(rec.hocr)
-                cols = assign_columns(lines, column_count)
-                centers = column_centers(lines, column_count)
+                # deskew FIRST: column decisions run on skew-corrected
+                # x0s (clean pages estimate slope 0 and are untouched)
+                xs_corr = deskew_x0(lines, estimate_skew(lines))
+                cols = assign_columns(lines, column_count, xs_corr)
+                centers = column_centers(lines, column_count, xs_corr)
                 for i, x0, y0, x1, y1, text, cidx in stitch_continuations(
-                    lines, cols, centers
+                    lines, cols, centers, xs_corr
                 ):
                     rows.append(
                         (rec.archive, rec.page_num, rec.image_id, rec.page_uuid,
