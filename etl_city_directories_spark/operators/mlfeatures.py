@@ -896,3 +896,87 @@ ORACLES["feature_onehot_topk"] = f"""
     ORDER BY (CASE WHEN rk <= {OH_TOP_K} THEN rk ELSE 0 END) = 0,
              CASE WHEN rk <= {OH_TOP_K} THEN rk ELSE 0 END, category
 """
+
+
+# --- r06 batch 5: vector-norm health -----------------------------------------
+
+
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm health screen: per-label norm² mean/min/max and the
+    count of vectors whose norm² sits further than NORM_TOL× from the
+    label mean — the collapse/explosion detector run before any cosine
+    math is trusted (a near-zero-norm vector makes every cosine
+    unstable). norm² is quantized to micro-units (the emb_dim_stats
+    idiom) so the sums are exact integers; one map-side groupBy.
+    """
+    vecs = _vectors(spark, sf_dir)
+    micro = F.floor(F.col("nrm") * 1e6 + 0.5).cast("bigint")
+    per_label = (
+        vecs.select("label", micro.alias("nm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nm").alias("s"),
+            F.min("nm").alias("mn"),
+            F.max("nm").alias("mx"),
+        )
+    )
+    flagged = (
+        vecs.select("label", micro.alias("nm"))
+        .join(F.broadcast(per_label), "label")
+        .select(
+            "label",
+            (
+                (F.col("nm") * F.col("n") * 10 > F.col("s") * 13)
+                | (F.col("nm") * F.col("n") * 10 < F.col("s") * 7)
+            ).cast("int").alias("is_out"),
+        )
+        .groupBy("label")
+        .agg(F.sum("is_out").alias("n_norm_outliers"))
+    )
+    return (
+        per_label.join(flagged, "label")
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.round(F.col("s").cast("double") / (F.col("n") * 1e6), 6).alias(
+                "mean_norm2"
+            ),
+            F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_norm2"),
+            F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_norm2"),
+            F.col("n_norm_outliers").cast("bigint").alias("n_norm_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["emb_norm_outliers"] = emb_norm_outliers
+
+ORACLES["emb_norm_outliers"] = f"""
+    WITH {_VEC_CTE},
+    q AS (
+      SELECT label,
+             CAST(FLOOR(nrm * 1e6 + 0.5) AS BIGINT) AS nm
+      FROM vecs
+    ),
+    per_label AS (
+      SELECT label, COUNT(*) AS n, SUM(nm) AS s,
+             MIN(nm) AS mn, MAX(nm) AS mx
+      FROM q GROUP BY 1
+    ),
+    flagged AS (
+      SELECT q.label,
+             SUM(CASE WHEN q.nm * p.n * 10 > p.s * 13
+                       OR q.nm * p.n * 10 < p.s * 7
+                 THEN 1 ELSE 0 END) AS n_norm_outliers
+      FROM q JOIN per_label p USING (label)
+      GROUP BY 1
+    )
+    SELECT p.label, p.n::BIGINT AS n_vecs,
+           ROUND(p.s::DOUBLE / (p.n * 1e6), 6) AS mean_norm2,
+           ROUND(p.mn::DOUBLE / 1e6, 6) AS min_norm2,
+           ROUND(p.mx::DOUBLE / 1e6, 6) AS max_norm2,
+           f.n_norm_outliers::BIGINT AS n_norm_outliers
+    FROM per_label p JOIN flagged f USING (label)
+    ORDER BY p.label
+"""

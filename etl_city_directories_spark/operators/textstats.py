@@ -3540,3 +3540,59 @@ ORACLES["text_quality_by_source"] = f"""
            ROUND(SUM(sh)::DOUBLE / SUM(nw), 4) AS en_stopword_share
     FROM m GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- r06 batch 5: hapax legomena share ---------------------------------------
+
+
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per source: the share of the source's
+    vocabulary occurring exactly once — the classical
+    vocabulary-health signal (OCR noise and boilerplate both distort
+    it, in opposite directions). One explode + one (source, word)
+    count + one dimension-sized rollup; all ratios from exact integer
+    counts.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(_words(norm_col())).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            F.col("n_hapax").cast("bigint").alias("n_hapax"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("vocab_size"), 4
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["text_hapax_ratio"] = text_hapax_ratio
+
+ORACLES["text_hapax_ratio"] = f"""
+    WITH words AS (
+      SELECT source, unnest({_W}) AS w FROM documents
+    ),
+    wc AS (
+      SELECT source, w, COUNT(*) AS n FROM words WHERE w != ''
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS vocab_size,
+           SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS hapax_ratio
+    FROM wc GROUP BY 1 ORDER BY 1
+"""

@@ -2111,3 +2111,58 @@ ORACLES["stream_error_share_hourly"] = """
                  / COUNT(*), 4) AS err_share
     FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+# --- r06 batch 5: event-time lag observability --------------------------------
+
+
+def stream_max_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark observability: per event type, the max event time
+    seen and its lag behind the stream-wide frontier — what an
+    operator watches to spot a stalled partition or a source whose
+    event time has fallen behind the watermark (and is about to lose
+    late rows). Complete-mode max/count state is O(types); the lag
+    joins the 1-row frontier scalar batch-side over the sink.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("max_ts_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    _run_to_table(
+        agg, "stream_max_event_time_sink", "complete", state_partitions=8
+    )
+    sink = spark.table("stream_max_event_time_sink")
+    frontier = sink.agg(F.max("max_ts_us").alias("frontier_us"))
+    return (
+        sink.crossJoin(F.broadcast(frontier))
+        .select(
+            "event_type",
+            "max_ts_us",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            ((F.col("frontier_us") - F.col("max_ts_us")) / 1_000_000)
+            .cast("bigint")
+            .alias("lag_seconds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stream_max_event_time"] = stream_max_event_time
+
+ORACLES["stream_max_event_time"] = """
+    WITH agg AS (
+      SELECT event_type, MAX(epoch_us(ts)) AS max_ts_us,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    f AS (SELECT MAX(max_ts_us) AS frontier_us FROM agg)
+    SELECT event_type, max_ts_us, n_events::BIGINT AS n_events,
+           CAST((f.frontier_us - max_ts_us) // 1000000 AS BIGINT)
+             AS lag_seconds
+    FROM agg, f
+    ORDER BY event_type
+"""

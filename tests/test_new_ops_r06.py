@@ -488,3 +488,65 @@ def test_adoption_curve_cumulative(spark):
     for r in rows:
         run += r.n_new_parts
         assert r.cum_parts == run
+
+
+def test_seasonal_index_averages_to_one(spark):
+    """Revenue-weighted... no: the UNWEIGHTED mean of per-month indexes
+    equals n_months * sum(share)/n = 1 exactly when every month has
+    revenue — check sum(index * cents_share) identity loosely: the
+    simple mean of indexes equals 1 iff shares are uniform, so instead
+    pin the exact invariant sum(revenue_m * index_m) relation:
+    index_m = share_m * n, hence sum(index_m)/n... simplest exact
+    check: sum over months of revenue equals type total and every
+    index is positive."""
+    from etl_city_directories_spark.operators.analytics import (
+        q_seasonal_index_monthly,
+    )
+
+    rows = q_seasonal_index_monthly(spark, SF).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        n = len(rs)
+        mean_idx = sum(r.seasonal_index for r in rs) / n
+        assert abs(mean_idx - 1.0) < 0.01 or n == 1, t
+        assert all(r.seasonal_index > 0 for r in rs)
+
+
+def test_hapax_ratio_bounds(spark):
+    from etl_city_directories_spark.operators.textstats import (
+        text_hapax_ratio,
+    )
+
+    rows = text_hapax_ratio(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the synthetic corpus' vocabulary is tiny (every word
+        # repeats), so zero hapaxes per source is legitimate
+        assert 0 <= r.n_hapax <= r.vocab_size <= r.n_tokens
+        assert 0.0 <= r.hapax_ratio <= 1.0
+
+
+def test_norm_outliers_consistent(spark):
+    from etl_city_directories_spark.operators.mlfeatures import (
+        emb_norm_outliers,
+    )
+
+    rows = emb_norm_outliers(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.min_norm2 <= r.mean_norm2 <= r.max_norm2
+        assert 0 <= r.n_norm_outliers <= r.n_vecs
+
+
+def test_stream_max_event_time_frontier(spark):
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_max_event_time,
+    )
+
+    rows = stream_max_event_time(spark, SF_TINY).collect()
+    assert rows
+    assert min(r.lag_seconds for r in rows) == 0
+    assert all(r.lag_seconds >= 0 for r in rows)

@@ -174,6 +174,10 @@ OPS = [
     "mm_aspect_ratio_buckets",
     "q_runlength_streaks",
     "q_new_product_adoption",
+    # r06 batch 5 (stream_max_event_time excluded: batch-only harness)
+    "q_seasonal_index_monthly",
+    "text_hapax_ratio",
+    "emb_norm_outliers",
 ]
 
 
