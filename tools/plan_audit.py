@@ -131,6 +131,8 @@ BNLJ_OK = {
     "q_data_freshness_audit",
     "sample_coreset_kcenter",
     "emb_label_separation",
+    # batch-side 1-row frontier scalar over the streaming sink
+    "stream_max_event_time",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
