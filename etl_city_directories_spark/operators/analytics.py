@@ -3130,29 +3130,30 @@ ORACLES["q_new_product_adoption"] = """
 """
 
 
-# --- r06 batch 5: monthly seasonal index --------------------------------------
+# --- r06 batch 5: weekly seasonal index ---------------------------------------
 
 
-def q_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly seasonal index per event type: each calendar month's
-    share of the type's revenue relative to a uniform month (index 1.0
+def q_seasonal_index_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal revenue index per event type: each ISO week's
+    share of the type's revenue relative to a uniform week (index 1.0
     = no seasonality) — the demand-planning complement to the
-    day-of-week decomposition. Exact integer cents sums; the index is
-    a cross-multiplied ratio of sums with ONE divide, computed on the
-    O(types × months) grid.
+    day-of-week decomposition, at the granularity this corpus actually
+    spans. Exact integer cents sums; the index is a cross-multiplied
+    ratio of sums with ONE divide, computed on the O(types × weeks)
+    grid.
     """
     events = load_table(spark, sf_dir, "events")
-    monthly = events.groupBy(
-        "event_type", F.month("ts").alias("month_num")
+    weekly = events.groupBy(
+        "event_type", F.weekofyear("ts").alias("week_num")
     ).agg(
         (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
         .cast("bigint")
         .alias("cents")
     )
     per_type = Window.partitionBy("event_type")
-    return monthly.select(
+    return weekly.select(
         "event_type",
-        "month_num",
+        "week_num",
         (F.col("cents").cast("double") / 100.0).alias("revenue"),
         F.round(
             F.col("cents").cast("double")
@@ -3160,22 +3161,22 @@ def q_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cents").over(per_type).cast("double"),
             4,
         ).alias("seasonal_index"),
-    ).orderBy("event_type", "month_num")
+    ).orderBy("event_type", "week_num")
 
 
-QUERIES["q_seasonal_index_monthly"] = q_seasonal_index_monthly
+QUERIES["q_seasonal_index_weekly"] = q_seasonal_index_weekly
 
-ORACLES["q_seasonal_index_monthly"] = """
-    WITH monthly AS (
-      SELECT event_type, MONTH(ts) AS month_num,
+ORACLES["q_seasonal_index_weekly"] = """
+    WITH weekly AS (
+      SELECT event_type, WEEKOFYEAR(ts) AS week_num,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     )
-    SELECT event_type, month_num,
+    SELECT event_type, week_num,
            cents::DOUBLE / 100.0 AS revenue,
            ROUND(cents::DOUBLE
                  * COUNT(*) OVER (PARTITION BY event_type)
                  / SUM(cents) OVER (PARTITION BY event_type)::DOUBLE, 4)
              AS seasonal_index
-    FROM monthly ORDER BY event_type, month_num
+    FROM weekly ORDER BY event_type, week_num
 """

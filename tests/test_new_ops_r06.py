@@ -500,10 +500,10 @@ def test_seasonal_index_averages_to_one(spark):
     check: sum over months of revenue equals type total and every
     index is positive."""
     from etl_city_directories_spark.operators.analytics import (
-        q_seasonal_index_monthly,
+        q_seasonal_index_weekly,
     )
 
-    rows = q_seasonal_index_monthly(spark, SF).collect()
+    rows = q_seasonal_index_weekly(spark, SF).collect()
     assert rows
     by_type: dict = {}
     for r in rows:

@@ -175,7 +175,7 @@ OPS = [
     "q_runlength_streaks",
     "q_new_product_adoption",
     # r06 batch 5 (stream_max_event_time excluded: batch-only harness)
-    "q_seasonal_index_monthly",
+    "q_seasonal_index_weekly",
     "text_hapax_ratio",
     "emb_norm_outliers",
 ]
