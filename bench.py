@@ -31,11 +31,22 @@ def main() -> None:
 
     queries = entry_mod.queries()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Sweep de-contention: Spark's ContextCleaner only releases stale
+    # broadcast variables / shuffle files when the DRIVER JVM garbage
+    # collects, and with an 8g heap a 338-query sweep rarely GCs on its
+    # own — accumulated state taxed every later query ~15% per +35 keys
+    # (r5→r6 overlap ratio 1.17x with zero plan changes). An explicit
+    # System.gc() every GC_EVERY queries keeps per-key timings tracking
+    # plans instead of sweep depth.
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "25"))
+    jvm_gc = spark.sparkContext._jvm.System.gc
     timings: dict[str, float] = {}
     # warm the JVM + parquet footer cache once, outside timed region
     entry_mod.entry(spark).collect()
 
-    for name in sorted(queries):
+    for idx, name in enumerate(sorted(queries)):
+        if gc_every > 0 and idx % gc_every == 0:
+            jvm_gc()  # outside the timed region
         best = None
         for _ in range(runs):
             # each attempt pays its own persist cost; no cross-query

@@ -2718,25 +2718,28 @@ ORACLES["graph_common_neighbors"] = f"""
 # --- r06 batch 2: k-core + repeat-purchase retention ------------------------
 
 KCORE_K = 3
-KCORE_ROUNDS = 3
+KCORE_MAX_ROUNDS = 12
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core decomposition progress on the basket graph: KCORE_ROUNDS
-    rounds of the standard peel (drop nodes with degree < KCORE_K,
-    recompute), reporting surviving node/edge counts per round — the
-    fixed-round distributed form (each round = one degree agg + one
-    semi-join, the Pregel peel step) whose unrolled replay the oracle
-    can run; full convergence just continues the loop until a round
-    removes nothing.
+    """K-core decomposition on the basket graph, run TO CONVERGENCE:
+    the standard peel (drop nodes with degree < KCORE_K, recompute)
+    repeats until a round removes no edge, reporting surviving
+    node/edge counts per executed round. The loop early-exits on the
+    first round whose edge count equals the previous round's (no edge
+    removed ⇒ degrees unchanged ⇒ fixpoint); KCORE_MAX_ROUNDS is a
+    safety cap, and the oracle replays the identical unrolled peel
+    with the identical stop rule.
 
     At 100 TB the edge list is the only big table; each round shuffles
-    O(E) on the node key and the survivor set shrinks monotonically.
+    O(E) on the node key and the survivor set shrinks monotonically,
+    so later rounds get cheaper, not pricier.
     """
     edges, _, _, _ = _oriented_graph(spark, sf_dir)
     cur = edges.select("part_a", "part_b")
+    prev_edges = cur.count()
     out_rows = []
-    for rnd in range(1, KCORE_ROUNDS + 1):
+    for rnd in range(1, KCORE_MAX_ROUNDS + 1):
         deg = (
             cur.select(F.col("part_a").alias("node"))
             .unionAll(cur.select(F.col("part_b").alias("node")))
@@ -2756,13 +2759,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a modest driver. Truncating per round is the standard move
         # for iterative graph algorithms (same device as memo_df).
         cur = cur.localCheckpoint(eager=True)
-        n_nodes = (
-            cur.select(F.col("part_a").alias("n"))
-            .unionAll(cur.select(F.col("part_b").alias("n")))
-            .distinct()
-            .count()
+        stat = (
+            cur.select(
+                F.explode(F.array("part_a", "part_b")).alias("n")
+            )
+            .agg(
+                F.countDistinct("n").alias("nn"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("ne"),
+            )
+            .first()
         )
-        out_rows.append((rnd, n_nodes, cur.count()))
+        out_rows.append((rnd, stat["nn"], stat["ne"]))
+        if stat["ne"] == prev_edges:
+            break
+        prev_edges = stat["ne"]
     return spark.createDataFrame(
         out_rows, "round int, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
@@ -2826,6 +2836,12 @@ _KCORE_PEEL = """
       JOIN d{r} kb ON kb.node = c.part_b AND kb.deg >= {k}
     )"""
 
+# Convergence stop rule, replayed verbatim: emit rounds 1..R where R is
+# the FIRST round whose edge count equals the previous round's (round 0
+# = the unpeeled basket graph), capped at KCORE_MAX_ROUNDS. The peel
+# CTEs keep running to the cap (cheap: post-fixpoint rounds copy a
+# shrunken, materialized edge set) and the WHERE clause trims the
+# report to the converged prefix, matching the Spark early-exit loop.
 ORACLES["graph_kcore"] = (
     f"""
     WITH items AS (
@@ -2840,7 +2856,7 @@ ORACLES["graph_kcore"] = (
     ),"""
     + ",".join(
         _KCORE_PEEL.format(r=r, p=r - 1, k=KCORE_K)
-        for r in range(1, KCORE_ROUNDS + 1)
+        for r in range(1, KCORE_MAX_ROUNDS + 1)
     )
     + "".join(
         f""",
@@ -2851,13 +2867,25 @@ ORACLES["graph_kcore"] = (
                 UNION ALL SELECT part_b FROM e{r})) AS n_nodes,
              (SELECT COUNT(*) FROM e{r}) AS n_edges
     )"""
-        for r in range(1, KCORE_ROUNDS + 1)
+        for r in range(1, KCORE_MAX_ROUNDS + 1)
     )
-    + f"""
+    + f""",
+    counts AS (
+      SELECT 0 AS round, (SELECT COUNT(*) FROM e0) AS n_edges
+      UNION ALL
+      {' UNION ALL '.join(f'SELECT round, n_edges FROM s{r}' for r in range(1, KCORE_MAX_ROUNDS + 1))}
+    ),
+    conv AS (
+      SELECT COALESCE(MIN(a.round), {KCORE_MAX_ROUNDS}) AS stop
+      FROM counts a JOIN counts b
+        ON b.round = a.round - 1 AND b.n_edges = a.n_edges
+      WHERE a.round >= 1
+    )
     SELECT CAST(round AS INT) AS round,
            CAST(n_nodes AS BIGINT) AS n_nodes,
            CAST(n_edges AS BIGINT) AS n_edges
-    FROM ({' UNION ALL '.join(f'SELECT * FROM s{r}' for r in range(1, KCORE_ROUNDS + 1))})
+    FROM ({' UNION ALL '.join(f'SELECT * FROM s{r}' for r in range(1, KCORE_MAX_ROUNDS + 1))})
+    WHERE round <= (SELECT stop FROM conv)
     ORDER BY round
 """
 )

@@ -115,6 +115,50 @@ def test_download_with_no_archives_at_all(spark, tmp_path):
     assert all(s["status"] == "error" for s in status)
 
 
+def test_parse_silently_skips_missing_archives(cli_work):
+    """The reference SKIPS manifest rows whose tar.gz was never
+    downloaded instead of erroring (city-directories.js:195's
+    fs.existsSync filter before the parse loop). The module fixture's
+    manifest names 4 volumes but only one archive exists: the full
+    step run must complete (no exception — pinned by the fixture
+    itself), parse must emit rows ONLY for the present volume, and the
+    3 absent volumes must contribute nothing — not even empty/error
+    rows — to the parse output (their error artifact lives solely in
+    the download step's {uuid}.xml contract)."""
+    work, counts = cli_work
+    assert counts["parse"] > 0
+    lines = _read_ndjson_dir(os.path.join(work, "parse", "lines.ndjson"))
+    assert lines
+    present = "c6725860-7ce9-0134-fb06-00505686a51c"
+    assert {ln["uuid"] for ln in lines} == {present}
+
+
+def test_parse_skips_archive_missing_after_download(spark, tmp_path):
+    """Same semantics when an archive disappears BETWEEN download and
+    parse (the reference re-checks existence at parse time, not
+    download status): delete the downloaded tar.gz, rerun parse only —
+    zero rows, zero errors."""
+    work = str(tmp_path / "w_gone")
+    data = str(tmp_path / "d_gone")
+    os.makedirs(data)
+    shutil.copy(fixture_archive(), data)
+    cfg_path = os.path.join(tmp_path, "config.json")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "tableUrl": os.path.join(FIXTURES, "manifest.html"),
+                "dataUrl": data,
+            },
+            f,
+        )
+    counts = run(cfg_path, work, ["download"], spark=spark)
+    assert counts["download"] > 0
+    for tar in glob.glob(os.path.join(work, "download", "data", "*.tar.gz")):
+        os.remove(tar)
+    counts = run(cfg_path, work, ["parse"], spark=spark)
+    assert counts["parse"] == 0
+
+
 def test_year_window_excludes_all(spark, tmp_path):
     """A minYear above every directory leaves parse empty — the
     reference's directory windowing (:191-195)."""

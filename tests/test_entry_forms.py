@@ -208,3 +208,104 @@ def test_tagger_messy_forms_heldout_accuracy():
     for k, (ok, tot) in slices.items():
         assert tot > 0, f"slice {k} empty — generator regression"
         assert ok / tot >= 0.95, f"slice {k} accuracy {ok / tot:.3f}"
+
+
+# --- r07: gold labels drawn from the REAL hOCR fixture pages ----------------
+
+# Token-level gold tags hand-assigned from the scanner text in
+# tests/fixtures/sample_entries.hocr and sample.hocr — NOT emitted by
+# the synthetic grammar generator, so tagger accuracy here is pinned
+# against real-form OCR tokens (the reference trains its CRF on labeled
+# scans, entry-parser.js:23-36). Slices named so a regression reports
+# WHICH form class broke.
+_FIXTURE_GOLD = {
+    "widow_full": [
+        (
+            ["Smith", "Mary,", "widow", "of", "John,", "h", "23", "Pearl"],
+            ["SUBJ", "SUBJ", "WID", "WID", "WID", "MARK", "LOC", "LOC"],
+        ),
+    ],
+    "widow_abbrev_dotrun": [
+        (
+            ["Jones", "Sarah,", "wid..", "Peter,", "14", "Elm"],
+            ["SUBJ", "SUBJ", "WID", "WID", "LOC", "LOC"],
+        ),
+    ],
+    "occ_marker": [
+        (
+            ["Brown", "Wm,", "lab.,", "h", "112", "Elm"],
+            ["SUBJ", "SUBJ", "OCC", "MARK", "LOC", "LOC"],
+        ),
+        (
+            ["Miller", "Chas,", "clerk,", "bds", "7", "Pearl"],
+            ["SUBJ", "SUBJ", "OCC", "MARK", "LOC", "LOC"],
+        ),
+        (
+            ["Taylor", "Robt,", "tailor,", "r", "88", "Water"],
+            ["SUBJ", "SUBJ", "OCC", "MARK", "LOC", "LOC"],
+        ),
+    ],
+    "corner_home": [
+        (
+            ["Wilson", "Jas,", "porter,", "h", "Pearl", "c", "Cherry"],
+            ["SUBJ", "SUBJ", "OCC", "MARK", "LOC", "LOC", "LOC"],
+        ),
+    ],
+    "work_plus_home": [
+        (
+            ["Jones", "Thos,", "mason,", "3", "Cherry,", "h", "5", "Vine"],
+            ["SUBJ", "SUBJ", "OCC", "LOC", "LOC", "MARK", "LOC", "LOC"],
+        ),
+    ],
+    "plain_and_dotrun_names": [
+        (
+            ["Smith", "John,", "carpenter,", "25", "Broadway"],
+            ["SUBJ", "SUBJ", "OCC", "LOC", "LOC"],
+        ),
+        (
+            ["Brown", "Wm..", "grocer,", "112", "Elm"],
+            ["SUBJ", "SUBJ", "OCC", "LOC", "LOC"],
+        ),
+        (
+            ["Wilson", "Jas...", "porter,", "3", "Cherry"],
+            ["SUBJ", "SUBJ", "OCC", "LOC", "LOC"],
+        ),
+    ],
+}
+
+
+def test_tagger_gold_labels_from_real_fixture_pages():
+    """The production model (the one cd_parse_tagged broadcasts) must
+    tag the hand-labeled scanner lines perfectly, per form slice —
+    held-out in the strongest sense: none of these token sequences is
+    produced by synth_training_corpus (the generator never emits the
+    fixture's name/street spellings together, and the gold labels were
+    assigned by reading the hOCR, not by running the grammar)."""
+    from etl_city_directories_spark.functions import entry_tagger
+
+    m = entry_tagger.model()
+    for slice_name, cases in _FIXTURE_GOLD.items():
+        ok = tot = 0
+        for toks, gold in cases:
+            assert len(toks) == len(gold), (slice_name, toks)
+            pred = entry_tagger.tag(toks, m)
+            ok += sum(p == g for p, g in zip(pred, gold))
+            tot += len(gold)
+        assert ok == tot, f"slice {slice_name}: {ok}/{tot} tokens correct"
+
+
+def test_tagger_gold_entries_roundtrip_real_fixture():
+    """entry_from_tags over the gold-labeled lines must reconstruct the
+    same entry contract the grammar parser extracts from the same
+    scanner text (subject / widow_of / occupations / locations)."""
+    from etl_city_directories_spark.functions import entry_tagger
+
+    m = entry_tagger.model()
+    toks = ["Smith", "Mary,", "widow", "of", "John,", "h", "23", "Pearl"]
+    e = entry_tagger.entry_from_tags(toks, entry_tagger.tag(toks, m))
+    assert e["subject"] == "Smith Mary"
+    assert e["widow_of"] == "John"
+    assert e["occupations"] == []
+    assert [(l["value"], l["loc_type"]) for l in e["locations"]] == [
+        ("23 Pearl", "home")
+    ]

@@ -223,13 +223,30 @@ def test_stream_sample_is_exact_hash_slice(spark):
 # --- r06 batch 2 ------------------------------------------------------------
 
 
-def test_kcore_monotone_shrink(spark):
-    from etl_city_directories_spark.operators.analytics import graph_kcore
+def test_kcore_converges_and_shrinks(spark):
+    from etl_city_directories_spark.operators.analytics import (
+        KCORE_MAX_ROUNDS,
+        graph_kcore,
+    )
 
     rows = sorted(graph_kcore(spark, SF).collect(), key=lambda r: r.round)
-    assert [r.round for r in rows] == [1, 2, 3]
+    assert rows[0].round == 1
+    assert [r.round for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= KCORE_MAX_ROUNDS
     for a, b in zip(rows, rows[1:]):
         assert b.n_nodes <= a.n_nodes and b.n_edges <= a.n_edges
+    # converged: the final round removed nothing (unless the cap hit)
+    if len(rows) < KCORE_MAX_ROUNDS and len(rows) >= 2:
+        assert rows[-1].n_edges == rows[-2].n_edges
+
+
+def test_kcore_tiny_converges_round_one(spark):
+    # sf0.001's basket graph is already a >=KCORE_K core: the first
+    # peel removes nothing, so the convergence loop stops at round 1.
+    from etl_city_directories_spark.operators.analytics import graph_kcore
+
+    rows = graph_kcore(spark, SF_TINY).collect()
+    assert len(rows) == 1 and rows[0].round == 1
 
 
 def test_repeat_purchase_curve_monotone(spark):
