@@ -2736,17 +2736,31 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     so later rounds get cheaper, not pricier.
     """
     edges, _, _, _ = _oriented_graph(spark, sf_dir)
+    out_rows = kcore_peel_rounds(edges, k=KCORE_K)
+    return spark.createDataFrame(
+        out_rows, "round int, n_nodes bigint, n_edges bigint"
+    ).orderBy("round")
+
+
+def kcore_peel_rounds(
+    edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS
+) -> list[tuple[int, int, int]]:
+    """The convergence peel over ANY undirected edge list (columns
+    part_a, part_b, one row per edge) — factored out of graph_kcore so
+    tests can drive it with arbitrary graphs against a pure-Python
+    union peel. Returns [(round, n_nodes, n_edges), ...] up to and
+    including the first round that removed no edge."""
     cur = edges.select("part_a", "part_b")
     prev_edges = cur.count()
     out_rows = []
-    for rnd in range(1, KCORE_MAX_ROUNDS + 1):
+    for rnd in range(1, max_rounds + 1):
         deg = (
             cur.select(F.col("part_a").alias("node"))
             .unionAll(cur.select(F.col("part_b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        keep = deg.filter(F.col("deg") >= k).select("node")
         cur = (
             cur.join(keep.withColumnRenamed("node", "part_a"), "part_a")
             .join(keep.withColumnRenamed("node", "part_b"), "part_b")
@@ -2773,9 +2787,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         if stat["ne"] == prev_edges:
             break
         prev_edges = stat["ne"]
-    return spark.createDataFrame(
-        out_rows, "round int, n_nodes bigint, n_edges bigint"
-    ).orderBy("round")
+    return out_rows
 
 
 def q_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:

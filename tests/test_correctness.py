@@ -35,3 +35,15 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def test_gate_priority_is_exact_permutation_of_queries():
+    """The driver walks queries() in _GATE_PRIORITY's insertion order
+    with a ~50-key budget; a key missing from the list silently never
+    gets gated, a stale extra key crashes the reorder in queries().
+    Pin: exact permutation, no dupes."""
+    gp = entry_mod._GATE_PRIORITY
+    assert len(gp) == len(set(gp)), "duplicate keys in _GATE_PRIORITY"
+    assert set(gp) == set(QUERIES), (
+        set(gp) ^ set(QUERIES)
+    )

@@ -347,6 +347,7 @@ def main() -> None:
     print(f"{'operator':24} {'1x sec':>8} {f'{k}x sec':>8} {'ratio':>6}  verdict")
     for name in ops:
         times = {}
+        failed = None
         for label, sf_dir in (("base", BASE), ("big", big)):
             if name in RESIZE_CELLS_WITH_N and label == "big":
                 os.environ["SPARK_GRAFT_IVF_CELLS"] = str(scaled_cells)
@@ -356,11 +357,21 @@ def main() -> None:
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).collect()
+                try:
+                    qs[name](spark, sf_dir).collect()
+                except Exception as exc:  # full-surface sweeps: one bad
+                    failed = f"{type(exc).__name__}: {exc}"  # cell must
+                    break  # not kill the remaining ops' evidence
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times[label] = best
             os.environ.pop("SPARK_GRAFT_IVF_CELLS", None)
+            if failed:
+                break
+        if failed:
+            n_flagged += 1
+            print(f"{name:24} {'--':>8} {'--':>8} {'--':>6}  ERROR ⚠ {failed[:120]}")
+            continue
         ratio = times["big"] / times["base"]
         if ratio <= NOTE_BAND * k:
             verdict = "LINEAR-ish"
