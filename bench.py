@@ -39,10 +39,22 @@ def main() -> None:
     # System.gc() every GC_EVERY queries keeps per-key timings tracking
     # plans instead of sweep depth.
     gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "25"))
-    jvm_gc = spark.sparkContext._jvm.System.gc
+    try:
+        # py4j-only handle; absent under Spark Connect / non-py4j
+        # runtimes, and System.gc() is advisory anyway — degrade to
+        # a no-op rather than failing the whole bench.
+        jvm_gc = spark.sparkContext._jvm.System.gc
+    except Exception:
+        jvm_gc = lambda: None  # noqa: E731
+    # Optional subset for smoke runs: comma-separated queries() keys.
+    only = os.environ.get("SPARK_GRAFT_BENCH_KEYS", "")
     timings: dict[str, float] = {}
     # warm the JVM + parquet footer cache once, outside timed region
     entry_mod.entry(spark).collect()
+
+    if only:
+        wanted = {k.strip() for k in only.split(",") if k.strip()}
+        queries = {k: v for k, v in queries.items() if k in wanted}
 
     for idx, name in enumerate(sorted(queries)):
         if gc_every > 0 and idx % gc_every == 0:

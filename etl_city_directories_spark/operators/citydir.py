@@ -924,7 +924,21 @@ def cd_link_persons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def link_person_entries(entries: DataFrame) -> DataFrame:
     """The blocking + scoring + tie-break core of cd_link_persons over
-    any (doc_id, year_lo, subject, occupation, loc1) DataFrame."""
+    any (doc_id, year_lo, subject, occupation, loc1) DataFrame.
+
+    Scale shape: a pair reaches the score >= 2 threshold only when
+    the canonical subjects agree (2 pts) OR address AND occupation
+    both agree (1 + 1), so the OR-predicate decomposes into exact
+    equi-joins — one on the full canonical name, one on
+    (surname-initial block, loc1, occupation). Each entry explodes
+    into up to two typed candidate keys and ONE self-join on the key
+    covers both branches, so the parse scan runs once per side.
+    Neither key is the old fixed-cardinality (surname, initial)
+    block: both scale with corpus CONTENT, and every generated
+    candidate is an emitted match, so candidate generation is
+    output-bound — the hot "smith j" block never materializes as a
+    quadratic join.
+    """
     from pyspark.sql import Window
 
     entries = entries.withColumn(
@@ -939,34 +953,82 @@ def link_person_entries(entries: DataFrame) -> DataFrame:
             ),
         ),
     )
-    a = entries.alias("a")
-    b = entries.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block_key") == F.col("b.block_key"))
-        & (F.col("b.year_lo") == F.col("a.year_lo") + 1),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.subject").alias("subject"),
-        F.col("a.year_lo").alias("year_a"),
-        F.col("b.year_lo").alias("year_b"),
-        (F.col("a.loc1") == F.col("b.loc1")).alias("same_address"),
-        (F.col("a.occupation") == F.col("b.occupation")).alias(
-            "same_occupation"
-        ),
-        (
-            F.when(
-                F.col("a.canon_subject") == F.col("b.canon_subject"), 2
-            ).otherwise(0)
-            + F.when(F.col("a.loc1") == F.col("b.loc1"), 1).otherwise(0)
-            + F.when(
-                F.col("a.occupation") == F.col("b.occupation"), 1
-            ).otherwise(0)
+    # Typed candidate keys as a struct (null-safe, no separator
+    # collisions): N = full canonical name; A = (block, loc1,
+    # occupation), emitted only when loc1 AND occupation are non-null
+    # (SQL equality with NULL is never a match, so null-component
+    # A-keys cannot contribute a pair).
+    keyed = entries.select(
+        "doc_id",
+        "year_lo",
+        "subject",
+        "occupation",
+        "loc1",
+        "canon_subject",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("canon_subject").isNotNull(),
+                        F.struct(
+                            F.lit("N").alias("kt"),
+                            F.col("canon_subject").alias("k1"),
+                            F.lit("").alias("k2"),
+                            F.lit("").alias("k3"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("loc1").isNotNull()
+                        & F.col("occupation").isNotNull(),
+                        F.struct(
+                            F.lit("A").alias("kt"),
+                            F.col("block_key").alias("k1"),
+                            F.col("loc1").alias("k2"),
+                            F.col("occupation").alias("k3"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("ck"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("b.year_lo") == F.col("a.year_lo") + 1),
         )
-        .cast("bigint")
-        .alias("match_score"),
-    ).filter(F.col("match_score") >= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.subject").alias("subject"),
+            F.col("a.year_lo").alias("year_a"),
+            F.col("b.year_lo").alias("year_b"),
+            (F.col("a.loc1") == F.col("b.loc1")).alias("same_address"),
+            (F.col("a.occupation") == F.col("b.occupation")).alias(
+                "same_occupation"
+            ),
+            (
+                F.when(
+                    F.col("a.canon_subject") == F.col("b.canon_subject"), 2
+                ).otherwise(0)
+                + F.when(F.col("a.loc1") == F.col("b.loc1"), 1).otherwise(0)
+                + F.when(
+                    F.col("a.occupation") == F.col("b.occupation"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("match_score"),
+        )
+        # a pair matched by both its N-key and its A-key yields two
+        # byte-identical rows — NULL-safe full-row distinct is an
+        # exact pair-level dedup; the score filter is then a
+        # documented invariant, not a pruner.
+        .distinct()
+        .filter(F.col("match_score") >= 2)
+    )
     w = Window.partitionBy("doc_a").orderBy(
         F.col("match_score").desc(), F.col("doc_b").asc()
     )

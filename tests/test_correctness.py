@@ -40,7 +40,9 @@ def test_entry_smoke(spark):
 def test_gate_priority_is_exact_permutation_of_queries():
     """The driver walks queries() in _GATE_PRIORITY's insertion order
     with a ~50-key budget; a key missing from the list silently never
-    gets gated, a stale extra key crashes the reorder in queries().
+    gets gated, and a stale extra key is silently dropped by
+    _ordered's `if k in mapping` guard — so only this test catches
+    drift between _GATE_PRIORITY and queries().
     Pin: exact permutation, no dupes."""
     gp = entry_mod._GATE_PRIORITY
     assert len(gp) == len(set(gp)), "duplicate keys in _GATE_PRIORITY"
