@@ -2735,23 +2735,29 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(E) on the node key and the survivor set shrinks monotonically,
     so later rounds get cheaper, not pricier.
     """
-    edges, _, _, _ = _oriented_graph(spark, sf_dir)
-    out_rows = kcore_peel_rounds(edges, k=KCORE_K)
+    edges, _, _, n_edges_val = _oriented_graph(spark, sf_dir)
+    out_rows = kcore_peel_rounds(edges, k=KCORE_K, initial_edges=n_edges_val)
     return spark.createDataFrame(
         out_rows, "round int, n_nodes bigint, n_edges bigint"
     ).orderBy("round")
 
 
 def kcore_peel_rounds(
-    edges: DataFrame, k: int, max_rounds: int = KCORE_MAX_ROUNDS
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+    initial_edges: int | None = None,
 ) -> list[tuple[int, int, int]]:
     """The convergence peel over ANY undirected edge list (columns
     part_a, part_b, one row per edge) — factored out of graph_kcore so
     tests can drive it with arbitrary graphs against a pure-Python
     union peel. Returns [(round, n_nodes, n_edges), ...] up to and
-    including the first round that removed no edge."""
+    including the first round that removed no edge. Pass
+    ``initial_edges`` when the caller already counted the edge list
+    (graph_kcore gets it from _oriented_graph) to skip one full count
+    action."""
     cur = edges.select("part_a", "part_b")
-    prev_edges = cur.count()
+    prev_edges = initial_edges if initial_edges is not None else cur.count()
     out_rows = []
     for rnd in range(1, max_rounds + 1):
         deg = (

@@ -15,9 +15,15 @@ oracle-checkable.
 
 Scale shape: the block key is (nationkey, name-suffix); pair fan-out
 is O(sum of block sizes squared) with block sizes kept O(1) by
-widening the suffix as the corpus grows (the standard blocking-key
-cardinality knob — at 100 TB you block on 4-6 suffix chars plus the
-partition column, never on the bare nation). Scoring touches only
+widening the suffix AS THE CORPUS GROWS (the standard blocking-key
+cardinality knob — at 100 TB you block on 6-7 suffix chars plus the
+partition column, never on the bare nation). The width is DERIVED
+FROM THE DATA: the smallest suffix length >= BLOCK_SUFFIX such that
+the expected (nation, suffix) block population
+n / (N_NATIONS * 10^width) stays <= TARGET_BLOCK_POP, computed
+integer-exactly as max(BLOCK_SUFFIX, digits(ceil(n/625) - 1)) so
+Spark (one cached 1-row count) and the DuckDB oracle (a scalar
+subquery) agree bit-for-bit with no float log10 boundary risk. Scoring touches only
 blocked candidates; clustering runs the O(log^2 n)
 large-star/small-star contraction on the match edges only.
 """
@@ -30,18 +36,52 @@ from pyspark.sql import functions as F
 from etl_city_directories_spark.functions.graph import connected_components
 from etl_city_directories_spark.sources.tables import load_table
 
-BLOCK_SUFFIX = 2  # blocking-key chars from the name tail
+BLOCK_SUFFIX = 2  # minimum blocking-key chars from the name tail
 ER_AUDIT_MOD = 10  # blocking-quality audit runs on custkey % 10 == 0
 MAX_EDIT = 2  # match threshold (unit-cost Levenshtein)
+N_NATIONS = 25  # nation dimension cardinality (TPC-H constant)
+TARGET_BLOCK_POP = 25  # expected rows per (nation, suffix) block
+
+_WIDTH_CACHE: dict[tuple, int] = {}
+
+
+def block_width(spark: SparkSession, sf_dir: str) -> int:
+    """Data-scaled suffix width: smallest w >= BLOCK_SUFFIX with
+    expected block population n / (N_NATIONS * 10^w) <= TARGET_BLOCK_POP
+    for digit-tail names, i.e. max(BLOCK_SUFFIX, digits(ceil(n/625)-1))
+    == max(BLOCK_SUFFIX, ceil(log10(ceil(n/625)))) computed in exact
+    integer arithmetic. One 1-row count per (corpus, stamp), cached —
+    at sf0.01/sf0.1 this resolves to the historical width 2."""
+    from etl_city_directories_spark.functions.memo import table_stamp
+
+    key = (sf_dir, table_stamp(sf_dir, ("customer",)))
+    if key not in _WIDTH_CACHE:
+        n = load_table(spark, sf_dir, "customer").count()
+        m = (n + N_NATIONS * TARGET_BLOCK_POP - 1) // (
+            N_NATIONS * TARGET_BLOCK_POP
+        )
+        _WIDTH_CACHE[key] = max(BLOCK_SUFFIX, len(str(m - 1)))
+    return _WIDTH_CACHE[key]
+
+
+# The oracle computes the identical width as a scalar subquery —
+# FLOOR((n + 624) / 625.0) is exact for every corpus below 2^53 rows
+# because integer-valued doubles divide to a correctly-rounded
+# representable quotient at the ceil boundary.
+_W_SQL = (
+    "(SELECT GREATEST(2, LENGTH(CAST(CAST(FLOOR((COUNT(*) + 624) / 625.0)"
+    " AS BIGINT) - 1 AS VARCHAR))) FROM customer)"
+)
 
 
 def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked candidate pairs with exact edit-distance scores."""
+    w = block_width(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.substring("c_name", -BLOCK_SUFFIX, BLOCK_SUFFIX).alias("blk"),
+        F.substring("c_name", -w, w).alias("blk"),
     )
     a = cust.select(
         F.col("c_nationkey").alias("nationkey"),
@@ -145,17 +185,17 @@ QUERIES = {
 
 _PAIRS_SQL = f"""
   SELECT a.c_nationkey AS nationkey,
-         SUBSTRING(a.c_name, LENGTH(a.c_name) - {BLOCK_SUFFIX - 1},
-                   {BLOCK_SUFFIX}) AS blk,
+         SUBSTRING(a.c_name, LENGTH(a.c_name) - {_W_SQL} + 1,
+                   {_W_SQL}) AS blk,
          a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
          CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist,
          GREATEST(LENGTH(a.c_name), LENGTH(b.c_name)) AS max_len
   FROM customer a JOIN customer b
     ON a.c_nationkey = b.c_nationkey
-   AND SUBSTRING(a.c_name, LENGTH(a.c_name) - {BLOCK_SUFFIX - 1},
-                 {BLOCK_SUFFIX})
-     = SUBSTRING(b.c_name, LENGTH(b.c_name) - {BLOCK_SUFFIX - 1},
-                 {BLOCK_SUFFIX})
+   AND SUBSTRING(a.c_name, LENGTH(a.c_name) - {_W_SQL} + 1,
+                 {_W_SQL})
+     = SUBSTRING(b.c_name, LENGTH(b.c_name) - {_W_SQL} + 1,
+                 {_W_SQL})
    AND a.c_custkey < b.c_custkey
 """
 
@@ -317,13 +357,14 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistently. Output is one row per nation plus exact integer
     pair counts over the stratum.
     """
+    w = block_width(spark, sf_dir)  # production width: full-corpus n
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_custkey") % ER_AUDIT_MOD == 0
     ).select(
         "c_custkey",
         "c_name",
         "c_nationkey",
-        F.substring("c_name", -BLOCK_SUFFIX, BLOCK_SUFFIX).alias("blk"),
+        F.substring("c_name", -w, w).alias("blk"),
     )
     a = cust.select(
         F.col("c_nationkey").alias("nationkey"),
@@ -378,10 +419,10 @@ QUERIES["er_blocking_quality"] = er_blocking_quality
 ORACLES["er_blocking_quality"] = f"""
     WITH scored AS (
       SELECT a.c_nationkey AS nationkey,
-             SUBSTRING(a.c_name, LENGTH(a.c_name) - {BLOCK_SUFFIX - 1},
-                       {BLOCK_SUFFIX})
-               = SUBSTRING(b.c_name, LENGTH(b.c_name) - {BLOCK_SUFFIX - 1},
-                           {BLOCK_SUFFIX}) AS in_block,
+             SUBSTRING(a.c_name, LENGTH(a.c_name) - {_W_SQL} + 1,
+                       {_W_SQL})
+               = SUBSTRING(b.c_name, LENGTH(b.c_name) - {_W_SQL} + 1,
+                           {_W_SQL}) AS in_block,
              levenshtein(a.c_name, b.c_name) <= {MAX_EDIT} AS is_match
       FROM customer a JOIN customer b
         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey

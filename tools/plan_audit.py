@@ -154,11 +154,12 @@ def plan_of(df) -> str:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional key subset: audit just-landed ops
     spark = get_spark("plan-audit", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     flags_total = 0
     for name, fn in sorted(m.queries().items()):
-        if name in SKIP:
+        if name in SKIP or (only and name not in only):
             continue
         plan = plan_of(fn(spark, sf_dir))
         counts = {mk.strip(): len(re.findall(re.escape(mk), plan)) for mk in MARKS}

@@ -26,7 +26,12 @@ BASE = "/root/testdata/sf0.1"
 # v2: per-word markers / vector rotation (v1's ' probecopy{i}' suffix
 # left copies as near-dups of each other — 3-gram jaccard ≈ 0.9 — so
 # the TRUE pair count grew ~K² and every scorer looked super-linear)
-PROBE_DIR = "/tmp/spark_graft_scale_probe_v3"
+# v4: customer names gain a 3-char per-copy marker (cross-copy
+# levenshtein >= 3 > MAX_EDIT, distinct suffix blocks) and events
+# timestamps shift +10 years per copy (disjoint band windows), so the
+# er_* and q_band_join_bucketed true-pair counts stay LINEAR in K and
+# those ops are honestly probeable instead of excluded-by-note.
+PROBE_DIR = "/tmp/spark_graft_scale_probe_v4"
 
 OPS = [
     "dedup_exact",
@@ -91,12 +96,14 @@ OPS = [
     "text_ngram_novelty",
     "dedup_lsh_tuning",
     "q_validate_fk",
-    # r05 batch 2-4 additions. Deliberately absent: er_blocked_pairs /
-    # er_match_clusters / er_golden_record (the probe's customer copies
-    # repeat c_name verbatim, so cross-copy match pairs grow K² by
-    # CONSTRUCTION — the operator is block-bounded on real data) and
-    # q_band_join_bucketed (copies share identical timestamps, so
-    # in-band pairs also grow K² semantically).
+    # r05 batch 2-4 additions. er_* and q_band_join_bucketed were
+    # excluded through r7 (verbatim c_name copies / identical ts copies
+    # made their true-pair counts K²-by-construction); the v4 corpus
+    # perturbs both, so they are probed honestly below (r8).
+    "er_blocked_pairs",
+    "er_match_clusters",
+    "er_golden_record",
+    "q_band_join_bucketed",
     "text_winnowing",
     "text_kneser_ney_logprob",
     "text_langid_confusion",
@@ -110,11 +117,11 @@ OPS = [
     "sample_neyman_allocation",
     "emb_recall_at_k",
     "graph_wcc",
-    # r05 batch 11-19 additions (er_blocking_quality excluded like the
-    # other er_* ops: verbatim customer-name copies make its true match
-    # count K²-by-construction in this corpus; q_segment_migration /
+    # r05 batch 11-19 additions (er_blocking_quality probeable since
+    # the v4 corpus perturbs customer names; q_segment_migration /
     # q_growth_accounting / q_price_index / q_did_promo are single-pass
     # grid folds and probe like the stats suite)
+    "er_blocking_quality",
     "q_survival_km",
     "q_elasticity_loglog",
     "mm_audio_silence",
@@ -299,10 +306,17 @@ def build_corpus(k: int) -> str:
         "o_custkey + {coff} AS o_custkey, o_orderstatus, o_totalprice, "
         "o_orderdate, o_orderpriority "
         "FROM read_parquet('{base}/orders.parquet')",
-        "customer": "SELECT c_custkey + {coff} AS c_custkey, c_name, "
+        # copy i>0 appends a 3-char marker to c_name: cross-copy
+        # levenshtein >= 3 (> linkage MAX_EDIT = 2) and a distinct
+        # suffix block, so er_* true-match counts stay linear in K
+        "customer": "SELECT c_custkey + {coff} AS c_custkey, "
+        "c_name || '{cmark}' AS c_name, "
         "c_nationkey, c_acctbal, c_mktsegment "
         "FROM read_parquet('{base}/customer.parquet')",
-        "events": "SELECT event_id + {off} AS event_id, ts, "
+        # copy i>0 shifts ts by +10i years: copies occupy disjoint
+        # time ranges, so band-join in-band pairs stay linear in K
+        "events": "SELECT event_id + {off} AS event_id, "
+        "ts + INTERVAL '{tshift} years' AS ts, "
         "user_id + {uoff} AS user_id, event_type, value, props "
         "FROM read_parquet('{base}/events.parquet')",
     }
@@ -313,6 +327,8 @@ def build_corpus(k: int) -> str:
                 off=i * 10_000_000,
                 coff=i * 1_000_000,
                 uoff=i * 10_000,
+                cmark=chr(96 + i) * 3 if i else "",
+                tshift=10 * i,
             )
             for i in range(k)
         )
@@ -370,7 +386,14 @@ def main() -> None:
                 break
         if failed:
             n_flagged += 1
-            print(f"{name:24} {'--':>8} {'--':>8} {'--':>6}  ERROR ⚠ {failed[:120]}")
+            # keep the partial evidence: which label died, and the
+            # surviving base timing when it was measured
+            base_t = times.get("base")
+            base_s = f"{base_t:8.2f}" if base_t is not None else f"{'--':>8}"
+            print(
+                f"{name:24} {base_s} {'--':>8} {'--':>6}  "
+                f"ERROR@{label} ⚠ {failed[:110]}"
+            )
             continue
         ratio = times["big"] / times["base"]
         if ratio <= NOTE_BAND * k:
