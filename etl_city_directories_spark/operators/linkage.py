@@ -37,12 +37,24 @@ from etl_city_directories_spark.functions.graph import connected_components
 from etl_city_directories_spark.sources.tables import load_table
 
 BLOCK_SUFFIX = 2  # minimum blocking-key chars from the name tail
-ER_AUDIT_MOD = 10  # blocking-quality audit runs on custkey % 10 == 0
+ER_AUDIT_MOD = 10  # minimum audit-stratum modulus (custkey % mod == 0)
+ER_AUDIT_TARGET = 1_500  # target audit-stratum size (rows)
 MAX_EDIT = 2  # match threshold (unit-cost Levenshtein)
 N_NATIONS = 25  # nation dimension cardinality (TPC-H constant)
 TARGET_BLOCK_POP = 25  # expected rows per (nation, suffix) block
 
-_WIDTH_CACHE: dict[tuple, int] = {}
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _customer_count(spark: SparkSession, sf_dir: str) -> int:
+    """One cached 1-row count per (corpus, stamp) — both data-scaled
+    knobs (suffix width, audit modulus) derive from it."""
+    from etl_city_directories_spark.functions.memo import table_stamp
+
+    key = (sf_dir, table_stamp(sf_dir, ("customer",)))
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load_table(spark, sf_dir, "customer").count()
+    return _COUNT_CACHE[key]
 
 
 def block_width(spark: SparkSession, sf_dir: str) -> int:
@@ -50,18 +62,24 @@ def block_width(spark: SparkSession, sf_dir: str) -> int:
     expected block population n / (N_NATIONS * 10^w) <= TARGET_BLOCK_POP
     for digit-tail names, i.e. max(BLOCK_SUFFIX, digits(ceil(n/625)-1))
     == max(BLOCK_SUFFIX, ceil(log10(ceil(n/625)))) computed in exact
-    integer arithmetic. One 1-row count per (corpus, stamp), cached —
-    at sf0.01/sf0.1 this resolves to the historical width 2."""
-    from etl_city_directories_spark.functions.memo import table_stamp
+    integer arithmetic — at sf0.01/sf0.1 this resolves to the
+    historical width 2."""
+    n = _customer_count(spark, sf_dir)
+    m = (n + N_NATIONS * TARGET_BLOCK_POP - 1) // (
+        N_NATIONS * TARGET_BLOCK_POP
+    )
+    return max(BLOCK_SUFFIX, len(str(m - 1)))
 
-    key = (sf_dir, table_stamp(sf_dir, ("customer",)))
-    if key not in _WIDTH_CACHE:
-        n = load_table(spark, sf_dir, "customer").count()
-        m = (n + N_NATIONS * TARGET_BLOCK_POP - 1) // (
-            N_NATIONS * TARGET_BLOCK_POP
-        )
-        _WIDTH_CACHE[key] = max(BLOCK_SUFFIX, len(str(m - 1)))
-    return _WIDTH_CACHE[key]
+
+def audit_mod(spark: SparkSession, sf_dir: str) -> int:
+    """Data-scaled audit-stratum modulus: max(ER_AUDIT_MOD,
+    ceil(n / ER_AUDIT_TARGET)). The blocking-quality audit needs a
+    quadratic truth pass, so its stratum must have a fixed SIZE
+    (~ER_AUDIT_TARGET rows), not a fixed rate — a 1-in-10 rate made
+    the audit itself quadratic in the corpus (r7 probe: 32.9x at
+    10x). At sf0.01/sf0.1 this resolves to the historical mod 10."""
+    n = _customer_count(spark, sf_dir)
+    return max(ER_AUDIT_MOD, (n + ER_AUDIT_TARGET - 1) // ER_AUDIT_TARGET)
 
 
 # The oracle computes the identical width as a scalar subquery —
@@ -71,6 +89,12 @@ def block_width(spark: SparkSession, sf_dir: str) -> int:
 _W_SQL = (
     "(SELECT GREATEST(2, LENGTH(CAST(CAST(FLOOR((COUNT(*) + 624) / 625.0)"
     " AS BIGINT) - 1 AS VARCHAR))) FROM customer)"
+)
+
+# ... and the identical audit modulus (same exactness argument).
+_MOD_SQL = (
+    "(SELECT GREATEST(10, CAST(FLOOR((COUNT(*) + 1499) / 1500.0)"
+    " AS BIGINT)) FROM customer)"
 )
 
 
@@ -350,16 +374,19 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     2012): how many candidate pairs the blocks generate vs the
     quadratic total (reduction ratio), and what fraction of TRUE
     matches the blocks retain (pairs completeness / recall). Truth
-    needs a quadratic, so the audit runs on the DETERMINISTIC 1-in-10
-    customer stratum (custkey % 10 == 0) — the production shape at any
+    needs a quadratic, so the audit runs on a DETERMINISTIC customer
+    stratum (custkey % mod == 0) whose modulus scales with the corpus
+    to hold the stratum near ER_AUDIT_TARGET rows — a fixed SIZE (not
+    rate) bounds the quadratic at a constant — the production shape at any
     scale: the per-nation quadratic is bounded by the sample, and both
     metrics are ratio estimates that a stratified sample estimates
     consistently. Output is one row per nation plus exact integer
     pair counts over the stratum.
     """
     w = block_width(spark, sf_dir)  # production width: full-corpus n
+    mod = audit_mod(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") % ER_AUDIT_MOD == 0
+        F.col("c_custkey") % mod == 0
     ).select(
         "c_custkey",
         "c_name",
@@ -426,7 +453,7 @@ ORACLES["er_blocking_quality"] = f"""
              levenshtein(a.c_name, b.c_name) <= {MAX_EDIT} AS is_match
       FROM customer a JOIN customer b
         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-       AND a.c_custkey % 10 = 0 AND b.c_custkey % 10 = 0
+       AND a.c_custkey % {_MOD_SQL} = 0 AND b.c_custkey % {_MOD_SQL} = 0
     ),
     per_nation AS (
       SELECT nationkey,

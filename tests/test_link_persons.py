@@ -69,6 +69,40 @@ def test_non_adjacent_years_never_pair(spark):
     assert (9, 10) not in got
 
 
+def test_hot_block_capped_but_addr_pairs_survive(spark):
+    """A (name, year) cell denser than LINK_MAX_BLOCK is excluded
+    whole from name-key pair generation (the deterministic production
+    cap the r7 verdict asked for), but pairs that also agree on
+    address + occupation still link through the A-key, whose cells
+    stay small."""
+    from etl_city_directories_spark.operators.citydir import (
+        LINK_MAX_BLOCK,
+    )
+
+    hot = LINK_MAX_BLOCK + 10
+    rows = []
+    # hot cell: `hot` "Smith John" entries in 1860 AND 1861, each at a
+    # DISTINCT address/occupation except one exact repeat pair
+    for i in range(hot):
+        rows.append((1000 + i, 1860, "Smith John", f"occ{i}", f"{i} Elm"))
+        rows.append((2000 + i, 1861, "Smith John", f"occ{i + hot}", f"{i + hot} Elm"))
+    # the one entry whose address+occupation repeat across the years
+    rows.append((3001, 1860, "Smith John", "tailor", "9 Canal"))
+    rows.append((3002, 1861, "Smith John", "tailor", "9 Canal"))
+    # control: a small cell elsewhere still links by name alone
+    rows.append((4001, 1860, "Quiet Ann", "nurse", "1 Oak"))
+    rows.append((4002, 1861, "Quiet Ann", "baker", "2 Oak"))
+    df = spark.createDataFrame(rows, COLS)
+    got = link_person_entries(df).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    # the hot name cell emits NO name-only pairs...
+    assert not any(1000 <= a < 1100 and 2000 <= b < 2100 for a, b in pairs)
+    # ...but the address+occupation pair inside it survives via A-key
+    assert (3001, 3002) in pairs
+    # and the small cell links by name as usual
+    assert (4001, 4002) in pairs
+
+
 def test_canon_subject_expansions(spark):
     cases = {
         "Brown Wm. H": "Brown William H",

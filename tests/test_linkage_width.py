@@ -69,3 +69,44 @@ def test_width_at_gate_scales_is_historical(spark):
     assert block_width(spark, "/root/testdata/sf0.001") == 2
     assert block_width(spark, "/root/testdata/sf0.01") == 2
     assert block_width(spark, "/root/testdata/sf0.1") == 2
+
+
+def _py_mod(n: int) -> int:
+    return max(10, (n + 1499) // 1500)
+
+
+@pytest.mark.parametrize(
+    "n,expect",
+    [
+        (1, 10),
+        (1_500, 10),  # sf0.01: historical mod preserved
+        (15_000, 10),  # sf0.1: historical mod preserved
+        (15_001, 11),
+        (150_000, 100),  # 10x probe corpus: stratum stays ~1500
+        (1_500_000_000, 1_000_000),
+    ],
+)
+def test_audit_mod_formula(n, expect):
+    assert _py_mod(n) == expect
+    # stratum size stays bounded near the target
+    assert n // _py_mod(n) <= 1_500
+
+
+def test_audit_mod_oracle_matches_python():
+    from etl_city_directories_spark.operators.linkage import _MOD_SQL
+
+    con = duckdb.connect()
+    for n in [1, 1499, 1500, 1501, 14999, 15000, 15001, 150000, 2_999_999]:
+        con.execute(
+            "CREATE OR REPLACE VIEW customer AS "
+            f"SELECT * FROM range({n})"
+        )
+        got = con.execute(f"SELECT {_MOD_SQL}").fetchone()[0]
+        assert got == _py_mod(n), (n, got, _py_mod(n))
+
+
+def test_audit_mod_at_gate_scales_is_historical(spark):
+    from etl_city_directories_spark.operators.linkage import audit_mod
+
+    assert audit_mod(spark, "/root/testdata/sf0.01") == 10
+    assert audit_mod(spark, "/root/testdata/sf0.1") == 10

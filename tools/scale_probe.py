@@ -217,6 +217,13 @@ HARD = 1.5
 # HARD*k. Each must state the mechanism, not hand-wave; the r6 round
 # backs the map-op notes with a 3-point affine fit (see simlogs).
 CAUSE_NOTES = {
+    "er_blocked_pairs": (
+        "data-scaled suffix width holds block population at ~6 rows "
+        "across scales (w=2 at 15k rows, w=3 at 150k: candidate pairs "
+        "37.5k -> 375k, exactly 10x); the small excess over k is "
+        "levenshtein on the probe corpus's 3-char-longer names plus "
+        "fixed-cost amortization"
+    ),
     "text_fingerprint": (
         "pure map (no shuffle); 1x cell is fixed-cost dominated — "
         "3-point fit t(K)=a+b*K holds (r06: t(4) measured 2.64 s vs "
@@ -306,11 +313,14 @@ def build_corpus(k: int) -> str:
         "o_custkey + {coff} AS o_custkey, o_orderstatus, o_totalprice, "
         "o_orderdate, o_orderpriority "
         "FROM read_parquet('{base}/orders.parquet')",
-        # copy i>0 appends a 3-char marker to c_name: cross-copy
-        # levenshtein >= 3 (> linkage MAX_EDIT = 2) and a distinct
-        # suffix block, so er_* true-match counts stay linear in K
+        # copy i>0 PREPENDS a 3-char marker to c_name: cross-copy
+        # levenshtein >= 3 (> linkage MAX_EDIT = 2) so no cross-copy
+        # TRUE match exists, while the digit TAIL keeps its base
+        # diversity — the suffix-block populations stay bounded by the
+        # data-scaled width rule. (Appending would make the marker the
+        # tail and collapse each copy into ONE block per nation.)
         "customer": "SELECT c_custkey + {coff} AS c_custkey, "
-        "c_name || '{cmark}' AS c_name, "
+        "'{cmark}' || c_name AS c_name, "
         "c_nationkey, c_acctbal, c_mktsegment "
         "FROM read_parquet('{base}/customer.parquet')",
         # copy i>0 shifts ts by +10i years: copies occupy disjoint
