@@ -24,6 +24,8 @@ import __spark_entry__ as m
 
 CHUNK = 24
 
+from tools.scale_probe import BAND_JOIN_NOTE  # noqa: E402
+
 # keys with no sf_dir-scaling input: the probe ratio would measure
 # fixture parse constants, not data scaling
 FIXTURE_KEYS = {
@@ -32,6 +34,9 @@ FIXTURE_KEYS = {
     "hocr_source_v2": "fixture-driven (archive fixtures via Python DataSource)",
     "manifest_parse": "fixture-driven (manifest fixture)",
     "ndjson_sink": "sink round-trip of a fixture frame",
+    # semantically-quadratic on the replication corpus; standalone
+    # evidence cited in the note (scale_probe.BAND_JOIN_NOTE)
+    "q_band_join_bucketed": BAND_JOIN_NOTE,
 }
 
 

@@ -26,12 +26,29 @@ BASE = "/root/testdata/sf0.1"
 # v2: per-word markers / vector rotation (v1's ' probecopy{i}' suffix
 # left copies as near-dups of each other — 3-gram jaccard ≈ 0.9 — so
 # the TRUE pair count grew ~K² and every scorer looked super-linear)
-# v4: customer names gain a 3-char per-copy marker (cross-copy
-# levenshtein >= 3 > MAX_EDIT, distinct suffix blocks) and events
-# timestamps shift +10 years per copy (disjoint band windows), so the
-# er_* and q_band_join_bucketed true-pair counts stay LINEAR in K and
-# those ops are honestly probeable instead of excluded-by-note.
-PROBE_DIR = "/tmp/spark_graft_scale_probe_v4"
+# v5: customer names gain a 3-char per-copy marker PREPENDED
+# (cross-copy levenshtein >= 3 > MAX_EDIT with the digit tail's block
+# diversity intact), so the er_* true-pair counts stay LINEAR in K and
+# those ops are honestly probeable. Events timestamps stay VERBATIM:
+# an interim v4 corpus shifted each copy +10y to make band-join pairs
+# linear, but that grows the global calendar K x and the dense-grid
+# family (users x calendar spine: gapfill/LOCF/date-spine) then does
+# K^2 work BY CONSTRUCTION — you cannot make both families honest on
+# one corpus, and the calendar family is the bigger surface. See
+# BAND_JOIN_NOTE for the band join's standalone evidence.
+PROBE_DIR = "/tmp/spark_graft_scale_probe_v5"
+
+# q_band_join_bucketed on a fixed calendar: in-band pair mass is
+# SEMANTICALLY quadratic in temporal density (10x events in the same
+# span => ~100x pairs) — a property of the query, not the plan; the
+# plan is a bucketed equi-join whose cost tracks emitted pairs. On the
+# interim span-stretched v4 corpus (disjoint copy windows, true pairs
+# linear) it measured 3.2x at 10x data — LINEAR-ish.
+BAND_JOIN_NOTE = (
+    "in-band pair mass is semantically quadratic in temporal density "
+    "on a fixed calendar; plan is pair-bounded (bucketed equi-join) — "
+    "measured 3.2x at 10x on the span-stretched v4 corpus"
+)
 
 OPS = [
     "dedup_exact",
@@ -96,14 +113,16 @@ OPS = [
     "text_ngram_novelty",
     "dedup_lsh_tuning",
     "q_validate_fk",
-    # r05 batch 2-4 additions. er_* and q_band_join_bucketed were
-    # excluded through r7 (verbatim c_name copies / identical ts copies
-    # made their true-pair counts K²-by-construction); the v4 corpus
-    # perturbs both, so they are probed honestly below (r8).
+    # r05 batch 2-4 additions. er_* were excluded through r7 (verbatim
+    # c_name copies made their true-pair counts K²-by-construction);
+    # the v5 corpus perturbs customer names, so they are probed
+    # honestly below (r8). q_band_join_bucketed stays out of OPS — its
+    # pair mass is semantically quadratic on a fixed calendar (see
+    # BAND_JOIN_NOTE; the full-surface sweep prints it as an encoded
+    # exclusion, with the span-stretched v4 measurement as evidence).
     "er_blocked_pairs",
     "er_match_clusters",
     "er_golden_record",
-    "q_band_join_bucketed",
     "text_winnowing",
     "text_kneser_ney_logprob",
     "text_langid_confusion",
@@ -250,6 +269,12 @@ CAUSE_NOTES = {
         "K-linear stage; the oriented wedge/closing joins run on the "
         "fixed distinct part graph (probe copies repeat the part mix)"
     ),
+    "graph_jaccard_neighbors": (
+        "same mechanism as graph_triangle_count: K-linear edge "
+        "discovery dominates; the neighbor-set intersection joins run "
+        "on the fixed distinct part graph (probe copies repeat the "
+        "part mix), so the excess over k is discovery + amortization"
+    ),
     "text_ngram_novelty": (
         "no pair join — explode + groupBy(shingle) + one key join, all "
         "linear in exploded shingle rows; ratio tracks shuffle volume "
@@ -323,10 +348,9 @@ def build_corpus(k: int) -> str:
         "'{cmark}' || c_name AS c_name, "
         "c_nationkey, c_acctbal, c_mktsegment "
         "FROM read_parquet('{base}/customer.parquet')",
-        # copy i>0 shifts ts by +10i years: copies occupy disjoint
-        # time ranges, so band-join in-band pairs stay linear in K
-        "events": "SELECT event_id + {off} AS event_id, "
-        "ts + INTERVAL '{tshift} years' AS ts, "
+        # ts stays verbatim (see the v5 note above): the calendar span
+        # must NOT grow with K or the dense-grid ops go quadratic
+        "events": "SELECT event_id + {off} AS event_id, ts, "
         "user_id + {uoff} AS user_id, event_type, value, props "
         "FROM read_parquet('{base}/events.parquet')",
     }
@@ -338,7 +362,6 @@ def build_corpus(k: int) -> str:
                 coff=i * 1_000_000,
                 uoff=i * 10_000,
                 cmark=chr(96 + i) * 3 if i else "",
-                tshift=10 * i,
             )
             for i in range(k)
         )
