@@ -873,3 +873,107 @@ ORACLES["q_theil_sen"] = f"""
     WHERE rn = CAST(FLOOR((m + 1) / 2) AS BIGINT)
     ORDER BY event_type
 """
+
+
+FRIEDMAN_CRIT_5PCT = "9.487729"  # chi2(4) 95% quantile (k=5 types)
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: blocks = days, treatments = event types —
+    "do the types keep the same revenue ORDER day after day, or is
+    the daily ranking noise?" The repeated-measures companion to
+    q_kruskal_wallis (which ignores the day blocking).
+
+    The fact collapses to the O(days×types) daily grid once
+    (_daily_type_cents); only COMPLETE blocks (all k types present)
+    rank, per the classical design. Within-block midranks use the
+    exact half-unit trick (2·rank_min + ties − 1, an integer), rank
+    sums stay integral until the closed-form Q chain — shared
+    verbatim with the oracle. Q = 12/(b·k·(k+1))·ΣR_j² − 3·b·(k+1).
+    """
+    grid = _daily_type_cents(spark, sf_dir)
+    k_all = grid.select(F.countDistinct("event_type").alias("k"))
+    complete = (
+        grid.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(k_all))
+        .filter(F.col("nt") == F.col("k"))
+        .select("d")
+    )
+    blocked = grid.join(complete, "d")
+    w_rank = Window.partitionBy("d").orderBy("cents")
+    w_tie = Window.partitionBy("d", "cents")
+    ranked = blocked.select(
+        "d",
+        "event_type",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1)
+        .alias("r2"),  # 2·midrank, exact integer
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("r2").alias("r2j"),  # 2·R_j
+    )
+    suff = per_type.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("b").alias("b"),
+        F.sum(
+            (F.col("r2j").cast("decimal(38,0)") * F.col("r2j"))
+        ).alias("sum_4r2"),  # Σ (2R_j)² = 4·ΣR_j²
+    )
+    q_raw = (
+        "12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)"
+        " * (CAST(k AS DOUBLE) + 1))"
+        " * (CAST(sum_4r2 AS DOUBLE) / 4.0)"
+        " - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1)"
+    )
+    return suff.selectExpr(
+        "CAST(k AS BIGINT) AS k_treatments",
+        "CAST(b AS BIGINT) AS b_blocks",
+        f"ROUND({q_raw}, 6) AS q_stat",
+        "CAST(k - 1 AS BIGINT) AS df",
+        f"(({q_raw}) > {FRIEDMAN_CRIT_5PCT}) AS differs_5pct",
+    )
+
+
+QUERIES["q_friedman_test"] = q_friedman_test
+
+ORACLES["q_friedman_test"] = f"""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    k_all AS (SELECT COUNT(DISTINCT event_type) AS k FROM grid),
+    complete AS (
+      SELECT d FROM grid, k_all GROUP BY d, k HAVING COUNT(*) = MAX(k)
+    ),
+    ranked AS (
+      SELECT g.d, g.event_type,
+             2 * RANK() OVER (PARTITION BY g.d ORDER BY g.cents)
+             + COUNT(*) OVER (PARTITION BY g.d, g.cents) - 1 AS r2
+      FROM grid g JOIN complete USING (d)
+    ),
+    per_type AS (
+      SELECT event_type, COUNT(*) AS b, SUM(r2) AS r2j FROM ranked
+      GROUP BY 1
+    ),
+    suff AS (
+      SELECT COUNT(*) AS k, MAX(b) AS b,
+             SUM(r2j::HUGEINT * r2j::HUGEINT) AS sum_4r2
+      FROM per_type
+    )
+    SELECT CAST(k AS BIGINT) AS k_treatments,
+           CAST(b AS BIGINT) AS b_blocks,
+           ROUND(12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+                 * (CAST(k AS DOUBLE) + 1))
+                 * (CAST(sum_4r2 AS DOUBLE) / 4.0)
+                 - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1), 6)
+             AS q_stat,
+           CAST(k - 1 AS BIGINT) AS df,
+           ((12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)
+             * (CAST(k AS DOUBLE) + 1))
+             * (CAST(sum_4r2 AS DOUBLE) / 4.0)
+             - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1))
+            > {FRIEDMAN_CRIT_5PCT}) AS differs_5pct
+    FROM suff
+"""

@@ -1851,3 +1851,741 @@ ORACLES["q_changepoint_argmax"] = """
            CASE WHEN s_k > 0 THEN 'down' ELSE 'up' END AS shift_direction
     FROM picked WHERE rn = 1 ORDER BY event_type
 """
+
+
+# ---- r08 statistics batch: moment tests, robust outlier/association ----
+#
+# Shared discipline (same as q_welch_ttest / q_chi_square_assoc): facts
+# reduce to exact integer/decimal sufficient statistics in ONE map-side
+# partial agg; the test statistic is then a closed-form double chain
+# shared VERBATIM between selectExpr and the DuckDB oracle, with any
+# cross-row double sum micro-rounded to BIGINT first so the SUM is
+# shuffle-order-independent.
+
+JB_CRIT_5PCT = "5.991464"  # chi2(2) 95% quantile, 6-dp literal
+GRUBBS_FLAG_G = "4.0"  # conventional large-n flag threshold (doc note)
+MOOD_CRIT_5PCT = "9.487729"  # chi2(4) 95% quantile for the 5 event types
+RUNS_CRIT_Z = "1.959964"  # two-sided normal 95% quantile
+
+# raw->central moment chains on integer-cent sums; {p} = prefix
+_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_MU} * {_MU})"
+_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3 * {_MU} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 2 * {_MU} * {_MU} * {_MU})"
+)
+_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4 * {_MU} * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 6 * {_MU} * {_MU} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3 * {_MU} * {_MU} * {_MU} * {_MU})"
+)
+_SKEW = f"({_M3} / sqrt({_M2} * {_M2} * {_M2}))"
+_KURT = f"({_M4} / ({_M2} * {_M2}))"
+_JB = (
+    f"(CAST(n AS DOUBLE) / 6.0 * ({_SKEW} * {_SKEW}"
+    f" + ({_KURT} - 3.0) * ({_KURT} - 3.0) / 4.0))"
+)
+
+_JB_SELECT = [
+    "event_type",
+    "CAST(n AS BIGINT) AS n",
+    f"ROUND({_MU} / 100, 4) AS mean_value",
+    f"ROUND({_SKEW}, 6) AS skewness",
+    f"ROUND({_KURT}, 6) AS kurtosis",
+    f"ROUND({_JB}, 4) AS jb_stat",
+    f"({_JB} > {JB_CRIT_5PCT}) AS non_normal_5pct",
+]
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type: skewness + excess
+    kurtosis folded into the asymptotic chi2(2) statistic.
+
+    Four exact moment sums (cents, cents²·³·⁴ — DECIMAL(38,0), far
+    under overflow for 2-dp values below ~10^7) reduce map-side in one
+    pass; skew and kurtosis are scale-invariant so the cent scaling
+    cancels, and m2^1.5 is written sqrt(m2·m2·m2) to stay inside the
+    correctly-rounded IEEE op set. One closed-form chain, shared
+    verbatim with the oracle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = (dec2("value") * 100).cast("long").cast("decimal(18,0)")
+    suff = (
+        events.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+            F.sum(F.col("c") * F.col("c") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("s3"),
+            F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("s4"),
+        )
+    )
+    return suff.selectExpr(*_JB_SELECT).orderBy("event_type")
+
+
+_G_SD = f"sqrt({_M2})"
+_G_SUSPECT = (
+    f"(CASE WHEN CAST(mx AS DOUBLE) - {_MU} >= {_MU} - CAST(mn AS DOUBLE)"
+    " THEN CAST(mx AS DOUBLE) ELSE CAST(mn AS DOUBLE) END)"
+)
+_G_STAT = f"(abs({_G_SUSPECT} - {_MU}) / {_G_SD})"
+
+_GRUBBS_SELECT = [
+    "event_type",
+    "CAST(n AS BIGINT) AS n",
+    f"ROUND({_MU} / 100, 4) AS mean_value",
+    f"ROUND({_G_SD} / 100, 4) AS sd_value",
+    f"ROUND({_G_SUSPECT} / 100, 2) AS suspect_value",
+    f"ROUND({_G_STAT}, 6) AS g_stat",
+    f"({_G_STAT} > {GRUBBS_FLAG_G}) AS outlier_flagged",
+]
+
+
+def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-deviation outlier statistic per event type:
+    G = |suspect − mean| / sd, suspect = the extreme farther from the
+    mean.
+
+    The exact-t critical value depends on the t-distribution, which
+    neither engine can evaluate deterministically, so the flag uses
+    the conventional large-n screening threshold G > 4.0 (a literal;
+    for n ≈ 2000 the true 5% critical value is ≈ 4.07) and the raw
+    G statistic is emitted for downstream calibration. Sufficient
+    statistics: n, Σc, Σc² plus min/max — one map-side pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = (dec2("value") * 100).cast("long").cast("decimal(18,0)")
+    suff = (
+        events.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
+        )
+    )
+    return suff.selectExpr(*_GRUBBS_SELECT).orderBy("event_type")
+
+
+def _value_cents_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cents, count) value histogram of event values — the collapsed
+    grid every exact rank statistic below runs on. The fact table
+    never enters a sort: distinct 2-dp values are bounded by the value
+    range (O(10^4) rows here), so the median comes from a cumulative
+    window over the histogram, the scalable shape at any corpus size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = (dec2("value") * 100).cast("long")
+    return events.groupBy(c.alias("cents")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types: is each type's value
+    distribution centered on the same median?
+
+    The grand median is rank-selected from the (cents, count) value
+    histogram (cumulative window over O(distinct values) rows — the
+    fact is never sorted). Each type then collapses to (above, ≤)
+    counts and the 2×k chi-square folds per-group contributions
+    micro-rounded to BIGINT (order-independent sum). One output row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hist = _value_cents_hist(spark, sf_dir)
+    w_cum = Window.partitionBy().orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    med = (
+        hist.select(
+            "cents",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        .filter(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    c = (dec2("value") * 100).cast("long")
+    per_type = (
+        events.select("event_type", c.alias("c"))
+        .crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.max("med_cents").alias("med_cents"),
+            F.sum(F.when(F.col("c") > F.col("med_cents"), 1).otherwise(0)).alias("above"),
+            F.sum(F.when(F.col("c") <= F.col("med_cents"), 1).otherwise(0)).alias("below"),
+        )
+    )
+    wt = Window.partitionBy()
+    tot = per_type.select(
+        "event_type",
+        "med_cents",
+        "above",
+        "below",
+        F.sum("above").over(wt).alias("ta"),
+        F.sum("below").over(wt).alias("tb"),
+        F.count(F.lit(1)).over(wt).alias("k"),
+    )
+    ea = "(CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))"
+    eb = "(CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))"
+    contrib = (
+        f"((CAST(above AS DOUBLE) - {ea}) * (CAST(above AS DOUBLE) - {ea}) / {ea}"
+        f" + (CAST(below AS DOUBLE) - {eb}) * (CAST(below AS DOUBLE) - {eb}) / {eb})"
+    )
+    scored = tot.selectExpr(
+        "med_cents",
+        "k",
+        "ta",
+        "tb",
+        f"CAST(floor({contrib} * 1e6 + 0.5) AS BIGINT) AS micro",
+    )
+    return scored.groupBy("med_cents", "k", "ta", "tb").agg(
+        F.sum("micro").alias("micro_sum")
+    ).selectExpr(
+        "ROUND(CAST(med_cents AS DOUBLE) / 100, 2) AS grand_median",
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(ta + tb AS BIGINT) AS n",
+        "ROUND(CAST(micro_sum AS DOUBLE) / 1e6, 4) AS chi2_stat",
+        "CAST(k - 1 AS BIGINT) AS df",
+        f"(CAST(micro_sum AS DOUBLE) / 1e6 > {MOOD_CRIT_5PCT}) AS differs_5pct",
+    )
+
+
+_RUNS_MU = "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1)"
+_RUNS_VAR = (
+    "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))"
+    " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+    " * (CAST(n1 + n2 AS DOUBLE) - 1)))"
+)
+_RUNS_Z = f"((CAST(r AS DOUBLE) - {_RUNS_MU}) / sqrt({_RUNS_VAR}))"
+
+_RUNS_SELECT = [
+    "CAST(n1 + n2 AS BIGINT) AS n_days",
+    "CAST(n1 AS BIGINT) AS n_above",
+    "CAST(n2 AS BIGINT) AS n_below",
+    "CAST(r AS BIGINT) AS n_runs",
+    f"ROUND({_RUNS_MU}, 4) AS expected_runs",
+    f"ROUND({_RUNS_Z}, 6) AS z_stat",
+    f"(abs({_RUNS_Z}) <= {RUNS_CRIT_Z}) AS random_5pct",
+]
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily revenue series: are
+    above-median and below-median days randomly interleaved, or does
+    the series trend/cluster?
+
+    Days at exactly the median are excluded (the standard
+    convention). The median of the O(days) grid is rank-selected, the
+    run count is one lag window over the grid, and the z statistic is
+    the closed-form normal approximation — shared verbatim with the
+    oracle. Everything after the one fact pass is day-grid-sized.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg((F.sum(dec2("value")) * 100).cast("bigint").alias("cents"))
+    )
+    w_rank = Window.partitionBy().orderBy("cents", "day")
+    w_all = Window.partitionBy()
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select(F.col("cents").alias("med_cents"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med_cents"))
+        .select(
+            "day", (F.col("cents") > F.col("med_cents")).cast("int").alias("s")
+        )
+    )
+    w_ord = Window.partitionBy().orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(w_ord).isNull()
+            | (F.lag("s").over(w_ord) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    suff = runs.agg(
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    return suff.selectExpr(*_RUNS_SELECT)
+
+
+def _cramers_pair(
+    cells: DataFrame, pair_name: str
+) -> DataFrame:
+    """Chi2 + Cramér's V from a (x, y, n_obs) contingency frame.
+
+    Margins come from windows over the O(r·c) cells; per-cell
+    contributions micro-round to BIGINT before the total (the
+    q_chi_square_assoc discipline), then V normalizes by
+    N·(min(r,c)−1) in the shared closed-form chain.
+    """
+    w_row = Window.partitionBy("x")
+    w_col = Window.partitionBy("y")
+    w_all = Window.partitionBy()
+    expected = (
+        F.sum("n_obs").over(w_row).cast("double")
+        * F.sum("n_obs").over(w_col).cast("double")
+        / F.sum("n_obs").over(w_all).cast("double")
+    )
+    contrib = (F.col("n_obs").cast("double") - expected) * (
+        F.col("n_obs").cast("double") - expected
+    ) / expected
+    scored = cells.select(
+        F.floor(contrib * 1e6 + F.lit(0.5)).cast("bigint").alias("micro"),
+        F.col("n_obs"),
+        F.col("x"),
+        F.col("y"),
+    )
+    suff = scored.agg(
+        F.sum("micro").alias("micro_sum"),
+        F.sum("n_obs").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    v = (
+        "sqrt(CAST(micro_sum AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE)"
+        " * (CAST(LEAST(r, c) AS DOUBLE) - 1)))"
+    )
+    return suff.selectExpr(
+        f"'{pair_name}' AS pair",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(r AS BIGINT) AS levels_x",
+        "CAST(c AS BIGINT) AS levels_y",
+        "ROUND(CAST(micro_sum AS DOUBLE) / 1e6, 4) AS chi2_stat",
+        "CAST((r - 1) * (c - 1) AS BIGINT) AS df",
+        f"ROUND({v}, 6) AS cramers_v",
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for a panel of categorical
+    column pairs — the normalized [0,1] effect size the raw chi2 of
+    q_chi_square_assoc can't give (chi2 grows with N; V doesn't).
+
+    Each pair's contingency table is one map-side partial agg; all
+    downstream math runs on O(r·c) cells. Two pairs cover the
+    canonical cases: priority×status (both small) and status×year
+    (categorical × derived time bucket).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p_s = orders.groupBy(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    s_y = orders.groupBy(
+        F.col("o_orderstatus").alias("x"),
+        F.year("o_orderdate").cast("string").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    return (
+        _cramers_pair(p_s, "priority_x_status")
+        .unionAll(_cramers_pair(s_y, "status_x_year"))
+        .orderBy("pair")
+    )
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week —
+    "does WHAT users do depend on WHEN?", the dependence measure a
+    correlation can't give for two categoricals.
+
+    Plug-in estimator over the O(types×7) contingency grid: each
+    p·ln(p/(px·py)) term quantizes to micro-nat BIGINT before the sum
+    (the repo's transcendental discipline — ln is the one non-IEEE-
+    exact op, so per-term rounding keeps the cross-engine hash
+    stable). Marginal entropies ship alongside for the normalized MI.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("event_type").alias("x"),
+        F.dayofweek("ts").cast("string").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_row = Window.partitionBy("x")
+    w_col = Window.partitionBy("y")
+    w_all = Window.partitionBy()
+    n = F.sum("c").over(w_all).cast("double")
+    p_xy = F.col("c").cast("double") / n
+    p_x = F.sum("c").over(w_row).cast("double") / n
+    p_y = F.sum("c").over(w_col).cast("double") / n
+    mi_term = p_xy * F.log(p_xy / (p_x * p_y))
+    scored = cells.select(
+        F.col("c"),
+        F.floor(mi_term * F.lit(1e8) + F.lit(0.5)).cast("bigint").alias("mi_micro"),
+    )
+    hx_grid = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .select(
+            "cx", F.sum("cx").over(Window.partitionBy()).alias("nn")
+        )
+        .select(
+            F.floor(
+                -(F.col("cx").cast("double") / F.col("nn"))
+                * F.log(F.col("cx").cast("double") / F.col("nn"))
+                * F.lit(1e8)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("hx_micro")
+        )
+        .agg(F.sum("hx_micro").alias("hx_sum"))
+    )
+    hy_grid = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .select(
+            "cy", F.sum("cy").over(Window.partitionBy()).alias("nn")
+        )
+        .select(
+            F.floor(
+                -(F.col("cy").cast("double") / F.col("nn"))
+                * F.log(F.col("cy").cast("double") / F.col("nn"))
+                * F.lit(1e8)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("hy_micro")
+        )
+        .agg(F.sum("hy_micro").alias("hy_sum"))
+    )
+    mi = scored.agg(
+        F.sum("c").alias("n"), F.sum("mi_micro").alias("mi_sum")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx_grid))
+        .crossJoin(F.broadcast(hy_grid))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n",
+            "ROUND(CAST(mi_sum AS DOUBLE) / 1e8, 6) AS mi_nats",
+            "ROUND(CAST(hx_sum AS DOUBLE) / 1e8, 6) AS h_type",
+            "ROUND(CAST(hy_sum AS DOUBLE) / 1e8, 6) AS h_dow",
+            "ROUND(CAST(mi_sum AS DOUBLE) / CAST(LEAST(hx_sum, hy_sum) AS DOUBLE), 6)"
+            " AS normalized_mi",
+        )
+    )
+
+
+def q_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Shannon entropy of the event-type mix — the diversity
+    series that flags days where one event type crowds out the rest
+    (incident fingerprint). Complements q_diversity_simpson (which is
+    fully rational) with the information-theoretic measure, under the
+    same per-term micro-nat quantization as q_mutual_information.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_day = Window.partitionBy("day")
+    p = F.col("c").cast("double") / F.sum("c").over(w_day).cast("double")
+    scored = cells.select(
+        "day",
+        "c",
+        F.floor(-p * F.log(p) * F.lit(1e8) + F.lit(0.5))
+        .cast("bigint")
+        .alias("h_micro"),
+    )
+    return (
+        scored.groupBy("day")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("k_types"),
+            F.sum("h_micro").alias("h_sum"),
+        )
+        .selectExpr(
+            "day",
+            "n_events",
+            "k_types",
+            "ROUND(CAST(h_sum AS DOUBLE) / 1e8, 6) AS entropy_nats",
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["q_jarque_bera"] = q_jarque_bera
+QUERIES["q_grubbs_outlier"] = q_grubbs_outlier
+QUERIES["q_mood_median_test"] = q_mood_median_test
+QUERIES["q_runs_test"] = q_runs_test
+QUERIES["q_cramers_v"] = q_cramers_v
+QUERIES["q_mutual_information"] = q_mutual_information
+QUERIES["q_entropy_by_group"] = q_entropy_by_group
+
+
+ORACLES["q_jarque_bera"] = f"""
+    WITH suff AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))::HUGEINT
+               AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s2,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s3,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s4
+      FROM events GROUP BY 1
+    )
+    SELECT {", ".join(_JB_SELECT)} FROM suff ORDER BY event_type
+"""
+
+ORACLES["q_grubbs_outlier"] = f"""
+    WITH suff AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))::HUGEINT
+               AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)
+                 * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s2,
+             MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mn,
+             MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mx
+      FROM events GROUP BY 1
+    )
+    SELECT {", ".join(_GRUBBS_SELECT)} FROM suff ORDER BY event_type
+"""
+
+_MOOD_EA = (
+    "(CAST(above + below AS DOUBLE) * CAST(ta AS DOUBLE)"
+    " / CAST(ta + tb AS DOUBLE))"
+)
+_MOOD_EB = (
+    "(CAST(above + below AS DOUBLE) * CAST(tb AS DOUBLE)"
+    " / CAST(ta + tb AS DOUBLE))"
+)
+_MOOD_CONTRIB = (
+    f"((CAST(above AS DOUBLE) - {_MOOD_EA}) * (CAST(above AS DOUBLE)"
+    f" - {_MOOD_EA}) / {_MOOD_EA}"
+    f" + (CAST(below AS DOUBLE) - {_MOOD_EB}) * (CAST(below AS DOUBLE)"
+    f" - {_MOOD_EB}) / {_MOOD_EB})"
+)
+
+ORACLES["q_mood_median_test"] = f"""
+    WITH hist AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT MIN(cents) AS med_cents FROM (
+        SELECT cents,
+               SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                 AS cum,
+               SUM(cnt) OVER () AS n
+        FROM hist
+      ) WHERE cum >= CEIL(n / 2.0)
+    ),
+    per_type AS (
+      SELECT event_type,
+             MAX(med_cents) AS med_cents,
+             SUM(CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      > med_cents THEN 1 ELSE 0 END) AS above,
+             SUM(CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      <= med_cents THEN 1 ELSE 0 END) AS below
+      FROM events, med GROUP BY event_type
+    ),
+    tot AS (
+      SELECT event_type, med_cents, above, below,
+             SUM(above) OVER () AS ta,
+             SUM(below) OVER () AS tb,
+             COUNT(*) OVER () AS k
+      FROM per_type
+    ),
+    scored AS (
+      SELECT med_cents, k, ta, tb,
+             CAST(FLOOR({_MOOD_CONTRIB} * 1e6 + 0.5) AS BIGINT) AS micro
+      FROM tot
+    )
+    SELECT ROUND(CAST(med_cents AS DOUBLE) / 100, 2) AS grand_median,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(ta + tb AS BIGINT) AS n,
+           ROUND(CAST(SUM(micro) AS DOUBLE) / 1e6, 4) AS chi2_stat,
+           CAST(k - 1 AS BIGINT) AS df,
+           (CAST(SUM(micro) AS DOUBLE) / 1e6 > {MOOD_CRIT_5PCT})
+             AS differs_5pct
+    FROM scored GROUP BY med_cents, k, ta, tb
+"""
+
+ORACLES["q_runs_test"] = f"""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(value::DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    med AS (
+      SELECT cents AS med_cents FROM (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE rn = CEIL(n / 2.0)
+    ),
+    signed AS (
+      SELECT day, CAST(cents > med_cents AS INT) AS s
+      FROM daily, med WHERE cents <> med_cents
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                  OR LAG(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ),
+    suff AS (
+      SELECT SUM(s) AS n1, SUM(1 - s) AS n2, SUM(new_run) AS r FROM runs
+    )
+    SELECT {", ".join(_RUNS_SELECT)} FROM suff
+"""
+
+_CRAMERS_V_SQL = (
+    "sqrt(CAST(micro_sum AS DOUBLE) / 1e6 / (CAST(n AS DOUBLE)"
+    " * (CAST(LEAST(r, c) AS DOUBLE) - 1)))"
+)
+
+
+def _cramers_oracle_pair(cells_sql: str, pair_name: str) -> str:
+    """DuckDB replay of _cramers_pair over a (x, y, n_obs) cell CTE."""
+    expected = (
+        "(SUM(n_obs) OVER (PARTITION BY x)::DOUBLE"
+        " * SUM(n_obs) OVER (PARTITION BY y)::DOUBLE"
+        " / SUM(n_obs) OVER ()::DOUBLE)"
+    )
+    contrib = (
+        f"((n_obs::DOUBLE - {expected}) * (n_obs::DOUBLE - {expected})"
+        f" / {expected})"
+    )
+    return f"""
+    SELECT '{pair_name}' AS pair,
+           CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS levels_x,
+           CAST(c AS BIGINT) AS levels_y,
+           ROUND(CAST(micro_sum AS DOUBLE) / 1e6, 4) AS chi2_stat,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS df,
+           ROUND({_CRAMERS_V_SQL}, 6) AS cramers_v
+    FROM (
+      SELECT SUM(micro) AS micro_sum, SUM(n_obs) AS n,
+             COUNT(DISTINCT x) AS r, COUNT(DISTINCT c_y) AS c
+      FROM (
+        SELECT x, y AS c_y, n_obs,
+               CAST(FLOOR({contrib} * 1e6 + 0.5) AS BIGINT) AS micro
+        FROM ({cells_sql})
+      )
+    )"""
+
+
+ORACLES["q_cramers_v"] = (
+    _cramers_oracle_pair(
+        "SELECT o_orderpriority AS x, o_orderstatus AS y,"
+        " COUNT(*) AS n_obs FROM orders GROUP BY 1, 2",
+        "priority_x_status",
+    )
+    + "\n    UNION ALL\n"
+    + _cramers_oracle_pair(
+        "SELECT o_orderstatus AS x,"
+        " CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS y,"
+        " COUNT(*) AS n_obs FROM orders GROUP BY 1, 2",
+        "status_x_year",
+    )
+    + "\n    ORDER BY pair"
+)
+
+ORACLES["q_mutual_information"] = """
+    WITH cells AS (
+      SELECT event_type AS x,
+             CAST(dayofweek(ts) + 1 AS VARCHAR) AS y,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c,
+             CAST(FLOOR(
+               (c::DOUBLE / SUM(c) OVER ()::DOUBLE)
+               * ln((c::DOUBLE / SUM(c) OVER ()::DOUBLE)
+                    / ((SUM(c) OVER (PARTITION BY x)::DOUBLE
+                        / SUM(c) OVER ()::DOUBLE)
+                       * (SUM(c) OVER (PARTITION BY y)::DOUBLE
+                          / SUM(c) OVER ()::DOUBLE)))
+               * 1e8 + 0.5) AS BIGINT) AS mi_micro
+      FROM cells
+    ),
+    hx AS (
+      SELECT SUM(hx_micro) AS hx_sum FROM (
+        SELECT CAST(FLOOR(
+                 -(cx::DOUBLE / nn) * ln(cx::DOUBLE / nn) * 1e8 + 0.5)
+               AS BIGINT) AS hx_micro
+        FROM (
+          SELECT cx, SUM(cx) OVER () AS nn FROM (
+            SELECT x, SUM(c) AS cx FROM cells GROUP BY 1
+          )
+        )
+      )
+    ),
+    hy AS (
+      SELECT SUM(hy_micro) AS hy_sum FROM (
+        SELECT CAST(FLOOR(
+                 -(cy::DOUBLE / nn) * ln(cy::DOUBLE / nn) * 1e8 + 0.5)
+               AS BIGINT) AS hy_micro
+        FROM (
+          SELECT cy, SUM(cy) OVER () AS nn FROM (
+            SELECT y, SUM(c) AS cy FROM cells GROUP BY 1
+          )
+        )
+      )
+    ),
+    mi AS (SELECT SUM(c) AS n, SUM(mi_micro) AS mi_sum FROM scored)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(mi_sum AS DOUBLE) / 1e8, 6) AS mi_nats,
+           ROUND(CAST(hx_sum AS DOUBLE) / 1e8, 6) AS h_type,
+           ROUND(CAST(hy_sum AS DOUBLE) / 1e8, 6) AS h_dow,
+           ROUND(CAST(mi_sum AS DOUBLE)
+                 / CAST(LEAST(hx_sum, hy_sum) AS DOUBLE), 6)
+             AS normalized_mi
+    FROM mi, hx, hy
+"""
+
+ORACLES["q_entropy_by_group"] = """
+    WITH cells AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT day, c,
+             CAST(FLOOR(
+               -(c::DOUBLE / SUM(c) OVER (PARTITION BY day)::DOUBLE)
+               * ln(c::DOUBLE / SUM(c) OVER (PARTITION BY day)::DOUBLE)
+               * 1e8 + 0.5) AS BIGINT) AS h_micro
+      FROM cells
+    )
+    SELECT day,
+           SUM(c)::BIGINT AS n_events,
+           COUNT(*)::BIGINT AS k_types,
+           ROUND(CAST(SUM(h_micro) AS DOUBLE) / 1e8, 6) AS entropy_nats
+    FROM scored GROUP BY day ORDER BY day
+"""

@@ -983,3 +983,77 @@ def _markov_oracle() -> str:
 
 
 ORACLES["q_markov_stationary"] = _markov_oracle()
+
+
+def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and month-to-date volume-weighted average unit price
+    (VWAP) of shipped lineitems — the realized-price series a pricing
+    team tracks against list price.
+
+    Money and quantity both collapse to exact BIGINT sufficient
+    statistics per ship day in ONE map-side partial aggregation
+    (cents = decimal sum, units = quantities are integral doubles);
+    the month-to-date VWAP is then two prefix sums over the O(days)
+    grid — running cents over running units, the only double divides
+    in the plan. The heavy table is touched once; both windows run on
+    the daily grid, so the plan is insensitive to corpus size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        (F.sum(dec2("l_extendedprice")) * 100).cast("bigint").alias("cents"),
+        F.sum("l_quantity").cast("bigint").alias("units"),
+    )
+    w_mtd = (
+        Window.partitionBy(F.substring("day", 1, 7))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # 4-dp VWAPs rounded in EXACT integer arithmetic (half-up via
+    # +d/2 before the integer divide): a double divide-then-round hit
+    # a real one-ulp boundary at sf0.1 (2067.86455 rounding apart in
+    # the two engines), so the divide that decides the 4th decimal
+    # never happens in floating point.
+    cum = daily.select(
+        "day",
+        "units",
+        "cents",
+        F.sum("cents").over(w_mtd).alias("mtd_cents"),
+        F.sum("units").over(w_mtd).alias("mtd_units"),
+    )
+    return cum.selectExpr(
+        "day",
+        "units",
+        "CAST((cents * 100 + units DIV 2) DIV units AS DOUBLE) / 1e4"
+        " AS vwap_day",
+        "CAST((mtd_cents * 100 + mtd_units DIV 2) DIV mtd_units AS DOUBLE)"
+        " / 1e4 AS vwap_mtd",
+    ).orderBy("day")
+
+
+QUERIES["q_vwap_daily"] = q_vwap_daily
+
+ORACLES["q_vwap_daily"] = """
+    WITH daily AS (
+      SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+             CAST(SUM(l_extendedprice::DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(SUM(l_quantity) AS BIGINT) AS units
+      FROM lineitem GROUP BY 1
+    )
+    , cum AS (
+      SELECT day, units, cents,
+             SUM(cents) OVER w AS mtd_cents,
+             SUM(units) OVER w AS mtd_units
+      FROM daily
+      WINDOW w AS (PARTITION BY substring(day, 1, 7) ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT day, units,
+           ((cents * 100 + units // 2) // units)::DOUBLE / 1e4 AS vwap_day,
+           ((mtd_cents * 100 + mtd_units // 2) // mtd_units)::DOUBLE / 1e4
+             AS vwap_mtd
+    FROM cum
+    ORDER BY day
+"""

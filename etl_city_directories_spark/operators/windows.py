@@ -1176,3 +1176,281 @@ ORACLES["q_order_gap_percentiles"] = """
            MAX(gap)::BIGINT AS max_days
     FROM ranked GROUP BY 1 ORDER BY 1
 """
+
+
+DONCHIAN_DAYS = 7  # trailing channel width (excludes the current day)
+RSI_DAYS = 14  # Cutler's RSI lookback (SMA of gains/losses)
+WMA_DAYS = 7  # linearly-weighted MA span; weight of day t-k is 7-k
+
+
+def _daily_purchase_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue in integer cents — the shared price
+    series under the drawdown/channel/RSI/WMA family.
+
+    One map-side partial groupBy collapses the raw event stream to
+    O(days) rows; every window below runs on that grid, so the window
+    cost is independent of corpus size. Cents are BIGINT-exact, so
+    the running sums / frame sums downstream are order-independent.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            (F.sum(dec2("value")) * 100).cast("bigint").alias("cents")
+        )
+    )
+
+
+_DAILY_CENTS_CTE = """
+        daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(SUM(value::DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1
+        )
+"""
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown of cumulative daily revenue — the
+    max-drawdown series risk dashboards track on any cumulative KPI
+    (equity curve, cumulative bookings, cumulative margin).
+
+    Two stacked prefix windows over the daily grid: BIGINT running
+    sum of cents, then running max of that sum; drawdown_pct is the
+    one double divide, rounded. The windows are unpartitioned but run
+    over O(days) rows, never over raw events — the same
+    pre-aggregate-then-window shape as q_moving_avg.
+    """
+    daily = _daily_purchase_cents(spark, sf_dir)
+    w = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select("day", F.sum("cents").over(w).alias("cum_cents"))
+    series = cum.select(
+        "day",
+        "cum_cents",
+        F.max("cum_cents").over(w).alias("peak_cents"),
+    )
+    return series.select(
+        "day",
+        (F.col("cum_cents").cast("double") / 100).alias("cum_revenue"),
+        (F.col("peak_cents").cast("double") / 100).alias("peak_revenue"),
+        F.round(
+            (F.col("peak_cents") - F.col("cum_cents")).cast("double")
+            / F.col("peak_cents").cast("double"),
+            6,
+        ).alias("drawdown_pct"),
+    ).orderBy("day")
+
+
+def q_donchian_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel over daily revenue: trailing 7-day high/low
+    band (EXCLUDING the current day) plus breakout flags — the
+    classic band-breakout anomaly read, applied to an ops KPI.
+
+    One frame over the daily grid; rows without a full trailing
+    window are dropped (a partial channel is not a channel), so
+    every emitted band summarizes exactly DONCHIAN_DAYS days. BIGINT
+    min/max frames are exact; the midline is the one double divide.
+    """
+    daily = _daily_purchase_cents(spark, sf_dir)
+    w_ord = Window.partitionBy().orderBy("day")
+    w_band = w_ord.rowsBetween(-DONCHIAN_DAYS, -1)
+    series = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(w_ord).alias("rn"),
+        F.max("cents").over(w_band).alias("hi_cents"),
+        F.min("cents").over(w_band).alias("lo_cents"),
+    ).filter(F.col("rn") > DONCHIAN_DAYS)
+    return series.select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("day_revenue"),
+        (F.col("hi_cents").cast("double") / 100).alias("channel_high"),
+        (F.col("lo_cents").cast("double") / 100).alias("channel_low"),
+        F.round(
+            (F.col("hi_cents") + F.col("lo_cents")).cast("double") / 200, 4
+        ).alias("channel_mid"),
+        (F.col("cents") > F.col("hi_cents")).alias("breakout_up"),
+        (F.col("cents") < F.col("lo_cents")).alias("breakout_down"),
+    ).orderBy("day")
+
+
+def q_rsi_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (Cutler's variant: simple — not Wilder-recursive —
+    averages of gains and losses), the bounded momentum oscillator.
+
+    Cutler's SMA form is chosen deliberately: it is a pure frame
+    aggregate, so it stays exact, windowable, and cross-engine
+    deterministic, where Wilder's exponential recursion would need
+    either an iterative loop or float-drift-prone unrolling. Deltas,
+    gains, and losses are BIGINT cents; only the final ratio is a
+    double. Rows without 14 full deltas are dropped.
+    """
+    daily = _daily_purchase_cents(spark, sf_dir)
+    w_ord = Window.partitionBy().orderBy("day")
+    delta = (F.col("cents") - F.lag("cents").over(w_ord)).alias("delta")
+    deltas = daily.select(
+        "day", "cents", delta, F.row_number().over(w_ord).alias("rn")
+    ).filter(F.col("rn") > 1)
+    w_frame = Window.partitionBy().orderBy("day").rowsBetween(
+        -(RSI_DAYS - 1), Window.currentRow
+    )
+    gains = F.sum(F.greatest(F.col("delta"), F.lit(0))).over(w_frame)
+    losses = F.sum(F.greatest(-F.col("delta"), F.lit(0))).over(w_frame)
+    scored = deltas.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.partitionBy().orderBy("day")).alias("drn"),
+        gains.alias("gain_cents"),
+        losses.alias("loss_cents"),
+    ).filter(F.col("drn") >= RSI_DAYS)
+    return scored.select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("day_revenue"),
+        F.when(
+            F.col("gain_cents") + F.col("loss_cents") == 0, F.lit(50.0)
+        )
+        .otherwise(
+            F.round(
+                F.lit(100.0) * F.col("gain_cents").cast("double")
+                / (F.col("gain_cents") + F.col("loss_cents")).cast("double"),
+                4,
+            )
+        )
+        .alias("rsi_14"),
+    ).orderBy("day")
+
+
+def q_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day linearly-weighted moving average (WMA): today weighs 7,
+    six days ago weighs 1 — the lag-sensitive smoother chartists use
+    where the plain MA reacts too slowly.
+
+    SQL window frames cannot weight by position, so the WMA is the
+    explicit LAG polynomial — 7 BIGINT terms, exact, identical text
+    in both engines — divided once by the constant weight mass 28.
+    Rows without a full 7-day history are dropped. Still one window
+    pass over the O(days) grid.
+    """
+    daily = _daily_purchase_cents(spark, sf_dir)
+    w_ord = Window.partitionBy().orderBy("day")
+    wma_cents = sum(
+        (
+            F.lag("cents", k).over(w_ord) * (WMA_DAYS - k)
+            for k in range(1, WMA_DAYS)
+        ),
+        F.col("cents") * WMA_DAYS,
+    )
+    weight_mass = WMA_DAYS * (WMA_DAYS + 1) // 2
+    series = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(w_ord).alias("rn"),
+        wma_cents.alias("wma_cents"),
+    ).filter(F.col("rn") >= WMA_DAYS)
+    return series.select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("day_revenue"),
+        F.round(
+            F.col("wma_cents").cast("double") / weight_mass / 100, 4
+        ).alias(f"wma_{WMA_DAYS}d"),
+    ).orderBy("day")
+
+
+QUERIES["q_drawdown"] = q_drawdown
+QUERIES["q_donchian_channel"] = q_donchian_channel
+QUERIES["q_rsi_sma"] = q_rsi_sma
+QUERIES["q_weighted_moving_avg"] = q_weighted_moving_avg
+
+ORACLES["q_drawdown"] = f"""
+    WITH {_DAILY_CENTS_CTE},
+    cum AS (
+      SELECT day,
+             SUM(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS cum_cents
+      FROM daily
+    ),
+    series AS (
+      SELECT day, cum_cents,
+             MAX(cum_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS peak_cents
+      FROM cum
+    )
+    SELECT day,
+           cum_cents::DOUBLE / 100 AS cum_revenue,
+           peak_cents::DOUBLE / 100 AS peak_revenue,
+           ROUND((peak_cents - cum_cents)::DOUBLE / peak_cents::DOUBLE, 6)
+             AS drawdown_pct
+    FROM series ORDER BY day
+"""
+
+ORACLES["q_donchian_channel"] = f"""
+    WITH {_DAILY_CENTS_CTE},
+    series AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             MAX(cents) OVER w AS hi_cents,
+             MIN(cents) OVER w AS lo_cents
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {DONCHIAN_DAYS} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day,
+           cents::DOUBLE / 100 AS day_revenue,
+           hi_cents::DOUBLE / 100 AS channel_high,
+           lo_cents::DOUBLE / 100 AS channel_low,
+           ROUND((hi_cents + lo_cents)::DOUBLE / 200, 4) AS channel_mid,
+           cents > hi_cents AS breakout_up,
+           cents < lo_cents AS breakout_down
+    FROM series WHERE rn > {DONCHIAN_DAYS} ORDER BY day
+"""
+
+ORACLES["q_rsi_sma"] = f"""
+    WITH {_DAILY_CENTS_CTE},
+    deltas AS (
+      SELECT day, cents,
+             cents - LAG(cents) OVER (ORDER BY day) AS delta,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM daily QUALIFY rn > 1
+    ),
+    scored AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS drn,
+             SUM(GREATEST(delta, 0)) OVER w AS gain_cents,
+             SUM(GREATEST(-delta, 0)) OVER w AS loss_cents
+      FROM deltas
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {RSI_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           cents::DOUBLE / 100 AS day_revenue,
+           CASE WHEN gain_cents + loss_cents = 0 THEN 50.0
+                ELSE ROUND(100.0 * gain_cents::DOUBLE
+                           / (gain_cents + loss_cents)::DOUBLE, 4)
+           END AS rsi_14
+    FROM scored WHERE drn >= {RSI_DAYS} ORDER BY day
+"""
+
+ORACLES["q_weighted_moving_avg"] = f"""
+    WITH {_DAILY_CENTS_CTE},
+    series AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             {" + ".join(
+                 [f"cents * {WMA_DAYS}"]
+                 + [
+                     f"LAG(cents, {k}) OVER (ORDER BY day) * {WMA_DAYS - k}"
+                     for k in range(1, WMA_DAYS)
+                 ]
+             )} AS wma_cents
+      FROM daily
+    )
+    SELECT day,
+           cents::DOUBLE / 100 AS day_revenue,
+           ROUND(wma_cents::DOUBLE / {WMA_DAYS * (WMA_DAYS + 1) // 2} / 100,
+                 4) AS wma_{WMA_DAYS}d
+    FROM series WHERE rn >= {WMA_DAYS} ORDER BY day
+"""

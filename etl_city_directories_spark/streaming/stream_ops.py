@@ -2166,3 +2166,67 @@ ORACLES["stream_max_event_time"] = """
     FROM agg, f
     ORDER BY event_type
 """
+
+
+def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume-weighted average purchase price, streaming — the
+    k-weighted twin of stream_tumbling_agg (props.$.k is the unit
+    count, value the line price; VWAP = Σ value·k / Σ k per bar).
+
+    Both weighted sums reduce inside the streaming agg as exact
+    integers (cents·k as a decimal sum, k as a long sum), so the
+    per-bar state is three numbers and the emitted VWAP is one
+    double divide after the replay — identical arithmetic to the
+    batch oracle and order-independent under any microbatch split.
+    """
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    agg = (
+        ev.select(F.col("ts"), dec2("value").alias("v"), k.alias("k"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            ((F.sum(F.col("v") * F.col("k"))) * 100)
+            .cast("bigint")
+            .alias("wcents"),
+            F.sum("k").cast("bigint").alias("units"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bar_start_us"),
+            "n_trades",
+            "units",
+            F.when(
+                F.col("units") > 0,
+                F.round(
+                    F.col("wcents").cast("double")
+                    / F.col("units").cast("double")
+                    / 100,
+                    4,
+                ),
+            ).alias("vwap"),
+        )
+    )
+    _run_to_table(agg, "stream_vwap_sink", "complete", state_partitions=8)
+    return spark.table("stream_vwap_sink")
+
+
+QUERIES["stream_vwap"] = stream_vwap
+
+ORACLES["stream_vwap"] = """
+    SELECT
+      epoch_us(date_trunc('hour', ts)) AS bar_start_us,
+      COUNT(*) AS n_trades,
+      SUM(json_extract(props, '$.k')::BIGINT)::BIGINT AS units,
+      CASE WHEN SUM(json_extract(props, '$.k')::BIGINT) > 0 THEN
+        ROUND(
+          (SUM(value::DECIMAL(18,2) * json_extract(props, '$.k')::BIGINT)
+           * 100)::BIGINT::DOUBLE
+          / SUM(json_extract(props, '$.k')::BIGINT)::DOUBLE / 100,
+          4)
+      END AS vwap
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
