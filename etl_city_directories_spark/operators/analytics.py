@@ -3226,3 +3226,377 @@ ORACLES["q_seasonal_index_weekly"] = """
              AS seasonal_index
     FROM weekly ORDER BY event_type, week_num
 """
+
+
+# ---- r08 BI batch: PVM bridge, concentration, nested shares ----
+
+PVM_Y1, PVM_Y2 = 1996, 1997  # the bridged periods
+CONC_TOP_N = 5  # concentration: top-N customers per nation
+
+
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge per part brand between two ship years —
+    "did brand revenue move because we charged MORE or because we sold
+    MORE?", the FP&A waterfall behind every revenue review.
+
+    Both periods collapse to exact (cents, units) sufficient pairs per
+    brand in one fact pass (the year filter pushes down). The bridge
+    needs last year's unit price applied to this year's volume —
+    a rational r1·q2/q1 — which is rounded HALF-UP IN INTEGER
+    ARITHMETIC (the q_vwap_daily lesson: never let a double divide
+    decide a reported cent), so price_effect + volume_effect
+    reconciles to delta_revenue EXACTLY on every both-period row.
+    Single-period brands classify as new/discontinued with the whole
+    delta attributed accordingly. BIGINT r1·q2 is safe to ~10^18
+    cent-units; a 100 TB deployment lifts the products to
+    DECIMAL(38,0) without touching the shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{PVM_Y1}-01-01"))
+        & (F.col("l_shipdate") < F.lit(f"{PVM_Y2 + 1}-01-01"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    per = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("y"))
+        .agg(
+            # rev carries scale 4 (price x (1-disc)), so the exact
+            # integer unit is 1e-4 dollars, not cents — x100 would
+            # leave fractional parts for the engines to cast apart
+            (F.sum(rev) * 10000).cast("bigint").alias("m4"),
+            F.sum("l_quantity").cast("bigint").alias("units"),
+        )
+    )
+    y1 = per.filter(F.col("y") == PVM_Y1).select(
+        "p_brand", F.col("m4").alias("r1"), F.col("units").alias("q1")
+    )
+    y2 = per.filter(F.col("y") == PVM_Y2).select(
+        "p_brand", F.col("m4").alias("r2"), F.col("units").alias("q2")
+    )
+    joined = y1.join(y2, "p_brand", "full_outer")
+    return joined.selectExpr(
+        "p_brand",
+        f"CAST({PVM_Y1} AS BIGINT) AS year_base",
+        "CAST(COALESCE(r1, 0) AS DOUBLE) / 1e4 AS revenue_base",
+        "CAST(COALESCE(r2, 0) AS DOUBLE) / 1e4 AS revenue_next",
+        "CAST(COALESCE(r2, 0) - COALESCE(r1, 0) AS DOUBLE) / 1e4"
+        " AS delta_revenue",
+        # x = round(r1*q2/q1): last year's price at this year's volume
+        "CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN"
+        " CAST(r2 - (r1 * q2 + q1 DIV 2) DIV q1 AS DOUBLE) / 1e4 END"
+        " AS price_effect",
+        "CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN"
+        " CAST((r1 * q2 + q1 DIV 2) DIV q1 - r1 AS DOUBLE) / 1e4 END"
+        " AS volume_effect",
+        "CASE WHEN r1 IS NULL THEN 'new'"
+        " WHEN r2 IS NULL THEN 'discontinued'"
+        " ELSE 'carried' END AS bridge_class",
+    ).orderBy("p_brand")
+
+
+def q_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: what share of a nation's
+    revenue do its top-5 customers carry? — the account-risk lens
+    (complement of q_supplier_hhi's supply-side view).
+
+    The fact collapses to per-customer cents on the (custkey) shuffle;
+    the rank and both conditional sums run per nation over the
+    customer dimension, never the fact. Deterministic rank tiebreak
+    (cents DESC, custkey). Exact integer shares, one double divide.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "cents")
+    )
+    w_rank = Window.partitionBy("n_name").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    ranked = per_cust.select(
+        "n_name", "cents", F.row_number().over(w_rank).alias("rk")
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("cents").cast("double") / 100).alias("revenue"),
+            F.sum(F.when(F.col("rk") <= CONC_TOP_N, F.col("cents")).otherwise(0))
+            .alias("top_cents"),
+            F.sum("cents").alias("all_cents"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            "revenue",
+            F.round(
+                F.col("top_cents").cast("double")
+                / F.col("all_cents").cast("double"),
+                6,
+            ).alias(f"top{CONC_TOP_N}_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_share_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested percent-of-total: each nation's revenue share WITHIN its
+    region and each region's share of global revenue, on one row per
+    nation — the drill-path normalization every BI tool recomputes.
+
+    One fact pass to per-nation cents (dims broadcast), then two
+    window sums over the 25-row nation grid. Integer shares, two
+    double divides at the edge.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    per_nation = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / 100).alias("nation_revenue"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_region).cast("double"),
+            6,
+        ).alias("share_in_region"),
+        F.round(
+            F.sum("cents").over(w_region).cast("double")
+            / F.sum("cents").over(w_all).cast("double"),
+            6,
+        ).alias("region_share_global"),
+    ).orderBy("r_name", "n_name")
+
+
+QUERIES["q_price_volume_mix"] = q_price_volume_mix
+QUERIES["q_customer_concentration"] = q_customer_concentration
+QUERIES["q_share_nested"] = q_share_nested
+
+ORACLES["q_price_volume_mix"] = f"""
+    WITH per AS (
+      SELECT p.p_brand, EXTRACT(year FROM l.l_shipdate) AS y,
+             CAST(SUM(l.l_extendedprice::DECIMAL(18,2)
+                      * (1 - l.l_discount::DECIMAL(18,2))) * 10000 AS BIGINT)
+               AS m4,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS units
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= '{PVM_Y1}-01-01'
+        AND l.l_shipdate < '{PVM_Y2 + 1}-01-01'
+      GROUP BY 1, 2
+    ),
+    y1 AS (SELECT p_brand, m4 AS r1, units AS q1 FROM per
+           WHERE y = {PVM_Y1}),
+    y2 AS (SELECT p_brand, m4 AS r2, units AS q2 FROM per
+           WHERE y = {PVM_Y2})
+    SELECT COALESCE(y1.p_brand, y2.p_brand) AS p_brand,
+           CAST({PVM_Y1} AS BIGINT) AS year_base,
+           CAST(COALESCE(r1, 0) AS DOUBLE) / 1e4 AS revenue_base,
+           CAST(COALESCE(r2, 0) AS DOUBLE) / 1e4 AS revenue_next,
+           CAST(COALESCE(r2, 0) - COALESCE(r1, 0) AS DOUBLE) / 1e4
+             AS delta_revenue,
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN
+             CAST(r2 - (r1 * q2 + q1 // 2) // q1 AS DOUBLE) / 1e4 END
+             AS price_effect,
+           CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN
+             CAST((r1 * q2 + q1 // 2) // q1 - r1 AS DOUBLE) / 1e4 END
+             AS volume_effect,
+           CASE WHEN r1 IS NULL THEN 'new'
+                WHEN r2 IS NULL THEN 'discontinued'
+                ELSE 'carried' END AS bridge_class
+    FROM y1 FULL OUTER JOIN y2 USING (p_brand)
+    ORDER BY p_brand
+"""
+
+ORACLES["q_customer_concentration"] = f"""
+    WITH per_cust AS (
+      SELECT n.n_name, o.o_custkey,
+             CAST(SUM(o.o_totalprice::DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n_name, cents,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY cents DESC, o_custkey) AS rk
+      FROM per_cust
+    )
+    SELECT n_name,
+           COUNT(*)::BIGINT AS n_customers,
+           SUM(cents)::DOUBLE / 100 AS revenue,
+           ROUND(SUM(CASE WHEN rk <= {CONC_TOP_N} THEN cents ELSE 0 END)::DOUBLE
+                 / SUM(cents)::DOUBLE, 6) AS top{CONC_TOP_N}_share
+    FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["q_share_nested"] = """
+    WITH per_nation AS (
+      SELECT r.r_name, n.n_name,
+             CAST(SUM(o.o_totalprice::DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, n_name,
+           cents::DOUBLE / 100 AS nation_revenue,
+           ROUND(cents::DOUBLE
+                 / SUM(cents) OVER (PARTITION BY r_name)::DOUBLE, 6)
+             AS share_in_region,
+           ROUND(SUM(cents) OVER (PARTITION BY r_name)::DOUBLE
+                 / SUM(cents) OVER ()::DOUBLE, 6) AS region_share_global
+    FROM per_nation ORDER BY r_name, n_name
+"""
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering-coefficient distribution of the basket graph:
+    per-node cc = triangles_at_v / C(deg_v, 2), bucketed to a 0.1-wide
+    histogram plus the Watts-Strogatz average — the per-node
+    companion to graph_triangle_count's single global ratio.
+
+    Reuses the memoized degree-oriented graph: the wedge-close join
+    emits each triangle once as (v, w, src); exploding the three
+    corners and counting per node costs O(3·triangles). cc is a small
+    RATIONAL (2t / d(d−1)), so both the bucket (floor(10·cc)) and the
+    micro-quantized average term compute in EXACT integer division —
+    a double divide could land 4.999… vs 5.0 across engines exactly
+    when 10·cc is integral, which is common (cc = 1/2, 1/5, …).
+    Degree-1 nodes are excluded (cc undefined).
+    """
+    edges, deg, oriented, n_edges_val = _oriented_graph(spark, sf_dir)
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri_nodes = (
+        wedges.join(closing, ["v", "w"])
+        .select(
+            F.explode(F.array(F.col("src"), F.col("v"), F.col("w"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    per_node = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_nodes, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            (F.col("deg") * (F.col("deg") - 1)).alias("dd"),
+        )
+    )
+    scored = per_node.selectExpr(
+        "node",
+        "(20 * t) DIV dd AS bucket",  # floor(10·cc), exact
+        "(4000000 * t + dd) DIV (2 * dd) AS cc_micro",  # round(1e6·cc)
+    )
+    w_all = Window.partitionBy()
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("cc_micro").alias("micro_sum"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("cc_bucket_x10"),
+            "n_nodes",
+            F.round(
+                F.sum("micro_sum").over(w_all).cast("double")
+                / F.sum("n_nodes").over(w_all).cast("double")
+                / 1e6,
+                6,
+            ).alias("avg_local_cc"),
+        )
+        .orderBy("cc_bucket_x10")
+    )
+
+
+QUERIES["graph_clustering_coeff"] = graph_clustering_coeff
+
+ORACLES["graph_clustering_coeff"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_ORDERS}
+    ),
+    deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT part_a AS node FROM pairs
+        UNION ALL SELECT part_b FROM pairs) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.part_a AS x, e1.part_b AS y, e2.part_b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.part_a = e1.part_b
+      JOIN pairs e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    ),
+    tri_nodes AS (
+      SELECT node, COUNT(*)::BIGINT AS t FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY 1
+    ),
+    scored AS (
+      SELECT (20 * COALESCE(tn.t, 0)) // (deg.d * (deg.d - 1)) AS bucket,
+             (4000000 * COALESCE(tn.t, 0) + deg.d * (deg.d - 1))
+               // (2 * deg.d * (deg.d - 1)) AS cc_micro
+      FROM deg LEFT JOIN tri_nodes tn USING (node)
+      WHERE deg.d >= 2
+    )
+    SELECT CAST(bucket AS BIGINT) AS cc_bucket_x10,
+           COUNT(*)::BIGINT AS n_nodes,
+           ROUND(SUM(SUM(cc_micro)) OVER ()::DOUBLE
+                 / SUM(COUNT(*)) OVER ()::DOUBLE / 1e6, 6) AS avg_local_cc
+    FROM scored GROUP BY bucket ORDER BY cc_bucket_x10
+"""

@@ -2211,3 +2211,87 @@ ORACLES["dedup_minhash_fidelity"] = f"""
     JOIN sigs sb ON sb.doc_id = doc_b
     ORDER BY doc_a, doc_b
 """
+
+
+def dedup_band_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-size audit: how much candidate mass does
+    each band actually generate? — the capacity-planning companion to
+    dedup_lsh_tuning (which predicts the s-curve; this MEASURES the
+    buckets on the live corpus). Σ C(size,2) per band is exactly the
+    band's pair-join output, so this is the number an operator reads
+    BEFORE unleashing the self-join at a new scale.
+
+    Reuses the persisted signature/band build (same rolling_persist
+    key as dedup_minhash_lsh — warm runs share it); the rollup is
+    O(buckets) and the stats are exact integers.
+    """
+    sh = rolling_persist(
+        spark, ("minhash_sh", sf_dir), _shingled_df(spark, sf_dir)
+    )
+    sigs = sh.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("shingles", minhash_fn(j))).alias(f"sig{j}")
+            for j in range(1, NUM_HASHES + 1)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"sig{2 * b + 1}"), F.col(f"sig{2 * b + 2}")))
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    buckets = bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_colliding_buckets"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band_idx").cast("bigint").alias("band_idx"),
+            "n_buckets",
+            "max_bucket",
+            "n_colliding_buckets",
+            "candidate_pairs",
+        )
+        .orderBy("band_idx")
+    )
+
+
+QUERIES["dedup_band_collision_stats"] = dedup_band_collision_stats
+
+ORACLES["dedup_band_collision_stats"] = f"""
+    WITH {SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, shingles, {_SIG_COLS}
+      FROM shingled
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    buckets AS (
+      SELECT band_idx, band_key, COUNT(*) AS sz
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           COUNT(*)::BIGINT AS n_buckets,
+           MAX(sz)::BIGINT AS max_bucket,
+           SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_colliding_buckets,
+           CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
+    FROM buckets GROUP BY band_idx ORDER BY band_idx
+"""

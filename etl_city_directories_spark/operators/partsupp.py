@@ -442,3 +442,82 @@ ORACLES = {
         ORDER BY numwait DESC, s_name
     """,
 }
+
+
+TURNS_YEAR = 1997  # demand window for the turns ratio
+
+
+def q_inventory_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory turns per brand: one year of shipped demand over the
+    stocked quantity — the slow-mover screen a supply-chain review
+    starts from.
+
+    Demand is one pushed-down year scan of lineitem joined to the
+    broadcast part dim; stock aggregates the (derived) partsupp fact
+    on the same partkey. Both collapse to exact BIGINT units per
+    brand before the single join of two 25-row frames; the ratio is
+    the one double divide. At production scale partsupp is a real
+    table and this is two partial-agg scans + a dimension join.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{TURNS_YEAR}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{TURNS_YEAR + 1}-01-01"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("l_quantity").cast("bigint").alias("demand_units"))
+    )
+    ps = (
+        partsupp_df(spark, sf_dir)
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("ps_availqty").cast("bigint").alias("stock_units"))
+    )
+    return (
+        ps.join(li, "p_brand", "left")
+        .select(
+            "p_brand",
+            F.coalesce("demand_units", F.lit(0)).alias("demand_units"),
+            "stock_units",
+            F.round(
+                F.coalesce("demand_units", F.lit(0)).cast("double")
+                / F.col("stock_units").cast("double"),
+                6,
+            ).alias("turns"),
+        )
+        .withColumn("slow_mover", F.col("turns") < 1.0)
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["q_inventory_turns"] = q_inventory_turns
+
+ORACLES["q_inventory_turns"] = f"""
+    WITH {PARTSUPP_CTE},
+    demand AS (
+      SELECT p.p_brand, CAST(SUM(l.l_quantity) AS BIGINT) AS demand_units
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= '{TURNS_YEAR}-01-01'
+        AND l.l_shipdate < '{TURNS_YEAR + 1}-01-01'
+      GROUP BY 1
+    ),
+    stock AS (
+      SELECT p.p_brand, CAST(SUM(ps.ps_availqty) AS BIGINT) AS stock_units
+      FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+      GROUP BY 1
+    )
+    SELECT s.p_brand,
+           COALESCE(d.demand_units, 0)::BIGINT AS demand_units,
+           s.stock_units,
+           ROUND(COALESCE(d.demand_units, 0)::DOUBLE
+                 / s.stock_units::DOUBLE, 6) AS turns,
+           (ROUND(COALESCE(d.demand_units, 0)::DOUBLE
+                  / s.stock_units::DOUBLE, 6) < 1.0) AS slow_mover
+    FROM stock s LEFT JOIN demand d USING (p_brand)
+    ORDER BY s.p_brand
+"""

@@ -2515,3 +2515,60 @@ ORACLES["emb_cosine_threshold_curve"] = f"""
     ) c USING (threshold_pct), tot
     ORDER BY g.threshold_pct
 """
+
+
+MARGIN_AMBIGUOUS = 0.05  # top1-top2 cosine gap below this = ambiguous
+
+
+def emb_topk_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 vs top-2 cosine margin per probe — the retrieval
+    CONFIDENCE read: a wide margin means the nearest neighbor is
+    unambiguous, a thin one means the ranking would flip under noise
+    (the signal reranker gates and ANN-recall SLOs are set from).
+
+    Derives from the exact brute-force top-k (same probe set and
+    rounding as ann_topk_bruteforce, so the oracle composes from that
+    SQL verbatim): one O(probes·k) window pass over the top-k rows —
+    nothing rescans the corpus.
+    """
+    topk = ann_topk_bruteforce(spark, sf_dir).filter(F.col("rank") <= 2)
+    picked = topk.groupBy("probe_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("top1_cos"),
+        F.max(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
+            "top1_neighbor"
+        ),
+        F.max(F.when(F.col("rank") == 2, F.col("cos_sim"))).alias("top2_cos"),
+    )
+    return picked.select(
+        "probe_id",
+        F.col("top1_neighbor").cast("bigint").alias("top1_neighbor"),
+        "top1_cos",
+        "top2_cos",
+        F.round(F.col("top1_cos") - F.col("top2_cos"), 6).alias("margin"),
+        (
+            F.round(F.col("top1_cos") - F.col("top2_cos"), 6)
+            < MARGIN_AMBIGUOUS
+        ).alias("ambiguous"),
+    ).orderBy("probe_id")
+
+
+QUERIES["emb_topk_margin"] = emb_topk_margin
+
+ORACLES["emb_topk_margin"] = f"""
+    WITH topk AS ({{TOPK}})
+    SELECT probe_id,
+           CAST(MAX(CASE WHEN rank = 1 THEN neighbor_id END) AS BIGINT)
+             AS top1_neighbor,
+           MAX(CASE WHEN rank = 1 THEN cos_sim END) AS top1_cos,
+           MAX(CASE WHEN rank = 2 THEN cos_sim END) AS top2_cos,
+           ROUND(MAX(CASE WHEN rank = 1 THEN cos_sim END)
+                 - MAX(CASE WHEN rank = 2 THEN cos_sim END), 6) AS margin,
+           (ROUND(MAX(CASE WHEN rank = 1 THEN cos_sim END)
+                  - MAX(CASE WHEN rank = 2 THEN cos_sim END), 6)
+            < {MARGIN_AMBIGUOUS}) AS ambiguous
+    FROM topk WHERE rank <= 2
+    GROUP BY probe_id ORDER BY probe_id
+"""
+ORACLES["emb_topk_margin"] = ORACLES["emb_topk_margin"].replace(
+    "{TOPK}", ORACLES["ann_topk_bruteforce"]
+)

@@ -3596,3 +3596,236 @@ ORACLES["text_hapax_ratio"] = f"""
                  / COUNT(*), 4) AS hapax_ratio
     FROM wc GROUP BY 1 ORDER BY 1
 """
+
+
+# ---- r08 corpus-science batch ----
+
+COLL_MIN_COUNT = 5  # bigram support floor for PMI collocations
+COLL_TOP_K = 50  # reported collocations
+BURST_TOP_K = 20  # most frequent words profiled for burstiness
+
+
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information — the
+    classic Church-Hanks collocation extractor ("which word pairs
+    co-occur far above chance?"), the phrase-mining pass a tokenizer
+    or phrase-vocab builder runs before training.
+
+    One explode to the adjacent-bigram stream + one to the unigram
+    stream; PMI = ln((c_ab/M) / ((c_a/N)(c_b/N))) joins the bigram
+    rollup against two broadcast unigram rollups. Support floor
+    COLL_MIN_COUNT kills the noise tail (and bounds the join). The
+    ranking runs on the ROUNDED pmi with a lexicographic tiebreak, so
+    the emitted top-K is deterministic even if two engines' ln differ
+    in the last ulp below the rounding.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = _words(norm)
+    n = F.size(w)
+    grams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    docs_g = docs.select(F.explode(grams).alias("g")).select(
+        F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+    )
+    bigrams = docs_g.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    ).filter(F.col("c_ab") >= COLL_MIN_COUNT)
+    unigrams = (
+        docs.select(F.explode(_words(norm_col())).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = unigrams.agg(
+        F.sum("c").alias("n_uni")
+    )
+    m_tot = bigrams.agg(F.sum("c_ab").alias("m_bi"))
+    u1 = F.broadcast(unigrams.select(F.col("word").alias("w1"), F.col("c").alias("c_a")))
+    u2 = F.broadcast(unigrams.select(F.col("word").alias("w2"), F.col("c").alias("c_b")))
+    scored = (
+        bigrams.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m_tot))
+        .selectExpr(
+            "w1",
+            "w2",
+            "c_ab",
+            "ROUND(ln((CAST(c_ab AS DOUBLE) / CAST(m_bi AS DOUBLE))"
+            " / ((CAST(c_a AS DOUBLE) / CAST(n_uni AS DOUBLE))"
+            " * (CAST(c_b AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6) AS pmi",
+        )
+    )
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= COLL_TOP_K)
+        .select("w1", "w2", F.col("c_ab").cast("bigint").alias("c_ab"),
+                "pmi", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("rk")
+    )
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (variance-to-mean ratio of per-document counts,
+    zeros included) for the top-K corpus words — Church & Gale's
+    dispersion diagnostic: function words spread evenly (VMR ≈ 1,
+    Poisson), topical words "burst" in few documents (VMR >> 1).
+    A quality signal for boilerplate detection the plain frequency
+    table can't see.
+
+    Per-(word, doc) counts roll up map-side; zeros enter the moments
+    as closed-form corrections (N − doc_freq zero cells contribute 0
+    to both Σx and Σx²), so the corpus-wide doc count never explodes
+    into a dense matrix. Exact integer moments, one double chain.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: the zero-cell count in the moments
+    per_doc = (
+        docs.select("doc_id", F.explode(_words(norm_col())).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_word = per_doc.groupBy("word").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    w_rank = Window.partitionBy().orderBy(F.desc("total"), F.asc("word"))
+    vmr = (
+        f"(CAST(sumsq AS DOUBLE) / {n_docs}"
+        f" - (CAST(total AS DOUBLE) / {n_docs})"
+        f" * (CAST(total AS DOUBLE) / {n_docs}))"
+        f" / (CAST(total AS DOUBLE) / {n_docs})"
+    )
+    return (
+        per_word.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= BURST_TOP_K)
+        .selectExpr(
+            "word",
+            "CAST(total AS BIGINT) AS total_count",
+            "CAST(doc_freq AS BIGINT) AS doc_freq",
+            f"ROUND({vmr}, 4) AS vmr",
+            "CAST(rk AS BIGINT) AS rk",
+        )
+        .orderBy("rk")
+    )
+
+
+def text_word_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length histogram of the corpus (occurrences, distinct
+    words, and share per length) — the first profile a tokenizer
+    design or a mojibake hunt reads: natural text has a stable
+    length distribution, OCR noise and binary bleed-through don't.
+
+    One explode + one O(lengths) rollup; the share divides exact
+    counts once per output row.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_words(norm_col())).alias("word"))
+    w_all = Window.partitionBy()
+    return (
+        words.groupBy(F.length("word").alias("word_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("word").alias("n_distinct_words"),
+        )
+        .select(
+            F.col("word_len").cast("bigint").alias("word_len"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
+            F.round(
+                F.col("n_occurrences").cast("double")
+                / F.sum("n_occurrences").over(w_all).cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("word_len")
+    )
+
+
+QUERIES["text_collocations_pmi"] = text_collocations_pmi
+QUERIES["text_burstiness"] = text_burstiness
+QUERIES["text_word_length_hist"] = text_word_length_hist
+
+ORACLES["text_collocations_pmi"] = f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST({_W}) AS word FROM documents
+    ),
+    docs_w AS (SELECT {_W} AS w FROM documents),
+    bigrams AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM (
+        SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2
+        FROM (
+          SELECT w, UNNEST(generate_series(1, len(w) - 1)) AS i
+          FROM docs_w
+        )
+      ) GROUP BY 1, 2 HAVING COUNT(*) >= {COLL_MIN_COUNT}
+    ),
+    unigrams AS (SELECT word, COUNT(*) AS c FROM words GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n_uni FROM unigrams),
+    m_tot AS (SELECT SUM(c_ab) AS m_bi FROM bigrams),
+    scored AS (
+      SELECT w1, w2, c_ab,
+             ROUND(ln((CAST(c_ab AS DOUBLE) / CAST(m_bi AS DOUBLE))
+               / ((CAST(c_a AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                  * (CAST(c_b AS DOUBLE) / CAST(n_uni AS DOUBLE)))), 6)
+               AS pmi
+      FROM bigrams
+      JOIN (SELECT word AS w1, c AS c_a FROM unigrams) u1 USING (w1)
+      JOIN (SELECT word AS w2, c AS c_b FROM unigrams) u2 USING (w2)
+      CROSS JOIN tot CROSS JOIN m_tot
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, pmi,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM scored
+    ) WHERE rk <= {COLL_TOP_K} ORDER BY rk
+"""
+
+ORACLES["text_burstiness"] = f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST({_W}) AS word FROM documents
+    ),
+    n_docs AS (SELECT COUNT(*) AS nd FROM documents),
+    per_doc AS (
+      SELECT word, doc_id, COUNT(*) AS cnt FROM words GROUP BY 1, 2
+    ),
+    per_word AS (
+      SELECT word, SUM(cnt) AS total, COUNT(*) AS doc_freq,
+             SUM(cnt * cnt) AS sumsq
+      FROM per_doc GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, word) AS rk
+      FROM per_word
+    )
+    SELECT word,
+           CAST(total AS BIGINT) AS total_count,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           ROUND((CAST(sumsq AS DOUBLE) / nd
+                  - (CAST(total AS DOUBLE) / nd)
+                  * (CAST(total AS DOUBLE) / nd))
+                 / (CAST(total AS DOUBLE) / nd), 4) AS vmr,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked, n_docs WHERE rk <= {BURST_TOP_K} ORDER BY rk
+"""
+
+ORACLES["text_word_length_hist"] = f"""
+    WITH words AS (
+      SELECT UNNEST({_W}) AS word FROM documents
+    )
+    SELECT CAST(LENGTH(word) AS BIGINT) AS word_len,
+           COUNT(*)::BIGINT AS n_occurrences,
+           COUNT(DISTINCT word)::BIGINT AS n_distinct_words,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER ()::DOUBLE, 6)
+             AS share
+    FROM words GROUP BY 1 ORDER BY 1
+"""

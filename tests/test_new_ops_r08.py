@@ -283,3 +283,142 @@ def test_friedman_replay(spark):
     ) - 3.0 * b * (k + 1)
     assert r.k_treatments == k and r.b_blocks == b
     assert abs(r.q_stat - q) < 1e-4
+
+
+# ---- r08 BI / corpus-science batch ----
+
+from etl_city_directories_spark.operators.analytics import (
+    graph_clustering_coeff,
+    graph_triangle_count,
+    q_customer_concentration,
+    q_price_volume_mix,
+    q_share_nested,
+)
+from etl_city_directories_spark.operators.dedup import (
+    dedup_band_collision_stats,
+    dedup_minhash_lsh,
+)
+from etl_city_directories_spark.operators.partsupp import q_inventory_turns
+from etl_city_directories_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    emb_topk_margin,
+)
+from etl_city_directories_spark.operators.textstats import (
+    text_burstiness,
+    text_collocations_pmi,
+    text_word_length_hist,
+)
+
+
+def test_pvm_bridge_reconciles_exactly(spark):
+    """On every carried brand price + volume == delta EXACTLY (the
+    integer-rounding construction guarantees it, not approximately)."""
+    rows = q_price_volume_mix(spark, SF).collect()
+    assert rows
+    carried = [r for r in rows if r.bridge_class == "carried"]
+    assert carried
+    for r in carried:
+        assert abs((r.price_effect + r.volume_effect) - r.delta_revenue) < 1e-9
+    for r in rows:
+        if r.bridge_class == "new":
+            assert r.revenue_base == 0.0
+        if r.bridge_class == "discontinued":
+            assert r.revenue_next == 0.0
+
+
+def test_concentration_share_bounds(spark):
+    rows = q_customer_concentration(spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        lo = min(1.0, 5 / r.n_customers)
+        assert lo - 1e-9 <= r[f"top5_share"] <= 1.0
+
+
+def test_share_nested_sums_to_one(spark):
+    rows = q_share_nested(spark, SF).collect()
+    by_region: dict = {}
+    regions: dict = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, 0.0)
+        by_region[r.r_name] += r.share_in_region
+        regions[r.r_name] = r.region_share_global
+    for tot in by_region.values():
+        assert abs(tot - 1.0) < 1e-4
+    assert abs(sum(regions.values()) - 1.0) < 1e-4
+
+
+def test_inventory_turns_ratio(spark):
+    rows = q_inventory_turns(spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.stock_units > 0
+        assert abs(r.turns - r.demand_units / r.stock_units) < 1e-4
+        assert r.slow_mover == (r.turns < 1.0)
+
+
+def test_clustering_coeff_consistent_with_global(spark):
+    """Bucket histogram covers exactly the deg>=2 nodes and every
+    bucket is in [0, 10]; avg_local_cc lies in [0, 1]."""
+    cc = graph_clustering_coeff(spark, SF).collect()
+    assert cc
+    for r in cc:
+        assert 0 <= r.cc_bucket_x10 <= 10
+        assert 0.0 <= r.avg_local_cc <= 1.0
+    tri = graph_triangle_count(spark, SF).collect()[0]
+    deg2_nodes = sum(r.n_nodes for r in cc)
+    assert deg2_nodes <= tri.n_nodes
+
+
+def test_collocations_pmi_ranked_and_supported(spark):
+    rows = text_collocations_pmi(spark, SF).collect()
+    assert len(rows) == 50
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.c_ab >= 5
+
+
+def test_burstiness_positive_and_ranked_by_freq(spark):
+    rows = text_burstiness(spark, SF).collect()
+    assert len(rows) == 20
+    totals = [r.total_count for r in rows]
+    assert totals == sorted(totals, reverse=True)
+    for r in rows:
+        assert r.vmr >= 0.0
+        assert r.doc_freq <= r.total_count
+
+
+def test_word_length_hist_shares(spark):
+    rows = text_word_length_hist(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.n_distinct_words <= r.n_occurrences
+
+
+def test_band_collisions_account_for_lsh_candidates(spark):
+    """Every LSH candidate pair collides in >= 1 band, so the summed
+    per-band candidate_pairs bounds the distinct verified-pair count
+    from above."""
+    bands = dedup_band_collision_stats(spark, SF).collect()
+    assert len(bands) == 4
+    total_cand = sum(r.candidate_pairs for r in bands)
+    verified = dedup_minhash_lsh(spark, SF).count()
+    assert verified <= total_cand
+    for r in bands:
+        assert r.n_colliding_buckets <= r.n_buckets
+        assert r.max_bucket >= 1
+
+
+def test_topk_margin_matches_bruteforce(spark):
+    margins = {r.probe_id: r for r in emb_topk_margin(spark, SF).collect()}
+    topk = ann_topk_bruteforce(spark, SF).filter(F.col("rank") <= 2).collect()
+    by_probe: dict = {}
+    for t in topk:
+        by_probe.setdefault(t.probe_id, {})[t.rank] = t
+    assert set(margins) == set(by_probe)
+    for pid, d in by_probe.items():
+        m = margins[pid]
+        assert m.top1_neighbor == d[1].neighbor_id
+        assert abs(m.margin - (d[1].cos_sim - d[2].cos_sim)) < 1e-9
+        assert m.margin >= -1e-9
