@@ -133,6 +133,13 @@ BNLJ_OK = {
     "emb_label_separation",
     # batch-side 1-row frontier scalar over the streaming sink
     "stream_max_event_time",
+    # r08 additions — all the scalar-subquery idiom again:
+    "q_mood_median_test",       # 1-row grand-median scalar
+    "q_runs_test",              # 1-row series-median scalar
+    "q_mutual_information",     # 1-row marginal-entropy frames (x2)
+    "text_collocations_pmi",    # 1-row unigram/bigram-total scalars
+    # wraps the allowlisted brute-force baseline's capped-probe != join
+    "emb_topk_margin",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
