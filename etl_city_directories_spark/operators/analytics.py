@@ -3247,9 +3247,11 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     decide a reported cent), so price_effect + volume_effect
     reconciles to delta_revenue EXACTLY on every both-period row.
     Single-period brands classify as new/discontinued with the whole
-    delta attributed accordingly. BIGINT r1·q2 is safe to ~10^18
-    cent-units; a 100 TB deployment lifts the products to
-    DECIMAL(38,0) without touching the shape.
+    delta attributed accordingly. The rational is evaluated as
+    q2·(r1 div q1) + round(q2·(r1 mod q1)/q1): the quotient term is a
+    UNIT PRICE (scale-invariant), so no intermediate grows with the
+    corpus — the naive r1·q2 product overflowed BIGINT at the 10×
+    probe (sf1), which is exactly what the probe exists to catch.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(f"{PVM_Y1}-01-01"))
@@ -3284,12 +3286,14 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(COALESCE(r2, 0) AS DOUBLE) / 1e4 AS revenue_next",
         "CAST(COALESCE(r2, 0) - COALESCE(r1, 0) AS DOUBLE) / 1e4"
         " AS delta_revenue",
-        # x = round(r1*q2/q1): last year's price at this year's volume
+        # x = round(r1*q2/q1): last year's price at this year's volume,
+        # overflow-free (the quotient is a unit price, the remainder
+        # term's product is bounded by q1*q2)
         "CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN"
-        " CAST(r2 - (r1 * q2 + q1 DIV 2) DIV q1 AS DOUBLE) / 1e4 END"
+        " CAST(r2 - (q2 * (r1 DIV q1) + (q2 * (r1 % q1) + q1 DIV 2) DIV q1) AS DOUBLE) / 1e4 END"
         " AS price_effect",
         "CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN"
-        " CAST((r1 * q2 + q1 DIV 2) DIV q1 - r1 AS DOUBLE) / 1e4 END"
+        " CAST((q2 * (r1 DIV q1) + (q2 * (r1 % q1) + q1 DIV 2) DIV q1) - r1 AS DOUBLE) / 1e4 END"
         " AS volume_effect",
         "CASE WHEN r1 IS NULL THEN 'new'"
         " WHEN r2 IS NULL THEN 'discontinued'"
@@ -3430,10 +3434,10 @@ ORACLES["q_price_volume_mix"] = f"""
            CAST(COALESCE(r2, 0) - COALESCE(r1, 0) AS DOUBLE) / 1e4
              AS delta_revenue,
            CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN
-             CAST(r2 - (r1 * q2 + q1 // 2) // q1 AS DOUBLE) / 1e4 END
+             CAST(r2 - (q2 * (r1 // q1) + (q2 * (r1 % q1) + q1 // 2) // q1) AS DOUBLE) / 1e4 END
              AS price_effect,
            CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN
-             CAST((r1 * q2 + q1 // 2) // q1 - r1 AS DOUBLE) / 1e4 END
+             CAST((q2 * (r1 // q1) + (q2 * (r1 % q1) + q1 // 2) // q1) - r1 AS DOUBLE) / 1e4 END
              AS volume_effect,
            CASE WHEN r1 IS NULL THEN 'new'
                 WHEN r2 IS NULL THEN 'discontinued'
