@@ -30,7 +30,7 @@ large-star/small-star contraction on the match edges only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.functions.graph import connected_components
@@ -475,4 +475,59 @@ ORACLES["er_blocking_quality"] = f"""
              ROUND(n_caught::DOUBLE / n_true::DOUBLE, 6)
            END AS pairs_completeness
     FROM per_nation ORDER BY nationkey
+"""
+
+
+def er_pair_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance histogram over ALL blocked candidate pairs — the
+    threshold-calibration read: where does MAX_EDIT sit in the score
+    mass? A healthy blocking scheme shows a bimodal histogram (true
+    matches hugging 0, the candidate noise floor far right); a
+    threshold inside the valley is defensible, one on a mode is not.
+
+    Pure downstream rollup of the same blocked candidate generator
+    er_blocked_pairs scores (no new pair mass); output is O(distinct
+    distances). Cumulative share via one window over that grid.
+    """
+    cand = _candidate_pairs(spark, sf_dir)
+    hist = cand.groupBy("edit_dist").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w_cum = Window.partitionBy().orderBy("edit_dist").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return hist.select(
+        F.col("edit_dist").cast("bigint").alias("edit_dist"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.sum("n_pairs").over(w_all).cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.sum("n_pairs").over(w_cum).cast("double")
+            / F.sum("n_pairs").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+        (F.col("edit_dist") <= MAX_EDIT).alias("within_match_threshold"),
+    ).orderBy("edit_dist")
+
+
+QUERIES["er_pair_score_distribution"] = er_pair_score_distribution
+
+ORACLES["er_pair_score_distribution"] = f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    hist AS (
+      SELECT edit_dist, COUNT(*) AS n_pairs FROM pairs GROUP BY 1
+    )
+    SELECT CAST(edit_dist AS BIGINT) AS edit_dist,
+           n_pairs::BIGINT AS n_pairs,
+           ROUND(n_pairs::DOUBLE / SUM(n_pairs) OVER ()::DOUBLE, 6)
+             AS share,
+           ROUND(SUM(n_pairs) OVER (ORDER BY edit_dist
+                                    ROWS UNBOUNDED PRECEDING)::DOUBLE
+                 / SUM(n_pairs) OVER ()::DOUBLE, 6) AS cum_share,
+           (edit_dist <= {MAX_EDIT}) AS within_match_threshold
+    FROM hist ORDER BY edit_dist
 """

@@ -521,3 +521,117 @@ ORACLES["q_inventory_turns"] = f"""
     FROM stock s LEFT JOIN demand d USING (p_brand)
     ORDER BY s.p_brand
 """
+
+
+STOCKOUT_Z = "1.644854"  # one-sided 95% normal quantile, 6-dp literal
+
+
+def q_stockout_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor-style stockout screen per brand: does on-hand stock
+    cover a 95th-percentile demand week? — the safety-stock read
+    behind every reorder-point policy.
+
+    One pushed-down year scan collapses to the (brand, week) demand
+    grid; weekly mean/sd come from exact integer sums over that grid
+    with the GLOBAL week count as denominator (zero-demand weeks are
+    real observations — closed-form zero cells, the text_burstiness
+    device). Stock aggregates the partsupp fact per brand. The z
+    margin (stock − mean)/sd and coverage ratio are one shared
+    closed-form double chain.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{TURNS_YEAR}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{TURNS_YEAR + 1}-01-01"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    weekly = li.groupBy(
+        "p_brand", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.sum("l_quantity").cast("bigint").alias("u"))
+    n_weeks = weekly.select("wk").distinct().agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    per_brand = weekly.groupBy("p_brand").agg(
+        F.sum("u").alias("total"),
+        F.sum(F.col("u") * F.col("u")).alias("sumsq"),
+    )
+    stock = (
+        partsupp_df(spark, sf_dir)
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum("ps_availqty").cast("bigint").alias("stock_units"))
+    )
+    mean = "(CAST(total AS DOUBLE) / CAST(w AS DOUBLE))"
+    var = f"(CAST(sumsq AS DOUBLE) / CAST(w AS DOUBLE) - {mean} * {mean})"
+    z = f"((CAST(stock_units AS DOUBLE) - {mean}) / sqrt({var}))"
+    return (
+        stock.join(per_brand, "p_brand")
+        .crossJoin(F.broadcast(n_weeks))
+        .selectExpr(
+            "p_brand",
+            "stock_units",
+            "CAST(w AS BIGINT) AS n_weeks",
+            f"ROUND({mean}, 2) AS mean_weekly_demand",
+            f"ROUND(sqrt({var}), 2) AS sd_weekly_demand",
+            f"ROUND(CAST(stock_units AS DOUBLE) / {mean}, 2)"
+            " AS coverage_weeks",
+            f"ROUND({z}, 4) AS safety_z",
+            f"({z} < {STOCKOUT_Z}) AS at_risk_95",
+        )
+        .orderBy("p_brand")
+    )
+
+
+QUERIES["q_stockout_risk"] = q_stockout_risk
+
+ORACLES["q_stockout_risk"] = f"""
+    WITH {PARTSUPP_CTE},
+    weekly AS (
+      SELECT p.p_brand, date_trunc('week', l.l_shipdate) AS wk,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS u
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= '{TURNS_YEAR}-01-01'
+        AND l.l_shipdate < '{TURNS_YEAR + 1}-01-01'
+      GROUP BY 1, 2
+    ),
+    n_weeks AS (SELECT COUNT(DISTINCT wk) AS w FROM weekly),
+    per_brand AS (
+      SELECT p_brand, SUM(u) AS total, SUM(u * u) AS sumsq
+      FROM weekly GROUP BY 1
+    ),
+    stock AS (
+      SELECT p.p_brand, CAST(SUM(ps.ps_availqty) AS BIGINT) AS stock_units
+      FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, stock_units,
+           CAST(w AS BIGINT) AS n_weeks,
+           ROUND((CAST(total AS DOUBLE) / CAST(w AS DOUBLE)), 2)
+             AS mean_weekly_demand,
+           ROUND(sqrt((CAST(sumsq AS DOUBLE) / CAST(w AS DOUBLE)
+                 - (CAST(total AS DOUBLE) / CAST(w AS DOUBLE))
+                 * (CAST(total AS DOUBLE) / CAST(w AS DOUBLE)))), 2)
+             AS sd_weekly_demand,
+           ROUND(CAST(stock_units AS DOUBLE)
+                 / (CAST(total AS DOUBLE) / CAST(w AS DOUBLE)), 2)
+             AS coverage_weeks,
+           ROUND(((CAST(stock_units AS DOUBLE)
+                   - (CAST(total AS DOUBLE) / CAST(w AS DOUBLE)))
+                  / sqrt((CAST(sumsq AS DOUBLE) / CAST(w AS DOUBLE)
+                          - (CAST(total AS DOUBLE) / CAST(w AS DOUBLE))
+                          * (CAST(total AS DOUBLE) / CAST(w AS DOUBLE))))),
+                 4) AS safety_z,
+           (((CAST(stock_units AS DOUBLE)
+              - (CAST(total AS DOUBLE) / CAST(w AS DOUBLE)))
+             / sqrt((CAST(sumsq AS DOUBLE) / CAST(w AS DOUBLE)
+                     - (CAST(total AS DOUBLE) / CAST(w AS DOUBLE))
+                     * (CAST(total AS DOUBLE) / CAST(w AS DOUBLE)))))
+            < {STOCKOUT_Z}) AS at_risk_95
+    FROM stock JOIN per_brand USING (p_brand), n_weeks
+    ORDER BY p_brand
+"""

@@ -2232,3 +2232,65 @@ ORACLES["q_data_freshness_audit"] = """
     FROM all_t, f
     ORDER BY table_name
 """
+
+
+def q_duplicate_invoice_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate/split-invoice screen: customers with MULTIPLE orders
+    on the same day — the AP audit's highest-yield tell (double
+    submission, or an order split to dodge an approval threshold).
+    Each group carries its exact-cent amount spread and an
+    exact-duplicate flag (distinct amounts < orders means at least
+    two orders match to the cent).
+
+    One groupBy on the (customer, day) composite with HAVING n >= 2;
+    amounts compare as exact cents (a double equality would leak
+    near-dups at the ulp). Output is O(flagged groups); the composite
+    key is high-cardinality and skew-free at any corpus size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (dec2("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct(cents).alias("n_amounts"),
+            F.min(cents).alias("min_cents"),
+            F.max(cents).alias("max_cents"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            "o_custkey",
+            "order_date",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (F.col("min_cents").cast("double") / 100).alias("min_amount"),
+            (F.col("max_cents").cast("double") / 100).alias("max_amount"),
+            (F.col("sum_cents").cast("double") / 100).alias("day_total"),
+            (F.col("n_amounts") < F.col("n_orders")).alias("exact_amount_dup"),
+        )
+        .orderBy("o_custkey", "order_date")
+    )
+
+
+QUERIES["q_duplicate_invoice_detect"] = q_duplicate_invoice_detect
+
+ORACLES["q_duplicate_invoice_detect"] = """
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           COUNT(*)::BIGINT AS n_orders,
+           MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             ::DOUBLE / 100 AS min_amount,
+           MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             ::DOUBLE / 100 AS max_amount,
+           SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             ::DOUBLE / 100 AS day_total,
+           (COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) < COUNT(*)) AS exact_amount_dup
+    FROM orders
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY 1, 2
+"""

@@ -2572,3 +2572,101 @@ ORACLES["emb_topk_margin"] = f"""
 ORACLES["emb_topk_margin"] = ORACLES["emb_topk_margin"].replace(
     "{TOPK}", ORACLES["ann_topk_bruteforce"]
 )
+
+
+TWONN_PROBES = 32  # fixed probe budget for the intrinsic-dim MLE
+
+
+def emb_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic dimension (Facco et al. 2017): the MLE
+    d̂ = n / Σ ln(r2/r1) over each probe's two nearest neighbors —
+    the curse-of-dimensionality read that tells you whether 64-d
+    embeddings really live on a 10-d manifold (and hence how hard
+    IVF/PQ can compress before recall collapses).
+
+    A fixed probe budget (TWONN_PROBES smallest vec_ids — a
+    deterministic sample) scans the corpus once: cost is
+    O(probes·corpus), linear in the corpus at any scale. Squared
+    distances come from the sequential zip-fold both engines evaluate
+    in the same order (bit-identical IEEE); ln(r2/r1) =
+    ln(d2₂/d2₁)/2 quantizes per-term to micro-nats before the sum.
+    Zero-distance duplicates are excluded (r1 = 0 breaks the MLE).
+    """
+    vecs = _vectors(spark, sf_dir)
+    probes = vecs.filter(F.col("vec_id") < TWONN_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("pv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    two = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("probe_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d2_1"),
+            F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2_2"),
+        )
+        .filter(F.col("d2_1") > 0)
+    )
+    scored = two.select(
+        F.floor(
+            F.log(F.col("d2_2") / F.col("d2_1")) / 2 * F.lit(1e8) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mu_micro")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mu_micro").alias("mu_sum")
+    ).selectExpr(
+        "CAST(n AS BIGINT) AS n_probes_used",
+        "ROUND(CAST(mu_sum AS DOUBLE) / 1e8, 6) AS sum_log_ratio",
+        "ROUND(CAST(n AS DOUBLE) / (CAST(mu_sum AS DOUBLE) / 1e8), 4)"
+        " AS intrinsic_dim",
+    )
+
+
+QUERIES["emb_twonn_intrinsic_dim"] = emb_twonn_intrinsic_dim
+
+ORACLES["emb_twonn_intrinsic_dim"] = f"""
+    WITH {_VEC_CTE},
+    pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(list_zip(p.v, c.v),
+                         x -> (x[1] - x[2]) * (x[1] - x[2])),
+                         (a, b) -> a + b) AS d2
+      FROM vecs p JOIN vecs c ON c.vec_id != p.vec_id
+      WHERE p.vec_id < {TWONN_PROBES}
+    ),
+    two AS (
+      SELECT probe_id,
+             MAX(CASE WHEN rk = 1 THEN d2 END) AS d2_1,
+             MAX(CASE WHEN rk = 2 THEN d2 END) AS d2_2
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY probe_id ORDER BY d2 ASC, neighbor_id ASC) AS rk
+        FROM pairs
+      ) WHERE rk <= 2 GROUP BY probe_id
+      HAVING MAX(CASE WHEN rk = 1 THEN d2 END) > 0
+    ),
+    scored AS (
+      SELECT CAST(FLOOR(ln(d2_2 / d2_1) / 2 * 1e8 + 0.5) AS BIGINT)
+               AS mu_micro
+      FROM two
+    )
+    SELECT COUNT(*)::BIGINT AS n_probes_used,
+           ROUND(CAST(SUM(mu_micro) AS DOUBLE) / 1e8, 6) AS sum_log_ratio,
+           ROUND(COUNT(*)::DOUBLE / (CAST(SUM(mu_micro) AS DOUBLE) / 1e8), 4)
+             AS intrinsic_dim
+    FROM scored
+"""

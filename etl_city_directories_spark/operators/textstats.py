@@ -3829,3 +3829,246 @@ ORACLES["text_word_length_hist"] = f"""
              AS share
     FROM words GROUP BY 1 ORDER BY 1
 """
+
+
+COVERAGE_KS = (10, 50, 100, 500, 1000)  # coverage-curve cutoffs
+
+
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(next word | current word) next to
+    the unigram entropy H(word) — the predictability pair: their gap
+    is the information one word of context buys, the corpus-level
+    statistic LM-data curation uses to spot templated/boilerplate
+    sources (tiny H(W2|W1)) before any model run.
+
+    Both entropies fold over count grids (bigram cells, unigram
+    cells) with per-term micro-nat quantization; prefix totals come
+    from a window over the bigram grid, never a second corpus pass.
+    One output row.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    norm = norm_col()
+    w = _words(norm)
+    n = F.size(w)
+    grams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bi = (
+        docs.select(F.explode(grams).alias("g"))
+        .select(
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+            F.split(F.col("g"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    w_prefix = Window.partitionBy("w1")
+    w_all = Window.partitionBy()
+    p_ab = F.col("c_ab").cast("double") / F.sum("c_ab").over(w_all).cast("double")
+    p_cond = F.col("c_ab").cast("double") / F.sum("c_ab").over(w_prefix).cast("double")
+    bi_scored = bi.select(
+        F.col("c_ab"),
+        F.floor(-p_ab * F.log(p_cond) * F.lit(1e8) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hc_micro"),
+    )
+    h_cond = bi_scored.agg(
+        F.sum("c_ab").alias("m_bigrams"), F.sum("hc_micro").alias("hc_sum")
+    )
+    uni = (
+        docs.select(F.explode(_words(norm_col())).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p_w = F.col("c").cast("double") / F.sum("c").over(w_all).cast("double")
+    h_uni = uni.select(
+        F.col("c"),
+        F.floor(-p_w * F.log(p_w) * F.lit(1e8) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hu_micro"),
+    ).agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("hu_micro").alias("hu_sum"),
+    )
+    return h_cond.crossJoin(F.broadcast(h_uni)).selectExpr(
+        "CAST(m_bigrams AS BIGINT) AS m_bigrams",
+        "CAST(vocab AS BIGINT) AS vocab_size",
+        "ROUND(CAST(hu_sum AS DOUBLE) / 1e8, 6) AS h_unigram_nats",
+        "ROUND(CAST(hc_sum AS DOUBLE) / 1e8, 6) AS h_cond_nats",
+        "ROUND(1.0 - CAST(hc_sum AS DOUBLE) / CAST(hu_sum AS DOUBLE), 6)"
+        " AS context_gain",
+    )
+
+
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve: what share of all token occurrences do
+    the top-K vocabulary words cover, for a ladder of K — THE
+    tokenizer-budget curve (how big a word vocab buys how much of the
+    stream) and the Zipf tail read in applied form.
+
+    Vocabulary ranks once (count DESC, word ASC tiebreak — ulp-free:
+    counts are integers); each cutoff is a conditional sum against
+    the broadcast O(|Ks|) grid. Costs one explode + one vocab-sized
+    sort, nothing corpus-sized downstream.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(_words(norm_col())).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy().orderBy(F.desc("c"), F.asc("word"))
+    ranked = uni.select(
+        "c", F.row_number().over(w_rank).alias("rk")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in COVERAGE_KS])).alias("k")
+    )
+    joined = ranked.crossJoin(F.broadcast(ks))
+    return (
+        joined.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+            .alias("covered"),
+            F.sum("c").alias("total"),
+            F.sum(F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("vocab_used"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "vocab_used",
+            F.round(
+                F.col("covered").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("covered_share"),
+        )
+        .orderBy("k")
+    )
+
+
+def text_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the word-frequency distribution — the
+    inequality summary of the vocabulary (0 = uniform usage, →1 =
+    a few words dominate), the single-number companion to
+    text_zipf_slope's power-law fit.
+
+    Rank-based exact form G = 2·Σ(rank·c)/(n·Σc) − (n+1)/n over the
+    vocabulary grid (count ASC, word ASC — a deterministic total
+    order), integer sums until the closed-form chain. The sort is
+    vocab-sized, not corpus-sized.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(_words(norm_col())).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy().orderBy(F.asc("c"), F.asc("word"))
+    ranked = uni.select("c", F.row_number().over(w_rank).alias("rk"))
+    suff = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("c")).alias("rc"),
+    )
+    g = (
+        "2.0 * CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))"
+        " - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)"
+    )
+    return suff.selectExpr(
+        "CAST(n AS BIGINT) AS vocab_size",
+        "CAST(tot AS BIGINT) AS n_tokens",
+        f"ROUND({g}, 6) AS vocab_gini",
+    )
+
+
+QUERIES["text_bigram_cond_entropy"] = text_bigram_cond_entropy
+QUERIES["text_vocab_coverage_curve"] = text_vocab_coverage_curve
+QUERIES["text_vocab_gini"] = text_vocab_gini
+
+ORACLES["text_bigram_cond_entropy"] = f"""
+    WITH docs_w AS (SELECT {_W} AS w FROM documents),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM (
+        SELECT list_extract(w, i) AS w1, list_extract(w, i + 1) AS w2
+        FROM (
+          SELECT w, UNNEST(generate_series(1, len(w) - 1)) AS i
+          FROM docs_w
+        )
+      ) GROUP BY 1, 2
+    ),
+    bi_scored AS (
+      SELECT c_ab,
+             CAST(FLOOR(
+               -(c_ab::DOUBLE / SUM(c_ab) OVER ()::DOUBLE)
+               * ln(c_ab::DOUBLE / SUM(c_ab) OVER (PARTITION BY w1)::DOUBLE)
+               * 1e8 + 0.5) AS BIGINT) AS hc_micro
+      FROM bi
+    ),
+    h_cond AS (
+      SELECT SUM(c_ab) AS m_bigrams, SUM(hc_micro) AS hc_sum FROM bi_scored
+    ),
+    uni AS (
+      SELECT word, COUNT(*) AS c FROM (
+        SELECT UNNEST({_W}) AS word FROM documents
+      ) GROUP BY 1
+    ),
+    h_uni AS (
+      SELECT COUNT(*) AS vocab, SUM(hu_micro) AS hu_sum FROM (
+        SELECT CAST(FLOOR(
+                 -(c::DOUBLE / SUM(c) OVER ()::DOUBLE)
+                 * ln(c::DOUBLE / SUM(c) OVER ()::DOUBLE)
+                 * 1e8 + 0.5) AS BIGINT) AS hu_micro
+        FROM uni
+      )
+    )
+    SELECT CAST(m_bigrams AS BIGINT) AS m_bigrams,
+           CAST(vocab AS BIGINT) AS vocab_size,
+           ROUND(CAST(hu_sum AS DOUBLE) / 1e8, 6) AS h_unigram_nats,
+           ROUND(CAST(hc_sum AS DOUBLE) / 1e8, 6) AS h_cond_nats,
+           ROUND(1.0 - CAST(hc_sum AS DOUBLE) / CAST(hu_sum AS DOUBLE), 6)
+             AS context_gain
+    FROM h_cond, h_uni
+"""
+
+ORACLES["text_vocab_coverage_curve"] = f"""
+    WITH uni AS (
+      SELECT word, COUNT(*) AS c FROM (
+        SELECT UNNEST({_W}) AS word FROM documents
+      ) GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rk FROM uni
+    ),
+    ks AS (SELECT UNNEST({list(COVERAGE_KS)}) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           SUM(CASE WHEN rk <= k THEN 1 ELSE 0 END)::BIGINT AS vocab_used,
+           ROUND(SUM(CASE WHEN rk <= k THEN c ELSE 0 END)::DOUBLE
+                 / SUM(c)::DOUBLE, 6) AS covered_share
+    FROM ranked, ks GROUP BY k ORDER BY k
+"""
+
+ORACLES["text_vocab_gini"] = f"""
+    WITH uni AS (
+      SELECT word, COUNT(*) AS c FROM (
+        SELECT UNNEST({_W}) AS word FROM documents
+      ) GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, word ASC) AS rk FROM uni
+    ),
+    suff AS (
+      SELECT COUNT(*) AS n, SUM(c) AS tot,
+             SUM(rk::HUGEINT * c) AS rc
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           CAST(tot AS BIGINT) AS n_tokens,
+           ROUND(2.0 * CAST(rc AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6)
+             AS vocab_gini
+    FROM suff
+"""

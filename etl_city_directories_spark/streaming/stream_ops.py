@@ -2230,3 +2230,126 @@ ORACLES["stream_vwap"] = """
     WHERE event_type = 'purchase'
     GROUP BY 1
 """
+
+
+def stream_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly Shannon entropy of the streaming event-type mix — the
+    live diversity monitor (twin of the daily batch q_entropy_by_group
+    at stream grain): a collapsing mix flags an incident while it's
+    happening, not in tomorrow's rollup.
+
+    The streaming side holds only O(hours×types) complete-mode
+    counters; the entropy — the one transcendental — computes
+    BATCH-SIDE over the materialized sink under the same micro-nat
+    per-term quantization as the batch twin, so microbatch splits
+    cannot touch it (counters are split-invariant integers).
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            "event_type",
+            "c",
+        )
+    )
+    _run_to_table(agg, "stream_entropy_hourly_sink", "complete",
+                  state_partitions=8)
+    sink = spark.table("stream_entropy_hourly_sink")
+    from pyspark.sql import Window as W
+
+    w_hour = W.partitionBy("hour_start_us")
+    p = F.col("c").cast("double") / F.sum("c").over(w_hour).cast("double")
+    scored = sink.select(
+        "hour_start_us",
+        "c",
+        F.floor(-p * F.log(p) * F.lit(1e8) + F.lit(0.5))
+        .cast("bigint")
+        .alias("h_micro"),
+    )
+    return (
+        scored.groupBy("hour_start_us")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("k_types"),
+            F.sum("h_micro").alias("h_sum"),
+        )
+        .selectExpr(
+            "hour_start_us",
+            "n_events",
+            "k_types",
+            "ROUND(CAST(h_sum AS DOUBLE) / 1e8, 6) AS entropy_nats",
+        )
+        .orderBy("hour_start_us")
+    )
+
+
+def stream_moments_jb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Jarque-Bera: the four exact moment sums accumulate in
+    a complete-mode streaming aggregate (per-type state = five
+    numbers), the closed-form skew/kurt/JB chain evaluates batch-side
+    over the sink using THE SAME expression strings as the batch
+    q_jarque_bera — the strongest possible stream ≡ batch twin:
+    integer sufficient statistics are microbatch-split-invariant by
+    construction, so the streaming replay must hash-equal the batch
+    oracle verbatim.
+    """
+    from etl_city_directories_spark.operators.stats import _JB_SELECT
+
+    ev = events_stream(spark, sf_dir)
+    c = (dec2("value") * 100).cast("long").cast("decimal(18,0)")
+    agg = (
+        ev.select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+            F.sum(F.col("c") * F.col("c") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("s3"),
+            F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("s4"),
+        )
+    )
+    _run_to_table(agg, "stream_moments_jb_sink", "complete",
+                  state_partitions=8)
+    return (
+        spark.table("stream_moments_jb_sink")
+        .selectExpr(*_JB_SELECT)
+        .orderBy("event_type")
+    )
+
+
+QUERIES["stream_entropy_hourly"] = stream_entropy_hourly
+QUERIES["stream_moments_jb"] = stream_moments_jb
+
+ORACLES["stream_entropy_hourly"] = """
+    WITH cells AS (
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+             event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT hour_start_us, c,
+             CAST(FLOOR(
+               -(c::DOUBLE / SUM(c) OVER (PARTITION BY hour_start_us)::DOUBLE)
+               * ln(c::DOUBLE
+                    / SUM(c) OVER (PARTITION BY hour_start_us)::DOUBLE)
+               * 1e8 + 0.5) AS BIGINT) AS h_micro
+      FROM cells
+    )
+    SELECT hour_start_us,
+           SUM(c)::BIGINT AS n_events,
+           COUNT(*)::BIGINT AS k_types,
+           ROUND(CAST(SUM(h_micro) AS DOUBLE) / 1e8, 6) AS entropy_nats
+    FROM scored GROUP BY hour_start_us ORDER BY hour_start_us
+"""
+
+from etl_city_directories_spark.operators.stats import (  # noqa: E402
+    ORACLES as _STATS_ORACLES,
+)
+
+ORACLES["stream_moments_jb"] = _STATS_ORACLES["q_jarque_bera"]

@@ -422,3 +422,116 @@ def test_topk_margin_matches_bruteforce(spark):
         assert m.top1_neighbor == d[1].neighbor_id
         assert abs(m.margin - (d[1].cos_sim - d[2].cos_sim)) < 1e-9
         assert m.margin >= -1e-9
+
+
+# ---- r08 second wave: streaming twins, supply chain, corpus info ----
+
+from etl_city_directories_spark.operators.linkage import (
+    MAX_EDIT,
+    er_blocked_pairs,
+    er_pair_score_distribution,
+)
+from etl_city_directories_spark.operators.partsupp import q_stockout_risk
+from etl_city_directories_spark.operators.scale_ops import (
+    q_duplicate_invoice_detect,
+)
+from etl_city_directories_spark.operators.similarity import (
+    emb_twonn_intrinsic_dim,
+)
+from etl_city_directories_spark.operators.stats import (
+    q_jarque_bera as _batch_jb,
+)
+from etl_city_directories_spark.operators.textstats import (
+    text_bigram_cond_entropy,
+    text_vocab_coverage_curve,
+    text_vocab_gini,
+)
+from etl_city_directories_spark.streaming.stream_ops import (
+    stream_entropy_hourly,
+    stream_moments_jb,
+)
+
+
+def test_stream_moments_equal_batch_jb(spark):
+    """The streaming moment accumulation must reproduce the batch
+    Jarque-Bera rows EXACTLY — integer sufficient statistics are
+    microbatch-split-invariant."""
+    got = sorted(map(tuple, stream_moments_jb(spark, SF).collect()))
+    want = sorted(map(tuple, _batch_jb(spark, SF).collect()))
+    assert got == want
+
+
+def test_stream_entropy_hourly_bounds(spark):
+    rows = stream_entropy_hourly(spark, SF).collect()
+    assert len(rows) == 720  # 30 days x 24 hours
+    for r in rows:
+        assert -1e-6 <= r.entropy_nats <= math.log(r.k_types) + 1e-6
+
+
+def test_stockout_risk_consistency(spark):
+    rows = q_stockout_risk(spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.sd_weekly_demand >= 0
+        # coverage vs a mean that is itself rounded to 2dp: the
+        # relative error of the rounded mean bounds the gap
+        approx = r.stock_units / r.mean_weekly_demand
+        assert abs(r.coverage_weeks - approx) <= approx * 1e-4 + 0.01
+        assert r.at_risk_95 == (r.safety_z < 1.644854)
+
+
+def test_duplicate_invoice_groups_have_multiple_orders(spark):
+    rows = q_duplicate_invoice_detect(spark, SF).collect()
+    assert rows  # the synthetic corpus has same-day repeat customers
+    for r in rows:
+        assert r.n_orders >= 2
+        assert r.min_amount <= r.max_amount
+        assert r.day_total >= r.max_amount
+
+
+def test_cond_entropy_below_unigram(spark):
+    """Conditioning can't add entropy: H(W2|W1) <= H(W) (+ micro-
+    quantization slack), and the context gain is in [0, 1]."""
+    r = text_bigram_cond_entropy(spark, SF).collect()[0]
+    assert r.h_cond_nats <= r.h_unigram_nats + 1e-4
+    assert -1e-6 <= r.context_gain <= 1.0
+
+
+def test_coverage_curve_monotone(spark):
+    rows = text_vocab_coverage_curve(spark, SF).collect()
+    shares = [r.covered_share for r in rows]
+    assert shares == sorted(shares)
+    assert all(0 < s <= 1.0 for s in shares)
+    ks = [r.k for r in rows]
+    assert ks == sorted(ks)
+    for r in rows:
+        assert r.vocab_used <= r.k
+
+
+def test_vocab_gini_in_unit_interval(spark):
+    r = text_vocab_gini(spark, SF).collect()[0]
+    assert 0.0 <= r.vocab_gini < 1.0
+    assert r.vocab_size <= r.n_tokens
+
+
+def test_twonn_dim_plausible(spark):
+    """The synthetic 64-d embeddings should report an intrinsic dim
+    in (0, 64]; the estimator uses all probes with distinct NNs."""
+    r = emb_twonn_intrinsic_dim(spark, SF).collect()[0]
+    assert 0 < r.intrinsic_dim <= 64.5
+    assert 1 <= r.n_probes_used <= 32
+    assert r.sum_log_ratio > 0
+
+
+def test_pair_score_distribution_accounts_for_matches(spark):
+    rows = er_pair_score_distribution(spark, SF).collect()
+    assert rows
+    total_within = sum(
+        r.n_pairs for r in rows if r.within_match_threshold
+    )
+    assert total_within == er_blocked_pairs(spark, SF).count()
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - 1.0) < 1e-6
+    for r in rows:
+        assert r.within_match_threshold == (r.edit_dist <= MAX_EDIT)

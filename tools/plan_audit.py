@@ -140,6 +140,15 @@ BNLJ_OK = {
     "text_collocations_pmi",    # 1-row unigram/bigram-total scalars
     # wraps the allowlisted brute-force baseline's capped-probe != join
     "emb_topk_margin",
+    # capped broadcast-probe != join (TWONN_PROBES fixed budget)
+    "emb_twonn_intrinsic_dim",
+    # 1-row global week-count scalar crossJoin
+    "q_stockout_risk",
+    # 1-row entropy-suffstat frame crossJoin (h_cond x h_uni)
+    "text_bigram_cond_entropy",
+    # vocab grid crossJoin broadcast O(|Ks|) cutoff ladder (the
+    # q_ks_twosample lattice shape)
+    "text_vocab_coverage_curve",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops

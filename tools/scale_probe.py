@@ -243,6 +243,13 @@ CAUSE_NOTES = {
         "levenshtein on the probe corpus's 3-char-longer names plus "
         "fixed-cost amortization"
     ),
+    "er_pair_score_distribution": (
+        "downstream rollup of the SAME blocked candidate generator as "
+        "er_blocked_pairs — identical mechanism: candidate pairs grow "
+        "exactly 10x under the data-scaled suffix width, the excess "
+        "over k is levenshtein on the probe corpus's 3-char-longer "
+        "names plus fixed-cost amortization"
+    ),
     "text_fingerprint": (
         "pure map (no shuffle); 1x cell is fixed-cost dominated — "
         "3-point fit t(K)=a+b*K holds (r06: t(4) measured 2.64 s vs "
