@@ -2295,3 +2295,81 @@ ORACLES["dedup_band_collision_stats"] = f"""
            CAST(SUM(sz * (sz - 1) / 2) AS BIGINT) AS candidate_pairs
     FROM buckets GROUP BY band_idx ORDER BY band_idx
 """
+
+
+SWEEP_PCTS = (20, 30, 40, 50, 60, 70, 80, 90)  # jaccard cutoffs (x100)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured dedup-rate curve: for a ladder of jaccard thresholds,
+    how many verified near-dup pairs and affected documents survive?
+    — the EMPIRICAL answer to the question dedup_lsh_tuning answers
+    theoretically, and the knob-setting read before committing a
+    removal threshold on a new corpus.
+
+    Pure rollup of the already-verified LSH pair table (no new pair
+    mass): pairs and their doc endpoints join the broadcast O(|cuts|)
+    grid, distinct-doc counts per cutoff via one exact
+    countDistinct. Integer jaccard comparison at 2-dp percent grain
+    (cos the verify emits ROUND(..., r6→4-ish) — comparing r6*100 to
+    integer cutoffs is exact).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    cuts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in SWEEP_PCTS])).alias("cut_pct")
+    )
+    hit = F.col("jaccard") * 100 >= F.col("cut_pct")
+    joined = pairs.crossJoin(F.broadcast(cuts))
+    per_cut = joined.groupBy("cut_pct").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_pairs"),
+        F.countDistinct(F.when(hit, F.col("doc_a"))).alias("da"),
+        F.countDistinct(F.when(hit, F.col("doc_b"))).alias("db"),
+    )
+    docs = joined.filter(hit).select(
+        "cut_pct", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    )
+    affected = docs.groupBy("cut_pct").agg(
+        F.countDistinct("doc").cast("bigint").alias("n_docs_affected")
+    )
+    return (
+        per_cut.select("cut_pct", "n_pairs")
+        .join(affected, "cut_pct", "left")
+        .select(
+            F.col("cut_pct").cast("bigint").alias("cut_pct"),
+            "n_pairs",
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+        )
+        .orderBy("cut_pct")
+    )
+
+
+QUERIES["dedup_threshold_sweep"] = dedup_threshold_sweep
+
+ORACLES["dedup_threshold_sweep"] = None  # assembled below
+
+
+def _threshold_sweep_oracle() -> str:
+    return f"""
+    WITH lsh AS ({ORACLES["dedup_minhash_lsh"]}),
+    cuts AS (SELECT UNNEST({list(SWEEP_PCTS)}) AS cut_pct)
+    SELECT CAST(cut_pct AS BIGINT) AS cut_pct,
+           SUM(CASE WHEN jaccard * 100 >= cut_pct THEN 1 ELSE 0 END)::BIGINT
+             AS n_pairs,
+           COALESCE((
+             SELECT COUNT(DISTINCT doc)
+             FROM (
+               SELECT doc_a AS doc FROM lsh l2
+               WHERE l2.jaccard * 100 >= cuts.cut_pct
+               UNION ALL
+               SELECT doc_b FROM lsh l3
+               WHERE l3.jaccard * 100 >= cuts.cut_pct
+             )
+           ), 0)::BIGINT AS n_docs_affected
+    FROM lsh, cuts
+    GROUP BY cut_pct ORDER BY cut_pct
+"""
+
+
+ORACLES["dedup_threshold_sweep"] = _threshold_sweep_oracle()

@@ -2589,3 +2589,277 @@ ORACLES["q_entropy_by_group"] = """
            ROUND(CAST(SUM(h_micro) AS DOUBLE) / 1e8, 6) AS entropy_nats
     FROM scored GROUP BY day ORDER BY day
 """
+
+
+BF_CRIT_5PCT = "2.372"  # F(4, inf) 95% literal (df1 = 5 types - 1)
+LB_LAGS = 7  # Ljung-Box lag depth over the daily grid
+LB_CRIT_5PCT = "14.067140"  # chi2(7) 95% quantile, 6-dp literal
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust variance-homogeneity test across event
+    types: Levene's ANOVA on |x − group MEDIAN| — the
+    outlier-insensitive "are the spreads equal?" gate run before any
+    pooled-variance test (Welch/ANOVA) is trusted.
+
+    Per-group medians rank-select from per-group (cents, count) value
+    histograms (the fact is never sorted); |x − med| stays an exact
+    integer, the one-way F on those deviations reduces to per-group
+    (n, Σz, Σz²) sums with the rational Σz_g²/n_g terms micro-rounded
+    to BIGINT before the cross-group sum (order-independent). One
+    output row, closed-form F chain.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = (dec2("value") * 100).cast("long")
+    hist = events.groupBy(
+        "event_type", c.alias("cents")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy("event_type")
+    med = (
+        hist.select(
+            "event_type",
+            "cents",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_grp).alias("ng"),
+        )
+        .filter(F.col("cum") >= F.ceil(F.col("ng") / 2))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    z = F.abs(F.col("c") - F.col("med_cents"))
+    per_group = (
+        events.select("event_type", c.alias("c"))
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum("z").alias("sz"),
+            F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("ssz"),
+        )
+    )
+    scored = per_group.selectExpr(
+        "ng",
+        "sz",
+        "ssz",
+        # Σz_g²/n_g is rational — round to the nearest INTEGER before
+        # the global sum (unit quantization: the term is ~1e9 even at
+        # sf0.01, so relative error ≤ 1e-9; a 1e-6 grain overflowed
+        # BIGINT at the 10× probe). DECIMAL(38,0) carries the sum.
+        "CAST(floor(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)"
+        " / CAST(ng AS DOUBLE) + 0.5) AS DECIMAL(38,0)) AS szn_unit",
+    )
+    suff = scored.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sz").cast("decimal(38,0)").alias("sz_all"),
+        F.sum("ssz").cast("decimal(38,0)").alias("ssz_all"),
+        F.sum("szn_unit").cast("decimal(38,0)").alias("szn_sum"),
+    )
+    between = (
+        "(CAST(szn_sum AS DOUBLE)"
+        " - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)"
+        " / CAST(n AS DOUBLE))"
+    )
+    within = "(CAST(ssz_all AS DOUBLE) - CAST(szn_sum AS DOUBLE))"
+    f_stat = (
+        f"(({between} / (CAST(k AS DOUBLE) - 1))"
+        f" / ({within} / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"
+    )
+    return suff.selectExpr(
+        "CAST(k AS BIGINT) AS k_groups",
+        "CAST(n AS BIGINT) AS n",
+        f"ROUND({f_stat}, 6) AS f_stat",
+        "CAST(k - 1 AS BIGINT) AS df1",
+        "CAST(n - k AS BIGINT) AS df2",
+        f"({f_stat} > {BF_CRIT_5PCT}) AS heteroscedastic_5pct",
+    )
+
+
+def _lb_terms() -> tuple[list, list]:
+    """(agg column exprs, shared rho²/(n−k) term strings) for the
+    unrolled Ljung-Box lags — built once so the Spark selectExpr and
+    the DuckDB oracle evaluate the IDENTICAL expression text."""
+    aggs, terms = [], []
+    for k in range(1, LB_LAGS + 1):
+        # pairs (x_{t-k}, x_t): a = head element, b = tail element
+        aggs.append(
+            f"SUM(CASE WHEN a{k} IS NOT NULL THEN a{k} * b END) AS p{k}"
+        )
+        aggs.append(f"SUM(CASE WHEN a{k} IS NOT NULL THEN a{k} END) AS h{k}")
+        aggs.append(f"SUM(CASE WHEN a{k} IS NOT NULL THEN b END) AS t{k}")
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(p{k} AS DOUBLE)"
+            f" - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)"
+            f" * (CAST(h{k} AS DOUBLE) + CAST(t{k} AS DOUBLE))"
+            f" + (CAST(n AS DOUBLE) - {k}) * CAST(s AS DOUBLE)"
+            f" * CAST(s AS DOUBLE))"
+        )
+        den = (
+            "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+            " - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        )
+        terms.append(
+            f"(({num} / {den}) * ({num} / {den})"
+            f" / (CAST(n AS DOUBLE) - {k}))"
+        )
+    return aggs, terms
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily purchase revenue: is there
+    ANY autocorrelation in the first 7 lags, jointly? — the
+    white-noise gate a forecaster runs on residuals (and the
+    multi-lag generalization of q_autocorr_lag's single lag).
+
+    Sample ACF with the full-series mean, cleared of the rational x̄
+    by scaling through n² so every sufficient statistic is an exact
+    DECIMAL(38,0) integer; Q = n(n+2)·Σρ_k²/(n−k) unrolls the 7 lags
+    into ONE expression string shared verbatim with the oracle (fixed
+    evaluation order — no cross-row double sum at all). The 7 lag
+    windows run over the O(days) grid.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg((F.sum(dec2("value")) * 100).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy().orderBy("day")
+    lagged = daily.select(
+        F.col("cents").cast("decimal(38,0)").alias("b"),
+        *[
+            F.lag("cents", k).over(w).cast("decimal(38,0)").alias(f"a{k}")
+            for k in range(1, LB_LAGS + 1)
+        ],
+    )
+    aggs, terms = _lb_terms()
+    suff = lagged.selectExpr(
+        "b",
+        *[f"a{k}" for k in range(1, LB_LAGS + 1)],
+    ).selectExpr(
+        "COUNT(*) AS n",
+        "SUM(b) AS s",
+        "SUM(b * b) AS ss",
+        *aggs,
+    )
+    q_expr = (
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * ("
+        + " + ".join(terms)
+        + "))"
+    )
+    return suff.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        f"CAST({LB_LAGS} AS BIGINT) AS m_lags",
+        f"ROUND({q_expr}, 6) AS q_stat",
+        f"({q_expr} > {LB_CRIT_5PCT}) AS autocorrelated_5pct",
+    )
+
+
+QUERIES["q_brown_forsythe"] = q_brown_forsythe
+QUERIES["q_ljung_box"] = q_ljung_box
+
+ORACLES["q_brown_forsythe"] = f"""
+    WITH hist AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, MIN(cents) AS med_cents FROM (
+        SELECT event_type, cents,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS ng
+        FROM hist
+      ) WHERE cum >= CEIL(ng / 2.0) GROUP BY event_type
+    ),
+    per_group AS (
+      SELECT e.event_type,
+             COUNT(*) AS ng,
+             SUM(ABS(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     - m.med_cents)) AS sz,
+             SUM(ABS(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     - m.med_cents)::HUGEINT
+                 * ABS(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       - m.med_cents)) AS ssz
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT ng, sz, ssz,
+             CAST(floor(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                  / CAST(ng AS DOUBLE) + 0.5) AS HUGEINT) AS szn_unit
+      FROM per_group
+    ),
+    suff AS (
+      SELECT COUNT(*) AS k, SUM(ng) AS n,
+             SUM(sz)::HUGEINT AS sz_all, SUM(ssz)::HUGEINT AS ssz_all,
+             SUM(szn_unit) AS szn_sum
+      FROM scored
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(n AS BIGINT) AS n,
+           ROUND((((CAST(szn_sum AS DOUBLE)
+                    - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)
+                      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+                  / ((CAST(ssz_all AS DOUBLE)
+                      - CAST(szn_sum AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))), 6)
+             AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           ((((CAST(szn_sum AS DOUBLE)
+               - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
+             / ((CAST(ssz_all AS DOUBLE) - CAST(szn_sum AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+            > {BF_CRIT_5PCT}) AS heteroscedastic_5pct
+    FROM suff
+"""
+
+
+def _lb_oracle() -> str:
+    aggs, terms = _lb_terms()
+    q_expr = (
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * ("
+        + " + ".join(terms)
+        + "))"
+    )
+    lag_cols = ",\n             ".join(
+        f"LAG(cents, {k}) OVER (ORDER BY day)::HUGEINT AS a{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    agg_cols = ",\n             ".join(aggs)
+    return f"""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(value::DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    lagged AS (
+      SELECT cents::HUGEINT AS b,
+             {lag_cols}
+      FROM daily
+    ),
+    suff AS (
+      SELECT COUNT(*) AS n, SUM(b) AS s, SUM(b * b) AS ss,
+             {agg_cols}
+      FROM lagged
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST({LB_LAGS} AS BIGINT) AS m_lags,
+           ROUND({q_expr}, 6) AS q_stat,
+           ({q_expr} > {LB_CRIT_5PCT}) AS autocorrelated_5pct
+    FROM suff
+"""
+
+
+ORACLES["q_ljung_box"] = _lb_oracle()

@@ -535,3 +535,82 @@ def test_pair_score_distribution_accounts_for_matches(spark):
     assert abs(cums[-1] - 1.0) < 1e-6
     for r in rows:
         assert r.within_match_threshold == (r.edit_dist <= MAX_EDIT)
+
+
+# ---- r08 third wave: robust variance, portmanteau, dedup curve ----
+
+from etl_city_directories_spark.operators.dedup import (
+    SWEEP_PCTS,
+    dedup_threshold_sweep,
+)
+from etl_city_directories_spark.operators.stats import (
+    q_autocorr_lag,
+    q_brown_forsythe,
+    q_ljung_box,
+)
+
+
+def test_brown_forsythe_matches_numpy(spark):
+    """F statistic agrees with a numpy replay of Levene-with-median
+    on the cent-rounded values."""
+    r = q_brown_forsythe(spark, SF).collect()[0]
+    df = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("c")
+    ).collect()
+    groups: dict = {}
+    for row in df:
+        groups.setdefault(row.event_type, []).append(row.c)
+    zs = {}
+    for t, vals in groups.items():
+        v = np.sort(np.array(vals))
+        med = v[int(np.ceil(len(v) / 2)) - 1]
+        zs[t] = np.abs(np.array(vals) - med)
+    all_z = np.concatenate(list(zs.values()))
+    k, n = len(zs), len(all_z)
+    gbar = all_z.mean()
+    between = sum(len(z) * (z.mean() - gbar) ** 2 for z in zs.values())
+    within = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+    f = (between / (k - 1)) / (within / (n - k))
+    assert r.k_groups == k and r.n == n
+    assert abs(r.f_stat - f) < max(1e-3, f * 1e-4)
+
+
+def test_ljung_box_matches_numpy(spark):
+    """Q agrees with a numpy replay of the sample-ACF portmanteau."""
+    r = q_ljung_box(spark, SF).collect()[0]
+    daily = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+             .cast("long").alias("cents"))
+        .orderBy("day")
+        .collect()
+    )
+    x = np.array([d.cents for d in daily], dtype=float)
+    n = len(x)
+    xb = x.mean()
+    c0 = ((x - xb) ** 2).sum()
+    q = 0.0
+    for k in range(1, 8):
+        rho = ((x[:-k] - xb) * (x[k:] - xb)).sum() / c0
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert r.n_days == n and r.m_lags == 7
+    assert abs(r.q_stat - q) < max(1e-3, q * 1e-4)
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    rows = dedup_threshold_sweep(spark, SF).collect()
+    assert [r.cut_pct for r in rows] == sorted(SWEEP_PCTS)
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_affected for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    verified = dedup_minhash_lsh(spark, SF).count()
+    assert rows[0].n_pairs == verified  # the 20% cut IS the verify floor
+    for r in rows:
+        if r.n_pairs:
+            assert r.n_docs_affected >= 2
+            assert r.n_docs_affected <= 2 * r.n_pairs

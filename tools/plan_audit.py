@@ -149,6 +149,9 @@ BNLJ_OK = {
     # vocab grid crossJoin broadcast O(|Ks|) cutoff ladder (the
     # q_ks_twosample lattice shape)
     "text_vocab_coverage_curve",
+    # verified-pair table crossJoin broadcast O(|cuts|) ladder (same
+    # lattice shape; the LSH pair table is candidate-bounded)
+    "dedup_threshold_sweep",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
