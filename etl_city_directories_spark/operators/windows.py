@@ -1454,3 +1454,123 @@ ORACLES["q_weighted_moving_avg"] = f"""
                  4) AS wma_{WMA_DAYS}d
     FROM series WHERE rn >= {WMA_DAYS} ORDER BY day
 """
+
+
+ROLLCORR_DAYS = 14  # trailing correlation window
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day Pearson correlation between daily purchase and
+    click revenue — the co-movement monitor ("are conversions still
+    tracking traffic?") whose breakdown flags attribution or tracking
+    incidents before either single series alarms.
+
+    Both series collapse to one (day, purchase_cents, click_cents)
+    grid row per day; the correlation is computed from SIX exact
+    BIGINT frame sums (n, Σx, Σy, Σx², Σy², Σxy) over a ROWS frame —
+    no incremental covariance state, no float accumulation — and one
+    closed-form double chain shared verbatim with the oracle. Rows
+    without a full window are dropped; zero-variance frames emit
+    NULL (correlation undefined).
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", dec2("value"))
+                ) * 100
+            )
+            .cast("bigint")
+            .alias("x"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "click", dec2("value"))
+                ) * 100
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            "day",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    w_ord = Window.partitionBy().orderBy("day")
+    w_frame = w_ord.rowsBetween(-(ROLLCORR_DAYS - 1), Window.currentRow)
+    framed = daily.select(
+        "day",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_frame).alias("n"),
+        F.sum("x").over(w_frame).alias("sx"),
+        F.sum("y").over(w_frame).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).over(w_frame).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).over(w_frame).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).over(w_frame).alias("sxy"),
+    ).filter(F.col("rn") >= ROLLCORR_DAYS)
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    vx = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    vy = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return framed.selectExpr(
+        "day",
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN"
+        f" ROUND({num} / sqrt({vx} * {vy}), 6) END"
+        f" AS rolling_corr_{ROLLCORR_DAYS}d",
+    ).orderBy("day")
+
+
+QUERIES["q_rolling_corr"] = q_rolling_corr
+
+ORACLES["q_rolling_corr"] = f"""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN value::DECIMAL(18,2) END) * 100 AS BIGINT), 0)
+               AS x,
+             COALESCE(CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN value::DECIMAL(18,2) END) * 100 AS BIGINT), 0)
+               AS y
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    framed AS (
+      SELECT day,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx,
+             SUM(y) OVER w AS sy,
+             SUM(x::HUGEINT * x) OVER w AS sxx,
+             SUM(y::HUGEINT * y) OVER w AS syy,
+             SUM(x::HUGEINT * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {ROLLCORR_DAYS - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT day,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                     * CAST(sy AS DOUBLE))), 6)
+           END AS rolling_corr_{ROLLCORR_DAYS}d
+    FROM framed WHERE rn >= {ROLLCORR_DAYS} ORDER BY day
+"""

@@ -2353,3 +2353,49 @@ from etl_city_directories_spark.operators.stats import (  # noqa: E402
 )
 
 ORACLES["stream_moments_jb"] = _STATS_ORACLES["q_jarque_bera"]
+
+
+def stream_daily_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drawdown monitor (twin of q_drawdown): daily revenue
+    accumulates as complete-mode integer counters — state O(days),
+    split-invariant — and the running-peak/drawdown windows run
+    batch-side over the materialized sink, exactly the batch
+    operator's math on exactly the batch operator's grid.
+    """
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg((F.sum(dec2("value")) * 100).cast("bigint").alias("cents"))
+    _run_to_table(agg, "stream_daily_drawdown_sink", "complete",
+                  state_partitions=8)
+    sink = spark.table("stream_daily_drawdown_sink")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy().orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = sink.select("day", F.sum("cents").over(w).alias("cum_cents"))
+    series = cum.select(
+        "day", "cum_cents", F.max("cum_cents").over(w).alias("peak_cents")
+    )
+    return series.select(
+        "day",
+        (F.col("cum_cents").cast("double") / 100).alias("cum_revenue"),
+        (F.col("peak_cents").cast("double") / 100).alias("peak_revenue"),
+        F.round(
+            (F.col("peak_cents") - F.col("cum_cents")).cast("double")
+            / F.col("peak_cents").cast("double"),
+            6,
+        ).alias("drawdown_pct"),
+    ).orderBy("day")
+
+
+QUERIES["stream_daily_drawdown"] = stream_daily_drawdown
+
+from etl_city_directories_spark.operators.windows import (  # noqa: E402
+    ORACLES as _WINDOW_ORACLES,
+)
+
+ORACLES["stream_daily_drawdown"] = _WINDOW_ORACLES["q_drawdown"]

@@ -614,3 +614,54 @@ def test_threshold_sweep_monotone_and_consistent(spark):
         if r.n_pairs:
             assert r.n_docs_affected >= 2
             assert r.n_docs_affected <= 2 * r.n_pairs
+
+
+# ---- r08 fourth wave: rolling correlation + streaming drawdown ----
+
+from etl_city_directories_spark.operators.windows import (
+    ROLLCORR_DAYS,
+    q_rolling_corr,
+)
+from etl_city_directories_spark.streaming.stream_ops import (
+    stream_daily_drawdown,
+)
+
+
+def test_rolling_corr_matches_numpy(spark):
+    """Each emitted window's correlation equals numpy's Pearson on
+    the same 14-day slice."""
+    daily = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.coalesce(
+                F.round(F.sum(F.when(F.col("event_type") == "purchase",
+                                     F.col("value").cast("decimal(18,2)")))
+                        * 100).cast("long"), F.lit(0)).alias("x"),
+            F.coalesce(
+                F.round(F.sum(F.when(F.col("event_type") == "click",
+                                     F.col("value").cast("decimal(18,2)")))
+                        * 100).cast("long"), F.lit(0)).alias("y"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    xs = np.array([d.x for d in daily], dtype=float)
+    ys = np.array([d.y for d in daily], dtype=float)
+    rows = q_rolling_corr(spark, SF).collect()
+    assert len(rows) == len(daily) - ROLLCORR_DAYS + 1
+    for i, r in enumerate(rows):
+        xw = xs[i : i + ROLLCORR_DAYS]
+        yw = ys[i : i + ROLLCORR_DAYS]
+        want = np.corrcoef(xw, yw)[0, 1]
+        assert abs(r[f"rolling_corr_{ROLLCORR_DAYS}d"] - want) < 1e-4
+        assert -1.0 - 1e-9 <= r[f"rolling_corr_{ROLLCORR_DAYS}d"] <= 1.0 + 1e-9
+
+
+def test_stream_drawdown_equals_batch(spark):
+    """The streaming sink replay reproduces the batch drawdown series
+    exactly (integer counters are split-invariant)."""
+    got = sorted(map(tuple, stream_daily_drawdown(spark, SF).collect()))
+    want = sorted(map(tuple, q_drawdown(spark, SF).collect()))
+    assert got == want
