@@ -2071,14 +2071,21 @@ _RUNS_VAR = (
 )
 _RUNS_Z = f"((CAST(r AS DOUBLE) - {_RUNS_MU}) / sqrt({_RUNS_VAR}))"
 
+# One-sided series (all remaining days on one side of the median)
+# have zero run variance — z is undefined, not infinite: NULL guard.
+_RUNS_DEGENERATE = "(n1 = 0 OR n2 = 0 OR n1 + n2 < 2)"
+
 _RUNS_SELECT = [
     "CAST(n1 + n2 AS BIGINT) AS n_days",
     "CAST(n1 AS BIGINT) AS n_above",
     "CAST(n2 AS BIGINT) AS n_below",
     "CAST(r AS BIGINT) AS n_runs",
-    f"ROUND({_RUNS_MU}, 4) AS expected_runs",
-    f"ROUND({_RUNS_Z}, 6) AS z_stat",
-    f"(abs({_RUNS_Z}) <= {RUNS_CRIT_Z}) AS random_5pct",
+    f"CASE WHEN NOT {_RUNS_DEGENERATE} THEN ROUND({_RUNS_MU}, 4) END"
+    " AS expected_runs",
+    f"CASE WHEN NOT {_RUNS_DEGENERATE} THEN ROUND({_RUNS_Z}, 6) END"
+    " AS z_stat",
+    f"CASE WHEN NOT {_RUNS_DEGENERATE} THEN abs({_RUNS_Z}) <= {RUNS_CRIT_Z}"
+    " END AS random_5pct",
 ]
 
 
