@@ -440,3 +440,76 @@ def test_new_analytics_plans_are_scale_shaped(spark):
         p = plan_of(QUERIES[name](spark, SF))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in p, f"{name} plan contains {marker}"
+
+
+# ---- r08 batch plan shapes ----
+
+
+def test_pvm_year_filter_pushed(spark):
+    """The two-year window must reach the lineitem scan as
+    PushedFilters — at 100 TB the bridge reads 2 years, not 7."""
+    plan = plan_of(QUERIES["q_price_volume_mix"](spark, SF))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual" in pushed and "LessThan" in pushed, pushed
+
+
+def test_inventory_and_stockout_push_year_and_broadcast_part(spark):
+    for key in ("q_inventory_turns", "q_stockout_risk"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        # several scans (partsupp derivation + demand); the YEAR
+        # filter must be pushed on at least one of them
+        pushed_blocks = [
+            seg.split("]", 1)[0]
+            for seg in plan.split("PushedFilters: [")[1:]
+        ]
+        assert pushed_blocks, key
+        assert any(
+            "GreaterThanOrEqual" in b for b in pushed_blocks
+        ), (key, pushed_blocks)
+        assert "BroadcastHashJoin" in plan, key
+
+
+def test_daily_grid_windows_are_single_exchange_family(spark):
+    """The drawdown/channel/RSI/WMA family pre-aggregates to the day
+    grid then windows: exactly one fact aggregation exchange plus the
+    single-partition window exchange — a third exchange would mean
+    the window leaked onto raw events."""
+    for key in (
+        "q_drawdown",
+        "q_donchian_channel",
+        "q_rsi_sma",
+        "q_weighted_moving_avg",
+    ):
+        plan = plan_of(QUERIES[key](spark, SF))
+        n_exchange = plan.count("Exchange")
+        assert n_exchange <= 4, (key, n_exchange)  # formatted repeats refs
+        for marker in ("BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in plan, key
+
+
+def test_stats_suite_scans_events_once(spark):
+    """Sufficient-statistics tests must be one scan + one tiny agg:
+    no join back to the fact, no Python eval."""
+    for key in ("q_jarque_bera", "q_grubbs_outlier", "q_cramers_v"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "SortMergeJoin" not in plan, key
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, key
+
+
+def test_duplicate_invoice_prunes_columns(spark):
+    """The audit reads 3 order columns; priority/status must prune."""
+    plan = plan_of(QUERIES["q_duplicate_invoice_detect"](spark, SF))
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    for used in ("o_custkey", "o_orderdate", "o_totalprice"):
+        assert used in read, read
+    for unused in ("o_orderpriority", "o_orderstatus"):
+        assert unused not in read, read
+
+
+def test_concentration_broadcasts_dims(spark):
+    for key in ("q_customer_concentration", "q_share_nested"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "BroadcastHashJoin" in plan, key
+        assert "CartesianProduct" not in plan, key
