@@ -162,3 +162,167 @@ def test_runs_test_degenerate_one_sided_is_null(spark, tmp_path):
     r = q_runs_test(spark, sf).collect()[0]
     assert r.n_below == 0 and r.n_above == 12
     assert r.z_stat is None and r.random_5pct is None
+
+
+# ---- synthetic star-schema corpora for the BI/stats family ----
+
+from etl_city_directories_spark.operators.analytics import (
+    PVM_Y1,
+    PVM_Y2,
+    q_price_volume_mix,
+)
+from etl_city_directories_spark.operators.nonparam import q_friedman_test
+from etl_city_directories_spark.operators.stats import q_mood_median_test
+from etl_city_directories_spark.operators.temporal import q_vwap_daily
+
+
+def _write_lineitem_part(spark, tmpdir, items):
+    """items: (partkey, brand, shipdate, qty, extprice[, disc])."""
+    li = spark.createDataFrame(
+        [
+            (
+                i,
+                it[0],
+                1,
+                1,
+                float(it[3]),
+                float(it[4]),
+                float(it[5]) if len(it) > 5 else 0.0,
+                0.0,
+                "N",
+                "O",
+                it[2],
+            )
+            for i, it in enumerate(items)
+        ],
+        [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate_s",
+        ],
+    ).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        F.col("l_shipdate_s").cast("timestamp").alias("l_shipdate"),
+    )
+    li.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmpdir}/lineitem.parquet"
+    )
+    parts = sorted({(it[0], it[1]) for it in items})
+    spark.createDataFrame(
+        [(pk, f"part{pk}", br, "TYPE", 1, 100.0) for pk, br in parts],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+         "p_retailprice"],
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/part.parquet")
+    return str(tmpdir)
+
+
+def test_pvm_classes_and_exact_reconciliation(spark, tmp_path):
+    """Carried brands reconcile price+volume == delta EXACTLY; a
+    brand present only in the base year is 'discontinued' with delta
+    = -base revenue; only in the next year → 'new'."""
+    sf = _write_lineitem_part(
+        spark,
+        tmp_path,
+        [
+            (1, "BA", f"{PVM_Y1}-03-01 00:00:00", 10, 1000.00),
+            (1, "BA", f"{PVM_Y2}-03-01 00:00:00", 14, 1700.13),
+            (2, "BB", f"{PVM_Y1}-06-01 00:00:00", 5, 333.33),
+            (3, "BC", f"{PVM_Y2}-06-01 00:00:00", 7, 777.77),
+        ],
+    )
+    rows = {r.p_brand: r for r in q_price_volume_mix(spark, sf).collect()}
+    a, b, c = rows["BA"], rows["BB"], rows["BC"]
+    assert a.bridge_class == "carried"
+    assert abs((a.price_effect + a.volume_effect) - a.delta_revenue) < 1e-12
+    # volume effect = old unit price (100.00) x (14 - 10) = +400
+    assert abs(a.volume_effect - 400.0) < 1e-9
+    assert b.bridge_class == "discontinued"
+    assert abs(b.delta_revenue + 333.33) < 1e-9
+    assert b.price_effect is None and b.volume_effect is None
+    assert c.bridge_class == "new"
+    assert abs(c.delta_revenue - 777.77) < 1e-9
+
+
+def test_vwap_half_boundary_rounds_up_exactly(spark, tmp_path):
+    """A day whose VWAP's 5th decimal is an exact half (4100 cents /
+    8 units = 512.5 e-4 dollars) must round half-UP via the integer
+    path — the boundary that flipped between engines under float."""
+    sf = _write_lineitem_part(
+        spark,
+        tmp_path,
+        [(1, "BA", "1997-01-01 00:00:00", 8, 0.41)],
+    )
+    r = q_vwap_daily(spark, sf).collect()[0]
+    assert r.units == 8
+    assert r.vwap_day == 0.0513  # 4100/8 = 512.5 -> 513 e-4 dollars
+    assert r.vwap_mtd == 0.0513
+
+
+def _write_typed_events(spark, tmpdir, rows):
+    """rows: (day_index, event_type, cents)."""
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                f"2024-01-{d + 1:02d} 12:00:0{i % 10}",
+                1,
+                t,
+                c / 100.0,
+                '{"k": 1}',
+            )
+            for i, (d, t, c) in enumerate(rows)
+        ],
+        ["event_id", "ts_s", "user_id", "event_type", "value", "props"],
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+def test_friedman_all_ties_is_zero(spark, tmp_path):
+    """If every treatment posts the SAME revenue in every block, all
+    midranks coincide and Q must be exactly 0."""
+    rows = [
+        (d, t, 5000)
+        for d in range(6)
+        for t in ("alpha", "beta", "gamma")
+    ]
+    sf = _write_typed_events(spark, tmp_path, rows)
+    r = q_friedman_test(spark, sf).collect()[0]
+    assert r.k_treatments == 3 and r.b_blocks == 6
+    assert r.q_stat == 0.0
+    assert not r.differs_5pct
+
+
+def test_friedman_perfect_ordering_hits_max(spark, tmp_path):
+    """A treatment order repeated identically in every block attains
+    Friedman's maximum Q = b·(k−1) (here 6·2 = 12)."""
+    rows = []
+    for d in range(6):
+        rows += [(d, "alpha", 1000), (d, "beta", 2000), (d, "gamma", 3000)]
+    sf = _write_typed_events(spark, tmp_path, rows)
+    r = q_friedman_test(spark, sf).collect()[0]
+    assert r.q_stat == 12.0
+    assert r.differs_5pct
+
+
+def test_mood_identical_groups_chi2_zero(spark, tmp_path):
+    """Groups with IDENTICAL value multisets split around the grand
+    median in exactly the expected proportions → chi2 == 0."""
+    rows = []
+    for t in ("alpha", "beta"):
+        for d, c in enumerate([100, 200, 300, 400]):
+            rows.append((d, t, c))
+    sf = _write_typed_events(spark, tmp_path, rows)
+    r = q_mood_median_test(spark, sf).collect()[0]
+    assert r.k_groups == 2 and r.n == 8
+    assert r.chi2_stat == 0.0
+    assert not r.differs_5pct
