@@ -2294,3 +2294,67 @@ ORACLES["q_duplicate_invoice_detect"] = """
     HAVING COUNT(*) >= 2
     ORDER BY 1, 2
 """
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): half the corpus is written
+    under the ORIGINAL 3-column document schema, half under the
+    evolved 5-column one, and a single mergeSchema scan reads both
+    generations with the old files' new columns surfacing as NULLs —
+    the append-only table-evolution contract every lakehouse dataset
+    eventually needs (new ingest fields must not force a historical
+    rewrite).
+
+    Files materialize once per data stamp (cached_sink_dir); the
+    rollup proves both the union semantics and the NULL backfill:
+    per-lang counts split into with/without the evolved columns, and
+    char totals only over rows that carry them. At 100 TB this is the
+    same single parquet scan — mergeSchema unions footers at planning
+    time, not data.
+    """
+    from etl_city_directories_spark.operators.ingest import cached_sink_dir
+
+    def _write(p: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).write.mode("overwrite").parquet(f"{p}/gen=v1")
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/gen=v2")
+
+    path = cached_sink_dir("schema_evolution", sf_dir, ("documents",), _write)
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("source").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_evolved"),
+            F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_legacy"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("evolved_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUERIES["source_schema_evolution"] = source_schema_evolution
+
+ORACLES["source_schema_evolution"] = """
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_evolved,
+           SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_legacy,
+           COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+             ::BIGINT AS evolved_chars
+    FROM documents GROUP BY lang ORDER BY lang
+"""

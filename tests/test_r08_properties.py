@@ -326,3 +326,33 @@ def test_mood_identical_groups_chi2_zero(spark, tmp_path):
     assert r.k_groups == 2 and r.n == 8
     assert r.chi2_stat == 0.0
     assert not r.differs_5pct
+
+
+# ---- schema evolution ----
+
+from etl_city_directories_spark.operators.scale_ops import (
+    source_schema_evolution,
+)
+
+
+def test_schema_evolution_null_backfill(spark):
+    """Legacy-generation rows surface the evolved columns as NULL and
+    the split accounts for every document exactly once."""
+    sf = "/root/testdata/sf0.01"
+    rows = source_schema_evolution(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = {
+        (r.lang): (r.n, r.odd)
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("doc_id") % 2).cast("int")).alias("odd"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(want)
+    for r in rows:
+        n, odd = want[r.lang]
+        assert r.n_docs == n
+        assert r.n_evolved == odd
+        assert r.n_legacy == n - odd
