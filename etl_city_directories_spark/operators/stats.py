@@ -2870,3 +2870,158 @@ def _lb_oracle() -> str:
 
 
 ORACLES["q_ljung_box"] = _lb_oracle()
+
+
+BOOT_B = 16  # bootstrap replicates
+# Poisson(1) CDF breakpoints to 9 dp — literals, per the no-exp()-on-
+# the-data-path discipline (both engines parse identical doubles)
+_POIS1_CDF = (
+    "0.367879441", "0.735758882", "0.919698603", "0.981011843",
+    "0.996340153", "0.999405815", "0.999916759", "0.999989751",
+    "0.999998875",
+)
+
+
+def _pois1_weight_sql(u: str) -> str:
+    """Inverse-CDF Poisson(1) draw from a uniform expression ``u`` —
+    a CASE ladder over the literal breakpoints (max weight 9)."""
+    clauses = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {clauses} ELSE 9 END)"
+
+
+def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean order value —
+    the warehouse-scale resampling device (Chamandy et al.: per-row
+    Poisson(1) replicate weights ≈ multinomial resampling, with NO
+    shuffle of the data): each row contributes hash-derived weights to
+    all B replicates in one scan, so the bootstrap costs one pass at
+    any corpus size and is rerun-stable (no RNG state).
+
+    The uniform is md5-derived per (orderkey, replicate) — exact
+    integer → [0,1) double, identical in both engines — and the
+    weight is an inverse-CDF CASE ladder over 9-dp Poisson(1)
+    literals. Replicate means use exact integer cents; the summary
+    emits the point mean, bootstrap SE, and the percentile CI from
+    the replicate rank order (replicates are few and fixed — the
+    rank runs over B rows).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (dec2("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    reps = spark.range(BOOT_B).select(F.col("id").alias("rep"))
+    u = (
+        "(CAST(CONV(SUBSTRING(md5(CONCAT(CAST(o_orderkey AS STRING), '|',"
+        " CAST(rep AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0)"
+    )
+    weighted = orders.crossJoin(F.broadcast(reps)).selectExpr(
+        "rep",
+        "cents",
+        f"{_pois1_weight_sql(u)} AS w",
+    )
+    per_rep = weighted.groupBy("rep").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("decimal(38,0)").alias("wc"),
+        F.sum("w").cast("bigint").alias("wn"),
+    )
+    rep_means = per_rep.selectExpr(
+        "rep",
+        "CAST(wc AS DOUBLE) / CAST(wn AS DOUBLE) / 100 AS rep_mean",
+    )
+    point = orders.agg(
+        F.sum("cents").cast("decimal(38,0)").alias("tc"),
+        F.count(F.lit(1)).alias("tn"),
+    )
+    w_rank = Window.partitionBy().orderBy("rep_mean")
+    ranked = rep_means.select(
+        "rep_mean", F.row_number().over(w_rank).alias("rk")
+    )
+    lo_rk, hi_rk = 2, BOOT_B - 1  # ~P12.5/P87.5 at B=16 (doc'd grain)
+    summary = ranked.agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum(
+            F.floor(F.col("rep_mean") * 1e6 + F.lit(0.5)).cast("bigint")
+        ).alias("sm_micro"),
+        F.sum(
+            (
+                F.floor(F.col("rep_mean") * 1e6 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+                * F.floor(F.col("rep_mean") * 1e6 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+        ).alias("sm2_micro"),
+        F.max(F.when(F.col("rk") == lo_rk, F.col("rep_mean"))).alias("lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("rep_mean"))).alias("hi"),
+    )
+    mu = "(CAST(sm_micro AS DOUBLE) / b / 1e6)"
+    var = (
+        "(CAST(sm2_micro AS DOUBLE) / 1e12 / b"
+        f" - {mu} * {mu})"
+    )
+    return summary.crossJoin(F.broadcast(point)).selectExpr(
+        "CAST(b AS BIGINT) AS n_replicates",
+        "ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) / 100, 4)"
+        " AS point_mean",
+        f"ROUND(sqrt({var} * b / (b - 1)), 4) AS boot_se",
+        "ROUND(lo, 4) AS ci_lo",
+        "ROUND(hi, 4) AS ci_hi",
+    )
+
+
+QUERIES["q_bootstrap_ci_mean"] = q_bootstrap_ci_mean
+
+_BOOT_U = (
+    "(CAST(('0x' || SUBSTRING(md5(CONCAT(CAST(o_orderkey AS VARCHAR), '|',"
+    " CAST(rep AS VARCHAR))), 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0)"
+)
+
+ORACLES["q_bootstrap_ci_mean"] = f"""
+    WITH orders_c AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    reps AS (SELECT UNNEST(generate_series(0, {BOOT_B - 1})) AS rep),
+    weighted AS (
+      SELECT rep, cents, {_pois1_weight_sql(_BOOT_U)} AS w
+      FROM orders_c, reps
+    ),
+    per_rep AS (
+      SELECT rep, SUM(w * cents)::HUGEINT AS wc, SUM(w)::BIGINT AS wn
+      FROM weighted GROUP BY rep
+    ),
+    rep_means AS (
+      SELECT rep, CAST(wc AS DOUBLE) / CAST(wn AS DOUBLE) / 100 AS rep_mean
+      FROM per_rep
+    ),
+    point AS (
+      SELECT SUM(cents)::HUGEINT AS tc, COUNT(*) AS tn FROM orders_c
+    ),
+    ranked AS (
+      SELECT rep_mean, ROW_NUMBER() OVER (ORDER BY rep_mean) AS rk
+      FROM rep_means
+    ),
+    summary AS (
+      SELECT COUNT(*) AS b,
+             SUM(CAST(FLOOR(rep_mean * 1e6 + 0.5) AS BIGINT)) AS sm_micro,
+             SUM(CAST(FLOOR(rep_mean * 1e6 + 0.5) AS HUGEINT)
+                 * CAST(FLOOR(rep_mean * 1e6 + 0.5) AS HUGEINT))
+               AS sm2_micro,
+             MAX(CASE WHEN rk = 2 THEN rep_mean END) AS lo,
+             MAX(CASE WHEN rk = {BOOT_B - 1} THEN rep_mean END) AS hi
+      FROM ranked
+    )
+    SELECT CAST(b AS BIGINT) AS n_replicates,
+           ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) / 100, 4)
+             AS point_mean,
+           ROUND(sqrt((CAST(sm2_micro AS DOUBLE) / 1e12 / b
+                       - (CAST(sm_micro AS DOUBLE) / b / 1e6)
+                       * (CAST(sm_micro AS DOUBLE) / b / 1e6))
+                      * b / (b - 1)), 4) AS boot_se,
+           ROUND(lo, 4) AS ci_lo,
+           ROUND(hi, 4) AS ci_hi
+    FROM summary, point
+"""

@@ -356,3 +356,35 @@ def test_schema_evolution_null_backfill(spark):
         assert r.n_docs == n
         assert r.n_evolved == odd
         assert r.n_legacy == n - odd
+
+
+# ---- Poisson bootstrap ----
+
+from etl_city_directories_spark.operators.stats import (
+    BOOT_B,
+    q_bootstrap_ci_mean,
+)
+
+
+def test_bootstrap_ci_brackets_point_and_se_positive(spark):
+    """On the driver corpus: the percentile CI brackets the point
+    mean, the bootstrap SE is positive and in the same ballpark as
+    the analytic SE of the mean (sd/sqrt(n)) — Poisson(1) weights
+    reproduce multinomial resampling to first order."""
+    sf = "/root/testdata/sf0.01"
+    r = q_bootstrap_ci_mean(spark, sf).collect()[0]
+    assert r.n_replicates == BOOT_B
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    assert r.boot_se > 0
+    import numpy as np  # noqa: PLC0415
+
+    vals = np.array(
+        [
+            x.o_totalprice
+            for x in spark.read.parquet(f"{sf}/orders.parquet")
+            .select("o_totalprice")
+            .collect()
+        ]
+    )
+    analytic_se = vals.std(ddof=1) / (len(vals) ** 0.5)
+    assert analytic_se / 3 < r.boot_se < analytic_se * 3

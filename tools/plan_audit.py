@@ -152,6 +152,9 @@ BNLJ_OK = {
     # verified-pair table crossJoin broadcast O(|cuts|) ladder (same
     # lattice shape; the LSH pair table is candidate-bounded)
     "dedup_threshold_sweep",
+    # fact crossJoin broadcast O(B)-row replicate grid (the Poisson-
+    # bootstrap expansion is the operator) + 1-row point-estimate frame
+    "q_bootstrap_ci_mean",
 }
 SKIP = {"stream_tumbling_agg", "stream_sessionize", "stream_dedup_exact",
         "ndjson_sink", "dedup_lsh_clusters"}  # run side effects / driver loops
