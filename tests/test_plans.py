@@ -513,3 +513,31 @@ def test_concentration_broadcasts_dims(spark):
         plan = plan_of(QUERIES[key](spark, SF))
         assert "BroadcastHashJoin" in plan, key
         assert "CartesianProduct" not in plan, key
+
+
+def test_forecast_family_is_grid_shaped(spark):
+    """The forecast/experimentation family touches the fact stream
+    with ONE conditional-sum groupBy, densifies on a broadcast spine,
+    and runs every window on the O(days) grid: no sort-merge join, no
+    cartesian, no Python eval anywhere in the family."""
+    for key in (
+        "q_dickey_fuller",
+        "q_granger_lag1",
+        "q_backtest_seasonal_naive",
+        "q_cross_correlation",
+        "q_fdr_bh",
+    ):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "SortMergeJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, key
+
+
+def test_cuped_is_rollup_plus_scalar_bounds(spark):
+    """CUPED's only join is the 1-row span-bounds broadcast (the
+    scalar-subquery idiom); the per-user rollup must not sort-merge."""
+    plan = plan_of(QUERIES["q_cuped_adjustment"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

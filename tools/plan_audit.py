@@ -90,6 +90,9 @@ BNLJ_OK = {
     # crossJoin of two 1-row conditional-aggregate frames (variant A
     # totals x variant B totals) — the scalar-subquery idiom
     "q_ab_proportion_ztest",
+    # 1-row span-bounds crossJoin (the pre/post split date) — the
+    # scalar-subquery idiom
+    "q_cuped_adjustment",
     # date-spine densification: users.crossJoin(broadcast(spine)) —
     # the spine is O(days), the canonical gap-fill expansion shape
     "q_gapfill_locf",
