@@ -1,0 +1,526 @@
+"""Geospatial operators: grid density, bounding boxes, a grid-blocked
+nearest-neighbor join, and grid-blocked DBSCAN with a density-scaled
+radius.
+
+The reference pipeline's whole purpose is putting directory entries on
+the map (nypl-spacetime/etl-city-directories city-directories.js:
+272-323 geocodes addresses; :338-366 emits Point/MultiPoint
+geometries); this module adds the spatial analytics a user runs on the
+geocoded output. The contract tables carry no coordinates, so points
+derive from the house cross-engine RNG (md5 slices — the same device
+as feature_hash_encode / sample_bernoulli): the *derivation* is
+synthetic, the *operators* — grid bucketing, bounded-radius joins,
+density clustering — are the real 100 TB spatial patterns.
+
+Scale design:
+- Every pairwise operation is GRID-BLOCKED: points bucket into
+  integer cells sized by the search radius, one side replicates to
+  its 3x3 neighborhood (a fixed 9x fan-out), and the join runs on
+  cell keys — never a cross join. Per-cell population is bounded by
+  construction because...
+- ...the radius is DENSITY-SCALED: eps = C / sqrt(n). Expected
+  neighbors per point = pi*C^2/AREA — a CONSTANT at any corpus size
+  (the cardinality knob the r7 verdict demanded for er_blocked_pairs,
+  applied from day one here). Pair volume stays O(n) at 100x data.
+- Distances are exact BIGINT squared microdegrees (planar
+  approximation, no antimeridian wrap — documented); no
+  transcendental enters until the final ROUND.
+- DBSCAN's connectivity reuses functions/graph.py star-contraction
+  connected components (diameter-independent rounds); the oracle
+  replays it with a recursive CTE, the er_match_clusters device.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_city_directories_spark.functions.graph import connected_components
+from etl_city_directories_spark.sources.tables import load_table
+
+# world span in microdegrees: lat clipped to ±80° (pole-free band),
+# lon ±180°
+LAT_SPAN = 160_000_001
+LON_SPAN = 360_000_001
+GRID_CELL_UDEG = 10_000_000  # 10° density cells (≤ 576 worldwide)
+# DBSCAN: eps = EPS_C/sqrt(n) microdegrees → expected neighbors per
+# point = pi*EPS_C^2/(LAT_SPAN*LON_SPAN) ≈ 3.0 — subcritical for a 2D
+# random geometric graph (percolation ~4.5), so components stay small
+# and pair volume stays ~1.5n at ANY corpus size.
+EPS_C = 235_000_000
+MIN_PTS = 5  # core = ≥ MIN_PTS-1 neighbors besides self
+# kNN radius: R = KNN_C/sqrt(n) → expected candidates in the 3x3
+# neighborhood ≈ 9*KNN_C^2/(LAT_SPAN*LON_SPAN) ≈ 6.2; ~0.2% of
+# probes find nothing and report found = false.
+KNN_C = 200_000_000
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-customer points from md5 slices (exact in
+    both engines; pure map-side, no shuffle)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    key = F.col("c_custkey").cast("string")
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    return cust.select(
+        F.col("c_custkey").alias("pid"),
+        "c_nationkey",
+        (h1 % LAT_SPAN - (LAT_SPAN - 1) // 2).alias("lat_u"),
+        (h2 % LON_SPAN - (LON_SPAN - 1) // 2).alias("lon_u"),
+    )
+
+
+_POINTS_SQL = f"""
+      SELECT c_custkey AS pid, c_nationkey,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {LAT_SPAN} - {(LAT_SPAN - 1) // 2} AS lat_u,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8)
+                  AS BIGINT) % {LON_SPAN} - {(LON_SPAN - 1) // 2} AS lon_u
+      FROM customer
+"""
+
+
+def _sup_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier probe points — 'sup-'-prefixed hash input keeps them
+    off the customer lattice."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    key = F.concat(F.lit("sup-"), F.col("s_suppkey").cast("string"))
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    return sup.select(
+        F.col("s_suppkey").alias("sid"),
+        (h1 % LAT_SPAN - (LAT_SPAN - 1) // 2).alias("lat_u"),
+        (h2 % LON_SPAN - (LON_SPAN - 1) // 2).alias("lon_u"),
+    )
+
+
+_SUP_POINTS_SQL = f"""
+      SELECT s_suppkey AS sid,
+             CAST('0x' || substr(md5('sup-' || CAST(s_suppkey AS VARCHAR)),
+                  1, 8) AS BIGINT) % {LAT_SPAN} - {(LAT_SPAN - 1) // 2}
+               AS lat_u,
+             CAST('0x' || substr(md5('sup-' || CAST(s_suppkey AS VARCHAR)),
+                  9, 8) AS BIGINT) % {LON_SPAN} - {(LON_SPAN - 1) // 2}
+               AS lon_u
+      FROM supplier
+"""
+
+
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density grid: bucket every point into a fixed 10° cell
+    and rank cells by population — the heat-map / hot-spot scan that
+    is the first query against any geocoded corpus.
+
+    Pure map-side cell assignment (integer floor-division), one
+    groupBy on ≤576 cell keys, then share-of-total and dense_rank
+    over the tiny cell frame. The fact table is touched once.
+    """
+    pts = _points(spark, sf_dir)
+    cell = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") / F.lit(GRID_CELL_UDEG)
+    ).cast("long")
+    cells = pts.select(
+        cell("lat_u").alias("cell_lat"), cell("lon_u").alias("cell_lon")
+    ).groupBy("cell_lat", "cell_lon").agg(F.count(F.lit(1)).alias("n_points"))
+    w_all = Window.partitionBy()
+    return cells.select(
+        "cell_lat",
+        "cell_lon",
+        "n_points",
+        F.round(
+            F.col("n_points").cast("double")
+            * 100
+            / F.sum("n_points").over(w_all).cast("double"),
+            4,
+        ).alias("share_pct"),
+        F.dense_rank()
+        .over(Window.partitionBy().orderBy(F.col("n_points").desc()))
+        .cast("long")
+        .alias("density_rank"),
+    )
+
+
+def geo_bbox_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation bounding box + centroid over the point cloud: the
+    extent audit a tile server or map renderer runs per partition key.
+
+    One groupBy on the broadcast-joined nation name; min/max/avg in
+    exact integer microdegrees, ONE double divide per centroid axis at
+    the edge (ROUND 6).
+    """
+    pts = _points(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    deg = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") / 1000000, 6
+    )
+    agg = (
+        pts.join(F.broadcast(nation), pts.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("lat_u").alias("min_lat_u"),
+            F.max("lat_u").alias("max_lat_u"),
+            F.min("lon_u").alias("min_lon_u"),
+            F.max("lon_u").alias("max_lon_u"),
+            F.sum("lat_u").cast("decimal(38,0)").alias("slat"),
+            F.sum("lon_u").cast("decimal(38,0)").alias("slon"),
+        )
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        "n_points",
+        deg("min_lat_u").alias("min_lat"),
+        deg("max_lat_u").alias("max_lat"),
+        deg("min_lon_u").alias("min_lon"),
+        deg("max_lon_u").alias("max_lon"),
+        F.round(
+            F.col("slat").cast("double") / F.col("n_points").cast("double") / 1000000,
+            6,
+        ).alias("centroid_lat"),
+        F.round(
+            F.col("slon").cast("double") / F.col("n_points").cast("double") / 1000000,
+            6,
+        ).alias("centroid_lon"),
+    )
+
+
+def _with_radius(df: DataFrame, n_df: DataFrame, c: int) -> DataFrame:
+    """Attach the density-scaled radius r = floor(c/sqrt(n)) and the
+    r-sized cell coordinates (1-row scalar crossJoin — the
+    scalar-subquery idiom)."""
+    # GREATEST(..., 1): at extreme corpus sizes c/sqrt(n) can floor to
+    # 0 — clamp to the 1-microdegree cell rather than divide by zero
+    r = n_df.select(
+        F.greatest(
+            F.floor(F.lit(float(c)) / F.sqrt(F.col("n").cast("double"))).cast(
+                "long"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("r")
+    )
+    out = df.crossJoin(F.broadcast(r))
+    return out.select(
+        "*",
+        F.floor(F.col("lat_u").cast("double") / F.col("r").cast("double"))
+        .cast("long")
+        .alias("cx"),
+        F.floor(F.col("lon_u").cast("double") / F.col("r").cast("double"))
+        .cast("long")
+        .alias("cy"),
+    )
+
+
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius nearest-neighbor join: for every supplier probe
+    point, the closest customer within radius R of its 3x3 grid
+    neighborhood (R = KNN_C/sqrt(n) microdegrees, density-scaled so
+    candidate volume is constant per probe at ANY corpus size).
+
+    The customer side replicates to its 9 neighbor cells (fixed 9x
+    fan-out), the join runs on (cell_x, cell_y) keys, and the
+    per-probe argmin is one row_number window ordered by the exact
+    BIGINT squared distance (tie-broken by key). Probes with an empty
+    neighborhood report found = false — bounded-radius semantics is
+    the honest distributed kNN contract (a global fallback scan would
+    be the 100 TB anti-pattern).
+    """
+    cust = _points(spark, sf_dir)
+    n_cust = cust.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    cust_r = _with_radius(cust, n_cust, KNN_C)
+    sup_r = _with_radius(_sup_points(spark, sf_dir), n_cust, KNN_C)
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    cust_rep = (
+        cust_r.select(
+            "pid", "lat_u", "lon_u", "cx", "cy", d.alias("dx")
+        ).select("pid", "lat_u", "lon_u", "cx", "cy", "dx", d.alias("dy"))
+        .select(
+            "pid",
+            F.col("lat_u").alias("c_lat_u"),
+            F.col("lon_u").alias("c_lon_u"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    probes = sup_r.select(
+        "sid", "lat_u", "lon_u", "r", F.col("cx").alias("jx"), F.col("cy").alias("jy")
+    )
+    dist2 = (F.col("lat_u") - F.col("c_lat_u")) * (
+        F.col("lat_u") - F.col("c_lat_u")
+    ) + (F.col("lon_u") - F.col("c_lon_u")) * (F.col("lon_u") - F.col("c_lon_u"))
+    cand = probes.join(cust_rep, ["jx", "jy"]).select(
+        "sid", "r", dist2.alias("d2"), F.col("pid").alias("cand_pid")
+    ).filter(F.col("d2") <= F.col("r") * F.col("r"))
+    w = Window.partitionBy("sid").orderBy("d2", "cand_pid")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sid", "cand_pid", "d2")
+    )
+    sup = _sup_points(spark, sf_dir).select("sid")
+    return sup.join(best, "sid", "left").select(
+        F.col("sid").alias("s_suppkey"),
+        F.col("cand_pid").alias("nearest_custkey"),
+        F.round(F.sqrt(F.col("d2").cast("double")) / 1000000, 6).alias(
+            "dist_deg"
+        ),
+        F.col("cand_pid").isNotNull().alias("found"),
+    )
+
+
+def _dbscan_parts(spark: SparkSession, sf_dir: str):
+    """(core labels, border assignment) shared by the DBSCAN op."""
+    cust = _points(spark, sf_dir)
+    n_cust = cust.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    pts = _with_radius(cust, n_cust, EPS_C).select(
+        "pid", "lat_u", "lon_u", "r", "cx", "cy"
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    rep = (
+        pts.select("pid", "lat_u", "lon_u", "cx", "cy", d.alias("dx"))
+        .select("pid", "lat_u", "lon_u", "cx", "cy", "dx", d.alias("dy"))
+        .select(
+            F.col("pid").alias("qid"),
+            F.col("lat_u").alias("q_lat_u"),
+            F.col("lon_u").alias("q_lon_u"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    left = pts.select(
+        "pid", "lat_u", "lon_u", "r", F.col("cx").alias("jx"), F.col("cy").alias("jy")
+    )
+    dist2 = (F.col("lat_u") - F.col("q_lat_u")) * (
+        F.col("lat_u") - F.col("q_lat_u")
+    ) + (F.col("lon_u") - F.col("q_lon_u")) * (F.col("lon_u") - F.col("q_lon_u"))
+    pairs = (
+        left.join(rep, ["jx", "jy"])
+        .filter(F.col("pid") != F.col("qid"))
+        .select("pid", "qid", dist2.alias("d2"), "r")
+        .filter(F.col("d2") <= F.col("r") * F.col("r"))
+        .select("pid", "qid")
+    )
+    pairs = pairs.persist()
+    deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nbr"))
+    core = deg.filter(F.col("n_nbr") >= MIN_PTS - 1).select("pid")
+    return pairs, core
+
+
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN (eps = EPS_C/sqrt(n), minPts = 5): density
+    clusters over the point cloud, summarized per cluster as
+    (cluster_id = min member key, core count, border count).
+
+    The three DBSCAN phases map to bounded distributed shapes:
+    eps-neighbor pairs via the 9-cell grid join (O(n) pairs because
+    eps is density-scaled), core flags via one groupBy degree count,
+    cluster connectivity via star-contraction connected components
+    over CORE-CORE edges only (functions/graph.py — the same verified
+    device as er_match_clusters), then border points attach to their
+    nearest... lowest-labeled core neighbor with one join. Isolated
+    cores form singleton clusters (id = own key). The oracle replays
+    connectivity with a recursive CTE.
+    """
+    pairs, core = _dbscan_parts(spark, sf_dir)
+    core_edges = (
+        pairs.join(core.withColumnRenamed("pid", "cpid"), F.col("pid") == F.col("cpid"))
+        .drop("cpid")
+        .join(core.withColumnRenamed("pid", "cqid"), F.col("qid") == F.col("cqid"))
+        .select(F.col("pid").alias("src"), F.col("qid").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    cc = connected_components(core_edges)  # (node, component)
+    labeled = core.join(cc, core.pid == cc.node, "left").select(
+        "pid", F.coalesce(F.col("component"), F.col("pid")).alias("cluster_id")
+    )
+    border = (
+        pairs.join(
+            labeled.select(
+                F.col("pid").alias("qid"), F.col("cluster_id").alias("q_cluster")
+            ),
+            "qid",
+        )
+        .join(labeled.select(F.col("pid"), F.lit(1).alias("is_core")), "pid", "left_anti")
+        .groupBy("pid")
+        .agg(F.min("q_cluster").alias("cluster_id"))
+    )
+    core_counts = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_core")
+    )
+    border_counts = border.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_border")
+    )
+    return (
+        core_counts.join(border_counts, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_core",
+            F.coalesce("n_border", F.lit(0)).cast("long").alias("n_border"),
+        )
+    )
+
+
+QUERIES = {
+    "geo_grid_density": geo_grid_density,
+    "geo_bbox_summary": geo_bbox_summary,
+    "geo_knn_join": geo_knn_join,
+    "geo_dbscan_grid": geo_dbscan_grid,
+}
+
+_RADIUS_SQL = (
+    "SELECT GREATEST(CAST(FLOOR({c} / SQRT(CAST(n AS DOUBLE))) AS BIGINT),"
+    " 1) AS r FROM (SELECT COUNT(*) AS n FROM customer)"
+)
+
+_PAIRS_SQL = f"""
+    points AS ({_POINTS_SQL}),
+    radius AS ({_RADIUS_SQL.format(c=f"{float(EPS_C)}")}),
+    cells AS (
+      SELECT pid, lat_u, lon_u, r,
+             CAST(FLOOR(CAST(lat_u AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)
+               AS cx,
+             CAST(FLOOR(CAST(lon_u AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)
+               AS cy
+      FROM points, radius
+    ),
+    rep AS (
+      SELECT pid AS qid, lat_u AS q_lat_u, lon_u AS q_lon_u,
+             cx + dx AS jx, cy + dy AS jy
+      FROM cells,
+           (SELECT unnest([-1, 0, 1]) AS dx) t1,
+           (SELECT unnest([-1, 0, 1]) AS dy) t2
+    ),
+    nbr_pairs AS (
+      SELECT a.pid, b.qid
+      FROM cells a JOIN rep b ON a.cx = b.jx AND a.cy = b.jy
+      WHERE a.pid <> b.qid
+        AND (a.lat_u - b.q_lat_u) * (a.lat_u - b.q_lat_u)
+            + (a.lon_u - b.q_lon_u) * (a.lon_u - b.q_lon_u) <= a.r * a.r
+    ),
+    core AS (
+      SELECT pid FROM nbr_pairs GROUP BY pid
+      HAVING COUNT(*) >= {MIN_PTS - 1}
+    )
+"""
+
+ORACLES = {
+    "geo_grid_density": f"""
+    WITH points AS ({_POINTS_SQL}),
+    cells AS (
+      SELECT CAST(FLOOR(CAST(lat_u AS DOUBLE) / {GRID_CELL_UDEG})
+                  AS BIGINT) AS cell_lat,
+             CAST(FLOOR(CAST(lon_u AS DOUBLE) / {GRID_CELL_UDEG})
+                  AS BIGINT) AS cell_lon,
+             COUNT(*) AS n_points
+      FROM points GROUP BY 1, 2
+    )
+    SELECT cell_lat, cell_lon, n_points,
+           ROUND(CAST(n_points AS DOUBLE) * 100
+                 / CAST(SUM(n_points) OVER () AS DOUBLE), 4) AS share_pct,
+           CAST(DENSE_RANK() OVER (ORDER BY n_points DESC) AS BIGINT)
+             AS density_rank
+    FROM cells
+    """,
+    "geo_bbox_summary": f"""
+    WITH points AS ({_POINTS_SQL})
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_points,
+           ROUND(CAST(MIN(lat_u) AS DOUBLE) / 1000000, 6) AS min_lat,
+           ROUND(CAST(MAX(lat_u) AS DOUBLE) / 1000000, 6) AS max_lat,
+           ROUND(CAST(MIN(lon_u) AS DOUBLE) / 1000000, 6) AS min_lon,
+           ROUND(CAST(MAX(lon_u) AS DOUBLE) / 1000000, 6) AS max_lon,
+           ROUND(CAST(CAST(SUM(lat_u) AS HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000, 6) AS centroid_lat,
+           ROUND(CAST(CAST(SUM(lon_u) AS HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000, 6) AS centroid_lon
+    FROM points p JOIN nation n ON p.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    "geo_knn_join": f"""
+    WITH points AS ({_POINTS_SQL}),
+    sup_points AS ({_SUP_POINTS_SQL}),
+    radius AS ({_RADIUS_SQL.format(c=f"{float(KNN_C)}")}),
+    cust_cells AS (
+      SELECT pid, lat_u, lon_u,
+             CAST(FLOOR(CAST(lat_u AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)
+               AS cx,
+             CAST(FLOOR(CAST(lon_u AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)
+               AS cy
+      FROM points, radius
+    ),
+    cust_rep AS (
+      SELECT pid, lat_u AS c_lat_u, lon_u AS c_lon_u,
+             cx + dx AS jx, cy + dy AS jy
+      FROM cust_cells,
+           (SELECT unnest([-1, 0, 1]) AS dx) t1,
+           (SELECT unnest([-1, 0, 1]) AS dy) t2
+    ),
+    probes AS (
+      SELECT sid, lat_u, lon_u, r,
+             CAST(FLOOR(CAST(lat_u AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)
+               AS jx,
+             CAST(FLOOR(CAST(lon_u AS DOUBLE) / CAST(r AS DOUBLE)) AS BIGINT)
+               AS jy
+      FROM sup_points, radius
+    ),
+    cand AS (
+      SELECT p.sid,
+             (p.lat_u - c.c_lat_u) * (p.lat_u - c.c_lat_u)
+             + (p.lon_u - c.c_lon_u) * (p.lon_u - c.c_lon_u) AS d2,
+             c.pid AS cand_pid
+      FROM probes p JOIN cust_rep c ON p.jx = c.jx AND p.jy = c.jy
+      WHERE (p.lat_u - c.c_lat_u) * (p.lat_u - c.c_lat_u)
+            + (p.lon_u - c.c_lon_u) * (p.lon_u - c.c_lon_u) <= p.r * p.r
+    ),
+    best AS (
+      SELECT sid, cand_pid, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sid
+                                     ORDER BY d2, cand_pid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT s.sid AS s_suppkey,
+           b.cand_pid AS nearest_custkey,
+           ROUND(SQRT(CAST(b.d2 AS DOUBLE)) / 1000000, 6) AS dist_deg,
+           (b.cand_pid IS NOT NULL) AS found
+    FROM sup_points s LEFT JOIN best b ON s.sid = b.sid
+    """,
+    "geo_dbscan_grid": f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    core_edges AS (
+      SELECT p.pid AS u, p.qid AS v
+      FROM nbr_pairs p
+      JOIN core a ON p.pid = a.pid
+      JOIN core b ON p.qid = b.pid
+      WHERE p.pid < p.qid
+    ),
+    sym AS (
+      SELECT u, v FROM core_edges UNION SELECT v, u FROM core_edges
+    ),
+    reach(node, lbl) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, p.lbl FROM sym s JOIN reach p ON s.v = p.node
+    ),
+    cc AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1),
+    labeled AS (
+      SELECT c.pid, COALESCE(cc.component, c.pid) AS cluster_id
+      FROM core c LEFT JOIN cc ON c.pid = cc.node
+    ),
+    border AS (
+      SELECT p.pid, MIN(l.cluster_id) AS cluster_id
+      FROM nbr_pairs p
+      JOIN labeled l ON p.qid = l.pid
+      WHERE p.pid NOT IN (SELECT pid FROM core)
+      GROUP BY p.pid
+    ),
+    core_counts AS (
+      SELECT cluster_id, COUNT(*) AS n_core FROM labeled GROUP BY 1
+    ),
+    border_counts AS (
+      SELECT cluster_id, COUNT(*) AS n_border FROM border GROUP BY 1
+    )
+    SELECT c.cluster_id, c.n_core,
+           CAST(COALESCE(b.n_border, 0) AS BIGINT) AS n_border
+    FROM core_counts c LEFT JOIN border_counts b USING (cluster_id)
+    """,
+}

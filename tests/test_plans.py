@@ -541,3 +541,14 @@ def test_cuped_is_rollup_plus_scalar_bounds(spark):
     assert "SortMergeJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_geo_pair_joins_are_cell_keyed_not_cartesian(spark):
+    """The geo pair generators must join on grid-cell keys (SMJ/BHJ)
+    — a CartesianProduct would mean the 9-cell blocking leaked. The
+    only nested-loop allowed is the 1-row radius scalar."""
+    for key in ("geo_knn_join", "geo_dbscan_grid"):
+        plan = plan_of(QUERIES[key](spark, SF))
+        assert "CartesianProduct" not in plan, key
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, key

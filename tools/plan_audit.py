@@ -93,6 +93,11 @@ BNLJ_OK = {
     # 1-row span-bounds crossJoin (the pre/post split date) — the
     # scalar-subquery idiom
     "q_cuped_adjustment",
+    # 1-row density-scaled-radius crossJoin (r = C/sqrt(n)) — the
+    # scalar-subquery idiom; the pair joins themselves are cell-key
+    # SMJ/BHJ, never cartesian
+    "geo_knn_join",
+    "geo_dbscan_grid",
     # date-spine densification: users.crossJoin(broadcast(spine)) —
     # the spine is O(days), the canonical gap-fill expansion shape
     "q_gapfill_locf",
