@@ -544,6 +544,149 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Sample-ratio mismatch -----------------------------------------
+# chi2(1) with a 50/50 expected split collapses to (na-nb)^2/(na+nb).
+CHI2_1_CRIT_5PCT = "3.841459"
+_SRM_CHI2 = (
+    f"(({_d('na')} - {_d('nb')}) * ({_d('na')} - {_d('nb')})"
+    f" / ({_d('na')} + {_d('nb')}))"
+)
+_SRM_SELECT = [
+    "CAST(na AS BIGINT) AS n_arm_a",
+    "CAST(nb AS BIGINT) AS n_arm_b",
+    f"ROUND({_SRM_CHI2}, 6) AS chi2_stat",
+    f"({_SRM_CHI2} > {CHI2_1_CRIT_5PCT}) AS srm_detected",
+]
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check: hash-split the distinct users
+    50/50 (md5 parity — the same deterministic assignment
+    sample_train_test_split uses) and chi-square the observed arm
+    sizes against the expected even split — the guardrail every
+    experiment platform runs before reading any metric.
+
+    One distinct-user rollup, two conditional counts, a closed-form
+    chi2(1) that collapses to (na-nb)²/(na+nb) under H0 — exact
+    integers until the single double divide.
+    """
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    suff = users.agg(
+        F.sum(F.when(arm_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(arm_a, 0).otherwise(1)).alias("nb"),
+    )
+    return suff.selectExpr(*_SRM_SELECT)
+
+
+# --- Hurst exponent (rescaled range) -------------------------------
+HURST_BLOCKS = [7, 14, 28]  # dyadic block ladder over the 30-day span
+# R/S per block from exact integers: R = (max-min of m·cum_t − t·S_m),
+# S·m = sqrt(m·ΣX² − S_m²); the ratio is ONE double divide. Degenerate
+# (constant) blocks report 0.
+_RS_EXPR = (
+    "(CASE WHEN CAST(m AS DOUBLE) * CAST(ssm AS DOUBLE)"
+    " - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) <= 0 THEN 0.0"
+    " ELSE (CAST(dmax AS DOUBLE) - CAST(dmin AS DOUBLE))"
+    " / SQRT(CAST(m AS DOUBLE) * CAST(ssm AS DOUBLE)"
+    " - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)) END)"
+)
+
+
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis on daily purchase
+    revenue: is the series trending (H>0.5), random (≈0.5), or
+    mean-reverting (H<0.5)? — the long-memory diagnostic run beside
+    the DF test.
+
+    The classical R/S is made exact by scaling through the block
+    length m: cumulative deviations m·cum_t − t·S_m are BIGINTs, and
+    R/S = (max−min of those) / sqrt(m·ΣX² − S_m²) — integers under
+    the sqrt, ONE double divide per block. Per-block ratios micro-
+    quantize before the per-m average (order-independent), and H is
+    the endpoint log2 slope over the dyadic ladder with each
+    transcendental ROUND(…,6)-quantized (the house log discipline).
+    All windows run on O(days × 3) stacked grid rows.
+    """
+    grid = _rev_clicks_grid(spark, sf_dir)
+    w_rn = Window.partitionBy().orderBy("d")
+    base = grid.select(
+        F.col("rev").alias("x"), (F.row_number().over(w_rn) - 1).alias("t")
+    )
+    stack_args = ", ".join(f"{m}, {m}" for m in HURST_BLOCKS)
+    tall = base.selectExpr("x", "t", f"stack(3, {stack_args}) AS (m, m2)").select(
+        "x", "t", "m",
+        F.floor(F.col("t") / F.col("m")).alias("blk"),
+        (F.col("t") % F.col("m")).alias("pos"),
+    )
+    # drop ragged tail blocks (incomplete m-day windows)
+    w_blk_n = Window.partitionBy("m", "blk")
+    tall = tall.withColumn("bn", F.count(F.lit(1)).over(w_blk_n)).filter(
+        F.col("bn") == F.col("m")
+    )
+    w_cum = (
+        Window.partitionBy("m", "blk")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d38 = "decimal(38,0)"
+    cum = tall.select(
+        "m",
+        "blk",
+        "pos",
+        "x",
+        F.sum("x").over(w_cum).cast(d38).alias("cum"),
+    )
+    # R needs the block total BEFORE the max/min over cumdevs — do it
+    # relationally: join the per-block total back onto the cum rows
+    # (broadcast: O(days) rows), then one agg for max/min.
+    totals = cum.groupBy("m", "blk").agg(
+        F.sum("x").cast(d38).alias("sm"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("ssm"),
+    )
+    devs = cum.join(F.broadcast(totals), ["m", "blk"]).select(
+        "m",
+        "blk",
+        "sm",
+        "ssm",
+        (
+            F.col("m").cast(d38) * F.col("cum")
+            - (F.col("pos") + 1).cast(d38) * F.col("sm")
+        ).alias("dev"),
+    )
+    blk_stats = devs.groupBy("m", "blk").agg(
+        F.min("sm").alias("sm"),
+        F.min("ssm").alias("ssm"),
+        F.max("dev").alias("dmax"),
+        F.min("dev").alias("dmin"),
+    )
+    per_m = blk_stats.selectExpr(
+        "m",
+        f"CAST(floor(1000000.0 * {_RS_EXPR} + 0.5) AS BIGINT) AS rs_micro",
+    ).groupBy("m").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("rs_micro").alias("srs"),
+    ).selectExpr(
+        "m",
+        "nb",
+        "(CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0) AS avg_rs",
+    )
+    lo, hi = HURST_BLOCKS[0], HURST_BLOCKS[-1]
+    span = len(HURST_BLOCKS) - 1  # log2(hi/lo) for a dyadic ladder
+    wide = per_m.groupBy().pivot("m", HURST_BLOCKS).agg(F.first("avg_rs"))
+    return wide.selectExpr(
+        *[f"ROUND(`{m}`, 6) AS rs_{m}" for m in HURST_BLOCKS],
+        f"ROUND((ROUND(LOG2(`{hi}`), 6) - ROUND(LOG2(`{lo}`), 6))"
+        f" / {span}, 6) AS hurst_exponent",
+    )
+
+
 QUERIES = {
     "q_dickey_fuller": q_dickey_fuller,
     "q_granger_lag1": q_granger_lag1,
@@ -551,7 +694,78 @@ QUERIES = {
     "q_cross_correlation": q_cross_correlation,
     "q_cuped_adjustment": q_cuped_adjustment,
     "q_fdr_bh": q_fdr_bh,
+    "q_srm_check": q_srm_check,
+    "q_hurst_rs": q_hurst_rs,
 }
+
+
+def _hurst_oracle() -> str:
+    lo, hi = HURST_BLOCKS[0], HURST_BLOCKS[-1]
+    span = len(HURST_BLOCKS) - 1
+    ms = ", ".join(str(m) for m in HURST_BLOCKS)
+    rs_cols = ", ".join(
+        f"ROUND(MAX(CASE WHEN m = {m} THEN avg_rs END), 6) AS rs_{m}"
+        for m in HURST_BLOCKS
+    )
+    return f"""
+    WITH {_GRID_SQL},
+    base AS (
+      SELECT rev AS x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS t FROM grid
+    ),
+    tall AS (
+      SELECT x, t, m,
+             CAST(FLOOR(CAST(t AS DOUBLE) / m) AS BIGINT) AS blk,
+             t % m AS pos
+      FROM base, (SELECT unnest([{ms}]) AS m) ms
+    ),
+    sized AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY m, blk) AS bn FROM tall
+      ) WHERE bn = m
+    ),
+    cum AS (
+      SELECT m, blk, pos, x,
+             CAST(SUM(x) OVER (PARTITION BY m, blk ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+      FROM sized
+    ),
+    totals AS (
+      SELECT m, blk, CAST(SUM(x) AS HUGEINT) AS sm,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ssm
+      FROM cum GROUP BY 1, 2
+    ),
+    devs AS (
+      SELECT c.m, c.blk, t.sm, t.ssm,
+             CAST(c.m AS HUGEINT) * c.cum
+               - CAST(c.pos + 1 AS HUGEINT) * t.sm AS dev
+      FROM cum c JOIN totals t USING (m, blk)
+    ),
+    blk_stats AS (
+      SELECT m, blk, MIN(sm) AS sm, MIN(ssm) AS ssm,
+             MAX(dev) AS dmax, MIN(dev) AS dmin
+      FROM devs GROUP BY 1, 2
+    ),
+    per_m AS (
+      SELECT m, COUNT(*) AS nb,
+             SUM(CAST(floor(1000000.0 * {_RS_EXPR} + 0.5) AS BIGINT)) AS srs
+      FROM blk_stats GROUP BY 1
+    ),
+    avgd AS (
+      SELECT m, CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0
+               AS avg_rs
+      FROM per_m
+    ),
+    wide AS (
+      SELECT {rs_cols},
+             MAX(CASE WHEN m = {hi} THEN avg_rs END) AS r_hi,
+             MAX(CASE WHEN m = {lo} THEN avg_rs END) AS r_lo
+      FROM avgd
+    )
+    SELECT {", ".join(f"rs_{m}" for m in HURST_BLOCKS)},
+           ROUND((ROUND(LOG2(r_hi), 6) - ROUND(LOG2(r_lo), 6))
+                 / {span}, 6) AS hurst_exponent
+    FROM wide
+    """
 
 
 def _ccf_oracle() -> str:
@@ -722,6 +936,20 @@ ORACLES = {
     SELECT {", ".join(_BT_SELECT)} FROM suff
     """,
     "q_cross_correlation": _ccf_oracle(),
+    "q_srm_check": f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    suff AS (
+      SELECT SUM(CASE WHEN CAST('0x' ||
+                   substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 2 = 0 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN CAST('0x' ||
+                   substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 2 = 0 THEN 0 ELSE 1 END) AS nb
+      FROM users
+    )
+    SELECT {", ".join(_SRM_SELECT)} FROM suff
+    """,
+    "q_hurst_rs": _hurst_oracle(),
     "q_cuped_adjustment": f"""
     WITH bounds AS (
       SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi

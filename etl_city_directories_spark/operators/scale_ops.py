@@ -2358,3 +2358,131 @@ ORACLES["source_schema_evolution"] = """
              ::BIGINT AS evolved_chars
     FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# --- Incremental JOIN-view maintenance -----------------------------
+IVM_DELTA_DAYS = 30  # the "late-arriving partition" window
+
+
+def q_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the per-nation revenue
+    view orders⋈customer⋈nation is kept current by joining ONLY the
+    delta partition (the trailing IVM_DELTA_DAYS of orders) against
+    the dimension and merging the result into the standing view —
+    Δ(A⋈B) = ΔA⋈B when only the fact side moves, the identity that
+    turns a daily 100 TB view refresh into an O(delta) join.
+
+    Extends q_incremental_rollup's merge(partials) ≡ recompute proof
+    from aggregates to join views: the base and delta halves each flow
+    through the customer→nation dimension join independently, merge by
+    coalesce-sum, and the output's ``ivm_matches_recompute`` column
+    compares every merged row against the single-pass recomputation —
+    the oracle hash-checks that the flag is TRUE on every nation. The
+    cutoff derives from a 1-row max-date aggregate (scalar-subquery
+    idiom), never a literal."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "nation")
+    bounds = orders.agg(F.max("o_orderdate").alias("hi"))
+    tagged = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "cents",
+        (
+            F.col("o_orderdate") >= F.date_sub(F.col("hi"), IVM_DELTA_DAYS)
+        ).alias("is_delta"),
+    )
+
+    def _view(df: DataFrame) -> DataFrame:
+        return (
+            df.join(dim, df.o_custkey == dim.c_custkey)
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").cast("decimal(38,0)").alias("c"),
+            )
+        )
+
+    base = _view(tagged.filter(~F.col("is_delta"))).alias("b")
+    delta = _view(tagged.filter(F.col("is_delta"))).alias("d")
+    merged = base.join(
+        delta, F.col("b.nation") == F.col("d.nation"), "full_outer"
+    ).select(
+        F.coalesce("b.nation", "d.nation").alias("nation"),
+        (
+            F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+        ).cast("bigint").alias("n_orders"),
+        (
+            F.coalesce("b.c", F.lit(0).cast("decimal(38,0)"))
+            + F.coalesce("d.c", F.lit(0).cast("decimal(38,0)"))
+        ).cast("bigint").alias("revenue_cents"),
+    ).alias("m")
+    recomputed = _view(tagged).alias("r")
+    return merged.join(
+        recomputed, F.col("m.nation") == F.col("r.nation"), "full_outer"
+    ).select(
+        F.coalesce("m.nation", "r.nation").alias("nation"),
+        F.col("m.n_orders").alias("n_orders"),
+        F.col("m.revenue_cents").alias("revenue_cents"),
+        (
+            (F.col("m.n_orders") == F.col("r.n").cast("bigint"))
+            & (F.col("m.revenue_cents") == F.col("r.c").cast("bigint"))
+        ).alias("ivm_matches_recompute"),
+    )
+
+
+QUERIES["q_ivm_delta_join"] = q_ivm_delta_join
+
+ORACLES["q_ivm_delta_join"] = f"""
+    WITH dim AS (
+      SELECT c_custkey, n.n_name AS nation
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    bounds AS (SELECT MAX(o_orderdate) AS hi FROM orders),
+    tagged AS (
+      SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             (o_orderdate >= b.hi - INTERVAL {IVM_DELTA_DAYS} DAY) AS is_delta
+      FROM orders, bounds b
+    ),
+    base AS (
+      SELECT nation, COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS c
+      FROM tagged t JOIN dim d ON t.o_custkey = d.c_custkey
+      WHERE NOT is_delta GROUP BY 1
+    ),
+    delta AS (
+      SELECT nation, COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS c
+      FROM tagged t JOIN dim d ON t.o_custkey = d.c_custkey
+      WHERE is_delta GROUP BY 1
+    ),
+    merged AS (
+      SELECT COALESCE(b.nation, d.nation) AS nation,
+             CAST(COALESCE(b.n, 0) + COALESCE(d.n, 0) AS BIGINT)
+               AS n_orders,
+             CAST(COALESCE(b.c, 0) + COALESCE(d.c, 0) AS BIGINT)
+               AS revenue_cents
+      FROM base b FULL OUTER JOIN delta d ON b.nation = d.nation
+    ),
+    recomputed AS (
+      SELECT nation, COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS c
+      FROM tagged t JOIN dim d ON t.o_custkey = d.c_custkey
+      GROUP BY 1
+    )
+    SELECT COALESCE(m.nation, r.nation) AS nation,
+           m.n_orders, m.revenue_cents,
+           (m.n_orders = CAST(r.n AS BIGINT)
+            AND m.revenue_cents = CAST(r.c AS BIGINT))
+             AS ivm_matches_recompute
+    FROM merged m FULL OUTER JOIN recomputed r ON m.nation = r.nation
+"""

@@ -2670,3 +2670,131 @@ ORACLES["emb_twonn_intrinsic_dim"] = f"""
              AS intrinsic_dim
     FROM scored
 """
+
+
+# --- Simplified silhouette over the IVF cells ----------------------
+# Per-point: a = euclidean distance to OWN post-hoc cell centroid,
+# b = min distance to any other centroid; s = (b-a)/max(a,b). The
+# "simplified silhouette" (centroid-based, Hruschka 2004) is the
+# distributed-scale form: O(n·K) distances instead of O(n²) pairs.
+_SIL_EXPR = (
+    "(CASE WHEN GREATEST(SQRT(a2), SQRT(b2)) <= 0 THEN 0.0"
+    " ELSE (SQRT(b2) - SQRT(a2)) / GREATEST(SQRT(a2), SQRT(b2)) END)"
+)
+
+
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit for the shared IVF index: per-cell
+    simplified silhouette — the number that says whether the coarse
+    quantizer's cells are tight-and-separated (s → 1) or mushy
+    (s → 0/negative), i.e. whether nprobe can stay small.
+
+    Reuses the memoized Lloyd assignment (kmeans_cells — built once
+    per data stamp) and recomputes post-hoc centroids with the SAME
+    decimal-mean device as the training update step, so the oracle
+    replays them bit-for-bit. Distances to the K-row broadcast
+    centroid table are the _dist2 fold; per-point s micro-quantizes
+    before the per-cell average (order-independent sum). At 100 TB:
+    one broadcast map per vector + one groupBy(cell) — no pair join.
+    """
+    assigned = kmeans_cells(spark, sf_dir, n_best=1).select(
+        "vec_id", "v", "cell"
+    )
+    cents = (
+        assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("val")
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("c")
+        )
+        .withColumnRenamed("cell", "ccell")
+    )
+    d = assigned.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        "ccell",
+        _dist2(F.col("v"), F.col("c")).alias("d2"),
+    )
+    own = d.filter(F.col("cell") == F.col("ccell")).select(
+        "vec_id", "cell", F.col("d2").alias("a2")
+    )
+    other = (
+        d.filter(F.col("cell") != F.col("ccell"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("b2"))
+    )
+    scored = own.join(other, "vec_id").selectExpr(
+        "cell",
+        f"CAST(floor(1000000.0 * {_SIL_EXPR} + 0.5) AS BIGINT) AS s_micro",
+    )
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("s_micro").alias("ssum"),
+            F.sum(F.when(F.col("s_micro") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative"),
+        )
+        .selectExpr(
+            "CAST(cell AS BIGINT) AS cell",
+            "CAST(n_points AS BIGINT) AS n_points",
+            "ROUND(CAST(ssum AS DOUBLE) / CAST(n_points AS DOUBLE)"
+            " / 1000000.0, 6) AS mean_silhouette",
+            "n_negative",
+        )
+    )
+
+
+QUERIES["emb_silhouette"] = emb_silhouette
+
+ORACLES["emb_silhouette"] = f"""
+    WITH {_VEC_CTE},
+    {_kmeans_ctes()},
+    assigned AS (
+      SELECT vec_id, v, cell FROM assign{KMEANS_ITERS - 1} WHERE cell_rank = 1
+    ),
+    postc AS (
+      SELECT cell AS ccell, list(val ORDER BY dim) AS c
+      FROM (
+        SELECT cell, dim, (SUM(x::DECIMAL(27,6)))::DOUBLE / COUNT(*) AS val
+        FROM (
+          SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+          FROM assigned
+        )
+        GROUP BY cell, dim
+      )
+      GROUP BY cell
+    ),
+    d AS (
+      SELECT v.vec_id, v.cell, c.ccell, {_D2_SQL} AS d2
+      FROM assigned v CROSS JOIN postc c
+    ),
+    own AS (
+      SELECT vec_id, cell, d2 AS a2 FROM d WHERE cell = ccell
+    ),
+    other AS (
+      SELECT vec_id, MIN(d2) AS b2 FROM d WHERE cell <> ccell GROUP BY 1
+    ),
+    scored AS (
+      SELECT o.cell,
+             CAST(floor(1000000.0 * {_SIL_EXPR} + 0.5) AS BIGINT) AS s_micro
+      FROM own o JOIN other t USING (vec_id)
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(s_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1000000.0, 6) AS mean_silhouette,
+           CAST(SUM(CASE WHEN s_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM scored GROUP BY cell
+"""

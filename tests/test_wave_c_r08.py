@@ -1,0 +1,137 @@
+"""Property tests for the round-8 wave-C operators: SRM, Hurst R/S,
+incremental join-view maintenance, and the simplified silhouette.
+Adversarial planted corpora + pure-python replays, per the house test
+policy (contract-shaped parquet in tmp_path, real load_table path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pyspark.sql.functions as F
+
+from etl_city_directories_spark.operators.forecast import (
+    HURST_BLOCKS,
+    q_hurst_rs,
+    q_srm_check,
+)
+from etl_city_directories_spark.operators.scale_ops import q_ivm_delta_join
+from etl_city_directories_spark.operators.similarity import emb_silhouette
+
+_COLS = ["event_id", "ts_s", "user_id", "event_type", "value", "props"]
+
+
+def _write_events(spark, tmpdir, rows) -> str:
+    df = spark.createDataFrame(rows, _COLS).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+def test_srm_replays_md5_split_and_flags_planted_mismatch(spark, tmp_path):
+    """Choose user ids so the md5 parity split is grossly unbalanced —
+    the operator must count each arm exactly and flag the SRM."""
+    users = list(range(1, 400))
+    arm_a = [
+        u
+        for u in users
+        if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 == 0
+    ]
+    biased = arm_a + [u for u in users if u not in arm_a][:20]
+    rows = [
+        (i, "2024-01-05 10:00:00", u, "click", 1.0, "{}")
+        for i, u in enumerate(biased)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    row = q_srm_check(spark, sf).collect()[0]
+    assert row.n_arm_a == len(arm_a)
+    assert row.n_arm_b == 20
+    na, nb = len(arm_a), 20
+    chi2 = (na - nb) ** 2 / (na + nb)
+    assert abs(row.chi2_stat - chi2) < 1e-6
+    assert row.srm_detected
+
+
+def _daily_rows(cents):
+    return [
+        (i, f"2024-01-{i + 1:02d} 12:00:00", 1, "purchase", c / 100.0, "{}")
+        for i, c in enumerate(cents)
+    ]
+
+
+def test_hurst_replay_matches_python_rs(spark, tmp_path):
+    """rs_m per block size must equal a pure-python rescaled-range
+    computation on the same series, and H the endpoint log2 slope."""
+    rng = random.Random(31)
+    cents = [rng.randrange(5000, 50000) for _ in range(30)]
+    sf = _write_events(spark, tmp_path, _daily_rows(cents))
+    row = q_hurst_rs(spark, sf).collect()[0]
+    avg = {}
+    for m in HURST_BLOCKS:
+        ratios = []
+        for b in range(len(cents) // m):
+            xs = cents[b * m:(b + 1) * m]
+            sm, ssm = sum(xs), sum(x * x for x in xs)
+            cums, c = [], 0
+            for x in xs:
+                c += x
+                cums.append(c)
+            devs = [m * cums[t] - (t + 1) * sm for t in range(m)]
+            denom = m * ssm - sm * sm
+            rs = 0.0 if denom <= 0 else (max(devs) - min(devs)) / math.sqrt(denom)
+            ratios.append(math.floor(1e6 * rs + 0.5))
+        avg[m] = sum(ratios) / len(ratios) / 1e6
+    for m in HURST_BLOCKS:
+        assert abs(getattr(row, f"rs_{m}") - avg[m]) < 1e-5, m
+    lo, hi = HURST_BLOCKS[0], HURST_BLOCKS[-1]
+    h = (round(math.log2(avg[hi]), 6) - round(math.log2(avg[lo]), 6)) / (
+        len(HURST_BLOCKS) - 1
+    )
+    assert abs(row.hurst_exponent - h) < 1e-5
+
+
+def test_hurst_is_high_on_trending_low_on_alternating(spark, tmp_path):
+    """A strong monotone trend (persistent) must score H near 1; a
+    strict alternation (anti-persistent) must score well below 0.5."""
+    trend = [1000 * (i + 1) for i in range(30)]
+    sf = _write_events(spark, tmp_path / "t", _daily_rows(trend))
+    h_trend = q_hurst_rs(spark, sf).collect()[0].hurst_exponent
+    alt = [10000 if i % 2 == 0 else 30000 for i in range(30)]
+    sf = _write_events(spark, tmp_path / "a", _daily_rows(alt))
+    h_alt = q_hurst_rs(spark, sf).collect()[0].hurst_exponent
+    assert h_trend > 0.85
+    assert h_alt < 0.35
+    assert h_trend > h_alt
+
+
+def test_ivm_delta_join_flag_true_on_driver_corpus(spark, sf_dir):
+    """merge(base ⋈ dim, delta ⋈ dim) ≡ recompute on every nation —
+    the maintenance identity the operator exists to prove."""
+    rows = q_ivm_delta_join(spark, sf_dir).collect()
+    assert rows
+    assert all(r.ivm_matches_recompute for r in rows)
+    assert all(r.n_orders > 0 for r in rows)
+
+
+def test_silhouette_is_bounded_and_covers_all_vectors(spark, sf_dir):
+    """s ∈ [-1, 1] per cell by construction; every embedding lands in
+    exactly one cell; negative counts never exceed the cell size."""
+    rows = emb_silhouette(spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    n_vecs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_points for r in rows) == n_vecs
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert 0 <= r.n_negative <= r.n_points

@@ -98,6 +98,12 @@ BNLJ_OK = {
     # SMJ/BHJ, never cartesian
     "geo_knn_join",
     "geo_dbscan_grid",
+    # 1-row max-orderdate crossJoin (the delta cutoff) — the
+    # scalar-subquery idiom; the view joins themselves are SMJ/BHJ
+    "q_ivm_delta_join",
+    # k-means-style crossJoin(broadcast(K-row centroid table)) — the
+    # same intended map-side shape as ann_ivf_bucketed
+    "emb_silhouette",
     # date-spine densification: users.crossJoin(broadcast(spine)) —
     # the spine is O(days), the canonical gap-fill expansion shape
     "q_gapfill_locf",
