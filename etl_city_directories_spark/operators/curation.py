@@ -466,3 +466,104 @@ ORACLES["decontaminate_split_leakage"] = f"""{_DEDUP_CC_CTES},
              AS pair_share
     FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --- Forward-chaining time-series cross-validation -----------------
+TSCV_FOLDS = 4  # expanding-window folds over the event span
+
+
+def sample_kfold_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-chaining (expanding-window) time-series CV folds: fold
+    i trains on the first (i+1)·step days and tests on the next step —
+    the split discipline for any model evaluated on temporal data
+    (sample_group_kfold leaks future into past for a time series; this
+    is its order-respecting sibling).
+
+    The span divides into TSCV_FOLDS+1 equal steps from a 1-row
+    bounds aggregate (no literals); each fold's train/test row counts
+    come from ONE conditional-sum pass over the per-day counts grid
+    crossed with the 4-row fold spec. Integer day arithmetic end to
+    end — fold boundaries are exact in both engines.
+    """
+    from etl_city_directories_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = daily.groupBy().agg(
+        F.min("d").alias("lo"), (F.datediff(F.max("d"), F.min("d")) + 1).alias("span")
+    )
+    folds = bounds.select(
+        "lo",
+        "span",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(TSCV_FOLDS))
+        ).alias("fold"),
+    ).select(
+        "lo",
+        "fold",
+        # integer step; the remainder tail days fall into no test fold
+        (F.col("span") / (TSCV_FOLDS + 1)).cast("long").alias("step"),
+    )
+    tagged = daily.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        "step",
+        "n",
+        F.datediff("d", "lo").alias("off"),
+    )
+    return (
+        tagged.groupBy("fold")
+        .agg(
+            F.min(F.col("step") * F.col("fold")).alias("train_days"),
+            F.sum(
+                F.when(F.col("off") < F.col("step") * F.col("fold"), F.col("n"))
+                .otherwise(0)
+            ).cast("long").alias("n_train_events"),
+            F.sum(
+                F.when(
+                    (F.col("off") >= F.col("step") * F.col("fold"))
+                    & (F.col("off") < F.col("step") * (F.col("fold") + 1)),
+                    F.col("n"),
+                ).otherwise(0)
+            ).cast("long").alias("n_test_events"),
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            F.col("train_days").cast("long").alias("train_days"),
+            "n_train_events",
+            "n_test_events",
+        )
+    )
+
+
+QUERIES["sample_kfold_timeseries"] = sample_kfold_timeseries
+
+ORACLES["sample_kfold_timeseries"] = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    bounds AS (
+      SELECT MIN(d) AS lo,
+             date_diff('day', MIN(d), MAX(d)) + 1 AS span
+      FROM daily
+    ),
+    folds AS (
+      SELECT lo, fold,
+             CAST(span / {TSCV_FOLDS + 1} AS BIGINT) AS step
+      FROM bounds, (SELECT unnest(generate_series(1, {TSCV_FOLDS})) AS fold)
+    ),
+    tagged AS (
+      SELECT f.fold, f.step, y.n,
+             date_diff('day', f.lo, y.d) AS off
+      FROM daily y, folds f
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(MIN(step * fold) AS BIGINT) AS train_days,
+           CAST(SUM(CASE WHEN off < step * fold THEN n ELSE 0 END)
+                AS BIGINT) AS n_train_events,
+           CAST(SUM(CASE WHEN off >= step * fold
+                         AND off < step * (fold + 1) THEN n ELSE 0 END)
+                AS BIGINT) AS n_test_events
+    FROM tagged GROUP BY fold
+"""

@@ -687,6 +687,108 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Return-series risk metrics ------------------------------------
+# Daily simple return in micro-units: the one rational per-row term,
+# quantized identically in both engines BEFORE any cross-row sum;
+# NULL where the base day is 0 (no return is defined off a dark day).
+_RET_MICRO = (
+    "(CASE WHEN yprev IS NULL OR yprev = 0 THEN NULL"
+    " ELSE CAST(floor(1000000.0 * (y - yprev) / yprev + 0.5) AS BIGINT)"
+    " END)"
+)
+VAR_ALPHA_PCT = 5  # 95% historical VaR / CVaR
+
+_SHARPE_MEAN = f"({_d('sr')} / {_d('n')})"
+# sample variance from integer sums: (n·Σr² − (Σr)²) / (n·(n−1))
+_SHARPE_SD = (
+    f"SQRT(({_d('n')} * {_d('srr')} - {_d('sr')} * {_d('sr')})"
+    f" / ({_d('n')} * ({_d('n')} - 1)))"
+)
+# downside deviation: sqrt(Σ min(r,0)² / n)
+_SORTINO_DD = f"SQRT({_d('sdd')} / {_d('n')})"
+_SHARPE_SELECT = [
+    "CAST(n AS BIGINT) AS n_returns",
+    f"ROUND({_SHARPE_MEAN} / 10000, 6) AS mean_return_pct",
+    f"(CASE WHEN {_SHARPE_SD} <= 0 THEN NULL"
+    f" ELSE ROUND({_SHARPE_MEAN} / {_SHARPE_SD}, 6) END) AS sharpe",
+    f"(CASE WHEN {_SORTINO_DD} <= 0 THEN NULL"
+    f" ELSE ROUND({_SHARPE_MEAN} / {_SORTINO_DD}, 6) END) AS sortino",
+]
+
+
+def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe and Sortino ratios of the daily revenue return series
+    (risk-free rate 0, daily units): reward per unit of total
+    vs downside-only volatility — the pair every portfolio / revenue
+    health dashboard leads with.
+
+    Returns quantize per-row to micro-units (the only rational term);
+    mean, sample sd, and downside deviation then come from three
+    exact integer sums and the closed-form chains are shared verbatim
+    with the oracle. All windows on the O(days) grid.
+    """
+    grid = _rev_clicks_grid(spark, sf_dir)
+    w = Window.partitionBy().orderBy("d")
+    rets = grid.select(
+        F.col("rev").alias("y"), F.lag("rev", 1).over(w).alias("yprev")
+    ).selectExpr(f"{_RET_MICRO} AS r").filter(F.col("r").isNotNull())
+    d38 = "decimal(38,0)"
+    suff = rets.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast(d38).alias("sr"),
+        F.sum(F.col("r").cast(d38) * F.col("r").cast(d38)).alias("srr"),
+        F.sum(
+            F.when(F.col("r") < 0, F.col("r").cast(d38) * F.col("r"))
+            .otherwise(F.lit(0).cast(d38))
+        ).alias("sdd"),
+    )
+    return suff.selectExpr(*_SHARPE_SELECT)
+
+
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% VaR and CVaR (expected shortfall) of the daily
+    revenue return series: the loss threshold the worst 5% of days
+    breach, and the average loss GIVEN a breach — the regulatory pair
+    (Basel/FRTB) computed the way risk desks do it: by rank selection
+    on the empirical distribution, no distributional assumption.
+
+    Discrete quantile by explicit rank (the q_outlier_iqr device, not
+    the engines' divergent percentile builtins): k = ceil(alpha·n)
+    from a window count, VaR = −r_(k), CVaR = −mean of the k worst
+    returns (exact integer sum / k). Returns are the same
+    micro-quantized series as q_sharpe_sortino.
+    """
+    grid = _rev_clicks_grid(spark, sf_dir)
+    w = Window.partitionBy().orderBy("d")
+    rets = grid.select(
+        F.col("rev").alias("y"), F.lag("rev", 1).over(w).alias("yprev")
+    ).selectExpr(f"{_RET_MICRO} AS r").filter(F.col("r").isNotNull())
+    w_rank = Window.partitionBy().orderBy("r")
+    w_all = Window.partitionBy()
+    ranked = rets.select(
+        "r",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).withColumn(
+        "k", F.ceil(F.col("n") * VAR_ALPHA_PCT / 100).cast("long")
+    )
+    d38 = "decimal(38,0)"
+    suff = ranked.agg(
+        F.min("n").alias("n"),
+        F.min("k").alias("k"),
+        F.min(F.when(F.col("rn") == F.col("k"), F.col("r"))).alias("rk"),
+        F.sum(F.when(F.col("rn") <= F.col("k"), F.col("r")))
+        .cast(d38)
+        .alias("stail"),
+    )
+    return suff.selectExpr(
+        "CAST(n AS BIGINT) AS n_returns",
+        "CAST(k AS BIGINT) AS k_tail",
+        f"ROUND(-{_d('rk')} / 10000, 6) AS var_95_pct",
+        f"ROUND(-{_d('stail')} / {_d('k')} / 10000, 6) AS cvar_95_pct",
+    )
+
+
 QUERIES = {
     "q_dickey_fuller": q_dickey_fuller,
     "q_granger_lag1": q_granger_lag1,
@@ -696,7 +798,19 @@ QUERIES = {
     "q_fdr_bh": q_fdr_bh,
     "q_srm_check": q_srm_check,
     "q_hurst_rs": q_hurst_rs,
+    "q_sharpe_sortino": q_sharpe_sortino,
+    "q_var_cvar": q_var_cvar,
 }
+
+_RETS_SQL = f"""
+    rets AS (
+      SELECT r FROM (
+        SELECT {_RET_MICRO} AS r FROM (
+          SELECT rev AS y, LAG(rev, 1) OVER (ORDER BY d) AS yprev FROM grid
+        )
+      ) WHERE r IS NOT NULL
+    )
+"""
 
 
 def _hurst_oracle() -> str:
@@ -950,6 +1064,42 @@ ORACLES = {
     SELECT {", ".join(_SRM_SELECT)} FROM suff
     """,
     "q_hurst_rs": _hurst_oracle(),
+    "q_sharpe_sortino": f"""
+    WITH {_GRID_SQL},
+    {_RETS_SQL},
+    suff AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(r) AS HUGEINT) AS sr,
+             SUM(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS srr,
+             SUM(CASE WHEN r < 0 THEN CAST(r AS HUGEINT) * CAST(r AS HUGEINT)
+                 ELSE 0 END) AS sdd
+      FROM rets
+    )
+    SELECT {", ".join(_SHARPE_SELECT)} FROM suff
+    """,
+    "q_var_cvar": f"""
+    WITH {_GRID_SQL},
+    {_RETS_SQL},
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+             COUNT(*) OVER () AS n,
+             CAST(CEIL(COUNT(*) OVER () * {VAR_ALPHA_PCT} / 100.0) AS BIGINT)
+               AS k
+      FROM rets
+    ),
+    suff AS (
+      SELECT MIN(n) AS n, MIN(k) AS k,
+             MIN(CASE WHEN rn = k THEN r END) AS rk,
+             CAST(SUM(CASE WHEN rn <= k THEN r END) AS HUGEINT) AS stail
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_returns,
+           CAST(k AS BIGINT) AS k_tail,
+           ROUND(-CAST(rk AS DOUBLE) / 10000, 6) AS var_95_pct,
+           ROUND(-CAST(stail AS DOUBLE) / CAST(k AS DOUBLE) / 10000, 6)
+             AS cvar_95_pct
+    FROM suff
+    """,
     "q_cuped_adjustment": f"""
     WITH bounds AS (
       SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi

@@ -2486,3 +2486,91 @@ ORACLES["q_ivm_delta_join"] = f"""
              AS ivm_matches_recompute
     FROM merged m FULL OUTER JOIN recomputed r ON m.nation = r.nation
 """
+
+
+def q_temporal_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal referential integrity: q_validate_fk checks that a key
+    EXISTS; this checks that it existed AT THE TIME — for every
+    non-purchase event, was a version of the user's SCD2 purchase
+    history (q_scd2_history's contiguous validity intervals) in effect
+    at the event's timestamp?
+
+    Because the change-stream intervals are contiguous from the first
+    version onward, point-in-interval containment collapses to ONE
+    comparison against the user's first version time — so the audit is
+    a per-user min rollup + one hash join + a conditional-count
+    groupBy, never an interval join. Per event type: orphan events
+    (user has no dimension history at all), early events (before the
+    first version), valid events, and the valid share (exact
+    micro-rounded rational).
+    """
+    events = load_table(spark, sf_dir, "events")
+    facts = events.filter(F.col("event_type") != "purchase").select(
+        "event_type", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    dim_first = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    )
+    joined = facts.join(dim_first, "user_id", "left")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("first_us").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphan"),
+            F.sum(
+                F.when(
+                    F.col("first_us").isNotNull()
+                    & (F.col("ts_us") < F.col("first_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_before_first"),
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("first_us"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "n_orphan",
+            "n_before_first",
+            "n_valid",
+            "ROUND(CAST(n_valid AS DOUBLE) / CAST(n_events AS DOUBLE), 4)"
+            " AS valid_share",
+        )
+    )
+
+
+QUERIES["q_temporal_fk_audit"] = q_temporal_fk_audit
+
+ORACLES["q_temporal_fk_audit"] = """
+    WITH facts AS (
+      SELECT event_type, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    dim_first AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_us
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT f.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.first_us IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan,
+           CAST(SUM(CASE WHEN d.first_us IS NOT NULL
+                         AND f.ts_us < d.first_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_before_first,
+           CAST(SUM(CASE WHEN f.ts_us >= d.first_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           ROUND(CAST(SUM(CASE WHEN f.ts_us >= d.first_us THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS valid_share
+    FROM facts f LEFT JOIN dim_first d USING (user_id)
+    GROUP BY 1
+"""

@@ -15,7 +15,9 @@ import pyspark.sql.functions as F
 from etl_city_directories_spark.operators.forecast import (
     HURST_BLOCKS,
     q_hurst_rs,
+    q_sharpe_sortino,
     q_srm_check,
+    q_var_cvar,
 )
 from etl_city_directories_spark.operators.scale_ops import q_ivm_delta_join
 from etl_city_directories_spark.operators.similarity import emb_silhouette
@@ -135,3 +137,77 @@ def test_silhouette_is_bounded_and_covers_all_vectors(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.mean_silhouette <= 1.0
         assert 0 <= r.n_negative <= r.n_points
+
+
+def test_sharpe_sortino_replay_on_seeded_series(spark, tmp_path):
+    """Mean/sd/downside chains replayed in python on a seeded random
+    series with both up and down days."""
+    rng = random.Random(41)
+    cents = [20000]
+    for _ in range(29):
+        cents.append(max(1000, cents[-1] + rng.randrange(-6000, 6001)))
+    sf = _write_events(spark, tmp_path, _daily_rows(cents))
+    row = q_sharpe_sortino(spark, sf).collect()[0]
+    rets = [
+        math.floor(1e6 * (b - a) / a + 0.5) for a, b in zip(cents, cents[1:])
+    ]
+    n = len(rets)
+    mean = sum(rets) / n
+    sd = math.sqrt((n * sum(r * r for r in rets) - sum(rets) ** 2) / (n * (n - 1)))
+    dd = math.sqrt(sum(r * r for r in rets if r < 0) / n)
+    assert row.n_returns == n
+    assert abs(row.mean_return_pct - mean / 10000) < 1e-5
+    assert abs(row.sharpe - mean / sd) < 1e-5
+    assert abs(row.sortino - mean / dd) < 1e-5
+
+
+def test_var_cvar_rank_selection_replay(spark, tmp_path):
+    """VaR = -r_(k), CVaR = -mean of the k worst — python replay."""
+    rng = random.Random(43)
+    cents = [30000]
+    for _ in range(29):
+        cents.append(max(1000, cents[-1] + rng.randrange(-9000, 9001)))
+    sf = _write_events(spark, tmp_path, _daily_rows(cents))
+    row = q_var_cvar(spark, sf).collect()[0]
+    rets = sorted(
+        math.floor(1e6 * (b - a) / a + 0.5) for a, b in zip(cents, cents[1:])
+    )
+    k = math.ceil(len(rets) * 5 / 100)
+    assert row.k_tail == k
+    assert abs(row.var_95_pct - (-rets[k - 1] / 10000)) < 1e-5
+    assert abs(row.cvar_95_pct - (-sum(rets[:k]) / k / 10000)) < 1e-5
+
+
+def test_tscv_folds_are_expanding_and_disjoint(spark, sf_dir):
+    """Fold i's train window strictly contains fold i-1's; test
+    windows are disjoint and sized ~step; totals never exceed the
+    corpus."""
+    from etl_city_directories_spark.operators.curation import (
+        sample_kfold_timeseries,
+    )
+
+    rows = sorted(
+        sample_kfold_timeseries(spark, sf_dir).collect(),
+        key=lambda r: r.fold,
+    )
+    assert [r.fold for r in rows] == [1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.train_days > a.train_days
+        # expanding window: next fold's train includes this fold's
+        # train AND test events
+        assert b.n_train_events == a.n_train_events + a.n_test_events
+    assert all(r.n_test_events > 0 for r in rows)
+
+
+def test_temporal_fk_audit_counts_partition_events(spark, sf_dir):
+    """orphan + before_first + valid == total per type, and the share
+    matches the exact ratio."""
+    from etl_city_directories_spark.operators.scale_ops import (
+        q_temporal_fk_audit,
+    )
+
+    rows = q_temporal_fk_audit(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {"click", "error", "signup", "view"}
+    for r in rows:
+        assert r.n_orphan + r.n_before_first + r.n_valid == r.n_events
+        assert abs(r.valid_share - round(r.n_valid / r.n_events, 4)) < 1e-9
