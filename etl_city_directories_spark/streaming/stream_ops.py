@@ -2399,3 +2399,161 @@ from etl_city_directories_spark.operators.windows import (  # noqa: E402
 )
 
 ORACLES["stream_daily_drawdown"] = _WINDOW_ORACLES["q_drawdown"]
+
+
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sample-ratio-mismatch guardrail — the twin of
+    q_srm_check running as a monitor: distinct users stream through a
+    dropDuplicates state (one entry per user — the minimal state an
+    exact arm count needs; a production deployment would watermark on
+    assignment time), each is hash-assigned to an arm (md5 parity,
+    the same coordination-free split as the batch op), and the
+    complete-mode arm counts feed the identical closed-form chi2(1)
+    chain. The oracle IS q_srm_check's — the hash match pins
+    stream ≡ batch.
+    """
+    users = (
+        events_stream(spark, sf_dir)
+        .select("user_id")
+        .dropDuplicates(["user_id"])
+    )
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    agg = users.groupBy().agg(
+        F.sum(F.when(arm_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(arm_a, 0).otherwise(1)).alias("nb"),
+    )
+    _run_to_table(agg, "stream_srm_monitor_sink", "complete", state_partitions=8)
+    from etl_city_directories_spark.operators.forecast import _SRM_SELECT
+
+    return spark.table("stream_srm_monitor_sink").selectExpr(*_SRM_SELECT)
+
+
+QUERIES["stream_srm_monitor"] = stream_srm_monitor
+
+from etl_city_directories_spark.operators.forecast import (  # noqa: E402
+    ORACLES as _FORECAST_ORACLES,
+)
+
+ORACLES["stream_srm_monitor"] = _FORECAST_ORACLES["q_srm_check"]
+
+
+def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental JOIN-view maintenance — the streaming
+    twin of q_ivm_delta_join: each microbatch of purchase events is
+    the delta, it joins the broadcast user→nation dimension INSIDE
+    foreachBatch (Δ(A⋈B) = ΔA⋈B while the dim is static), aggregates
+    to per-nation partials, and coalesce-sum merges into a persistent
+    versioned snapshot — the production shape of a continuously
+    maintained materialized view (Delta/Iceberg MERGE stand-in, same
+    device as stream_foreachbatch_upsert). The two-file time-ordered
+    replay proves the merge runs across ≥2 microbatches; the oracle
+    recomputes the view from the whole corpus in one batch pass, so
+    the hash match proves maintained ≡ recomputed.
+
+    At 100 TB: per-batch cost is one broadcast join + a shuffle on
+    |batch nations| partials; the snapshot is O(nations).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_city_directories_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(F.col("c_custkey").alias("user_id"), "nation")
+    )
+
+    src = _purchase_replay_source(spark, sf_dir)
+    snap_root = tempfile.mkdtemp(prefix="spark_graft_ivm_snap_")
+    holder: dict[str, Any] = {"cur": None, "v": 0}
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch.join(F.broadcast(dim), "user_id")
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+                .cast("decimal(38,0)")
+                .alias("cents"),
+            )
+        )
+        if holder["cur"] is not None:
+            old = batch.sparkSession.read.parquet(holder["cur"])
+            delta = (
+                old.unionByName(delta)
+                .groupBy("nation")
+                .agg(
+                    F.sum("n_purchases").alias("n_purchases"),
+                    F.sum("cents").cast("decimal(38,0)").alias("cents"),
+                )
+            )
+        nxt = os.path.join(snap_root, f"v{holder['v']}")
+        delta.write.mode("overwrite").parquet(nxt)
+        holder["cur"], holder["v"] = nxt, holder["v"] + 1
+
+    stream_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(stream_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert holder["v"] >= 2, "expected >=2 microbatches through the view merge"
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ivm")
+    old = _FBU_SNAPSHOTS.get(key)
+    if old and old != snap_root:
+        shutil.rmtree(old, ignore_errors=True)
+    _FBU_SNAPSHOTS[key] = snap_root
+    return (
+        spark.read.parquet(holder["cur"])
+        .select(
+            "nation",
+            F.col("n_purchases").cast("bigint").alias("n_purchases"),
+            F.col("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+QUERIES["stream_ivm_view"] = stream_ivm_view
+
+ORACLES["stream_ivm_view"] = """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+"""

@@ -211,3 +211,50 @@ def test_temporal_fk_audit_counts_partition_events(spark, sf_dir):
     for r in rows:
         assert r.n_orphan + r.n_before_first + r.n_valid == r.n_events
         assert abs(r.valid_share - round(r.n_valid / r.n_events, 4)) < 1e-9
+
+
+def test_stream_srm_equals_batch_srm(spark, sf_dir):
+    """The streaming monitor and the batch guardrail must agree
+    row-for-row (same split, same chain)."""
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_srm_monitor,
+    )
+
+    got = stream_srm_monitor(spark, sf_dir).collect()[0]
+    want = q_srm_check(spark, sf_dir).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_stream_ivm_view_equals_batch_recompute(spark, sf_dir):
+    """The foreachBatch-maintained view must equal a one-pass batch
+    recompute of the same join view."""
+    import pyspark.sql.functions as SF
+
+    from etl_city_directories_spark.sources.tables import load_table
+    from etl_city_directories_spark.streaming.stream_ops import (
+        stream_ivm_view,
+    )
+
+    got = {
+        r.nation: (r.n_purchases, r.revenue_cents)
+        for r in stream_ivm_view(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events").filter(
+        SF.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    want = {
+        r.nation: (r.n, r.c)
+        for r in events.join(cust, events.user_id == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(SF.col("n_name").alias("nation"))
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(
+                (SF.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).cast("bigint").alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
