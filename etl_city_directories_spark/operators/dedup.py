@@ -22,7 +22,7 @@ policy), so the whole LSH pipeline is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.functions.memo import (
@@ -2373,3 +2373,127 @@ def _threshold_sweep_oracle() -> str:
 
 
 ORACLES["dedup_threshold_sweep"] = _threshold_sweep_oracle()
+
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: dedup a NEW batch against the
+    STANDING corpus index — the shape every recurring crawl runs
+    (dedup_bloom_incremental is the exact-hash version; this is its
+    near-duplicate sibling). The corpus (even doc_ids) keeps its
+    banded minhash signature table materialized; the batch (odd
+    doc_ids) builds signatures only for itself and probes the corpus
+    bands — candidate volume is O(|batch| × band collisions), the
+    corpus is never self-joined.
+
+    Band collisions verify with exact jaccard ≥ the shared
+    LSH_VERIFY_THRESHOLD; per flagged batch doc the best corpus match
+    elects deterministically (max jaccard, then min corpus id). At
+    100 TB the corpus band table is a bucketed standing table and each
+    increment is one shuffle join against it.
+    """
+    sh = rolling_persist(
+        spark, ("minhash_inc_sh", sf_dir), _shingled_df(spark, sf_dir)
+    )
+    sigs = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.array_min(F.transform("shingles", minhash_fn(j))).alias(f"sig{j}")
+            for j in range(1, NUM_HASHES + 1)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(F.col(f"sig{2 * b + 1}"), F.col(f"sig{2 * b + 2}"))
+                    )
+                    for b in range(NUM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    bands = rolling_persist(spark, ("minhash_inc_bands", sf_dir), bands)
+    corpus = bands.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_corpus"), "band_idx", "band_key"
+    )
+    batch = bands.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("doc_new"), "band_idx", "band_key"
+    )
+    cand = (
+        batch.join(corpus, ["band_idx", "band_key"])
+        .select("doc_new", "doc_corpus")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_corpus")
+        .select(
+            "doc_new",
+            "doc_corpus",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+    )
+    w = Window.partitionBy("doc_new").orderBy(
+        F.col("jaccard").desc(), F.col("doc_corpus")
+    )
+    return (
+        verified.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_new")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_corpus_dups"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_corpus"))).alias(
+                "best_match"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("jaccard"))).alias(
+                "best_jaccard"
+            ),
+        )
+    )
+
+
+QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental
+
+ORACLES["dedup_minhash_incremental"] = f"""
+    WITH {SHINGLE_CTE},
+    sigs AS (
+      SELECT doc_id, shingles, {_SIG_COLS}
+      FROM shingled
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_corpus
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    verified AS (
+      SELECT doc_new, doc_corpus,
+             {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")} AS jaccard
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = doc_new
+      JOIN shingled sb ON sb.doc_id = doc_corpus
+      WHERE {_JACCARD_SQL.format(a="sa.shingles", b="sb.shingles")}
+            >= {LSH_VERIFY_THRESHOLD}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_new ORDER BY jaccard DESC, doc_corpus
+      ) AS rn
+      FROM verified
+    )
+    SELECT doc_new,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_dups,
+           MIN(CASE WHEN rn = 1 THEN doc_corpus END) AS best_match,
+           MIN(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard
+    FROM ranked GROUP BY doc_new
+"""

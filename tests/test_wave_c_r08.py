@@ -258,3 +258,31 @@ def test_stream_ivm_view_equals_batch_recompute(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_minhash_incremental_agrees_with_full_lsh(spark, sf_dir):
+    """Every (odd batch doc, even corpus doc) pair the FULL self-join
+    LSH verifies must appear in the incremental screen's candidates,
+    with the same best-match election — the no-lost-duplicates
+    contract of incremental dedup."""
+    from etl_city_directories_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+    )
+
+    inc = {
+        r.doc_new: (r.n_corpus_dups, r.best_match, r.best_jaccard)
+        for r in dedup_minhash_incremental(spark, sf_dir).collect()
+    }
+    cross = {}
+    for r in dedup_minhash_lsh(spark, sf_dir).collect():
+        a, b = r.doc_a, r.doc_b
+        for new, corp in ((a, b), (b, a)):
+            if new % 2 == 1 and corp % 2 == 0:
+                cross.setdefault(new, []).append((r.jaccard, corp))
+    assert set(inc) == set(cross)
+    for doc, pairs in cross.items():
+        n, best, bj = inc[doc]
+        assert n == len(pairs)
+        want = max(pairs, key=lambda p: (p[0], -p[1]))
+        assert (bj, best) == want
