@@ -3604,3 +3604,321 @@ ORACLES["graph_clustering_coeff"] = f"""
                  / SUM(COUNT(*)) OVER ()::DOUBLE / 1e6, 6) AS avg_local_cc
     FROM scored GROUP BY bucket ORDER BY cc_bucket_x10
 """
+
+
+# --- Little's law audit --------------------------------------------
+LITTLE_EDGE_DAYS = 30  # interior-window trim (censoring guard)
+
+
+def q_queue_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit (L = λ·W) on the order-fulfillment queue:
+    time-average open orders vs arrival rate × average time-in-system,
+    over an interior window (edges trimmed so boundary censoring
+    doesn't bias either side) — the steady-state sanity check run on
+    any queue before its latency SLOs are trusted.
+
+    The WIP series uses the DELTA-ENCODING sweep, not an interval
+    join: +1 at each order's start day, −1 after its last ship day,
+    one cumulative-sum window over the O(days) spine — O(orders +
+    days) where the naive day×interval range join is O(Σ durations).
+    Every count is an exact integer; three closed-form double divides
+    at the edge.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("end_d"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_orderdate").alias("start_d"), "end_d")
+    )
+    bounds = spans.agg(
+        F.min("start_d").alias("lo"), F.max("end_d").alias("hi")
+    )
+    deltas = (
+        spans.select(F.col("start_d").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(
+                F.date_add("end_d", 1).alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    spine = bounds.select(
+        "lo",
+        "hi",
+        F.explode(F.sequence("lo", F.date_add("hi", 1))).alias("d"),
+    )
+    w_cum = Window.partitionBy().orderBy("d")
+    series = (
+        spine.join(deltas, "d", "left")
+        .select(
+            "d",
+            "lo",
+            "hi",
+            F.sum(F.coalesce("delta", F.lit(0))).over(w_cum).alias("wip"),
+        )
+        .filter(
+            (F.datediff("d", "lo") >= LITTLE_EDGE_DAYS)
+            & (F.datediff("hi", "d") >= LITTLE_EDGE_DAYS)
+        )
+    )
+    wip = series.agg(
+        F.count(F.lit(1)).alias("window_days"),
+        F.sum("wip").cast("decimal(38,0)").alias("wip_sum"),
+        F.min("d").alias("win_lo"),
+        F.max("d").alias("win_hi"),
+    )
+    arr = spans.crossJoin(F.broadcast(wip.select("win_lo", "win_hi"))).filter(
+        (F.col("start_d") >= F.col("win_lo"))
+        & (F.col("start_d") <= F.col("win_hi"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_arrivals"),
+        F.sum(F.datediff("end_d", "start_d") + 1)
+        .cast("decimal(38,0)")
+        .alias("dur_sum"),
+    )
+    both = wip.crossJoin(arr)
+    d = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    l_expr = f"({d('wip_sum')} / {d('window_days')})"
+    lam_expr = f"({d('n_arrivals')} / {d('window_days')})"
+    w_expr = f"({d('dur_sum')} / {d('n_arrivals')})"
+    return both.selectExpr(
+        "CAST(window_days AS BIGINT) AS window_days",
+        "CAST(n_arrivals AS BIGINT) AS n_arrivals",
+        f"ROUND({l_expr}, 4) AS avg_wip",
+        f"ROUND({lam_expr}, 6) AS lambda_per_day",
+        f"ROUND({w_expr}, 4) AS w_days",
+        f"ROUND({l_expr} / ({lam_expr} * {w_expr}), 4) AS little_ratio",
+    )
+
+
+QUERIES["q_queue_little_law"] = q_queue_little_law
+
+ORACLES["q_queue_little_law"] = f"""
+    WITH spans AS (
+      SELECT o.o_orderdate AS start_d, e.end_d
+      FROM (SELECT l_orderkey, MAX(l_shipdate) AS end_d
+            FROM lineitem GROUP BY 1) e
+      JOIN orders o ON e.l_orderkey = o.o_orderkey
+    ),
+    bounds AS (
+      SELECT MIN(start_d) AS lo, MAX(end_d) AS hi FROM spans
+    ),
+    deltas AS (
+      SELECT d, SUM(delta) AS delta FROM (
+        SELECT start_d AS d, 1 AS delta FROM spans
+        UNION ALL
+        SELECT end_d + INTERVAL 1 DAY, -1 FROM spans
+      ) GROUP BY 1
+    ),
+    spine AS (
+      SELECT lo, hi,
+             UNNEST(generate_series(lo, hi + INTERVAL 1 DAY,
+                                    INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ),
+    series AS (
+      SELECT s.d, s.lo, s.hi,
+             SUM(COALESCE(x.delta, 0)) OVER (ORDER BY s.d
+               ROWS UNBOUNDED PRECEDING) AS wip
+      FROM spine s LEFT JOIN deltas x ON s.d = x.d
+    ),
+    interior AS (
+      SELECT * FROM series
+      WHERE date_diff('day', lo, d) >= {LITTLE_EDGE_DAYS}
+        AND date_diff('day', d, hi) >= {LITTLE_EDGE_DAYS}
+    ),
+    wip AS (
+      SELECT COUNT(*) AS window_days,
+             CAST(SUM(wip) AS HUGEINT) AS wip_sum,
+             MIN(d) AS win_lo, MAX(d) AS win_hi
+      FROM interior
+    ),
+    arr AS (
+      SELECT COUNT(*) AS n_arrivals,
+             CAST(SUM(date_diff('day', start_d, end_d) + 1) AS HUGEINT)
+               AS dur_sum
+      FROM spans, wip
+      WHERE start_d >= win_lo AND start_d <= win_hi
+    )
+    SELECT CAST(window_days AS BIGINT) AS window_days,
+           CAST(n_arrivals AS BIGINT) AS n_arrivals,
+           ROUND(CAST(wip_sum AS DOUBLE) / CAST(window_days AS DOUBLE), 4)
+             AS avg_wip,
+           ROUND(CAST(n_arrivals AS DOUBLE) / CAST(window_days AS DOUBLE), 6)
+             AS lambda_per_day,
+           ROUND(CAST(dur_sum AS DOUBLE) / CAST(n_arrivals AS DOUBLE), 4)
+             AS w_days,
+           ROUND((CAST(wip_sum AS DOUBLE) / CAST(window_days AS DOUBLE))
+                 / ((CAST(n_arrivals AS DOUBLE) / CAST(window_days AS DOUBLE))
+                    * (CAST(dur_sum AS DOUBLE) / CAST(n_arrivals AS DOUBLE))),
+                 4) AS little_ratio
+    FROM wip, arr
+"""
+
+
+# --- Stratified matching uplift ------------------------------------
+# treatment = the customer's MEAN item discount exceeds 5% (an
+# any-item rule catches ~everyone at ~40 items/customer — no control
+# arm); the mean splits the corpus near 50/50 and compares exactly by
+# cross-multiplication (Σ discount-cents > 5 · n_items).
+UPLIFT_MEAN_DISCOUNT_CENTS = 5
+UPLIFT_STRATA = 10  # acctbal deciles (explicit rank, bit-stable)
+
+
+def q_promo_uplift_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-matching uplift (ATT): did discounted customers
+    spend more than comparable full-price customers? Customers
+    stratify into account-balance deciles (the pre-treatment
+    covariate), treated = any lineitem at ≥5% discount, and the
+    per-stratum mean-outcome gap weights by treated mass into the
+    average treatment effect on the treated — the
+    covariate-adjustment sibling of q_did_promo's time-based
+    identification.
+
+    Deciles come from an explicit rank (floor((rn−1)·10/n), the
+    bit-stable q_rfm_segmentation device, not ntile). Outcomes are
+    exact cents; each stratum's rational uplift micro-quantizes
+    before the treated-weighted ATT sum (one window over the ≤10
+    stratum rows). Strata missing an arm report NULL uplift and drop
+    out of the ATT weighting.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    treated = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("t_custkey"))
+        .agg(
+            F.sum((dec2("l_discount") * 100).cast("long")).alias("sd"),
+            F.count(F.lit(1)).alias("ni"),
+        )
+        .filter(
+            F.col("sd") > UPLIFT_MEAN_DISCOUNT_CENTS * F.col("ni")
+        )
+        .select("t_custkey")
+        .withColumn("is_treated", F.lit(1))
+    )
+    outcome = orders.groupBy("o_custkey").agg(
+        F.sum((dec2("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w_rank = Window.partitionBy().orderBy("c_acctbal", "c_custkey")
+    w_n = Window.partitionBy()
+    strata = cust.select(
+        "c_custkey",
+        F.floor(
+            (F.row_number().over(w_rank) - 1)
+            * UPLIFT_STRATA
+            / F.count(F.lit(1)).over(w_n)
+        ).cast("long").alias("stratum"),
+    )
+    panel = (
+        strata.join(outcome, strata.c_custkey == outcome.o_custkey)
+        .join(treated, F.col("c_custkey") == treated.t_custkey, "left")
+        .select(
+            "stratum",
+            F.coalesce("is_treated", F.lit(0)).alias("t"),
+            "cents",
+        )
+    )
+    per_stratum = panel.groupBy("stratum").agg(
+        F.sum("t").cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("t")).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("t") == 1, F.col("cents"))).cast("decimal(38,0)").alias("st"),
+        F.sum(F.when(F.col("t") == 0, F.col("cents"))).cast("decimal(38,0)").alias("sc"),
+    )
+    d = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    up = (
+        f"(CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL"
+        f" ELSE {d('st')} / {d('n_treated')} - {d('sc')} / {d('n_control')}"
+        f" END)"
+    )
+    scored = per_stratum.selectExpr(
+        "stratum",
+        "n_treated",
+        "n_control",
+        f"ROUND({up} / 100, 4) AS uplift_dollars",
+        f"CAST(floor({up} + 0.5) AS BIGINT) AS up_cents",
+    )
+    w_all = Window.partitionBy()
+    att = (
+        F.sum(
+            F.when(F.col("up_cents").isNotNull(), F.col("n_treated") * F.col("up_cents"))
+        ).over(w_all)
+        / F.sum(
+            F.when(F.col("up_cents").isNotNull(), F.col("n_treated"))
+        ).over(w_all)
+    )
+    return scored.select(
+        "stratum",
+        "n_treated",
+        "n_control",
+        "uplift_dollars",
+        F.round(att / 100, 4).alias("att_dollars"),
+    )
+
+
+QUERIES["q_promo_uplift_matching"] = q_promo_uplift_matching
+
+ORACLES["q_promo_uplift_matching"] = f"""
+    WITH treated AS (
+      SELECT o.o_custkey, 1 AS is_treated
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+      HAVING SUM(CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+             > {UPLIFT_MEAN_DISCOUNT_CENTS} * COUNT(*)
+    ),
+    outcome AS (
+      SELECT o_custkey,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    strata AS (
+      SELECT c_custkey,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey)
+                         - 1) * {UPLIFT_STRATA}
+                        / CAST(COUNT(*) OVER () AS DOUBLE)) AS BIGINT)
+               AS stratum
+      FROM customer
+    ),
+    panel AS (
+      SELECT s.stratum, COALESCE(t.is_treated, 0) AS t, o.cents
+      FROM strata s
+      JOIN outcome o ON s.c_custkey = o.o_custkey
+      LEFT JOIN treated t ON s.c_custkey = t.o_custkey
+    ),
+    per_stratum AS (
+      SELECT stratum,
+             CAST(SUM(t) AS BIGINT) AS n_treated,
+             CAST(SUM(1 - t) AS BIGINT) AS n_control,
+             CAST(SUM(CASE WHEN t = 1 THEN cents END) AS HUGEINT) AS st,
+             CAST(SUM(CASE WHEN t = 0 THEN cents END) AS HUGEINT) AS sc
+      FROM panel GROUP BY 1
+    ),
+    scored AS (
+      SELECT stratum, n_treated, n_control,
+             ROUND((CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL
+                    ELSE CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                         - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE)
+                    END) / 100, 4) AS uplift_dollars,
+             CAST(floor((CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL
+                    ELSE CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                         - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE)
+                    END) + 0.5) AS BIGINT) AS up_cents
+      FROM per_stratum
+    )
+    SELECT stratum, n_treated, n_control, uplift_dollars,
+           ROUND(CAST(SUM(CASE WHEN up_cents IS NOT NULL
+                          THEN n_treated * up_cents END) OVER () AS DOUBLE)
+                 / CAST(SUM(CASE WHEN up_cents IS NOT NULL
+                            THEN n_treated END) OVER () AS DOUBLE)
+                 / 100, 4) AS att_dollars
+    FROM scored
+"""

@@ -1108,3 +1108,147 @@ ORACLES["mm_aspect_ratio_buckets"] = """
     FROM imgs
     GROUP BY 1 ORDER BY 1
 """
+
+
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection plumbing: cut the frame sequence where
+    a pair's motion exceeds 2× the video's mean pair motion, then
+    summarize shots — the step between mm_frame_motion (the profile)
+    and keyframe sampling (one frame per shot is the standard
+    captioning budget).
+
+    The boundary rule stays in exact integers by cross-multiplying
+    (p_f · (nf−1) > 2 · Σp) instead of comparing against the rational
+    mean. Frame → shot assignment is one cumulative-flag window over
+    the exploded O(frames) rows; shots and the longest-shot length
+    fall out of a groupBy. Map-side per video except the final tiny
+    aggregations — same O(total video bytes) scaling as the profile.
+    """
+    vids = videos_table(spark, sf_dir).select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        ((F.length("payload") - 12) / _VID_FRAME_BYTES).cast("int").alias("nf"),
+    ).filter(F.col("nf") >= 2)
+    pair_sum = f"""
+        aggregate(
+          transform(sequence(0, {_VID_FRAME_BYTES - 1}, 1), i ->
+            abs(CAST(conv(substring(hx,
+                    {_VID_HDR_HEX} + f * {2 * _VID_FRAME_BYTES} + 2 * i + 1,
+                    2), 16, 10) AS INT)
+              - CAST(conv(substring(hx,
+                    {_VID_HDR_HEX} + (f + 1) * {2 * _VID_FRAME_BYTES}
+                      + 2 * i + 1,
+                    2), 16, 10) AS INT))),
+          0L, (a, x) -> a + x)
+    """
+    pairs = vids.select(
+        "doc_id",
+        "nf",
+        F.expr(
+            f"transform(sequence(0, nf - 2), f -> {pair_sum})"
+        ).alias("ps"),
+    ).select(
+        "doc_id",
+        "nf",
+        F.expr(
+            "aggregate(ps, 0L, (a, x) -> a + x)"
+        ).alias("total"),
+        F.posexplode("ps").alias("f", "p"),
+    )
+    flags = pairs.select(
+        "doc_id",
+        "nf",
+        "f",
+        (
+            F.col("p").cast("bigint") * (F.col("nf") - 1)
+            > 2 * F.col("total").cast("bigint")
+        ).cast("int").alias("is_cut"),
+    )
+    frames = vids.select(
+        "doc_id", "nf", F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("g")
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = (
+        frames.join(
+            flags.select("doc_id", (F.col("f") + 1).alias("g"), "is_cut"),
+            ["doc_id", "g"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "nf",
+            "g",
+            F.sum(F.coalesce("is_cut", F.lit(0))).over(w_cum).alias("shot"),
+        )
+    )
+    per_shot = assigned.groupBy("doc_id", "nf", "shot").agg(
+        F.count(F.lit(1)).alias("shot_len")
+    )
+    return per_shot.groupBy("doc_id").agg(
+        F.min("nf").cast("bigint").alias("n_frames"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shots"),
+        F.max("shot_len").cast("bigint").alias("longest_shot_frames"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_cuts"),
+    )
+
+
+QUERIES["mm_shot_boundaries"] = mm_shot_boundaries
+
+ORACLES["mm_shot_boundaries"] = f"""
+    WITH vids AS (
+      SELECT doc_id, upper({_MM_HEX["video"]}) AS hx,
+             (doc_id % 5 + 4)::INT AS nf
+      FROM documents
+    ),
+    pairs AS (
+      SELECT v.doc_id, v.nf, f.f,
+             (SELECT SUM(abs(
+                CAST('0x' || substring(v.hx,
+                     {_VID_HDR_HEX} + f.f * {2 * _VID_FRAME_BYTES} + 2 * i.i + 1,
+                     2) AS INT)
+              - CAST('0x' || substring(v.hx,
+                     {_VID_HDR_HEX} + (f.f + 1) * {2 * _VID_FRAME_BYTES}
+                       + 2 * i.i + 1,
+                     2) AS INT)))
+              FROM unnest(generate_series(0, {_VID_FRAME_BYTES - 1})) AS i(i)
+             ) AS p
+      FROM vids v, unnest(generate_series(0, v.nf - 2)) AS f(f)
+      WHERE v.nf >= 2
+    ),
+    flagged AS (
+      SELECT doc_id, nf, f,
+             CASE WHEN CAST(p AS BIGINT) * (nf - 1)
+                       > 2 * SUM(CAST(p AS BIGINT))
+                           OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM pairs
+    ),
+    frames AS (
+      SELECT v.doc_id, v.nf, g.g
+      FROM vids v, unnest(generate_series(0, v.nf - 1)) AS g(g)
+      WHERE v.nf >= 2
+    ),
+    assigned AS (
+      SELECT fr.doc_id, fr.nf, fr.g,
+             SUM(COALESCE(fl.is_cut, 0)) OVER (
+               PARTITION BY fr.doc_id ORDER BY fr.g
+               ROWS UNBOUNDED PRECEDING
+             ) AS shot
+      FROM frames fr
+      LEFT JOIN flagged fl ON fl.doc_id = fr.doc_id AND fl.f + 1 = fr.g
+    ),
+    per_shot AS (
+      SELECT doc_id, nf, shot, COUNT(*) AS shot_len
+      FROM assigned GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(MIN(nf) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_shots,
+           CAST(MAX(shot_len) AS BIGINT) AS longest_shot_frames,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts
+    FROM per_shot GROUP BY doc_id
+"""

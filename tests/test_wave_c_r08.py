@@ -286,3 +286,51 @@ def test_minhash_incremental_agrees_with_full_lsh(spark, sf_dir):
         assert n == len(pairs)
         want = max(pairs, key=lambda p: (p[0], -p[1]))
         assert (bj, best) == want
+
+
+def test_shot_boundaries_partition_frames(spark, sf_dir):
+    """Shots partition the frame sequence: Σ shot lengths = n_frames,
+    n_shots = n_cuts + 1, longest ≤ n_frames."""
+    from etl_city_directories_spark.operators.multimodal import (
+        mm_shot_boundaries,
+    )
+
+    rows = mm_shot_boundaries(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_shots == r.n_cuts + 1
+        assert 1 <= r.longest_shot_frames <= r.n_frames
+        assert r.n_shots <= r.n_frames
+
+
+def test_little_law_ratio_near_one_on_steady_corpus(spark, sf_dir):
+    """TPC-H order arrivals are stationary over the interior window,
+    so L/(λW) must sit near 1 (edge-trim removes the censoring
+    bias); the identity-side quantities must be self-consistent."""
+    from etl_city_directories_spark.operators.analytics import (
+        q_queue_little_law,
+    )
+
+    r = q_queue_little_law(spark, sf_dir).collect()[0]
+    assert r.window_days > 0 and r.n_arrivals > 0
+    assert 0.9 < r.little_ratio < 1.1
+    assert abs(r.lambda_per_day - r.n_arrivals / r.window_days) < 1e-4
+
+
+def test_uplift_strata_cover_and_att_is_weighted_mean(spark, sf_dir):
+    """Each stratum's arms partition its customers; ATT equals the
+    treated-weighted mean of per-stratum uplifts (python replay)."""
+    from etl_city_directories_spark.operators.analytics import (
+        q_promo_uplift_matching,
+    )
+
+    rows = q_promo_uplift_matching(spark, sf_dir).collect()
+    assert len(rows) == 10
+    both = [r for r in rows if r.uplift_dollars is not None]
+    att = sum(
+        r.n_treated * math.floor(r.uplift_dollars * 100 + 0.5) for r in both
+    ) / sum(r.n_treated for r in both)
+    # replay tolerance: uplift_dollars is itself rounded to 4dp, so
+    # the reconstructed cents can differ by < 1 cent per stratum
+    assert abs(rows[0].att_dollars - att / 100) < 0.02
+    assert len({r.att_dollars for r in rows}) == 1
