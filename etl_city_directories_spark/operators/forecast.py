@@ -789,6 +789,59 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Seasonal strength ---------------------------------------------
+# F_s = max(0, 1 − SSE_within / SST): how much of the daily variance
+# the day-of-week profile explains (Hyndman's seasonal-strength
+# statistic with the weekly profile as the seasonal component).
+_SS_SST = f"({_d('syy')} - {_d('sy')} * {_d('sy')} / {_d('n')})"
+_SS_STRENGTH = (
+    f"(CASE WHEN {_SS_SST} <= 0 THEN 0.0"
+    f" ELSE GREATEST(0.0, 1.0 - {_d('sse_w')} / {_SS_SST}) END)"
+)
+_SS_SELECT = [
+    "CAST(n AS BIGINT) AS n_days",
+    f"ROUND({_SS_STRENGTH}, 6) AS seasonal_strength",
+    f"({_SS_STRENGTH} > 0.5) AS strongly_seasonal",
+]
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength statistic of daily purchase revenue: the
+    share of day-to-day variance the weekly profile explains —
+    the one number that decides whether a forecast needs a seasonal
+    term (and whether q_backtest_seasonal_naive's t−7 baseline is
+    even the right naive).
+
+    SST comes from two exact global sums; the within-day-of-week SSE
+    is Σ_g (Σy² − (Σy)²/n_g) whose per-group rational term unit-
+    quantizes (floor + 0.5 on the cents² scale — relative error
+    ≤ 1e-9 at any SF) before the order-independent cross-group sum,
+    the Brown-Forsythe device. One groupBy over the O(days) grid.
+    """
+    grid = _rev_clicks_grid(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    per_dow = grid.groupBy(F.dayofweek("d").alias("dow")).agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("rev").cast(d38).alias("sg"),
+        F.sum(F.col("rev").cast(d38) * F.col("rev").cast(d38)).alias("ssg"),
+    )
+    scored = per_dow.selectExpr(
+        "ng",
+        "sg",
+        "ssg",
+        "CAST(floor(CAST(ssg AS DOUBLE)"
+        " - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)"
+        " / CAST(ng AS DOUBLE) + 0.5) AS DECIMAL(38,0)) AS sse_g",
+    )
+    suff = scored.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").cast(d38).alias("sy"),
+        F.sum("ssg").cast(d38).alias("syy"),
+        F.sum("sse_g").cast(d38).alias("sse_w"),
+    )
+    return suff.selectExpr(*_SS_SELECT)
+
+
 QUERIES = {
     "q_dickey_fuller": q_dickey_fuller,
     "q_granger_lag1": q_granger_lag1,
@@ -800,6 +853,7 @@ QUERIES = {
     "q_hurst_rs": q_hurst_rs,
     "q_sharpe_sortino": q_sharpe_sortino,
     "q_var_cvar": q_var_cvar,
+    "q_seasonality_strength": q_seasonality_strength,
 }
 
 _RETS_SQL = f"""
@@ -1064,6 +1118,31 @@ ORACLES = {
     SELECT {", ".join(_SRM_SELECT)} FROM suff
     """,
     "q_hurst_rs": _hurst_oracle(),
+    "q_seasonality_strength": f"""
+    WITH {_GRID_SQL},
+    per_dow AS (
+      SELECT dayofweek(d) + 1 AS dow,
+             COUNT(*) AS ng,
+             CAST(SUM(rev) AS HUGEINT) AS sg,
+             SUM(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS ssg
+      FROM grid GROUP BY 1
+    ),
+    scored AS (
+      SELECT ng, sg, ssg,
+             CAST(floor(CAST(ssg AS DOUBLE)
+                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                  / CAST(ng AS DOUBLE) + 0.5) AS HUGEINT) AS sse_g
+      FROM per_dow
+    ),
+    suff AS (
+      SELECT SUM(ng) AS n,
+             CAST(SUM(sg) AS HUGEINT) AS sy,
+             CAST(SUM(ssg) AS HUGEINT) AS syy,
+             CAST(SUM(sse_g) AS HUGEINT) AS sse_w
+      FROM scored
+    )
+    SELECT {", ".join(_SS_SELECT)} FROM suff
+    """,
     "q_sharpe_sortino": f"""
     WITH {_GRID_SQL},
     {_RETS_SQL},

@@ -1252,3 +1252,173 @@ ORACLES["mm_shot_boundaries"] = f"""
            CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts
     FROM per_shot GROUP BY doc_id
 """
+
+
+# --- Perceptual-hash image near-dup --------------------------------
+PHASH_BITS = 60  # circular dHash width; 60 keeps h positive in BIGINT
+# (bit 63 would wrap negative and make >> semantics engine-dependent)
+PHASH_BANDS = 4  # 15-bit bands -> 32k buckets per band
+PHASH_BAND_MAXDF = 8  # df-cap: drop buckets denser than this (audited)
+PHASH_HAM_MAX = 6  # report pairs at most this many bits apart
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate screening for the image corpus —
+    the visual sibling of dedup_minhash_lsh (mm_dedup_bytes catches
+    bit-exact copies; this catches images whose PIXELS agree even if
+    container metadata differs): a 60-bit circular difference hash
+    (bit j = pixel_j > pixel_{(j+1) mod n}) banded into 4×15-bit
+    chunks, band-bucket join, exact Hamming verify via
+    bit_count(xor); output is one audit row PER IMAGE (phash,
+    candidate count, near-dup count, nearest duplicate).
+
+    Scale discipline: 15-bit bands keep random collisions ~n²/32768,
+    and buckets denser than PHASH_BAND_MAXDF are DROPPED WHOLESALE
+    (the dedup_ngram_jaccard df-cap device) so a pathological
+    constant-image corpus cannot go quadratic; the dHash itself is
+    one map-side integer fold per image. The pixel decode reuses the
+    deterministic container hex, so the oracle rebuilds identical
+    hashes.
+    """
+    imgs = images_table(spark, sf_dir).select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        (F.length("payload") - 16).cast("int").alias("npx"),
+    )
+    # pixel byte i (0-based) lives at hex offset 32 + 2i (1-based substr)
+    px = (
+        "CAST(conv(substring(hx, 33 + 2 * i, 2), 16, 10) AS INT)"
+    )
+    px_next = (
+        "CAST(conv(substring(hx, 33 + 2 * ((i + 1) % npx), 2), 16, 10)"
+        " AS INT)"
+    )
+    hashed = imgs.select(
+        "doc_id",
+        F.expr(f"""
+            aggregate(
+              transform(sequence(0, {PHASH_BITS - 1}),
+                i -> CASE WHEN {px} > {px_next}
+                          THEN shiftleft(1L, i) ELSE 0L END),
+              0L, (a, x) -> a + x)
+        """).alias("h"),
+    )
+    bands = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(PHASH_BANDS)])
+        ).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "h",
+        "band_idx",
+        F.expr("(h >> (band_idx * 15)) & 32767").alias("band_val"),
+    )
+    ok = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= PHASH_BAND_MAXDF)
+        .select("band_idx", "band_val")
+    )
+    capped = bands.join(ok, ["band_idx", "band_val"])
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_other"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    # per-image audit rows (the clean driver corpus has unique texts →
+    # unique pixel streams → 0 near-dups; the planted-duplicate pytest
+    # proves detection — the q_validate_fk planted-orphan pattern).
+    # The hash column itself is oracle-verified for EVERY image.
+    scored = cand.select(
+        "doc_id",
+        "doc_other",
+        F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+    )
+    per_img = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("hamming") <= PHASH_HAM_MAX, 1).otherwise(0)
+        ).cast("bigint").alias("n_near_dups"),
+        F.min(F.when(F.col("hamming") <= PHASH_HAM_MAX, F.col("doc_other")))
+        .alias("nearest_dup"),
+    )
+    return hashed.join(per_img, "doc_id", "left").select(
+        "doc_id",
+        F.col("h").alias("phash"),
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("n_near_dups", F.lit(0)).cast("bigint").alias("n_near_dups"),
+        "nearest_dup",
+    )
+
+
+QUERIES["mm_phash_dedup"] = mm_phash_dedup
+
+ORACLES["mm_phash_dedup"] = f"""
+    WITH imgs AS (
+      SELECT doc_id, upper({_MM_HEX["image"]}) AS hx,
+             ((doc_id % 8 + 8) * (doc_id % 5 + 8))::INT AS npx
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST((SELECT COALESCE(SUM(CASE WHEN
+                CAST('0x' || substring(v.hx, 33 + 2 * i.i, 2) AS INT)
+                > CAST('0x' || substring(v.hx,
+                       33 + 2 * ((i.i + 1) % v.npx), 2) AS INT)
+                THEN (1::BIGINT << i.i) ELSE 0 END), 0)
+              FROM unnest(generate_series(0, {PHASH_BITS - 1})) AS i(i)
+             ) AS BIGINT) AS h
+      FROM imgs v
+    ),
+    bands AS (
+      SELECT doc_id, h, b.b AS band_idx,
+             (h >> (b.b * 15)) & 32767 AS band_val
+      FROM hashed, unnest(generate_series(0, {PHASH_BANDS - 1})) AS b(b)
+    ),
+    ok AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) <= {PHASH_BAND_MAXDF}
+    ),
+    capped AS (
+      SELECT bands.* FROM bands JOIN ok USING (band_idx, band_val)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS doc_other,
+                      a.h AS ha, b.h AS hb
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id <> b.doc_id
+    ),
+    scored AS (
+      SELECT doc_id, doc_other,
+             CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand
+    ),
+    per_img AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN hamming <= {PHASH_HAM_MAX} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_near_dups,
+             MIN(CASE WHEN hamming <= {PHASH_HAM_MAX} THEN doc_other END)
+               AS nearest_dup
+      FROM scored GROUP BY 1
+    )
+    SELECT h2.doc_id, h2.h AS phash,
+           COALESCE(p.n_candidates, 0) AS n_candidates,
+           COALESCE(p.n_near_dups, 0) AS n_near_dups,
+           p.nearest_dup
+    FROM hashed h2 LEFT JOIN per_img p USING (doc_id)
+"""

@@ -334,3 +334,30 @@ def test_uplift_strata_cover_and_att_is_weighted_mean(spark, sf_dir):
     # the reconstructed cents can differ by < 1 cent per stratum
     assert abs(rows[0].att_dollars - att / 100) < 0.02
     assert len({r.att_dollars for r in rows}) == 1
+
+
+def test_phash_finds_planted_identical_images(spark, tmp_path):
+    """Two documents with IDENTICAL text produce identical pixel
+    streams → hamming 0; the op must pair them (planted-duplicate
+    proof, the q_validate_fk pattern). Unique-text docs stay clean."""
+    from etl_city_directories_spark.operators.multimodal import (
+        mm_phash_dedup,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a", 43),
+        (41, "the quick brown fox jumps over the lazy dog", "en", "a", 43),
+        (3, "a completely different corpus entry about ships", "en", "a", 47),
+        (7, "yet another unrelated document with words", "en", "a", 41),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {r.doc_id: r for r in mm_phash_dedup(spark, str(tmp_path)).collect()}
+    assert out[1].n_near_dups == 1 and out[1].nearest_dup == 41
+    assert out[41].n_near_dups == 1 and out[41].nearest_dup == 1
+    assert out[1].phash == out[41].phash
+    assert out[3].n_near_dups == 0 and out[7].n_near_dups == 0
