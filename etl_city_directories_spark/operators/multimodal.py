@@ -1141,13 +1141,25 @@ def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     2), 16, 10) AS INT))),
           0L, (a, x) -> a + x)
     """
-    pairs = vids.select(
-        "doc_id",
-        "nf",
-        F.expr(
-            f"transform(sequence(0, nf - 2), f -> {pair_sum})"
-        ).alias("ps"),
-    ).select(
+    # materialize the per-video pair-motion array BEFORE the generator:
+    # posexplode of an inline higher-order expression re-evaluates it
+    # per output element (the text_ngram_novelty lesson) — persisting
+    # the O(videos) array frame keeps the expensive hex fold at one
+    # evaluation per video
+    from etl_city_directories_spark.functions.memo import rolling_persist
+
+    pairs_base = rolling_persist(
+        spark,
+        ("mm_shot_ps", sf_dir),
+        vids.select(
+            "doc_id",
+            "nf",
+            F.expr(
+                f"transform(sequence(0, nf - 2), f -> {pair_sum})"
+            ).alias("ps"),
+        ),
+    )
+    pairs = pairs_base.select(
         "doc_id",
         "nf",
         F.expr(
@@ -1293,15 +1305,24 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(hx, 33 + 2 * ((i + 1) % npx), 2), 16, 10)"
         " AS INT)"
     )
-    hashed = imgs.select(
-        "doc_id",
-        F.expr(f"""
-            aggregate(
-              transform(sequence(0, {PHASH_BITS - 1}),
-                i -> CASE WHEN {px} > {px_next}
-                          THEN shiftleft(1L, i) ELSE 0L END),
-              0L, (a, x) -> a + x)
-        """).alias("h"),
+    from etl_city_directories_spark.functions.memo import rolling_persist
+
+    # persist the O(images) hash frame: the 4-way band explode and the
+    # final left join both read it, and projection collapse would
+    # otherwise re-run the 60-bit hex fold per band row
+    hashed = rolling_persist(
+        spark,
+        ("mm_phash_h", sf_dir),
+        imgs.select(
+            "doc_id",
+            F.expr(f"""
+                aggregate(
+                  transform(sequence(0, {PHASH_BITS - 1}),
+                    i -> CASE WHEN {px} > {px_next}
+                              THEN shiftleft(1L, i) ELSE 0L END),
+                  0L, (a, x) -> a + x)
+            """).alias("h"),
+        ),
     )
     bands = hashed.select(
         "doc_id",
