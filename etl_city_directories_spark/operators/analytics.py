@@ -3774,7 +3774,9 @@ def q_promo_uplift_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified-matching uplift (ATT): did discounted customers
     spend more than comparable full-price customers? Customers
     stratify into account-balance deciles (the pre-treatment
-    covariate), treated = any lineitem at ≥5% discount, and the
+    covariate), treated = MEAN item discount above 5% (exact by
+    cross-multiplication; see the constant's note on why an any-item
+    rule leaves no control arm), and the
     per-stratum mean-outcome gap weights by treated mass into the
     average treatment effect on the treated — the
     covariate-adjustment sibling of q_did_promo's time-based

@@ -503,8 +503,11 @@ def sample_kfold_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lo",
         "fold",
-        # integer step; the remainder tail days fall into no test fold
-        (F.col("span") / (TSCV_FOLDS + 1)).cast("long").alias("step"),
+        # integer step via explicit FLOOR in BOTH engines (a bare
+        # CAST truncates in Spark but rounds-to-nearest in DuckDB —
+        # span % 5 in {3,4} would shift every fold boundary); the
+        # remainder tail days fall into no test fold
+        F.floor(F.col("span") / (TSCV_FOLDS + 1)).cast("long").alias("step"),
     )
     tagged = daily.crossJoin(F.broadcast(folds)).select(
         "fold",
@@ -550,7 +553,7 @@ ORACLES["sample_kfold_timeseries"] = f"""
     ),
     folds AS (
       SELECT lo, fold,
-             CAST(span / {TSCV_FOLDS + 1} AS BIGINT) AS step
+             CAST(FLOOR(span / {TSCV_FOLDS + 1}.0) AS BIGINT) AS step
       FROM bounds, (SELECT unnest(generate_series(1, {TSCV_FOLDS})) AS fold)
     ),
     tagged AS (

@@ -142,17 +142,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH near-dup candidates, verified with exact jaccard.
-
-    The shingle stage is persisted before the band self-join: the plan
-    references it four times (both band sides + both verify sides), and
-    a self-join does not reuse the exchange, so an unpersisted plan
-    would re-shingle the corpus 4×. This is the staged-materialization
-    every production LSH pipeline does (MLlib's MinHashLSH caches its
-    transformed dataset the same way); at 100 TB the persist becomes a
-    signature table written once and joined twice.
-    """
+def _minhash_bands(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(persisted shingle frame, persisted band table) — the ONE
+    definition of the minhash signature + banding pipeline, shared by
+    the full self-join LSH and the incremental screen so the two can
+    never drift apart. Both frames use the shared rolling_persist
+    callsite keys: at most one live copy per session × sf_dir."""
     sh = rolling_persist(
         spark, ("minhash_sh", sf_dir), _shingled_df(spark, sf_dir)
     )
@@ -182,6 +179,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides read it; avoids 2× signature pass.
     # rolling: the previous invocation's blocks release on re-entry
     bands = rolling_persist(spark, ("minhash_bands", sf_dir), bands)
+    return sh, bands
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup candidates, verified with exact jaccard.
+
+    The shingle stage is persisted before the band self-join: the plan
+    references it four times (both band sides + both verify sides), and
+    a self-join does not reuse the exchange, so an unpersisted plan
+    would re-shingle the corpus 4×. This is the staged-materialization
+    every production LSH pipeline does (MLlib's MinHashLSH caches its
+    transformed dataset the same way); at 100 TB the persist becomes a
+    signature table written once and joined twice.
+    """
+    sh, bands = _minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -2391,31 +2403,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the corpus band table is a bucketed standing table and each
     increment is one shuffle join against it.
     """
-    sh = rolling_persist(
-        spark, ("minhash_inc_sh", sf_dir), _shingled_df(spark, sf_dir)
-    )
-    sigs = sh.select(
-        "doc_id",
-        "shingles",
-        *[
-            F.array_min(F.transform("shingles", minhash_fn(j))).alias(f"sig{j}")
-            for j in range(1, NUM_HASHES + 1)
-        ],
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat(F.col(f"sig{2 * b + 1}"), F.col(f"sig{2 * b + 2}"))
-                    )
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
-    bands = rolling_persist(spark, ("minhash_inc_bands", sf_dir), bands)
+    sh, bands = _minhash_bands(spark, sf_dir)
     corpus = bands.filter(F.col("doc_id") % 2 == 0).select(
         F.col("doc_id").alias("doc_corpus"), "band_idx", "band_key"
     )

@@ -45,6 +45,12 @@ CCF_MAX_LAG = 3  # cross-correlation lags -3..+3
 # BH step-up z-ladder for K=5 two-sided tests at alpha=0.05:
 # rank i compares |z| against the two-sided z for p = alpha*i/K.
 BH_Z_LADDER = ["2.575829", "2.326348", "2.170090", "2.053749", "1.959964"]
+# ladder fallthrough for a rank beyond len(BH_Z_LADDER): effectively
+# infinite (never significant) — an ELSE 0 would mark EVERY overflow
+# rank significant and invert the step-up rule if the corpus ever
+# grows a 6th event type (the ranks<=5 thresholds would also need a
+# new K then; the fallthrough just keeps the failure safe, not silent)
+BH_Z_OVERFLOW = "1e9"
 
 
 def _d(col: str) -> str:
@@ -525,7 +531,7 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_stat",
         "abs_z",
         "bh_rank",
-        f"(abs_z >= CASE bh_rank {ladder} ELSE 0 END) AS sig_at_rank",
+        f"(abs_z >= CASE bh_rank {ladder} ELSE {BH_Z_OVERFLOW} END) AS sig_at_rank",
     )
     w_all = Window.partitionBy()
     return (
@@ -680,10 +686,14 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = HURST_BLOCKS[0], HURST_BLOCKS[-1]
     span = len(HURST_BLOCKS) - 1  # log2(hi/lo) for a dyadic ladder
     wide = per_m.groupBy().pivot("m", HURST_BLOCKS).agg(F.first("avg_rs"))
+    # degenerate guard: an all-constant series has avg_rs = 0 at some
+    # m and LOG2(0) is a hard error in DuckDB (NULL in Spark) — report
+    # NULL H from BOTH engines instead of erroring the gate
     return wide.selectExpr(
         *[f"ROUND(`{m}`, 6) AS rs_{m}" for m in HURST_BLOCKS],
-        f"ROUND((ROUND(LOG2(`{hi}`), 6) - ROUND(LOG2(`{lo}`), 6))"
-        f" / {span}, 6) AS hurst_exponent",
+        f"(CASE WHEN `{hi}` <= 0 OR `{lo}` <= 0 THEN NULL"
+        f" ELSE ROUND((ROUND(LOG2(`{hi}`), 6) - ROUND(LOG2(`{lo}`), 6))"
+        f" / {span}, 6) END) AS hurst_exponent",
     )
 
 
@@ -930,8 +940,9 @@ def _hurst_oracle() -> str:
       FROM avgd
     )
     SELECT {", ".join(f"rs_{m}" for m in HURST_BLOCKS)},
-           ROUND((ROUND(LOG2(r_hi), 6) - ROUND(LOG2(r_lo), 6))
-                 / {span}, 6) AS hurst_exponent
+           (CASE WHEN r_hi <= 0 OR r_lo <= 0 THEN NULL
+            ELSE ROUND((ROUND(LOG2(r_hi), 6) - ROUND(LOG2(r_lo), 6))
+                 / {span}, 6) END) AS hurst_exponent
     FROM wide
     """
 
@@ -1019,7 +1030,7 @@ def _fdr_oracle() -> str:
     ),
     sig AS (
       SELECT *,
-             (abs_z >= CASE bh_rank {ladder} ELSE 0 END) AS sig_at_rank
+             (abs_z >= CASE bh_rank {ladder} ELSE {BH_Z_OVERFLOW} END) AS sig_at_rank
       FROM ranked
     )
     SELECT event_type, n_weekend, n_weekday, z_stat,

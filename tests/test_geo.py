@@ -118,9 +118,9 @@ def test_knn_join_matches_naive_nearest_within_radius(spark, tmp_path):
             assert out[s].found, s
             assert out[s].nearest_custkey == best[1], s
         else:
-            assert not out[s].found or (
-                out[s].nearest_custkey is not None
-            ), s  # outside R nothing closer can be reported
+            # true NN outside R ⇒ NOTHING lies within R, so the
+            # bounded-radius contract requires found = False
+            assert not out[s].found, s
 
 
 def test_dbscan_matches_naive_python_dbscan(spark, tmp_path):
