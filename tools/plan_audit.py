@@ -101,6 +101,11 @@ BNLJ_OK = {
     # 1-row max-orderdate crossJoin (the delta cutoff) — the
     # scalar-subquery idiom; the view joins themselves are SMJ/BHJ
     "q_ivm_delta_join",
+    # two 1-row scalar crossJoins: the span bounds into the spine and
+    # the interior-window bounds into the arrivals filter
+    "q_queue_little_law",
+    # 1-row span-bounds crossJoin (the fold-step scalar)
+    "sample_kfold_timeseries",
     # k-means-style crossJoin(broadcast(K-row centroid table)) — the
     # same intended map-side shape as ann_ivf_bucketed
     "emb_silhouette",
