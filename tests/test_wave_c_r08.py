@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 
 from etl_city_directories_spark.operators.forecast import (
     HURST_BLOCKS,
+    q_fdr_bh,
     q_hurst_rs,
     q_sharpe_sortino,
     q_srm_check,
@@ -361,3 +362,76 @@ def test_phash_finds_planted_identical_images(spark, tmp_path):
     assert out[41].n_near_dups == 1 and out[41].nearest_dup == 1
     assert out[1].phash == out[41].phash
     assert out[3].n_near_dups == 0 and out[7].n_near_dups == 0
+
+
+def test_tscv_step_agrees_cross_engine_on_a_33_day_span(spark, tmp_path):
+    """Regression for the FLOOR/CAST divergence: span=33 gives
+    step=6 under FLOOR in BOTH engines (a bare CAST would truncate in
+    Spark but round to 7 in DuckDB and shift every fold boundary).
+    The oracle runs on the same planted parquet via duckdb."""
+    import duckdb
+
+    from etl_city_directories_spark.operators.curation import (
+        ORACLES,
+        sample_kfold_timeseries,
+    )
+
+    rows = []
+    for i in range(33):
+        mo, day = (1, i + 1) if i < 31 else (2, i - 30)
+        rows.append((i, f"2024-{mo:02d}-{day:02d} 10:00:00", 1, "click",
+                     1.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+    got = sorted(
+        (r.fold, r.train_days, r.n_train_events, r.n_test_events)
+        for r in sample_kfold_timeseries(spark, sf).collect()
+    )
+    assert got[0][1] == 6  # floor(33/5), not round-to-nearest 7
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in
+        con.execute(ORACLES["sample_kfold_timeseries"]).fetchall()
+    )
+    assert got == want
+
+
+def test_hurst_constant_series_is_null_not_an_error(spark, tmp_path):
+    """Regression for the LOG2(0) hard-error path: an all-constant
+    series must report NULL H from BOTH engines (DuckDB would raise
+    on an unguarded log2(0))."""
+    import duckdb
+
+    from etl_city_directories_spark.operators.forecast import ORACLES
+
+    sf = _write_events(spark, tmp_path, _daily_rows([5000] * 30))
+    row = q_hurst_rs(spark, sf).collect()[0]
+    assert row.hurst_exponent is None
+    assert row.rs_7 == 0.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    orow = con.execute(ORACLES["q_hurst_rs"]).fetchone()
+    assert orow[-1] is None  # no OutOfRange error, NULL H
+
+
+def test_fdr_bh_overflow_ranks_are_never_significant(spark, tmp_path):
+    """Regression for the ladder fallthrough: with SIX event types the
+    rank-6 test must compare against an effectively-infinite critical
+    value — an ELSE 0 would mark it (and via step-up, everything)
+    significant. Six null panels → zero discoveries."""
+    rng = random.Random(53)
+    rows, eid = [], 0
+    for day in range(1, 29):
+        ts = f"2024-01-{day:02d} 09:00:00"
+        for etype in ["a", "b", "c", "d", "e", "f"]:
+            for _ in range(5):
+                rows.append((eid, ts, 1, etype, 5.0 + rng.random(), "{}"))
+                eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = q_fdr_bh(spark, sf).collect()
+    assert len(out) == 6
+    assert not any(r.discovery for r in out)
