@@ -3608,6 +3608,8 @@ ORACLES["graph_clustering_coeff"] = f"""
 
 # --- Little's law audit --------------------------------------------
 LITTLE_EDGE_DAYS = 30  # interior-window trim (censoring guard)
+# degenerate-window guard predicate, shared verbatim by both engines
+_LL_DEGEN = "(window_days = 0 OR n_arrivals = 0)"
 
 
 def q_queue_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3686,13 +3688,18 @@ def q_queue_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_expr = f"({d('wip_sum')} / {d('window_days')})"
     lam_expr = f"({d('n_arrivals')} / {d('window_days')})"
     w_expr = f"({d('dur_sum')} / {d('n_arrivals')})"
+    # Empty-interior guard (shared CASE, identical string in the
+    # oracle): a span shorter than 2*LITTLE_EDGE_DAYS leaves
+    # window_days = 0 / n_arrivals = 0, where Spark's x/0 yields NULL
+    # but DuckDB yields IEEE inf/NaN — report NULL in BOTH engines.
+    g = lambda e: f"(CASE WHEN {_LL_DEGEN} THEN NULL ELSE {e} END)"  # noqa: E731
     return both.selectExpr(
         "CAST(window_days AS BIGINT) AS window_days",
         "CAST(n_arrivals AS BIGINT) AS n_arrivals",
-        f"ROUND({l_expr}, 4) AS avg_wip",
-        f"ROUND({lam_expr}, 6) AS lambda_per_day",
-        f"ROUND({w_expr}, 4) AS w_days",
-        f"ROUND({l_expr} / ({lam_expr} * {w_expr}), 4) AS little_ratio",
+        g(f"ROUND({l_expr}, 4)") + " AS avg_wip",
+        g(f"ROUND({lam_expr}, 6)") + " AS lambda_per_day",
+        g(f"ROUND({w_expr}, 4)") + " AS w_days",
+        g(f"ROUND({l_expr} / ({lam_expr} * {w_expr}), 4)") + " AS little_ratio",
     )
 
 
@@ -3747,16 +3754,20 @@ ORACLES["q_queue_little_law"] = f"""
     )
     SELECT CAST(window_days AS BIGINT) AS window_days,
            CAST(n_arrivals AS BIGINT) AS n_arrivals,
-           ROUND(CAST(wip_sum AS DOUBLE) / CAST(window_days AS DOUBLE), 4)
-             AS avg_wip,
-           ROUND(CAST(n_arrivals AS DOUBLE) / CAST(window_days AS DOUBLE), 6)
-             AS lambda_per_day,
-           ROUND(CAST(dur_sum AS DOUBLE) / CAST(n_arrivals AS DOUBLE), 4)
-             AS w_days,
-           ROUND((CAST(wip_sum AS DOUBLE) / CAST(window_days AS DOUBLE))
-                 / ((CAST(n_arrivals AS DOUBLE) / CAST(window_days AS DOUBLE))
-                    * (CAST(dur_sum AS DOUBLE) / CAST(n_arrivals AS DOUBLE))),
-                 4) AS little_ratio
+           (CASE WHEN {_LL_DEGEN} THEN NULL ELSE
+            ROUND(CAST(wip_sum AS DOUBLE) / CAST(window_days AS DOUBLE), 4)
+            END) AS avg_wip,
+           (CASE WHEN {_LL_DEGEN} THEN NULL ELSE
+            ROUND(CAST(n_arrivals AS DOUBLE) / CAST(window_days AS DOUBLE), 6)
+            END) AS lambda_per_day,
+           (CASE WHEN {_LL_DEGEN} THEN NULL ELSE
+            ROUND(CAST(dur_sum AS DOUBLE) / CAST(n_arrivals AS DOUBLE), 4)
+            END) AS w_days,
+           (CASE WHEN {_LL_DEGEN} THEN NULL ELSE
+            ROUND((CAST(wip_sum AS DOUBLE) / CAST(window_days AS DOUBLE))
+                  / ((CAST(n_arrivals AS DOUBLE) / CAST(window_days AS DOUBLE))
+                     * (CAST(dur_sum AS DOUBLE) / CAST(n_arrivals AS DOUBLE))),
+                  4) END) AS little_ratio
     FROM wip, arr
 """
 

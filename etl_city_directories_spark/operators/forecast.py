@@ -37,9 +37,51 @@ from etl_city_directories_spark.sources.tables import load_table
 # MacKinnon 2010 table 1; the n~30 value is -2.99, the flag direction
 # is identical for this corpus either way).
 DF_CRIT_5PCT = "-2.86"
-# F(1, 26) upper 5% quantile — df2 = n_obs - 3 on the fixed 30-day
-# events calendar (n_obs = 29 lagged rows). 6-dp literal.
-GRANGER_F_CRIT_5PCT = "4.225201"
+# F(1, df2) upper 5% quantile ladder, df2 = n_obs - 3 keyed from the
+# OBSERVED span (the BH z-ladder device) — the r8 advisor flagged the
+# old fixed F(1,26) literal as wrong on any corpus whose event span
+# differs from the 30-day calendar. Values are squares of the
+# two-sided t(df2) 5% critical values (F(1,v) = t(v)^2), 6-dp
+# literals, identical strings in both engines. Buckets past df2=30
+# use the crit at the bucket's SMALLEST df2 (an upper bound on the
+# true crit → conservative: never over-claims significance).
+GRANGER_F_CRIT_LADDER = (
+    "(CASE WHEN n - 3 < 1 THEN 1e9"
+    " WHEN n - 3 = 1 THEN 161.447639"
+    " WHEN n - 3 = 2 THEN 18.512821"
+    " WHEN n - 3 = 3 THEN 10.127964"
+    " WHEN n - 3 = 4 THEN 7.708647"
+    " WHEN n - 3 = 5 THEN 6.607891"
+    " WHEN n - 3 = 6 THEN 5.987378"
+    " WHEN n - 3 = 7 THEN 5.591448"
+    " WHEN n - 3 = 8 THEN 5.317655"
+    " WHEN n - 3 = 9 THEN 5.117355"
+    " WHEN n - 3 = 10 THEN 4.964603"
+    " WHEN n - 3 = 11 THEN 4.844336"
+    " WHEN n - 3 = 12 THEN 4.747225"
+    " WHEN n - 3 = 13 THEN 4.667193"
+    " WHEN n - 3 = 14 THEN 4.600110"
+    " WHEN n - 3 = 15 THEN 4.543077"
+    " WHEN n - 3 = 16 THEN 4.493998"
+    " WHEN n - 3 = 17 THEN 4.451322"
+    " WHEN n - 3 = 18 THEN 4.413873"
+    " WHEN n - 3 = 19 THEN 4.380750"
+    " WHEN n - 3 = 20 THEN 4.351244"
+    " WHEN n - 3 = 21 THEN 4.324794"
+    " WHEN n - 3 = 22 THEN 4.300950"
+    " WHEN n - 3 = 23 THEN 4.279344"
+    " WHEN n - 3 = 24 THEN 4.259677"
+    " WHEN n - 3 = 25 THEN 4.241699"
+    " WHEN n - 3 = 26 THEN 4.225201"
+    " WHEN n - 3 = 27 THEN 4.210008"
+    " WHEN n - 3 = 28 THEN 4.195972"
+    " WHEN n - 3 = 29 THEN 4.182964"
+    " WHEN n - 3 = 30 THEN 4.170877"
+    " WHEN n - 3 <= 40 THEN 4.170877"
+    " WHEN n - 3 <= 60 THEN 4.084746"
+    " WHEN n - 3 <= 120 THEN 4.001191"
+    " ELSE 3.920124 END)"
+)
 SEASONAL_PERIOD = 7  # weekly seasonality, same as q_seasonal_index_weekly
 CCF_MAX_LAG = 3  # cross-correlation lags -3..+3
 # BH step-up z-ladder for K=5 two-sided tests at alpha=0.05:
@@ -234,7 +276,7 @@ _GRANGER_SELECT = [
     f"ROUND({_G_B2_G}, 6) AS beta_clicks",
     f"ROUND({_G_F}, 6) AS f_stat",
     "CAST(n - 3 AS BIGINT) AS df2",
-    f"({_G_F} > {GRANGER_F_CRIT_5PCT}) AS granger_5pct",
+    f"({_G_F} > {GRANGER_F_CRIT_LADDER}) AS granger_5pct",
 ]
 
 
@@ -475,9 +517,13 @@ _Z_RAW = (
     f"(({_d('sw')} / {_d('nw')} - {_d('sd_')} / {_d('nd')})"
     f" / SQRT({_Z_VW} / {_d('nw')} + {_Z_VD} / {_d('nd')}))"
 )
-# zero variance in both arms (a constant panel cell) → z = 0, no claim
+# zero variance in both arms (a constant panel cell) → z = 0, no claim.
+# The singleton guard (nw/nd <= 1) must come FIRST: _Z_VW/_Z_VD divide by
+# (n-1), and on a 1-row arm Spark evaluates x/0 to NULL while DuckDB gives
+# IEEE inf/NaN — the only cross-engine divergence channel in this panel.
 _Z_STAT = (
-    f"(CASE WHEN {_Z_VW} / {_d('nw')} + {_Z_VD} / {_d('nd')} <= 0"
+    f"(CASE WHEN {_d('nw')} <= 1 OR {_d('nd')} <= 1 THEN 0.0"
+    f" WHEN {_Z_VW} / {_d('nw')} + {_Z_VD} / {_d('nd')} <= 0"
     f" THEN 0.0 ELSE {_Z_RAW} END)"
 )
 

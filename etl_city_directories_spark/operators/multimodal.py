@@ -1373,9 +1373,20 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("hamming") <= PHASH_HAM_MAX, 1).otherwise(0)
         ).cast("bigint").alias("n_near_dups"),
-        F.min(F.when(F.col("hamming") <= PHASH_HAM_MAX, F.col("doc_other")))
-        .alias("nearest_dup"),
     )
+    # nearest_dup = the candidate with the MINIMUM Hamming distance
+    # (ties broken by doc_other), elected with a row_number window —
+    # the dedup_minhash_incremental best-match device. The r8 advisor
+    # flagged the old MIN(doc_other)-among-near-dups election, which
+    # ignored the distance and overstated the column name.
+    w_best = Window.partitionBy("doc_id").orderBy("hamming", "doc_other")
+    best = (
+        scored.filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("doc_other").alias("nearest_dup"))
+    )
+    per_img = per_img.join(best, "doc_id", "left")
     return hashed.join(per_img, "doc_id", "left").select(
         "doc_id",
         F.col("h").alias("phash"),
@@ -1432,14 +1443,21 @@ ORACLES["mm_phash_dedup"] = f"""
       SELECT doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_candidates,
              CAST(SUM(CASE WHEN hamming <= {PHASH_HAM_MAX} THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_near_dups,
-             MIN(CASE WHEN hamming <= {PHASH_HAM_MAX} THEN doc_other END)
-               AS nearest_dup
+                  AS BIGINT) AS n_near_dups
       FROM scored GROUP BY 1
+    ),
+    best AS (
+      SELECT doc_id, doc_other AS nearest_dup FROM (
+        SELECT doc_id, doc_other,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hamming, doc_other) AS rn
+        FROM scored WHERE hamming <= {PHASH_HAM_MAX}
+      ) WHERE rn = 1
     )
     SELECT h2.doc_id, h2.h AS phash,
            COALESCE(p.n_candidates, 0) AS n_candidates,
            COALESCE(p.n_near_dups, 0) AS n_near_dups,
-           p.nearest_dup
+           b.nearest_dup
     FROM hashed h2 LEFT JOIN per_img p USING (doc_id)
+                   LEFT JOIN best b ON h2.doc_id = b.doc_id
 """
