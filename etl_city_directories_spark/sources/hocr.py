@@ -165,6 +165,46 @@ def deskew_x0(
     return [int(round(l[0] - slope * (l[1] - y_min))) for l in lines]
 
 
+# k-inference thresholds (column_count=None mode): a greedy x0 cluster
+# is a REAL column only if it holds at least this share of the page's
+# lines (and >= 2 lines absolute). Continuation indents, gutter bleed,
+# and stray boxes form small clusters and fall under the floor; a
+# directory page's real columns each hold a near-equal large share.
+COLUMN_MIN_SHARE = 0.15
+MAX_COLUMN_COUNT = 6
+
+
+def infer_column_count(
+    lines: list[tuple[int, int, int, int, str]],
+    xs_corr: list[int] | None = None,
+) -> int:
+    """Infer the column count when the manifest doesn't declare one —
+    the `hocr-detect-columns` richer-config mode the r8 verdict flagged
+    (city-directories.js:224-232 drives the npm package with an
+    explicit columnCount; undeclared pages need k discovered).
+
+    Same geometry as the declared-k path: cluster the skew-corrected
+    x0s with the greedy COLUMN_TOLERANCE_PX scheme, then count
+    significant clusters (population >= max(2, COLUMN_MIN_SHARE * n)).
+    This is the density form of a gap-statistic decision — the greedy
+    tolerance IS the within-cluster dispersion bound, so any cluster
+    that clears the population floor is a real mode of the x0
+    distribution. Deterministic; clamped to [1, MAX_COLUMN_COUNT].
+    """
+    if not lines:
+        return 1
+    xs = sorted(xs_corr if xs_corr is not None else [l[0] for l in lines])
+    clusters = _greedy_clusters(xs)
+    # two floors: a share of the page AND half the largest cluster —
+    # directory columns are near-equal in population, so a spine-shadow
+    # cluster that sneaks past the page-share floor (dense junk on a
+    # short page) still falls under the half-of-largest bar.
+    largest = max(len(c) for c in clusters)
+    floor = max(2, int(len(xs) * COLUMN_MIN_SHARE), (largest + 1) // 2)
+    k = sum(1 for c in clusters if len(c) >= floor)
+    return max(1, min(k, MAX_COLUMN_COUNT))
+
+
 def column_centers(
     lines: list[tuple[int, int, int, int, str]],
     column_count: int,
@@ -307,9 +347,15 @@ def read_hocr_pages(spark: SparkSession, archive_glob: str) -> DataFrame:
     return binaries.select("path", "content").mapInPandas(explode_pages, PAGE_SCHEMA)
 
 
-def parse_hocr_lines(pages: DataFrame, column_count: int = 2) -> DataFrame:
+def parse_hocr_lines(
+    pages: DataFrame, column_count: int | None = 2
+) -> DataFrame:
     """Pages → column-assigned OCR lines (reference parse step
-    city-directories.js:223-247, incl. dot-run collapse)."""
+    city-directories.js:223-247, incl. dot-run collapse).
+
+    ``column_count=None`` infers k PER PAGE from the x0 cluster
+    populations (see infer_column_count) — the undeclared-columnCount
+    mode; a declared k pins it for every page as before."""
 
     def explode_lines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -319,8 +365,13 @@ def parse_hocr_lines(pages: DataFrame, column_count: int = 2) -> DataFrame:
                 # deskew FIRST: column decisions run on skew-corrected
                 # x0s (clean pages estimate slope 0 and are untouched)
                 xs_corr = deskew_x0(lines, estimate_skew(lines))
-                cols = assign_columns(lines, column_count, xs_corr)
-                centers = column_centers(lines, column_count, xs_corr)
+                k = (
+                    column_count
+                    if column_count is not None
+                    else infer_column_count(lines, xs_corr)
+                )
+                cols = assign_columns(lines, k, xs_corr)
+                centers = column_centers(lines, k, xs_corr)
                 for i, x0, y0, x1, y1, text, cidx in stitch_continuations(
                     lines, cols, centers, xs_corr
                 ):
