@@ -56,10 +56,12 @@ def main() -> None:
         wanted = {k.strip() for k in only.split(",") if k.strip()}
         queries = {k: v for k, v in queries.items() if k in wanted}
 
+    attempts: dict[str, list[float]] = {}
     for idx, name in enumerate(sorted(queries)):
         if gc_every > 0 and idx % gc_every == 0:
             jvm_gc()  # outside the timed region
         best = None
+        attempts[name] = []
         for _ in range(runs):
             # each attempt pays its own persist cost; no cross-query
             # cache subsidies
@@ -68,6 +70,7 @@ def main() -> None:
             try:
                 queries[name](spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
+                attempts[name].append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # a broken query shouldn't hide the rest
                 best = -1.0
@@ -75,6 +78,28 @@ def main() -> None:
                 break
         timings[name] = round(best, 3)
     total = round(sum(t for t in timings.values() if t > 0), 3)
+
+    # Sidecar with EVERY attempt (the JSON line keeps only best-of-N):
+    # the per-key attempt spread is the contention fingerprint that
+    # separates a plan regression from a noisy window (see
+    # tools/simlogs/r09_family_adjudication.md — the r8 "regression"
+    # was 1.37x box drift). The driver ignores this file; humans and
+    # later rounds diff it against the archived BENCH_r{N}.json.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools", "simlogs", "bench_last_detail.json",
+        ),
+    )
+    if detail_path:
+        try:
+            with open(detail_path, "w", encoding="utf-8") as f:
+                json.dump(
+                    {"sf_dir": sf_dir, "runs": runs, "attempts": attempts}, f
+                )
+        except OSError:
+            pass  # a read-only checkout must not fail the bench
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver archives only the TAIL of this line (last ~2000 chars),
