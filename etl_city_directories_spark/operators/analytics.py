@@ -3852,28 +3852,38 @@ def q_promo_uplift_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ELSE {d('st')} / {d('n_treated')} - {d('sc')} / {d('n_control')}"
         f" END)"
     )
+    # Display quantization uses floor(x*1e4 + 0.5)/1e4, NOT ROUND(x, 4):
+    # the ATT denominator is a small integer (Σ n_treated), so the
+    # 4-dp value lands on EXACT binary ties (e.g. W=80 → S·1.25) where
+    # Spark's HALF_UP and DuckDB's round disagree on negatives (found
+    # at sf0.001: -93213.23975 → -93213.2398 vs -93213.2397). floor is
+    # exact on IEEE doubles in both engines.
     scored = per_stratum.selectExpr(
         "stratum",
         "n_treated",
         "n_control",
-        f"ROUND({up} / 100, 4) AS uplift_dollars",
+        # divide by a DOUBLE literal: Spark types a bare 10000.0 as
+        # DECIMAL and BIGINT/DECIMAL -> DECIMAL (trailing-zero strings)
+        f"CAST(floor({up} * 100 + 0.5) AS BIGINT)"
+        f" / CAST(10000 AS DOUBLE) AS uplift_dollars",
         f"CAST(floor({up} + 0.5) AS BIGINT) AS up_cents",
     )
     w_all = Window.partitionBy()
-    att = (
-        F.sum(
-            F.when(F.col("up_cents").isNotNull(), F.col("n_treated") * F.col("up_cents"))
-        ).over(w_all)
-        / F.sum(
-            F.when(F.col("up_cents").isNotNull(), F.col("n_treated"))
-        ).over(w_all)
+    s_sum = F.sum(
+        F.when(F.col("up_cents").isNotNull(), F.col("n_treated") * F.col("up_cents"))
+    ).over(w_all)
+    w_sum = F.sum(
+        F.when(F.col("up_cents").isNotNull(), F.col("n_treated"))
+    ).over(w_all)
+    att_x1e4 = F.floor(
+        s_sum.cast("double") * 100 / w_sum.cast("double") + F.lit(0.5)
     )
     return scored.select(
         "stratum",
         "n_treated",
         "n_control",
         "uplift_dollars",
-        F.round(att / 100, 4).alias("att_dollars"),
+        (att_x1e4 / F.lit(10000.0)).alias("att_dollars"),
     )
 
 
@@ -3917,10 +3927,11 @@ ORACLES["q_promo_uplift_matching"] = f"""
     ),
     scored AS (
       SELECT stratum, n_treated, n_control,
-             ROUND((CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL
+             CAST(floor((CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL
                     ELSE CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
                          - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE)
-                    END) / 100, 4) AS uplift_dollars,
+                    END) * 100 + 0.5) AS BIGINT) / 10000.0
+               AS uplift_dollars,
              CAST(floor((CASE WHEN n_treated = 0 OR n_control = 0 THEN NULL
                     ELSE CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
                          - CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE)
@@ -3928,10 +3939,11 @@ ORACLES["q_promo_uplift_matching"] = f"""
       FROM per_stratum
     )
     SELECT stratum, n_treated, n_control, uplift_dollars,
-           ROUND(CAST(SUM(CASE WHEN up_cents IS NOT NULL
+           floor(CAST(SUM(CASE WHEN up_cents IS NOT NULL
                           THEN n_treated * up_cents END) OVER () AS DOUBLE)
+                 * 100
                  / CAST(SUM(CASE WHEN up_cents IS NOT NULL
                             THEN n_treated END) OVER () AS DOUBLE)
-                 / 100, 4) AS att_dollars
+                 + 0.5) / 10000.0 AS att_dollars
     FROM scored
 """

@@ -182,3 +182,52 @@ def test_phash_planted_near_dup_elects_closest(spark, tmp_path):
         # among the same-bucket candidates is guaranteed by the window;
         # here we sanity-check the distance is a plausible minimum.
         assert d_best >= 0
+
+
+# --- sf0.001 full-sweep findings (r9) --------------------------------
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+def test_approx_quantiles_rank_contract_tiny_corpus(spark):
+    """At n~200 per group the p99 sketch element sits >2% from the
+    interpolated exact value — the VALUE contract flipped at sf0.001.
+    The rank contract (what GK sketches actually guarantee) must hold
+    at every scale."""
+    from etl_city_directories_spark.operators.scale_ops import (
+        q_approx_quantiles,
+    )
+
+    for sf in (SF_TINY, SF):
+        for r in q_approx_quantiles(spark, sf).collect():
+            for c in ("p50_est_ok", "p90_est_ok", "p99_est_ok"):
+                assert r[c] is True, (sf, r["event_type"], c)
+
+
+def test_uplift_att_no_round_tie_divergence(spark):
+    """att_dollars divides by a small integer (sum of treated counts),
+    so the 4-dp value lands on EXACT binary ties where Spark HALF_UP
+    and DuckDB round() disagree on negatives (sf0.001: -93213.23975).
+    The floor(x*1e4+0.5)/1e4 device must agree with DuckDB bit-for-bit
+    on the tie corpus."""
+    import duckdb
+
+    from etl_city_directories_spark.operators.analytics import (
+        ORACLES,
+        q_promo_uplift_matching,
+    )
+
+    sp = {
+        r["stratum"]: r
+        for r in q_promo_uplift_matching(spark, SF_TINY).collect()
+    }
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_TINY}/{t}.parquet'"
+        )
+    op = con.execute(ORACLES["q_promo_uplift_matching"]).fetchdf()
+    for _, row in op.iterrows():
+        s = sp[int(row["stratum"])]
+        assert float(s["att_dollars"]) == float(row["att_dollars"])
+        assert float(s["uplift_dollars"]) == float(row["uplift_dollars"])
