@@ -2117,12 +2117,19 @@ def q_did_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("treated") & ~F.col("is_h2"), F.col("r"))).alias("c1"),
         F.sum(F.when(~F.col("treated") & F.col("is_h2"), F.col("r"))).alias("c2"),
     )
+    # Round IN DECIMAL, cast to double after: the 4-cell values are
+    # exact DECIMAL(38,6), and decimal ROUND is exact half-away-from-
+    # zero in BOTH engines — whereas double ROUND diverges on exact
+    # negative binary ties (the q_promo_uplift_matching att_dollars
+    # lesson; did_abs is the negative-capable column here). did_rel is
+    # a double quotient whose 6-dp ties aren't exactly representable —
+    # left on the double path.
     return folded.selectExpr(
-        "ROUND(CAST(t1 AS DOUBLE), 2) AS treated_h1",
-        "ROUND(CAST(t2 AS DOUBLE), 2) AS treated_h2",
-        "ROUND(CAST(c1 AS DOUBLE), 2) AS control_h1",
-        "ROUND(CAST(c2 AS DOUBLE), 2) AS control_h2",
-        "ROUND(CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE), 2) AS did_abs",
+        "CAST(ROUND(t1, 2) AS DOUBLE) AS treated_h1",
+        "CAST(ROUND(t2, 2) AS DOUBLE) AS treated_h2",
+        "CAST(ROUND(c1, 2) AS DOUBLE) AS control_h1",
+        "CAST(ROUND(c2, 2) AS DOUBLE) AS control_h2",
+        "CAST(ROUND((t2 - t1) - (c2 - c1), 2) AS DOUBLE) AS did_abs",
         "ROUND((CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE))"
         " / (CAST(t1 AS DOUBLE) + CAST(c2 - c1 AS DOUBLE)), 6) AS did_rel",
     )
@@ -2154,12 +2161,11 @@ ORACLES["q_did_promo"] = """
              SUM(CASE WHEN NOT treated AND is_h2 THEN r END) AS c2
       FROM grid
     )
-    SELECT ROUND(CAST(t1 AS DOUBLE), 2) AS treated_h1,
-           ROUND(CAST(t2 AS DOUBLE), 2) AS treated_h2,
-           ROUND(CAST(c1 AS DOUBLE), 2) AS control_h1,
-           ROUND(CAST(c2 AS DOUBLE), 2) AS control_h2,
-           ROUND(CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE), 2)
-             AS did_abs,
+    SELECT CAST(ROUND(t1, 2) AS DOUBLE) AS treated_h1,
+           CAST(ROUND(t2, 2) AS DOUBLE) AS treated_h2,
+           CAST(ROUND(c1, 2) AS DOUBLE) AS control_h1,
+           CAST(ROUND(c2, 2) AS DOUBLE) AS control_h2,
+           CAST(ROUND((t2 - t1) - (c2 - c1), 2) AS DOUBLE) AS did_abs,
            ROUND((CAST(t2 - t1 AS DOUBLE) - CAST(c2 - c1 AS DOUBLE))
                  / (CAST(t1 AS DOUBLE) + CAST(c2 - c1 AS DOUBLE)), 6)
              AS did_rel

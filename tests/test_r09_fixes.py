@@ -231,3 +231,19 @@ def test_uplift_att_no_round_tie_divergence(spark):
         s = sp[int(row["stratum"])]
         assert float(s["att_dollars"]) == float(row["att_dollars"])
         assert float(s["uplift_dollars"]) == float(row["uplift_dollars"])
+
+
+def test_decimal_round_negative_tie_agrees_cross_engine(spark):
+    """The q_did_promo hardening's premise: ROUND on DECIMAL(38,6) is
+    exact half-away-from-zero in BOTH engines even on the negative
+    ties where double ROUND diverges."""
+    import duckdb
+
+    ties = ["-0.005", "0.005", "-123.455000", "-93213.239750"]
+    sel = ", ".join(
+        f"ROUND(CAST({t} AS DECIMAL(38,6)), 2) AS r{i}"
+        for i, t in enumerate(ties)
+    )
+    sp = [float(v) for v in spark.sql(f"SELECT {sel}").collect()[0]]
+    dk = [float(v) for v in duckdb.connect().execute(f"SELECT {sel}").fetchone()]
+    assert sp == dk == [-0.01, 0.01, -123.46, -93213.24]
