@@ -247,3 +247,49 @@ def test_decimal_round_negative_tie_agrees_cross_engine(spark):
     sp = [float(v) for v in spark.sql(f"SELECT {sel}").collect()[0]]
     dk = [float(v) for v in duckdb.connect().execute(f"SELECT {sel}").fetchone()]
     assert sp == dk == [-0.01, 0.01, -123.46, -93213.24]
+
+
+def test_rounding_devices_cross_engine_batch(spark):
+    """Batched adversarial sweep of the two display-rounding devices
+    over tie-heavy rationals (power-of-two/five denominators — the
+    class that produced the att_dollars divergence):
+
+    1. floor(n*100/d + 0.5)/1e4 on doubles (the micro-quantize device)
+    2. ROUND(decimal, 2) then cast (the q_did_promo device)
+
+    Every generated case must agree bit-for-bit between Spark and
+    DuckDB. Deterministic seed; one Spark job (repo convention for
+    property rounds)."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(20260816)
+    dens = np.array([1, 2, 4, 5, 8, 10, 16, 20, 25, 32, 40, 50, 64, 80, 100])
+    n = 4000
+    d = dens[rng.randint(0, len(dens), n)]
+    # mix random numerators with CONSTRUCTED exact ties (odd multiples
+    # of d/2 land exactly on .5 after the *100/d scale)
+    num = rng.randint(-10**9, 10**9, n).astype(np.int64)
+    tie_mask = rng.rand(n) < 0.5
+    num[tie_mask] = (2 * rng.randint(-10**7, 10**7, tie_mask.sum()) + 1) * (
+        d[tie_mask].astype(np.int64)
+    )
+    rows = [(int(a), int(b)) for a, b in zip(num, d)]
+    dev1 = (
+        "CAST(floor(CAST(n AS DOUBLE) * 100 / CAST(d AS DOUBLE) + 0.5)"
+        " AS BIGINT) / CAST(10000 AS DOUBLE)"
+    )
+    dev2 = "CAST(ROUND(CAST(n AS DECIMAL(38,6)) / 16, 2) AS DOUBLE)"
+    sp = (
+        spark.createDataFrame(rows, "n bigint, d bigint")
+        .selectExpr(f"{dev1} AS v1", f"{dev2} AS v2")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (n BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    dk = con.execute(f"SELECT {dev1} AS v1, {dev2} AS v2 FROM t").fetchall()
+    assert len(sp) == len(dk) == n
+    for i, (s, k) in enumerate(zip(sp, dk)):
+        assert s.v1 == k[0], (i, rows[i], s.v1, k[0])
+        assert float(s.v2) == float(k[1]), (i, rows[i], s.v2, k[1])
