@@ -275,14 +275,18 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.round("sd_chars", 4).alias("sd_chars"),
-            F.round(
-                F.col("w") / F.sum("w").over(wv), 6
+            # all-singleton corpus: total weight 0 -> allocation
+            # undefined (x/0 raises under Spark 4 ANSI; NaN in DuckDB)
+            F.when(
+                F.sum("w").over(wv) > 0,
+                F.round(F.col("w") / F.sum("w").over(wv), 6),
             ).alias("alloc_share"),
-            F.floor(
-                F.lit(NEYMAN_BUDGET) * F.col("w") / F.sum("w").over(wv)
-            )
-            .cast("bigint")
-            .alias("n_alloc"),
+            F.when(
+                F.sum("w").over(wv) > 0,
+                F.floor(
+                    F.lit(NEYMAN_BUDGET) * F.col("w") / F.sum("w").over(wv)
+                ).cast("bigint"),
+            ).alias("n_alloc"),
         )
         .orderBy("lang", "source")
     )
@@ -312,9 +316,11 @@ ORACLES["sample_neyman_allocation"] = f"""
     )
     SELECT lang, source, n_docs::BIGINT AS n_docs,
            ROUND(sd_chars, 4) AS sd_chars,
-           ROUND(w / SUM(w) OVER (), 6) AS alloc_share,
-           CAST(FLOOR({NEYMAN_BUDGET} * w / SUM(w) OVER ()) AS BIGINT)
-             AS n_alloc
+           (CASE WHEN SUM(w) OVER () > 0 THEN
+             ROUND(w / SUM(w) OVER (), 6) END) AS alloc_share,
+           (CASE WHEN SUM(w) OVER () > 0 THEN
+             CAST(FLOOR({NEYMAN_BUDGET} * w / SUM(w) OVER ()) AS BIGINT)
+            END) AS n_alloc
     FROM weighted ORDER BY lang, source
 """
 

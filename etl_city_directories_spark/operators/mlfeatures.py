@@ -699,8 +699,14 @@ def emb_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_intra_d2", 4).alias("mean_intra_d2"),
             "nearest_label",
             F.round("nearest_centroid_d2", 4).alias("nearest_centroid_d2"),
-            F.round(
-                F.col("nearest_centroid_d2") / F.col("mean_intra_d2"), 4
+            # singleton/degenerate label: the only vector IS the
+            # centroid (mean_intra_d2 = 0) and the ratio is undefined
+            # (x/0 raises under Spark 4 ANSI; inf in DuckDB)
+            F.when(
+                F.col("mean_intra_d2") > 0,
+                F.round(
+                    F.col("nearest_centroid_d2") / F.col("mean_intra_d2"), 4
+                ),
             ).alias("separation_ratio"),
         )
         .orderBy("label")
@@ -833,7 +839,8 @@ ORACLES["emb_label_separation"] = f"""
            ROUND(i.mean_intra_d2, 4) AS mean_intra_d2,
            n.lb AS nearest_label,
            ROUND(n.d2, 4) AS nearest_centroid_d2,
-           ROUND(n.d2 / i.mean_intra_d2, 4) AS separation_ratio
+           (CASE WHEN i.mean_intra_d2 > 0 THEN
+             ROUND(n.d2 / i.mean_intra_d2, 4) END) AS separation_ratio
     FROM intra i JOIN (SELECT * FROM inter WHERE rn = 1) n ON n.la = i.label
     ORDER BY i.label
 """

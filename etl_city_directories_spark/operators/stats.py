@@ -1881,6 +1881,11 @@ _M4 = (
     f" + 6 * {_MU} * {_MU} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
     f" - 3 * {_MU} * {_MU} * {_MU} * {_MU})"
 )
+# Zero-variance guard: a constant group (every value identical — the
+# degenerate-corpus case) has M2 = 0 and skew/kurtosis undefined; the
+# unguarded divide raises under Spark 4's default ANSI mode and gives
+# NaN in DuckDB. Report NULL moments and FALSE flags, identically.
+_M2_DEGEN = f"({_M2} <= 0)"
 _SKEW = f"({_M3} / sqrt({_M2} * {_M2} * {_M2}))"
 _KURT = f"({_M4} / ({_M2} * {_M2}))"
 _JB = (
@@ -1892,10 +1897,14 @@ _JB_SELECT = [
     "event_type",
     "CAST(n AS BIGINT) AS n",
     f"ROUND({_MU} / 100, 4) AS mean_value",
-    f"ROUND({_SKEW}, 6) AS skewness",
-    f"ROUND({_KURT}, 6) AS kurtosis",
-    f"ROUND({_JB}, 4) AS jb_stat",
-    f"({_JB} > {JB_CRIT_5PCT}) AS non_normal_5pct",
+    f"(CASE WHEN {_M2_DEGEN} THEN NULL ELSE ROUND({_SKEW}, 6) END)"
+    " AS skewness",
+    f"(CASE WHEN {_M2_DEGEN} THEN NULL ELSE ROUND({_KURT}, 6) END)"
+    " AS kurtosis",
+    f"(CASE WHEN {_M2_DEGEN} THEN NULL ELSE ROUND({_JB}, 4) END)"
+    " AS jb_stat",
+    f"(CASE WHEN {_M2_DEGEN} THEN FALSE"
+    f" ELSE {_JB} > {JB_CRIT_5PCT} END) AS non_normal_5pct",
 ]
 
 
@@ -1943,8 +1952,11 @@ _GRUBBS_SELECT = [
     f"ROUND({_MU} / 100, 4) AS mean_value",
     f"ROUND({_G_SD} / 100, 4) AS sd_value",
     f"ROUND({_G_SUSPECT} / 100, 2) AS suspect_value",
-    f"ROUND({_G_STAT}, 6) AS g_stat",
-    f"({_G_STAT} > {GRUBBS_FLAG_G}) AS outlier_flagged",
+    # zero-variance guard: see _M2_DEGEN — G divides by sd
+    f"(CASE WHEN {_M2_DEGEN} THEN NULL ELSE ROUND({_G_STAT}, 6) END)"
+    " AS g_stat",
+    f"(CASE WHEN {_M2_DEGEN} THEN FALSE"
+    f" ELSE {_G_STAT} > {GRUBBS_FLAG_G} END) AS outlier_flagged",
 ]
 
 
@@ -2291,7 +2303,12 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(mi_sum AS DOUBLE) / 1e8, 6) AS mi_nats",
             "ROUND(CAST(hx_sum AS DOUBLE) / 1e8, 6) AS h_type",
             "ROUND(CAST(hy_sum AS DOUBLE) / 1e8, 6) AS h_dow",
-            "ROUND(CAST(mi_sum AS DOUBLE) / CAST(LEAST(hx_sum, hy_sum) AS DOUBLE), 6)"
+            # a constant marginal (one event type / one weekday in the
+            # corpus) has zero entropy: normalized MI undefined (x/0
+            # raises under Spark 4 ANSI)
+            "(CASE WHEN LEAST(hx_sum, hy_sum) <= 0 THEN NULL ELSE"
+            " ROUND(CAST(mi_sum AS DOUBLE)"
+            " / CAST(LEAST(hx_sum, hy_sum) AS DOUBLE), 6) END)"
             " AS normalized_mi",
         )
     )
@@ -2571,8 +2588,9 @@ ORACLES["q_mutual_information"] = """
            ROUND(CAST(mi_sum AS DOUBLE) / 1e8, 6) AS mi_nats,
            ROUND(CAST(hx_sum AS DOUBLE) / 1e8, 6) AS h_type,
            ROUND(CAST(hy_sum AS DOUBLE) / 1e8, 6) AS h_dow,
-           ROUND(CAST(mi_sum AS DOUBLE)
-                 / CAST(LEAST(hx_sum, hy_sum) AS DOUBLE), 6)
+           (CASE WHEN LEAST(hx_sum, hy_sum) <= 0 THEN NULL ELSE
+            ROUND(CAST(mi_sum AS DOUBLE)
+                  / CAST(LEAST(hx_sum, hy_sum) AS DOUBLE), 6) END)
              AS normalized_mi
     FROM mi, hx, hy
 """
@@ -2599,6 +2617,31 @@ ORACLES["q_entropy_by_group"] = """
 
 
 BF_CRIT_5PCT = "2.372"  # F(4, inf) 95% literal (df1 = 5 types - 1)
+# shared Brown-Forsythe F chain + degenerate guard (identical string in
+# selectExpr and oracle): k=1 (one group), n=k (all-singleton groups)
+# or zero within-variance makes F undefined — the unguarded divide
+# raises under Spark 4 ANSI mode on a degenerate corpus.
+_BF_BETWEEN = (
+    "(CAST(szn_sum AS DOUBLE)"
+    " - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+)
+_BF_WITHIN = "(CAST(ssz_all AS DOUBLE) - CAST(szn_sum AS DOUBLE))"
+_BF_F = (
+    f"(({_BF_BETWEEN} / (CAST(k AS DOUBLE) - 1))"
+    f" / ({_BF_WITHIN} / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"
+)
+_BF_DEGEN = f"(k <= 1 OR n <= k OR {_BF_WITHIN} <= 0)"
+_BF_SELECT = [
+    "CAST(k AS BIGINT) AS k_groups",
+    "CAST(n AS BIGINT) AS n",
+    f"(CASE WHEN {_BF_DEGEN} THEN NULL ELSE ROUND({_BF_F}, 6) END)"
+    " AS f_stat",
+    "CAST(k - 1 AS BIGINT) AS df1",
+    "CAST(n - k AS BIGINT) AS df2",
+    f"(CASE WHEN {_BF_DEGEN} THEN FALSE ELSE {_BF_F} > {BF_CRIT_5PCT} END)"
+    " AS heteroscedastic_5pct",
+]
 LB_LAGS = 7  # Ljung-Box lag depth over the daily grid
 LB_CRIT_5PCT = "14.067140"  # chi2(7) 95% quantile, 6-dp literal
 
@@ -2668,24 +2711,7 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ssz").cast("decimal(38,0)").alias("ssz_all"),
         F.sum("szn_unit").cast("decimal(38,0)").alias("szn_sum"),
     )
-    between = (
-        "(CAST(szn_sum AS DOUBLE)"
-        " - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)"
-        " / CAST(n AS DOUBLE))"
-    )
-    within = "(CAST(ssz_all AS DOUBLE) - CAST(szn_sum AS DOUBLE))"
-    f_stat = (
-        f"(({between} / (CAST(k AS DOUBLE) - 1))"
-        f" / ({within} / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"
-    )
-    return suff.selectExpr(
-        "CAST(k AS BIGINT) AS k_groups",
-        "CAST(n AS BIGINT) AS n",
-        f"ROUND({f_stat}, 6) AS f_stat",
-        "CAST(k - 1 AS BIGINT) AS df1",
-        "CAST(n - k AS BIGINT) AS df2",
-        f"({f_stat} > {BF_CRIT_5PCT}) AS heteroscedastic_5pct",
-    )
+    return suff.selectExpr(*_BF_SELECT)
 
 
 def _lb_terms() -> tuple[list, list]:
@@ -2811,23 +2837,7 @@ ORACLES["q_brown_forsythe"] = f"""
              SUM(szn_unit) AS szn_sum
       FROM scored
     )
-    SELECT CAST(k AS BIGINT) AS k_groups,
-           CAST(n AS BIGINT) AS n,
-           ROUND((((CAST(szn_sum AS DOUBLE)
-                    - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)
-                      / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
-                  / ((CAST(ssz_all AS DOUBLE)
-                      - CAST(szn_sum AS DOUBLE))
-                     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))), 6)
-             AS f_stat,
-           CAST(k - 1 AS BIGINT) AS df1,
-           CAST(n - k AS BIGINT) AS df2,
-           ((((CAST(szn_sum AS DOUBLE)
-               - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)
-                 / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1))
-             / ((CAST(ssz_all AS DOUBLE) - CAST(szn_sum AS DOUBLE))
-                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
-            > {BF_CRIT_5PCT}) AS heteroscedastic_5pct
+    SELECT {", ".join(_BF_SELECT)}
     FROM suff
 """
 
@@ -2924,7 +2934,11 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("cents")).cast("decimal(38,0)").alias("wc"),
         F.sum("w").cast("bigint").alias("wn"),
     )
-    rep_means = per_rep.selectExpr(
+    # drop zero-weight replicates: Poisson(1) weights can all land 0
+    # on a tiny corpus (P ~ e^-n per replicate) and wc/wn would raise
+    # under Spark 4 ANSI mode; a weightless replicate has no defined
+    # mean in either engine. Live corpora keep all B replicates.
+    rep_means = per_rep.filter("wn > 0").selectExpr(
         "rep",
         "CAST(wc AS DOUBLE) / CAST(wn AS DOUBLE) / 100 AS rep_mean",
     )
@@ -2962,9 +2976,11 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return summary.crossJoin(F.broadcast(point)).selectExpr(
         "CAST(b AS BIGINT) AS n_replicates",
-        "ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) / 100, 4)"
+        "(CASE WHEN tn = 0 THEN NULL ELSE"
+        " ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) / 100, 4) END)"
         " AS point_mean",
-        f"ROUND(sqrt({var} * b / (b - 1)), 4) AS boot_se",
+        f"(CASE WHEN b <= 1 THEN NULL ELSE"
+        f" ROUND(sqrt({var} * b / (b - 1)), 4) END) AS boot_se",
         "ROUND(lo, 4) AS ci_lo",
         "ROUND(hi, 4) AS ci_hi",
     )
@@ -2995,7 +3011,7 @@ ORACLES["q_bootstrap_ci_mean"] = f"""
     ),
     rep_means AS (
       SELECT rep, CAST(wc AS DOUBLE) / CAST(wn AS DOUBLE) / 100 AS rep_mean
-      FROM per_rep
+      FROM per_rep WHERE wn > 0
     ),
     point AS (
       SELECT SUM(cents)::HUGEINT AS tc, COUNT(*) AS tn FROM orders_c
@@ -3015,12 +3031,14 @@ ORACLES["q_bootstrap_ci_mean"] = f"""
       FROM ranked
     )
     SELECT CAST(b AS BIGINT) AS n_replicates,
-           ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) / 100, 4)
+           (CASE WHEN tn = 0 THEN NULL ELSE
+            ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE) / 100, 4) END)
              AS point_mean,
-           ROUND(sqrt((CAST(sm2_micro AS DOUBLE) / 1e12 / b
-                       - (CAST(sm_micro AS DOUBLE) / b / 1e6)
-                       * (CAST(sm_micro AS DOUBLE) / b / 1e6))
-                      * b / (b - 1)), 4) AS boot_se,
+           (CASE WHEN b <= 1 THEN NULL ELSE
+            ROUND(sqrt((CAST(sm2_micro AS DOUBLE) / 1e12 / b
+                        - (CAST(sm_micro AS DOUBLE) / b / 1e6)
+                        * (CAST(sm_micro AS DOUBLE) / b / 1e6))
+                       * b / (b - 1)), 4) END) AS boot_se,
            ROUND(lo, 4) AS ci_lo,
            ROUND(hi, 4) AS ci_hi
     FROM summary, point
