@@ -429,6 +429,12 @@ def q_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_DISTINCT_REL_TOL = 0.05  # rsd 2% sketch, 5% contract ceiling
 APPROX_QUANT_REL_TOL = 0.02  # accuracy-10000 sketch, 2% ceiling
 APPROX_QUANT_ABS_EPS = 0.01  # one cent: zero-valued exact percentiles
+# r10 audit-sampling devices (VERDICT r9 order #5: bound the audit side
+# so the headline sketch keys cost sketch + O(sample), not 2× corpus).
+# Both moduli are deterministic md5 buckets replayed bit-identically by
+# DuckDB (the shuffle_global_permute / er_blocking_quality idiom).
+APPROX_QUANT_SAMPLE_MOD = 8  # rank audit reads 1/8 of events
+APPROX_DISTINCT_STRATUM_MOD = 4  # exact distinct over 1/4 of users
 
 
 def _approx_quantiles_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,24 +459,57 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort with a fixed-size mergeable sketch per partition:
     shuffle volume is O(groups × sketch), independent of row count.
 
-    Oracle-checkable since r09 (was rows-only): the skeleton
-    (n_events + exact interpolated percentiles, the q_percentiles
-    algebra DuckDB replays with quantile_cont) is hash-checked, and
-    per-percentile booleans assert the sketch's RANK contract: the
-    returned element's rank window [cnt_lt+1, cnt_le] must intersect
-    p·n ± (n/accuracy + 2). A VALUE tolerance is the wrong contract —
-    the sketch returns a dataset element while the exact percentile
-    interpolates, and at small n adjacent tail elements sit further
-    apart than any sane relative tolerance (found at sf0.001: p99
-    booleans flipped). Rank is what GK sketches guarantee. The rank
-    audit joins the 5-row estimate frame back to events (one extra
-    broadcast-join pass — this is an accuracy-audit operator; the
-    production read is the sketch alone). Raw estimates stay
-    available via _approx_quantiles_detail for the tolerance pytest.
+    Oracle-checkable since r09; audit-bounded since r10 (VERDICT r9
+    order #5: the r9 version replayed full exact percentiles AND a
+    full-corpus rank count — a 2× corpus audit inside the headline
+    sketch key). The audit side now reads only the deterministic
+    md5(event_id) % APPROX_QUANT_SAMPLE_MOD == 0 sample:
+
+    - skeleton (hash-checked by DuckDB): n_events (full corpus, from
+      the same sketch pass), n_sample, and the exact interpolated
+      percentiles OF THE SAMPLE (p50_s/p90_s/p99_s) — full-corpus
+      exact percentile algebra is already oracle-covered by
+      q_percentiles, so repeating it here was pure audit cost;
+    - booleans assert the sketch's RANK contract within the sample:
+      the full-corpus sketch element's sample-rank window
+      [cnt_lt+1, cnt_le] must intersect p·n_s ± slack, where slack =
+      n_s/accuracy (the GK guarantee) + 6·sqrt(n_s·p(1-p)) (Binomial
+      sampling noise of a rank under md5 subsampling) + 2. A VALUE
+      tolerance is the wrong contract — the sketch returns a dataset
+      element while the exact percentile interpolates (found at
+      sf0.001: p99 booleans flipped); rank is what GK sketches
+      guarantee. The sample is a pure function of event_id, so both
+      engines and every partition layout agree.
+
+    Cost shape: pass 1 = ONE full-corpus agg (sketch + counts + the
+    sampled exact percentiles via null-skipping percentile); pass 2
+    aggregates only the 1/8 sample against the broadcast 5-row
+    estimate frame. The tight full-corpus tolerance check stays in
+    tests/test_scale_ops.py via _approx_quantiles_detail.
     """
-    d = _approx_quantiles_detail(spark, sf_dir)
-    events = load_table(spark, sf_dir, "events").select(
-        "event_type", dec2("value").cast("double").alias("v")
+    mod = APPROX_QUANT_SAMPLE_MOD
+    events = load_table(spark, sf_dir, "events")
+    sampled = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % mod == 0
+    )
+    base = events.select(
+        "event_type",
+        dec2("value").cast("double").alias("v"),
+        sampled.alias("in_sample"),
+    ).withColumn("v_s", F.when(F.col("in_sample"), F.col("v")))
+    acc = F.lit(10000)
+    d = base.groupBy("event_type").agg(
+        F.percentile_approx("v", F.lit(0.5), acc).alias("a50"),
+        F.percentile_approx("v", F.lit(0.9), acc).alias("a90"),
+        F.percentile_approx("v", F.lit(0.99), acc).alias("a99"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sample"),
+        F.round(F.expr("percentile(v_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(v_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(v_s, 0.99)"), 4).alias("p99_s"),
     )
     cnt_cols = []
     for a in ("a50", "a90", "a99"):
@@ -484,29 +523,36 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"le_{a}")
         )
-    agg = events.join(F.broadcast(d), "event_type").groupBy("event_type").agg(
-        F.first("n_events").alias("n_events"),
-        F.first("p50").alias("p50"),
-        F.first("p90").alias("p90"),
-        F.first("p99").alias("p99"),
-        *cnt_cols,
+    audit = (
+        base.filter(F.col("in_sample"))
+        .join(F.broadcast(d.select("event_type", "a50", "a90", "a99")), "event_type")
+        .groupBy("event_type")
+        .agg(*cnt_cols)
     )
+    joined = d.join(audit, "event_type", "left")
 
     def ok(a: str, p: float) -> F.Column:
-        n = F.col("n_events").cast("double")
-        slack = n / F.lit(10000.0) + F.lit(2.0)
-        target = F.lit(p) * n
-        return (
+        ns = F.col("n_sample").cast("double")
+        slack = (
+            ns / F.lit(10000.0)
+            + F.lit(6.0) * F.sqrt(ns * F.lit(p * (1.0 - p)))
+            + F.lit(2.0)
+        )
+        target = F.lit(p) * ns
+        contract = (
             (F.col(f"lt_{a}").cast("double") + F.lit(1.0) <= target + slack)
             & (F.col(f"le_{a}").cast("double") >= target - slack)
         )
+        # a group with zero sampled rows has nothing to audit against
+        return F.when(F.col("n_sample") == 0, F.lit(True)).otherwise(contract)
 
-    return agg.select(
+    return joined.select(
         "event_type",
         "n_events",
-        "p50",
-        "p90",
-        "p99",
+        "n_sample",
+        "p50_s",
+        "p90_s",
+        "p99_s",
         ok("a50", 0.5).alias("p50_est_ok"),
         ok("a90", 0.9).alias("p90_est_ok"),
         ok("a99", 0.99).alias("p99_est_ok"),
@@ -529,23 +575,56 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id with fixed-size mergeable sketches — the only shuffle
     payload is one ~kB sketch per group per partition.
 
-    Oracle-checkable since r09 (was rows-only): the skeleton
-    (n_events, exact_users) is hash-checked by DuckDB, and est_ok
-    asserts the sketch CONTRACT (estimate within
-    APPROX_DISTINCT_REL_TOL of exact). HLL++ hashing is seed-fixed
-    and register merges are max() — order-independent — so the
-    boolean is deterministic. Raw estimates stay available via
-    _approx_distinct_detail for the tolerance pytest.
+    Oracle-checkable since r09; audit-bounded since r10 (VERDICT r9
+    order #5: the r9 version shuffled EVERY distinct (event_type,
+    user_id) pair just to audit the sketch — at 100 TB that exact
+    distinct is precisely the cost HLL exists to avoid, and the
+    full-corpus exact-distinct algebra is already oracle-covered by
+    q_distinct_users). The audit side is now a deterministic USER
+    stratum — users with md5(user_id) % APPROX_DISTINCT_STRATUM_MOD
+    == 0. Each distinct user lands in the stratum as a pure function
+    of user_id, so stratum_users·MOD is an unbiased estimator of the
+    true distinct count with Binomial sd sqrt(D·(MOD-1)):
+
+    - skeleton (hash-checked by DuckDB): n_events (full) and
+      users_s0, the EXACT distinct count within the stratum — a real
+      cross-engine distinct computation at 1/MOD the shuffle volume;
+    - est_ok asserts |approx − MOD·users_s0| ≤ rel_tol·g +
+      6·sqrt(3·g) + MOD with g = greatest(MOD·users_s0, approx, 1):
+      the sketch's rsd ceiling plus the stratum's sampling noise.
+
+    One aggregation pass total: count + HLL + single-column
+    conditional distinct (Spark's one-distinct plan, no Expand). The
+    tight 5% full-corpus tolerance check stays in
+    tests/test_scale_ops.py via _approx_distinct_detail.
     """
-    d = _approx_distinct_detail(spark, sf_dir)
+    mod = APPROX_DISTINCT_STRATUM_MOD
+    events = load_table(spark, sf_dir, "events")
+    in_stratum = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % mod == 0
+    )
+    d = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct(F.when(in_stratum, F.col("user_id")))
+        .cast("bigint")
+        .alias("users_s0"),
+    )
+    dhat = (F.col("users_s0") * mod).cast("double")
+    g = F.greatest(dhat, F.col("approx_users").cast("double"), F.lit(1.0))
+    slack = (
+        F.lit(APPROX_DISTINCT_REL_TOL) * g
+        + F.lit(6.0) * F.sqrt(F.lit(float(mod - 1)) * g)
+        + F.lit(float(mod))
+    )
     return d.select(
         "event_type",
         "n_events",
-        "exact_users",
-        (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= F.lit(APPROX_DISTINCT_REL_TOL) * F.col("exact_users")
-        ).alias("est_ok"),
+        "users_s0",
+        (F.abs(F.col("approx_users").cast("double") - dhat) <= slack).alias(
+            "est_ok"
+        ),
     ).orderBy("event_type")
 
 
@@ -818,25 +897,37 @@ _PROFILE_ORACLE = "\n        UNION ALL\n".join(
 ORACLES = {
     # sketch contracts (see the operators' docstrings): DuckDB replays
     # the deterministic skeleton and asserts every group's boolean
-    "q_approx_distinct": """
+    "q_approx_distinct": f"""
         SELECT event_type,
                COUNT(*)::BIGINT AS n_events,
-               COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+               COUNT(DISTINCT CASE
+                 WHEN CAST(('0x' || substring(md5(user_id::VARCHAR), 1, 8))
+                      AS BIGINT) % {APPROX_DISTINCT_STRATUM_MOD} = 0
+                 THEN user_id END)::BIGINT AS users_s0,
                TRUE AS est_ok
         FROM events
         GROUP BY event_type
         ORDER BY event_type
     """,
-    "q_approx_quantiles": """
+    "q_approx_quantiles": f"""
+        WITH base AS (
+          SELECT event_type,
+                 CAST(value AS DECIMAL(18,2))::DOUBLE AS v,
+                 (CAST(('0x' || substring(md5(event_id::VARCHAR), 1, 8))
+                       AS BIGINT) % {APPROX_QUANT_SAMPLE_MOD} = 0)
+                   AS in_sample
+          FROM events
+        )
         SELECT event_type,
                COUNT(*)::BIGINT AS n_events,
-               ROUND(quantile_cont(CAST(value AS DECIMAL(18,2))::DOUBLE, 0.5), 4) AS p50,
-               ROUND(quantile_cont(CAST(value AS DECIMAL(18,2))::DOUBLE, 0.9), 4) AS p90,
-               ROUND(quantile_cont(CAST(value AS DECIMAL(18,2))::DOUBLE, 0.99), 4) AS p99,
+               COUNT(*) FILTER (in_sample)::BIGINT AS n_sample,
+               ROUND(quantile_cont(CASE WHEN in_sample THEN v END, 0.5), 4) AS p50_s,
+               ROUND(quantile_cont(CASE WHEN in_sample THEN v END, 0.9), 4) AS p90_s,
+               ROUND(quantile_cont(CASE WHEN in_sample THEN v END, 0.99), 4) AS p99_s,
                TRUE AS p50_est_ok,
                TRUE AS p90_est_ok,
                TRUE AS p99_est_ok
-        FROM events
+        FROM base
         GROUP BY event_type
         ORDER BY event_type
     """,
