@@ -172,6 +172,19 @@ def deskew_x0(
 # directory page's real columns each hold a near-equal large share.
 COLUMN_MIN_SHARE = 0.15
 MAX_COLUMN_COUNT = 6
+# A cluster at least this far from the largest cluster's center is
+# geometrically a separate column candidate, not edge bleed: real
+# directory columns sit ~page_width/k apart (hundreds of px), while
+# spine shadows and gutter bleed hug a real column within a few
+# tolerances. Far clusters face a 0.35-of-largest population bar
+# instead of half — a sparse section-end trailing column (r9 advice:
+# under half the lead column's lines) stays a real column, while
+# near-column dense junk still dies on the half bar. Geometry alone
+# cannot tell dense FAR junk from a sparse real column, so the far bar
+# stays population-based; 0.35 keeps the spine-shadow fixture (6 junk
+# lines vs a 20-line column) below it.
+COLUMN_FAR_GAP_PX = 4 * COLUMN_TOLERANCE_PX
+COLUMN_FAR_SHARE_OF_LARGEST = 0.35
 
 
 def infer_column_count(
@@ -195,13 +208,27 @@ def infer_column_count(
         return 1
     xs = sorted(xs_corr if xs_corr is not None else [l[0] for l in lines])
     clusters = _greedy_clusters(xs)
-    # two floors: a share of the page AND half the largest cluster —
-    # directory columns are near-equal in population, so a spine-shadow
-    # cluster that sneaks past the page-share floor (dense junk on a
-    # short page) still falls under the half-of-largest bar.
-    largest = max(len(c) for c in clusters)
-    floor = max(2, int(len(xs) * COLUMN_MIN_SHARE), (largest + 1) // 2)
-    k = sum(1 for c in clusters if len(c) >= floor)
+    # two floors: a share of the page AND a largest-cluster-relative
+    # bar — directory columns are near-equal in population, so a
+    # spine-shadow cluster that sneaks past the page-share floor
+    # (dense junk on a short page) still falls under the relative bar.
+    # The relative bar is distance-gated (r9 advice): half-of-largest
+    # for clusters within COLUMN_FAR_GAP_PX of the largest cluster's
+    # center (edge bleed lives there), COLUMN_FAR_SHARE_OF_LARGEST for
+    # far clusters, so a genuinely separate trailing column holding
+    # under half the lead column's lines is not collapsed into k=1.
+    big = max(clusters, key=len)
+    largest = len(big)
+    big_center = big[(largest - 1) // 2]
+    share_floor = max(2, int(len(xs) * COLUMN_MIN_SHARE))
+    far_bar = -(-largest * COLUMN_FAR_SHARE_OF_LARGEST // 1)  # ceil
+    k = 0
+    for c in clusters:
+        center = c[(len(c) - 1) // 2]
+        near = abs(center - big_center) < COLUMN_FAR_GAP_PX
+        rel_bar = (largest + 1) // 2 if near else int(far_bar)
+        if len(c) >= max(share_floor, rel_bar):
+            k += 1
     return max(1, min(k, MAX_COLUMN_COUNT))
 
 

@@ -123,6 +123,31 @@ def test_infer_column_count_variants():
     assert infer_column_count([]) == 1
 
 
+def test_infer_k_sparse_trailing_column():
+    """A genuinely separate second column holding under half the lead
+    column's lines (a section-end page) must still infer k=2: the
+    half-of-largest bar is distance-gated (r9 advice) — far clusters
+    face the lower COLUMN_FAR_SHARE_OF_LARGEST bar instead."""
+    from etl_city_directories_spark.sources.hocr import infer_column_count
+
+    lines = [_line(100, 100 + i * 100, f"left {i}") for i in range(20)]
+    lines += [_line(1400, 100 + i * 100, f"right {i}") for i in range(8)]
+    assert infer_column_count(sorted(lines, key=lambda l: (l[1], l[0]))) == 2
+
+
+def test_infer_k_near_column_shadow_still_dies_on_half_bar():
+    """A dense bleed cluster hugging the lead column (past the greedy
+    tolerance but inside COLUMN_FAR_GAP_PX) keeps facing the FULL
+    half-of-largest bar: 8 shadow lines next to a 20-line column must
+    not become a second column, even though 8 lines WOULD survive as a
+    far cluster (see test_infer_k_sparse_trailing_column)."""
+    from etl_city_directories_spark.sources.hocr import infer_column_count
+
+    lines = [_line(100, 100 + i * 100, f"left {i}") for i in range(20)]
+    lines += [_line(160, 150 + i * 100, "~~") for i in range(8)]
+    assert infer_column_count(sorted(lines, key=lambda l: (l[1], l[0]))) == 1
+
+
 def test_inferred_k_matches_declared_k_end_to_end(spark):
     """The r8 verdict's done-bar: parsing the fixture archive with
     column_count=None must produce output identical to the
