@@ -23,16 +23,20 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __spark_entry__ as m  # noqa: E402
 
+def load_history(history_dir: str) -> dict[str, tuple[int, str]]:
+    """key -> (round of latest sticking evidence, status).
 
-def main() -> int:
-    history: dict[str, tuple[int, str]] = {}  # key -> (round, status)
+    Status rules: a later `fail` demotes any prior evidence; `green`
+    refreshes its own staleness round; `rows_only` (the driver's
+    `no_oracle` record) sticks like green but in its own bucket.
+    """
+    history: dict[str, tuple[int, str]] = {}
     # Sort by PARSED round number, not filename: lexical order breaks as
     # soon as padding changes (r100 < r02, unpadded r4) and would let an
     # older fail, replayed after a newer green, incorrectly demote a key.
     paths = sorted(
-        glob.glob("/root/repo/CORRECTNESS_r*.json"),
+        glob.glob(os.path.join(history_dir, "CORRECTNESS_r*.json")),
         key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0]),
     )
     for path in paths:
@@ -57,9 +61,17 @@ def main() -> int:
                 history[key] = (rnd, status)  # refresh staleness
             elif status == "rows_only" and prev[1] == "rows_only":
                 history[key] = (rnd, status)
+    return history
 
-    keys = list(m.queries())
-    oracles = set(m.oracle_sql())
+
+def priority_order(
+    keys: list[str],
+    oracles: set[str],
+    history: dict[str, tuple[int, str]],
+) -> list[str]:
+    """The rotation: zero-evidence first (surface order), then
+    stale-oracle-upgrade gaps, then greens stalest-first, then
+    confirmed rows-only keys."""
     order = {k: i for i, k in enumerate(keys)}
 
     def bucket(k: str) -> tuple:
@@ -76,8 +88,23 @@ def main() -> int:
             return (2, h[0], k)  # stalest confirming round first
         return (3, h[0], k)  # rows-only already confirmed
 
-    ordered = sorted(keys, key=bucket)
-    n_zero = sum(1 for k in ordered if bucket(k)[0] == 0)
+    return sorted(keys, key=bucket)
+
+
+def main() -> int:
+    import __spark_entry__ as m
+
+    history = load_history("/root/repo")
+    keys = list(m.queries())
+    oracles = set(m.oracle_sql())
+    ordered = priority_order(keys, oracles, history)
+    n_zero = sum(
+        1
+        for k in ordered
+        if history.get(k) is None
+        or history[k][1] == "fail"
+        or (k in oracles and history[k][1] == "rows_only")
+    )
     print(f"# {len(ordered)} keys; {n_zero} with zero driver evidence lead")
     print("_GATE_PRIORITY = [")
     for k in ordered:
