@@ -3,10 +3,14 @@
 The reference parses entries by piping each line to a trained CRF
 (entry-parser.js:23-36 spawns ``parse.py --training <file>`` and reads
 one JSON of token labels per line). This module reproduces that
-contract with public-knowledge machinery and no native deps: an
-averaged structured perceptron (Collins 2002, "Discriminative Training
-Methods for HMMs") over word-shape/context features, greedy
-left-to-right decode.
+architecture with public-knowledge machinery and no native deps: a
+linear-chain conditional random field (Lafferty, McCallum & Pereira
+2001) over word-shape/context features — forward-backward maximum-
+likelihood training, exact Viterbi decode. An averaged structured
+perceptron (Collins 2002, "Discriminative Training Methods for HMMs")
+is kept as the differential baseline: both trainers share one feature
+function and one ``{label: {feature: weight}}`` weight shape, so the
+broadcast/decode plumbing is common.
 
 Training follows the reference's data contract: a labeled corpus of
 (tokens, labels) lines. ``synth_training_corpus`` generates one from
@@ -31,6 +35,7 @@ vectorized pass with zero per-row Python round-trips to the driver.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections import defaultdict
 
 LABELS = ("SUBJ", "OCC", "LOC", "MARK", "WID")
@@ -204,20 +209,230 @@ def train(
     }
 
 
+# ---------------------------------------------------------------------------
+# linear-chain CRF (the reference's actual model class)
+# ---------------------------------------------------------------------------
+#
+# The feature function is shared with the perceptron: _features(toks, i,
+# prev_label) yields position feats plus three prev-label-conjoined
+# feats, i.e. exactly the edge feature template f(y_{i-1}, y_i, x, i) of
+# a linear-chain CRF. Splitting it into a prev-independent base and the
+# 3 prev-conjoined feats lets potentials/decode cost O(|L|·base +
+# |L|²·3) lookups per position instead of |L|²·|feats|.
+
+
+def _feat_base(toks: list[str], i: int) -> tuple[list[str], str, str]:
+    """Prev-label-independent features + (shape, bare) for the
+    prev-conjoined part. MUST mirror _features exactly (pinned by
+    tests/test_entry_forms.py::test_crf_feature_split_parity)."""
+    w = toks[i]
+    bare = w.rstrip(".,").lower()
+    sh = _shape(w)
+    base = [
+        f"w={bare}",
+        f"shape={sh}",
+        f"suf3={bare[-3:]}",
+        f"pos0={i == 0}",
+        f"comma={w.endswith(',')}",
+        f"digit={bare.isdigit()}",
+        f"prevw={toks[i - 1].rstrip('.,').lower() if i else '<s>'}",
+        f"nextw={toks[i + 1].rstrip('.,').lower() if i + 1 < len(toks) else '</s>'}",
+    ]
+    return base, sh, bare
+
+
+def _prev_feats(prev_label: str, sh: str, bare: str) -> tuple[str, str, str]:
+    return (
+        f"prevlab={prev_label}",
+        f"prevlab+shape={prev_label}|{sh}",
+        f"prevlab+w={prev_label}|{bare}",
+    )
+
+
+def _potentials(
+    toks: list[str], weights: dict[str, dict[str, float]]
+) -> list[dict[str, dict[str, float]]]:
+    """Per-position edge potentials psi[i][prev][lab] =
+    Σ_f w[lab][f] over f ∈ _features(toks, i, prev); position 0 uses
+    the single virtual prev '<s>'."""
+    out: list[dict[str, dict[str, float]]] = []
+    for i in range(len(toks)):
+        base, sh, bare = _feat_base(toks, i)
+        base_score = {
+            lab: sum(weights[lab].get(f, 0.0) for f in base) for lab in LABELS
+        }
+        prevs = ("<s>",) if i == 0 else LABELS
+        psi: dict[str, dict[str, float]] = {}
+        for a in prevs:
+            pf = _prev_feats(a, sh, bare)
+            psi[a] = {
+                lab: base_score[lab]
+                + sum(weights[lab].get(f, 0.0) for f in pf)
+                for lab in LABELS
+            }
+        out.append(psi)
+    return out
+
+
+def _logsumexp(vals: list[float]) -> float:
+    m = max(vals)
+    return m + math.log(sum(math.exp(v - m) for v in vals))
+
+
+def train_crf(
+    corpus: list[tuple[list[str], list[str]]],
+    epochs: int = 6,
+    lr: float = 0.4,
+    l2: float = 1e-4,
+) -> dict[str, dict[str, float]]:
+    """Linear-chain CRF trained by maximum likelihood: per-sentence
+    forward-backward gives exact edge marginals; SGD with a decaying
+    step follows the gradient (observed − expected feature counts),
+    with L2 applied to the touched features. Pure Python, fixed
+    iteration order, no RNG — bit-deterministic everywhere, like the
+    perceptron path. Returns the same {label: {feature: weight}} shape
+    ``tag`` and the broadcast plumbing already consume."""
+    w: dict[str, dict[str, float]] = {lab: defaultdict(float) for lab in LABELS}
+    for epoch in range(epochs):
+        step = lr / (1.0 + 0.6 * epoch)
+        for toks, labs in corpus:
+            n = len(toks)
+            if n == 0:
+                continue
+            psi = _potentials(toks, w)
+            # forward (log-space)
+            alpha = [psi[0]["<s>"]]
+            for i in range(1, n):
+                alpha.append(
+                    {
+                        b: _logsumexp(
+                            [alpha[i - 1][a] + psi[i][a][b] for a in LABELS]
+                        )
+                        for b in LABELS
+                    }
+                )
+            log_z = _logsumexp([alpha[n - 1][b] for b in LABELS])
+            # backward
+            beta = [dict.fromkeys(LABELS, 0.0) for _ in range(n)]
+            for i in range(n - 2, -1, -1):
+                beta[i] = {
+                    a: _logsumexp(
+                        [psi[i + 1][a][b] + beta[i + 1][b] for b in LABELS]
+                    )
+                    for a in LABELS
+                }
+            # gradient = observed − expected, applied feature-sparse
+            grad: dict[str, dict[str, float]] = {
+                lab: defaultdict(float) for lab in LABELS
+            }
+
+            def bump(lab: str, feats, amt: float) -> None:
+                g = grad[lab]
+                for f in feats:
+                    g[f] += amt
+
+            for i in range(n):
+                base, sh, bare = _feat_base(toks, i)
+                prevs = ("<s>",) if i == 0 else LABELS
+                for a in prevs:
+                    pf = _prev_feats(a, sh, bare)
+                    for b in LABELS:
+                        if i == 0:
+                            marg = math.exp(alpha[0][b] + beta[0][b] - log_z)
+                        else:
+                            marg = math.exp(
+                                alpha[i - 1][a] + psi[i][a][b] + beta[i][b]
+                                - log_z
+                            )
+                        gold = (
+                            labs[i] == b
+                            and (labs[i - 1] if i else "<s>") == a
+                        )
+                        diff = (1.0 if gold else 0.0) - marg
+                        if diff:
+                            bump(b, base, diff)
+                            bump(b, pf, diff)
+            for lab in LABELS:
+                wl = w[lab]
+                for f, g in grad[lab].items():
+                    wl[f] += step * (g - l2 * wl[f])
+    return {lab: dict(v) for lab, v in w.items()}
+
+
 _MODEL: dict[str, dict[str, float]] | None = None
 
 
 def model() -> dict[str, dict[str, float]]:
-    """The default model, trained once per process on the synthetic
-    labeled corpus (deterministic — identical everywhere)."""
+    """The default model — a linear-chain CRF trained once per process
+    on the synthetic labeled corpus (deterministic — identical
+    everywhere). The decode contract (``tag`` = exact Viterbi) and the
+    weight shape are unchanged from the perceptron era, so broadcast
+    call sites need no knowledge of which trainer produced the model."""
     global _MODEL
     if _MODEL is None:
-        _MODEL = train(synth_training_corpus())
+        _MODEL = train_crf(synth_training_corpus())
     return _MODEL
 
 
 def tag(toks: list[str], weights: dict[str, dict[str, float]]) -> list[str]:
-    """Greedy left-to-right decode."""
+    """Exact Viterbi decode under the shared edge-feature scoring —
+    the CRF's MAP sequence. Works identically over perceptron-trained
+    weights (same shape, same feature function); greedy left-to-right
+    is kept as ``tag_greedy`` for differential tests.
+
+    Hot path of the mapInPandas decode, so it runs on flat lists
+    (label index, not label string): per position |L| base-feature
+    sums + |L|²·3 prev-feature lookups. Ties break toward the earlier
+    label in LABELS order at every step, matching ``max`` over LABELS
+    (pinned by test_viterbi_is_exact_map)."""
+    n = len(toks)
+    if n == 0:
+        return []
+    wl = [weights[lab] for lab in LABELS]
+    nlab = len(wl)
+    base, sh, bare = _feat_base(toks, 0)
+    pf = _prev_feats("<s>", sh, bare)
+    delta = [
+        sum(w.get(f, 0.0) for f in base) + sum(w.get(f, 0.0) for f in pf)
+        for w in wl
+    ]
+    backs: list[list[int]] = []
+    for i in range(1, n):
+        base, sh, bare = _feat_base(toks, i)
+        pfs = [_prev_feats(lab, sh, bare) for lab in LABELS]
+        nd = [0.0] * nlab
+        bp = [0] * nlab
+        for bi in range(nlab):
+            w = wl[bi]
+            bs = sum(w.get(f, 0.0) for f in base)
+            best = None
+            best_a = 0
+            for ai in range(nlab):
+                f0, f1, f2 = pfs[ai]
+                s = (
+                    delta[ai] + bs
+                    + w.get(f0, 0.0) + w.get(f1, 0.0) + w.get(f2, 0.0)
+                )
+                if best is None or s > best:
+                    best, best_a = s, ai
+            nd[bi] = best
+            bp[bi] = best_a
+        delta = nd
+        backs.append(bp)
+    cur = max(range(nlab), key=lambda bi: (delta[bi], -bi))
+    path = [cur]
+    for bp in reversed(backs):
+        cur = bp[cur]
+        path.append(cur)
+    path.reverse()
+    return [LABELS[bi] for bi in path]
+
+
+def tag_greedy(
+    toks: list[str], weights: dict[str, dict[str, float]]
+) -> list[str]:
+    """Greedy left-to-right decode (the perceptron-era path, kept as
+    the differential baseline for Viterbi)."""
     out: list[str] = []
     prev = "<s>"
     for i in range(len(toks)):

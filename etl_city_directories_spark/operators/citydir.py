@@ -230,9 +230,10 @@ def parse_entries_tagged(
     """Parse entries with the TRAINED tagger (functions.entry_tagger)
     instead of the regex grammar — the reference's actual architecture:
     entry-parser.js pipes lines to a CRF trained on labeled data; here
-    an averaged structured perceptron trains driver-side on the labeled
-    corpus, its weights broadcast into an Arrow-batched ``mapInPandas``
-    decode (one Python pass per batch, no per-row driver traffic).
+    a linear-chain CRF (Lafferty et al. 2001; forward-backward MLE,
+    exact Viterbi decode) trains driver-side on the labeled corpus, its
+    weights broadcast into an Arrow-batched ``mapInPandas`` decode (one
+    Python pass per batch, no per-row driver traffic).
 
     Same output contract as parse_entries_real; arrays serialize
     '|'-joined so downstream comparison is representation-free.
@@ -289,8 +290,10 @@ def parse_entries_tagged(
 
 def cd_parse_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-tagger twin of cd_parse_entries over the standing corpus
-    (rows-only: perceptron decode is not SQL-expressible; accuracy and
-    grammar-agreement are pinned in tests/test_entry_forms.py)."""
+    (the CRF must reproduce the grammar exactly on the grammar-regular
+    corpus — its training-data contract — so the grammar SQL is the
+    oracle; accuracy and grammar-agreement are pinned in
+    tests/test_entry_forms.py)."""
     return parse_entries_tagged(lines_df(spark, sf_dir), text_col="raw_line")
 
 

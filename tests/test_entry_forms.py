@@ -102,17 +102,50 @@ def test_work_plus_home_pair(entries):
 # --- trained tagger (the reference's CRF architecture) ---------------------
 
 
+def test_crf_feature_split_parity():
+    """The CRF's split feature computation (_feat_base + _prev_feats)
+    must reproduce _features exactly for every (position, prev-label)
+    — the split exists only to cut decode cost from |L|²·|feats| to
+    |L|·base + |L|²·3 lookups per position."""
+    from etl_city_directories_spark.functions import entry_tagger as et
+
+    for toks, labs in et.synth_training_corpus(40):
+        for i in range(len(toks)):
+            base, sh, bare = et._feat_base(toks, i)
+            for prev in ("<s>",) + et.LABELS:
+                split = set(base) | set(et._prev_feats(prev, sh, bare))
+                assert split == set(et._features(toks, i, prev)), (toks, i, prev)
+
+
 def test_tagger_heldout_accuracy():
+    """Perceptron baseline, decoded greedy (the matched train/decode
+    pair it was learned under)."""
     from etl_city_directories_spark.functions import entry_tagger
 
     corpus = entry_tagger.synth_training_corpus(800)
     m = entry_tagger.train(corpus[:600])
     tot = ok = 0
     for toks, labs in corpus[600:]:
-        pred = entry_tagger.tag(toks, m)
+        pred = entry_tagger.tag_greedy(toks, m)
         ok += sum(p == g for p, g in zip(pred, labs))
         tot += len(labs)
     assert ok / tot >= 0.98, f"held-out token accuracy {ok / tot:.3f}"
+
+
+def test_crf_heldout_accuracy():
+    """The production model class: linear-chain CRF + Viterbi must be
+    perfect on held-out grammar lines (the perceptron-era bar was 0.98;
+    the CRF's global normalization should not do worse)."""
+    from etl_city_directories_spark.functions import entry_tagger
+
+    corpus = entry_tagger.synth_training_corpus(800)
+    m = entry_tagger.train_crf(corpus[:600])
+    tot = ok = 0
+    for toks, labs in corpus[600:]:
+        pred = entry_tagger.tag(toks, m)
+        ok += sum(p == g for p, g in zip(pred, labs))
+        tot += len(labs)
+    assert ok / tot >= 0.995, f"CRF held-out token accuracy {ok / tot:.4f}"
 
 
 def test_tagger_agrees_with_grammar_on_fixture(spark, entries_archive):
@@ -186,11 +219,12 @@ def test_tagger_numberless_corner_work_address():
 
 def test_tagger_messy_forms_heldout_accuracy():
     """Held-out accuracy must hold ON the messy slices specifically
-    (dot-run names, wid.+occ, bare corners), not just in aggregate."""
+    (dot-run names, wid.+occ, bare corners), not just in aggregate —
+    for the production CRF + Viterbi path."""
     from etl_city_directories_spark.functions import entry_tagger
 
     corpus = entry_tagger.synth_training_corpus(1000)
-    m = entry_tagger.train(corpus[:700])
+    m = entry_tagger.train_crf(corpus[:700])
     slices = {"dot": [0, 0], "widocc": [0, 0], "corner": [0, 0]}
     for toks, labs in corpus[700:]:
         pred = entry_tagger.tag(toks, m)
@@ -272,6 +306,36 @@ _FIXTURE_GOLD = {
         ),
     ],
 }
+
+
+def test_viterbi_is_exact_map():
+    """Viterbi must return the true argmax over ALL |L|^n label paths
+    under the shared edge-feature scoring — brute-force enumerated on
+    short lines (the property greedy decode lacks)."""
+    from itertools import product
+
+    from etl_city_directories_spark.functions import entry_tagger as et
+
+    def path_score(toks, labs, w):
+        s, prev = 0.0, "<s>"
+        for i, lab in enumerate(labs):
+            s += sum(w[lab].get(f, 0.0) for f in et._features(toks, i, prev))
+            prev = lab
+        return s
+
+    corpus = et.synth_training_corpus(30)
+    m = et.train_crf(corpus, epochs=2)
+    for toks, _ in corpus[:8]:
+        short = toks[:5]
+        vit = et.tag(short, m)
+        best = max(
+            product(et.LABELS, repeat=len(short)),
+            key=lambda labs: path_score(short, labs, m),
+        )
+        assert path_score(short, vit, m) == max(
+            path_score(short, labs, m)
+            for labs in product(et.LABELS, repeat=len(short))
+        ), (short, vit, best)
 
 
 def test_tagger_gold_labels_from_real_fixture_pages():
