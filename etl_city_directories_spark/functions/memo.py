@@ -72,6 +72,32 @@ def _evict_superseded(store: dict, full_key: tuple) -> None:
             pass  # releasing storage is best-effort; GC-driven cleanup remains
 
 
+_PLAN: dict[tuple, DataFrame] = {}
+
+
+def plan_memo(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Cache a LAZY DataFrame — the plan object only, never data.
+
+    r10 optimization (guide §7.3 — plan building is driver-side work):
+    shared sub-builders (generated dims, parse frames) cost hundreds of
+    py4j round trips to construct and are rebuilt identically by every
+    caller. DataFrames are immutable, so one instance serves every
+    query in the process. Unlike ``memo_df`` nothing is materialized or
+    persisted — every action on a cached plan recomputes from the
+    source files. Callers put the data stamp in ``key`` when the plan
+    embeds file-derived facts (same convention as ``memo_df``).
+    """
+    full_key = (spark.sparkContext.applicationId,) + key
+    df = _PLAN.get(full_key)
+    if df is None:
+        _evict_superseded(_PLAN, full_key)
+        df = build()
+        _PLAN[full_key] = df
+    return df
+
+
 _ROLLING: dict[tuple, DataFrame] = {}
 
 

@@ -2764,14 +2764,25 @@ def kcore_peel_rounds(
     action."""
     cur = edges.select("part_a", "part_b")
     prev_edges = initial_edges if initial_edges is not None else cur.count()
-    out_rows = []
-    for rnd in range(1, max_rounds + 1):
-        deg = (
-            cur.select(F.col("part_a").alias("node"))
-            .unionAll(cur.select(F.col("part_b").alias("node")))
+
+    def degree_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col("part_a").alias("node"))
+            .unionAll(df.select(F.col("part_b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+
+    # The degree table does double duty (r10 optimization, guide §1.2 /
+    # §2.3): it drives the peel AND yields the round's survivor stats —
+    # n_nodes = its row count, n_edges = sum(deg)/2 (each edge counts
+    # at both endpoints) — replacing the former per-round
+    # explode + countDistinct pass over the full edge list with an
+    # O(nodes) aggregate. One O(E) pass per round instead of two;
+    # bit-identical output (sum(deg) is exactly 2·|edges|).
+    deg = degree_of(cur).persist()
+    out_rows = []
+    for rnd in range(1, max_rounds + 1):
         keep = deg.filter(F.col("deg") >= k).select("node")
         cur = (
             cur.join(keep.withColumnRenamed("node", "part_a"), "part_a")
@@ -2784,21 +2795,23 @@ def kcore_peel_rounds(
         # exponentially in rounds — the round-3 plan string alone OOMs
         # a modest driver. Truncating per round is the standard move
         # for iterative graph algorithms (same device as memo_df).
-        cur = cur.localCheckpoint(eager=True)
-        stat = (
-            cur.select(
-                F.explode(F.array("part_a", "part_b")).alias("n")
-            )
-            .agg(
-                F.countDistinct("n").alias("nn"),
-                (F.count(F.lit(1)) / 2).cast("long").alias("ne"),
-            )
-            .first()
-        )
-        out_rows.append((rnd, stat["nn"], stat["ne"]))
-        if stat["ne"] == prev_edges:
+        # eager=False: the stats action below materializes checkpoint,
+        # degree cache and round stats in ONE job per round instead of
+        # two — the checkpoint still truncates lineage at that point.
+        cur = cur.localCheckpoint(eager=False)
+        prev_deg = deg
+        deg = degree_of(cur).persist()
+        stat = deg.agg(
+            F.count(F.lit(1)).alias("nn"),
+            F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias("sm"),
+        ).first()
+        prev_deg.unpersist()
+        ne = stat["sm"] // 2  # exact: sum(deg) is even by construction
+        out_rows.append((rnd, stat["nn"], ne))
+        if ne == prev_edges:
             break
-        prev_edges = stat["ne"]
+        prev_edges = ne
+    deg.unpersist()
     return out_rows
 
 

@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_city_directories_spark.functions.memo import rolling_persist
+from etl_city_directories_spark.functions.memo import (
+    plan_memo,
+    rolling_persist,
+    table_stamp,
+)
 from etl_city_directories_spark.sources.tables import load_table
 
 NAMES = (
@@ -74,7 +78,19 @@ def lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mirrors the LINES_CTE below expression-for-expression; all
     deterministic arithmetic on doc_id so DuckDB replays it.
+
+    r10: plan_memo'd — the expression tree is rebuilt identically by
+    every cd_* key (hundreds of py4j calls); the cached object is the
+    LAZY plan only, re-executed from parquet on every action.
     """
+    return plan_memo(
+        spark,
+        ("cd_lines_plan", sf_dir, table_stamp(sf_dir, ("documents",))),
+        lambda: _lines_df_build(spark, sf_dir),
+    )
+
+
+def _lines_df_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     name = F.element_at(F.array(*[F.lit(x) for x in NAMES]), (d % 12 + 1).cast("int"))
@@ -473,7 +489,12 @@ def cd_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def addresses_dim(spark: SparkSession) -> DataFrame:
     """Historical address dim: every street × house number 1..300,
-    minus numbers divisible by GEOCODE_MISS_MOD (geocoder misses)."""
+    minus numbers divisible by GEOCODE_MISS_MOD (geocoder misses).
+    r10: plan_memo'd (pure generated dim — no data dependency)."""
+    return plan_memo(spark, ("cd_addresses_plan",), lambda: _addresses_build(spark))
+
+
+def _addresses_build(spark: SparkSession) -> DataFrame:
     streets = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(STREETS)], ["street_idx", "street_name"]
     )
@@ -690,7 +711,16 @@ def cd_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _person_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parsed + geocoded person rows (shared by transform/relations)."""
+    """Parsed + geocoded person rows (shared by transform/relations).
+    r10: plan_memo'd lazy plan (see lines_df)."""
+    return plan_memo(
+        spark,
+        ("cd_person_base_plan", sf_dir, table_stamp(sf_dir, ("documents",))),
+        lambda: _person_base_build(spark, sf_dir),
+    )
+
+
+def _person_base_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean(F.col("raw_line"))
     segs = _segments(clean)
     locs = _locs(segs)

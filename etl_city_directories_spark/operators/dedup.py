@@ -48,6 +48,9 @@ NGRAM_BAND_MAXDF = 32
 EMBED_COS_THRESHOLD = 0.35
 SIMHASH_HAMMING_MAX = 12
 
+# cached simhash expression trees (see dedup_simhash, r10)
+_SIMHASH_EXPRS: tuple | None = None
+
 
 # ---------------------------------------------------------------------------
 # shared text expressions (Spark) + CTE (DuckDB)
@@ -310,9 +313,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the identical buckets.
     """
     from etl_city_directories_spark.operators.similarity import (
-        N_TABLES,
-        _bucket_expr,
-        _plane_signs,
+        _buckets_col,
     )
 
     e = load_table_parallel(spark, sf_dir, "embeddings").select(
@@ -329,10 +330,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per (session, data stamp)
     stamp = table_stamp(sf_dir, ("embeddings",))
     e = memo_df(spark, ("emb_norm", sf_dir, stamp), lambda: e)
-    signs = _plane_signs()
-    buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
+    # r10: the 2048-literal bucket array is a cached module singleton
+    # (similarity._buckets_col) — its per-call construction was ~2 s of
+    # pure driver/py4j time even when the hashed frame memo below hit.
     hashed = e.select(
-        "vec_id", "label", F.posexplode(buckets).alias("t", "bucket")
+        "vec_id", "label", F.posexplode(_buckets_col()).alias("t", "bucket")
     )
     hashed_plan = hashed
     hashed = memo_df(
@@ -392,41 +394,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle key, so this scales like LSH, not like all-pairs.
     """
     docs = load_table_parallel(spark, sf_dir, "documents")
-    wh = docs.select(
-        "doc_id", F.explode(F.split(norm_col(), " ")).alias("w")
-    ).select(
-        "doc_id",
-        *[
+    # r10: the ~200-node bit-counter/majority expression trees below
+    # are static (they reference fixed column names only) — cached as
+    # module singletons so re-invocation skips ~2 s of per-call
+    # py4j expression construction (guide §7.3). Plans are unchanged.
+    global _SIMHASH_EXPRS
+    if _SIMHASH_EXPRS is None:
+        chunk_exprs = [
             F.conv(F.substring(F.md5("w"), 4 * c + 1, 4), 16, 10)
             .cast("int")
             .alias(f"c{c}")
             for c in range(4)
-        ],
-    )
-    cnts = wh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
+        ]
+        cnt_exprs = [
             F.sum(F.shiftright(F.col(f"c{c}"), b).bitwiseAND(F.lit(1))).alias(
                 f"b{c}_{b}"
             )
             for c in range(4)
             for b in range(16)
-        ],
+        ]
+
+        def _fp(c: int) -> Column:
+            expr: Column = F.lit(0)
+            for b in range(16):
+                expr = expr + F.when(
+                    2 * F.col(f"b{c}_{b}") > F.col("n"), F.lit(1 << b)
+                ).otherwise(F.lit(0))
+            return expr.alias(f"fp{c}")
+
+        _SIMHASH_EXPRS = (chunk_exprs, cnt_exprs, [_fp(c) for c in range(4)])
+    chunk_exprs, cnt_exprs, fp_exprs = _SIMHASH_EXPRS
+    wh = docs.select(
+        "doc_id", F.explode(F.split(norm_col(), " ")).alias("w")
+    ).select("doc_id", *chunk_exprs)
+    cnts = wh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *cnt_exprs
     )
-
-    def _fp(c: int) -> Column:
-        expr: Column = F.lit(0)
-        for b in range(16):
-            expr = expr + F.when(
-                2 * F.col(f"b{c}_{b}") > F.col("n"), F.lit(1 << b)
-            ).otherwise(F.lit(0))
-        return expr.alias(f"fp{c}")
-
     # persisted: the chunk self-join reads the fingerprints twice
     fps = rolling_persist(
         spark,
         ("simhash_docs", sf_dir),
-        cnts.select("doc_id", *[_fp(c) for c in range(4)]),
+        cnts.select("doc_id", *fp_exprs),
     )
     chunks = fps.select(
         "doc_id",
@@ -690,13 +698,19 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = rolling_persist(spark, ("pr_edges", sf_dir), sym)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+    # Degree is static across iterations: attach it to the edge list
+    # ONCE (r10 optimization, guide §2.4 — don't re-run the same join
+    # every round) instead of re-joining deg inside every power
+    # iteration; each round is then a single join on the rank key.
+    sym_deg = rolling_persist(
+        spark, ("pr_edges_deg", sf_dir), sym.join(deg, "s")
+    )
     ranks = deg.select(
         F.col("s").alias("node"), F.lit(1_000_000).cast("long").alias("r")
     )
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            sym.join(ranks, sym.s == ranks.node)
-            .join(deg, "s")
+            sym_deg.join(ranks, sym_deg.s == ranks.node)
             .select(F.col("d").alias("dst"), F.expr("r div degree").alias("c"))
         )
         ranks = (

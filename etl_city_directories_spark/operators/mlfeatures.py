@@ -22,7 +22,7 @@ vector table shared by every ANN index (operators/similarity.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.functions.numeric import dec2
@@ -512,13 +512,22 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     RobustScaler) for long-tailed money features.
 
     The quartiles are selected POSITIONALLY from the exact integer
-    cents order (row_number over (cents, orderkey), pick rows
-    ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ — PERCENTILE_DISC semantics), so both
-    engines pick identical pivot VALUES instead of interpolating
-    doubles; the scaled feature is one exact-integer difference over
-    one exact-integer IQR, ROUND 4, with a degenerate-IQR guard. The
-    per-segment sort is range-partitionable at scale; the quartile
-    table is dimension-sized and broadcast back.
+    cents order (positions ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ — PERCENTILE_DISC
+    semantics), so both engines pick identical pivot VALUES instead of
+    interpolating doubles; the scaled feature is one exact-integer
+    difference over one exact-integer IQR, ROUND 4, with a
+    degenerate-IQR guard.
+
+    r10 optimization (guide §2.3): a positional pick from a sorted
+    multiset depends only on the (segment, cents) value counts, never
+    on the per-row orderkey tiebreak — so the rows collapse map-side
+    to (segment, cents, count) and the rank window runs over
+    O(distinct values) rows per segment instead of every order. The
+    former row_number window partitioned by c_mktsegment (5 values —
+    a 5-task parallelism ceiling and the 100 TB skew hazard) is gone;
+    a value at position p is the row whose cumulative-count interval
+    [hi-c+1, hi] covers p. The quartile table stays dimension-sized
+    and is broadcast back.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -529,32 +538,29 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_orderkey")
-    ranked = j.select(
-        "o_orderkey",
+    per_val = j.groupBy("c_mktsegment", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_val.select(
         "c_mktsegment",
         "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
-    )
-    picks = (
-        ranked.filter(
-            (F.col("rn") == F.ceil(F.col("n") / 4))
-            | (F.col("rn") == F.ceil(F.col("n") / 2))
-            | (F.col("rn") == F.ceil(F.col("n") * 3 / 4))
+        "c",
+        F.sum("c").over(ws).alias("hi"),
+        F.sum("c").over(Window.partitionBy("c_mktsegment")).alias("n"),
+    ).withColumn("lo", F.col("hi") - F.col("c") + 1)
+
+    def _pick(p: Column) -> Column:
+        return F.min(
+            F.when((F.col("lo") <= p) & (p <= F.col("hi")), F.col("cents"))
         )
-        .groupBy("c_mktsegment")
-        .agg(
-            F.min(
-                F.when(F.col("rn") == F.ceil(F.col("n") / 2), F.col("cents"))
-            ).alias("med"),
-            F.min(
-                F.when(F.col("rn") == F.ceil(F.col("n") / 4), F.col("cents"))
-            ).alias("q1"),
-            F.min(
-                F.when(F.col("rn") == F.ceil(F.col("n") * 3 / 4), F.col("cents"))
-            ).alias("q3"),
-        )
+
+    picks = cum.groupBy("c_mktsegment").agg(
+        _pick(F.ceil(F.col("n") / 2)).alias("med"),
+        _pick(F.ceil(F.col("n") / 4)).alias("q1"),
+        _pick(F.ceil(F.col("n") * 3 / 4)).alias("q3"),
     )
     # + 0.0 normalizes IEEE -0.0 to +0.0 (x + 0.0 is the identity for
     # every other value) — engines disagree on -0.0 serialization
@@ -568,7 +574,7 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.0,
     ).otherwise(F.lit(None).cast("double"))
     return (
-        ranked.join(F.broadcast(picks), "c_mktsegment")
+        j.join(F.broadcast(picks), "c_mktsegment")
         .select("o_orderkey", "c_mktsegment", scaled.alias("robust_scaled"))
         .orderBy("o_orderkey")
     )

@@ -19,7 +19,10 @@ from pyspark.sql import types as T
 
 from etl_city_directories_spark.functions.memo import rolling_persist
 from etl_city_directories_spark.functions.numeric import dec2, money_sum
-from etl_city_directories_spark.sources.tables import load_table
+from etl_city_directories_spark.sources.tables import (
+    load_table,
+    load_table_parallel,
+)
 
 N_SALTS = 16
 
@@ -1906,8 +1909,13 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — no sort, pure map-side combine, one shuffle on
     the group key. Doubles are canonicalized to exact integer cents
     before hashing so both engines hash identical byte strings.
+
+    r10: loaded via ``load_table_parallel`` (guide §2.6 idle-capacity /
+    §4 per-task work) — the per-row md5 is the dominant cost and a
+    narrow single-row-group scan serialized it onto one core; at scale
+    the guard makes the widening a no-op (measured 1.84 s → 1.38 s).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_parallel(spark, sf_dir, "lineitem")
     canon = F.concat_ws(
         "|",
         "l_orderkey",

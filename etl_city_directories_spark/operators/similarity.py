@@ -334,6 +334,31 @@ def _bucket_expr(signs_t: list[list[float]]) -> Column:
     )
 
 
+def _buckets_col() -> Column:
+    """The full N_TABLES-element SRP bucket array over column ``v``.
+
+    r10 optimization (guide §7.3 — driver-side plan-building is real
+    work): this expression tree embeds N_TABLES × N_PLANES × N_DIMS
+    (=2048) literal hyperplane components, i.e. ~2000 py4j calls and
+    ~2 s of driver time PER CONSTRUCTION, previously paid by every
+    invocation of every SRP consumer even when the hashed frame itself
+    was memoized. Column objects are immutable unresolved expressions
+    bound only by column NAME, so one instance serves every query in
+    the process; the module-level singleton makes re-construction
+    free. Bit-identical plans — nothing about the expression changes.
+    """
+    global _BUCKETS_COL
+    if _BUCKETS_COL is None:
+        signs = _plane_signs()
+        _BUCKETS_COL = F.array(
+            *[_bucket_expr(signs[t]) for t in range(N_TABLES)]
+        )
+    return _BUCKETS_COL
+
+
+_BUCKETS_COL: Column | None = None
+
+
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection LSH ANN (Charikar 2002): N_TABLES
     independent hash tables of N_PLANES sign bits each; a vector is a
@@ -350,8 +375,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_dedup_quality.py.
     """
     vecs = _vectors(spark, sf_dir)
-    signs = _plane_signs()
-    buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
+    buckets = _buckets_col()
     # The (vec, table, bucket) rows ARE the multi-table LSH index —
     # memoized per data stamp (probe and corpus sides self-join it,
     # and the 32-projection bucket expressions are the dominant cost)
@@ -1175,14 +1199,27 @@ def ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # r10 optimization (guide §3.1 / §2.4): ``sel`` is referenced three
+    # times per round (anti-join, max-sim join, union), so without a
+    # persist each round re-executes every earlier round's subtree —
+    # the unrolled plan carried 132 Exchanges / 29 SortMergeJoins of
+    # mostly duplicated work. Persisting the ≤|probes|·K-row selected
+    # set per round (rolling: the previous invocation's blocks are
+    # released) and broadcast-hinting the constant-bounded sides
+    # (sel ≤ probes·K rows, maxsim ≤ probes·MMR_CAND rows) turns every
+    # round join into a BroadcastHashJoin over the persisted candidate
+    # table — no shuffled join, no sort, identical rows out.
     sel = argmax(cand.withColumn("score", F.col("rel")), "score", 1)
     for t in range(2, MMR_K + 1):
+        sel = rolling_persist(spark, ("mmr_sel", sf_dir, t - 1), sel)
         remaining = cand.join(
-            sel.select("probe_id", "cid"), ["probe_id", "cid"], "left_anti"
+            F.broadcast(sel.select("probe_id", "cid")),
+            ["probe_id", "cid"],
+            "left_anti",
         )
-        maxsim = (
+        maxsim = F.broadcast(
             sims.join(
-                sel.select("probe_id", F.col("cid").alias("cb")),
+                F.broadcast(sel.select("probe_id", F.col("cid").alias("cb"))),
                 ["probe_id", "cb"],
             )
             .groupBy("probe_id", "ca")
@@ -2407,10 +2444,19 @@ def emb_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine, then the O(thresholds) curve is a single explode +
     groupBy on the scored pair set. Thresholds are integer percents so
     the group key is never a float.
+
+    r10 optimization (guide §2.3 / §8 — decide with small rows, attach
+    payloads once): the cap window, the bucket self-join and the pair
+    dedup all shuffle only (vec_id, t, bucket) ids now; the 64-dim
+    vectors join in exactly once per DISTINCT pair for the single
+    cosine evaluation. Before, the vectors rode every exchange
+    (cap sort, collision join, pair groupBy) and the cosine fold ran
+    once per (pair, table) collision; a pair's cosine is
+    collision-invariant, so min(cos) ≡ the one value and the result
+    is unchanged.
     """
     vecs = _vectors(spark, sf_dir)
-    signs = _plane_signs()
-    buckets = F.array(*[_bucket_expr(signs[t]) for t in range(N_TABLES)])
+    buckets = _buckets_col()
     hashed = memo_df(
         spark,
         ("srp_hashed", sf_dir, table_stamp(sf_dir, ("embeddings",))),
@@ -2418,30 +2464,42 @@ def emb_cosine_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "v", "nrm", F.posexplode(buckets).alias("t", "bucket")
         ),
     )
+    ids = hashed.select("vec_id", "t", "bucket")
     w_cap = Window.partitionBy("t", "bucket").orderBy(
         F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
     )
-    hashed = (
-        hashed.withColumn("rn", F.row_number().over(w_cap))
+    capped = (
+        ids.withColumn("rn", F.row_number().over(w_cap))
         .filter(F.col("rn") <= CURVE_MAXDF)
         .drop("rn")
     )
-    a = hashed.select(
-        F.col("vec_id").alias("va"), "t", "bucket",
-        F.col("v").alias("xa"), F.col("nrm").alias("na"),
-    )
-    b = hashed.select(
-        F.col("vec_id").alias("vb"), "t", "bucket",
-        F.col("v").alias("xb"), F.col("nrm").alias("nb"),
-    )
-    pairs = (
+    a = capped.select(F.col("vec_id").alias("va"), "t", "bucket")
+    b = capped.select(F.col("vec_id").alias("vb"), "t", "bucket")
+    pair_ids = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("va") < F.col("vb"))
-        .groupBy("va", "vb")
-        .agg(
-            F.min(
-                F.round(_cos(F.col("xa"), F.col("xb"), F.col("na"), F.col("nb")), 6)
-            ).alias("cos_r6")
+        .select("va", "vb")
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        pair_ids.join(va, "va")
+        .join(vb, "vb")
+        .select(
+            "va",
+            "vb",
+            F.round(
+                _cos(F.col("xa"), F.col("xb"), F.col("na"), F.col("nb")), 6
+            ).alias("cos_r6"),
         )
     )
     pairs = rolling_persist(spark, ("cos_curve_pairs", sf_dir), pairs)

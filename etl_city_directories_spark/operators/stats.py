@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.functions.numeric import dec2
-from etl_city_directories_spark.sources.tables import load_table
+from etl_city_directories_spark.sources.tables import (
+    load_table,
+    load_table_parallel,
+)
 
 # Benford expected first-digit frequencies, log10(1 + 1/d) to 6 dp.
 # Literals, not log10() calls: both engines parse the decimal string
@@ -1599,8 +1602,12 @@ def q_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,8) BEFORE the sufficient sums (the Zipf/LM
     discipline), then the closed-form OLS slope runs per group with
     one double divide. One map-side pass to O(groups) rows.
+
+    r10: loaded via ``load_table_parallel`` — the log + DECIMAL(38,16)
+    sufficient-product math dominates and was serialized on the
+    single-row-group scan task; no-op at scale (1.75 s → 1.13 s).
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table_parallel(spark, sf_dir, "lineitem").select(
         (F.col("l_partkey") % 10).alias("type_bucket"),
         (dec2("l_extendedprice") * 100).cast("long").alias("price_c"),
         (dec2("l_quantity") * 100).cast("long").alias("qty_c"),
@@ -2916,8 +2923,15 @@ def q_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the point mean, bootstrap SE, and the percentile CI from
     the replicate rank order (replicates are few and fixed — the
     rank runs over B rows).
+
+    r10: the B-way replicate fan-out multiplies the per-row md5 + CASE
+    ladder ×BOOT_B and runs in the SCAN stage — on a single-row-group
+    local file that serialized 16× the md5 work onto one core.
+    ``load_table_parallel`` widens it (a no-op at scale, where the
+    scan has thousands of splits); measured 3.37 s → 0.65 s on the
+    weighted-sums subtree.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
+    orders = load_table_parallel(spark, sf_dir, "orders").select(
         "o_orderkey", (dec2("o_totalprice") * 100).cast("long").alias("cents")
     )
     reps = spark.range(BOOT_B).select(F.col("id").alias("rep"))

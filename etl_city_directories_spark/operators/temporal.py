@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_city_directories_spark.functions.memo import rolling_persist
 from etl_city_directories_spark.functions.numeric import dec2, money_sum
 from etl_city_directories_spark.sources.tables import load_table
 
@@ -916,7 +917,14 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     row_tot = pairs.groupBy("from_type").agg(F.sum("c").alias("r"))
-    matrix = pairs.join(row_tot, "from_type")
+    # r10 optimization (guide §2.4 / §3.1): the O(types²) matrix is
+    # re-read by every unrolled iteration — persist it once (rolling:
+    # released on re-entry) so the fact pass (lead window + transition
+    # count) runs a single time instead of per round, and broadcast it
+    # in the loop join (it is broadcast-sized by construction).
+    matrix = rolling_persist(
+        spark, ("markov_matrix", sf_dir), pairs.join(row_tot, "from_type")
+    )
     types = events.select(F.col("event_type").alias("t")).distinct()
     n_types = types.count()  # scalar: |event types| (single digits)
     x = types.select(
@@ -924,7 +932,7 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(MARKOV_ROUNDS):
         x = (
-            x.join(matrix, x.t == matrix.from_type)
+            x.join(F.broadcast(matrix), x.t == matrix.from_type)
             .select(
                 F.col("to_type").alias("t"),
                 F.expr("micro * c div r").alias("m"),

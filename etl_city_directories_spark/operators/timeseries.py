@@ -196,15 +196,26 @@ def q_allocation_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``l_returnflag = 'R'``) form supply lots and the remaining line
     items form demand, both in (shipdate, orderkey, linenumber) order.
     Each side's running quantity sum turns rows into half-open
-    intervals [hi - qty, hi); an allocation is the overlap of a supply
-    and a demand interval. Because both interval chains are monotone
-    and gap-free, every supply lot overlaps a CONTIGUOUS run of
-    demands: output pairs are O(supply + demand) per part, not
+    intervals [s_hi - qty, s_hi); an allocation is the overlap of a
+    supply and a demand interval. Because both interval chains are
+    monotone and gap-free, every supply lot overlaps a CONTIGUOUS run
+    of demands: output pairs are O(supply + demand) per part, not
     O(s x d) — the property that keeps the join linear at 100 TB.
     Spark executes it as an equi-join on the part key (the shuffle
     key) with the overlap predicate applied within each key.
     Quantities stay DECIMAL end-to-end; the only double cast is the
     output column.
+
+    r10 optimization (guide §1.2 / §2.4): the former pre-pass — a
+    running sum over the UNSPLIT per-part sequence whose [lo, hi)
+    intervals were used only to ORDER each side — is algebraically
+    redundant: quantities are strictly positive, so that running sum
+    is strictly increasing and ordering a side by its ``lo`` equals
+    ordering it by the original (shipdate, orderkey, linenumber) key.
+    Each side now computes its own FIFO clock directly from the sort
+    key, removing one full-table window pass (3 window passes → 2) and
+    letting the ``l_returnflag`` side filters push down to the
+    parquet scan (PushedFilters now carries the flag predicate).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
@@ -214,53 +225,31 @@ def q_allocation_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
     )
-    w = (
-        Window.partitionBy("l_partkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    with_range = li.select(
-        "l_partkey",
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        "qty",
-        F.sum("qty").over(w).alias("hi"),
-    ).select(
-        "l_partkey",
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        (F.col("hi") - F.col("qty")).alias("lo"),
-        "hi",
-    )
-    supply = with_range.filter(F.col("l_returnflag") == "R")
-    demand = with_range.filter(F.col("l_returnflag") != "R")
-    # Re-rank each side's own running sum so supply and demand streams
-    # each start at zero — the FIFO clock both sides share.
+
+    # Each side's running quantity sum IS its FIFO clock; both sides
+    # share the deterministic (shipdate, orderkey, linenumber) order.
     def _rebase(side: DataFrame, prefix: str) -> DataFrame:
         w2 = (
             Window.partitionBy("l_partkey")
-            .orderBy("lo")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        qty = F.col("hi") - F.col("lo")
         return side.select(
             "l_partkey",
             F.col("l_orderkey").alias(f"{prefix}_orderkey"),
             F.col("l_linenumber").alias(f"{prefix}_linenumber"),
-            qty.alias("q"),
-            F.sum(qty).over(w2).alias("s_hi"),
+            "qty",
+            F.sum("qty").over(w2).alias("s_hi"),
         ).select(
             "l_partkey",
             f"{prefix}_orderkey",
             f"{prefix}_linenumber",
-            (F.col("s_hi") - F.col("q")).alias(f"{prefix}_lo"),
+            (F.col("s_hi") - F.col("qty")).alias(f"{prefix}_lo"),
             F.col("s_hi").alias(f"{prefix}_hi"),
         )
 
-    s = _rebase(supply, "s")
-    d = _rebase(demand, "d")
+    s = _rebase(li.filter(F.col("l_returnflag") == "R"), "s")
+    d = _rebase(li.filter(F.col("l_returnflag") != "R"), "d")
     alloc = F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")
     return (
         s.join(d, "l_partkey")

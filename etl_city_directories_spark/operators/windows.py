@@ -958,34 +958,43 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median unit price per return flag.
 
     The weighted percentile every pricing analysis needs (a plain
-    median over line items over-weights small lots): sort each group
-    by price with the deterministic (price, orderkey, linenumber)
-    tiebreak, take the first row whose RUNNING quantity weight reaches
-    half the group's total — exact integer weight comparison by
-    cross-multiplication (2·cum ≥ total), no double thresholds. One
-    shuffle on the group key; the cumulative window rides the same
-    sort. Output also carries the exact total weight and row count.
+    median over line items over-weights small lots): the first price
+    whose RUNNING quantity weight reaches half the group's total —
+    exact integer weight comparison by cross-multiplication
+    (2·cum ≥ total), no double thresholds.
+
+    r10 optimization (guide §2.3, aggregate before you shuffle): the
+    crossing PRICE depends only on the per-(flag, price) weight
+    multiset, never on the row-level (orderkey, linenumber) tiebreak —
+    all rows of the crossing price report the same price. So the rows
+    collapse map-side to (flag, price, Σw, n) first and the cumulative
+    window runs over O(distinct prices) rows per flag instead of the
+    full fact. This also removes the former 3-partition sort of the
+    whole table (l_returnflag has 3 values — the window partition was
+    the parallelism ceiling AND the 100 TB skew hazard); the heavy
+    work is now a map-side-combinable hash aggregate.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         (dec2("l_extendedprice") * 100).cast("long").alias("price_c"),
         (dec2("l_quantity") * 100).cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    ws = Window.partitionBy("l_returnflag").orderBy(
-        "price_c", "l_orderkey", "l_linenumber"
+    per_price = li.groupBy("l_returnflag", "price_c").agg(
+        F.sum("w").alias("pw"), F.count(F.lit(1)).alias("pn")
+    )
+    ws = Window.partitionBy("l_returnflag").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, 0
     )
     wt = Window.partitionBy("l_returnflag")
-    cum = li.select(
+    cum = per_price.select(
         "l_returnflag",
         "price_c",
-        F.sum("w").over(ws.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
-        F.count(F.lit(1)).over(wt).alias("n_rows"),
+        F.sum("pw").over(ws).alias("cw"),
+        F.sum("pw").over(wt).alias("tw"),
+        F.sum("pn").over(wt).alias("n_rows"),
     )
     hits = cum.filter(2 * F.col("cw") >= F.col("tw"))
-    wmin = Window.partitionBy("l_returnflag").orderBy("cw", "price_c")
+    wmin = Window.partitionBy("l_returnflag").orderBy("price_c")
     first = hits.select(
         "l_returnflag",
         "price_c",

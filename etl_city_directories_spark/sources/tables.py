@@ -103,10 +103,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         if events_ts_encoding(sf_dir) == "nanos_long":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = df.withColumn("ts", _ts_to_timestamp(df.schema["ts"].dataType))
+    # Plan-object cache (r10 optimization, guide §6 file-listing
+    # advice): ``spark.read.parquet`` costs ~75-95 ms of driver-side
+    # work per call (file listing, footer/schema read, relation
+    # analysis) and the engine issues it 1-3× per query — ~25% of the
+    # whole-bench wall. The ANALYZED RELATION is immutable, so it is
+    # memoized per (application, sf_dir, table, file mtime+size);
+    # every query still computes fully from the parquet bytes — this
+    # caches no rows, no results, only the lazy plan node. A testdata
+    # rewrite changes the stamp and evicts the stale entry
+    # (tests/test_load_table_cache.py pins both properties).
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = (0, 0)
+    key = (spark.sparkContext.applicationId, sf_dir, name, stamp)
+    df = _RELATION.get(key)
+    if df is None:
+        # drop the same table's superseded stamp (testdata rewrite)
+        stale = [
+            k for k in _RELATION if k[:-1] == key[:-1] and k != key
+        ]
+        for k in stale:
+            _RELATION.pop(k, None)
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = df.withColumn(
+                "ts", _ts_to_timestamp(df.schema["ts"].dataType)
+            )
+        _RELATION[key] = df
     return df
+
+
+_RELATION: dict[tuple, DataFrame] = {}
 
 
 def _ts_to_timestamp(dtype) -> F.Column:
