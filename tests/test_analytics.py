@@ -246,13 +246,13 @@ def test_table_checksum_is_order_and_split_independent(spark):
     def chks(df):
         import etl_city_directories_spark.operators.scale_ops as so
 
-        orig = so.load_table
+        orig = so.load_table_parallel
         try:
-            so.load_table = lambda *_a, **_k: df
+            so.load_table_parallel = lambda *_a, **_k: df
             return {r.l_returnflag: (r.n_rows, r.checksum) for r in
                     so.q_table_checksum(spark, SF).collect()}
         finally:
-            so.load_table = orig
+            so.load_table_parallel = orig
 
     a, b = chks(lo), chks(hi)
     for flag, (n, x) in full.items():
