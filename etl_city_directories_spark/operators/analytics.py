@@ -371,9 +371,18 @@ def _oriented_graph(spark: SparkSession, sf_dir: str):
     )
     n_edges_val = pairs_p.count()  # scalar; reused as an output literal
     n_parts = max(1, n_edges_val // 1_000_000)
-    edges = rolling_persist(
-        spark, ("triangle_edges", sf_dir), pairs_p.repartition(n_parts)
-    )
+    if n_parts > 1:
+        edges = rolling_persist(
+            spark, ("triangle_edges", sf_dir), pairs_p.repartition(n_parts)
+        )
+    else:
+        # r10 (guide §2.4): below one partition's worth of edges the
+        # repartition is a pure round-robin shuffle + second persisted
+        # copy of the identical rows — the already-persisted pair
+        # table (AQE-coalesced to a handful of post-shuffle
+        # partitions) IS the right layout. Only reshape when the
+        # graph is big enough that 1M-edge partitions matter.
+        edges = pairs_p
     deg = rolling_persist(
         spark,
         ("triangle_deg", sf_dir),
@@ -2798,6 +2807,9 @@ def kcore_peel_rounds(
         # eager=False: the stats action below materializes checkpoint,
         # degree cache and round stats in ONE job per round instead of
         # two — the checkpoint still truncates lineage at that point.
+        # (r10 adjudication: an eager=True A/B at 8 runs measured
+        # 3.23/3.54 s best — statistically a tie locally; lazy keeps
+        # one fewer O(E) checkpoint-block re-read per round at scale.)
         cur = cur.localCheckpoint(eager=False)
         prev_deg = deg
         deg = degree_of(cur).persist()

@@ -154,7 +154,13 @@ def _minhash_bands(
     never drift apart. Both frames use the shared rolling_persist
     callsite keys: at most one live copy per session × sf_dir."""
     sh = rolling_persist(
-        spark, ("minhash_sh", sf_dir), _shingled_df(spark, sf_dir)
+        spark,
+        ("minhash_sh", sf_dir),
+        # r10 (guide §2.3): persist only what downstream reads — the
+        # banding + verify stages use (doc_id, shingles); norm (the
+        # full normalized text) and lang/source were dead weight in
+        # the materialized blocks and the verify-join rows.
+        _shingled_df(spark, sf_dir).select("doc_id", "shingles"),
     )
     sigs = sh.select(
         "doc_id",
@@ -235,7 +241,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # bands + both verify sides; rolling: released on re-entry
     sh = rolling_persist(
-        spark, ("ngram_sh", sf_dir), _shingled_df(spark, sf_dir)
+        spark,
+        ("ngram_sh", sf_dir),
+        # r10 (guide §2.3): norm is unused downstream — drop it from
+        # the persisted blocks (bands need lang/source, verify needs
+        # shingles).
+        _shingled_df(spark, sf_dir).select("doc_id", "lang", "source", "shingles"),
     )
     bands = sh.select(
         "doc_id",
@@ -554,7 +565,10 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # explode + final join read it; rolling: released on the next call
     sh = rolling_persist(
-        spark, ("shared_spans_sh", sf_dir), _shingled_df(spark, sf_dir)
+        spark,
+        ("shared_spans_sh", sf_dir),
+        # r10 (guide §2.3): only (doc_id, shingles) is read downstream
+        _shingled_df(spark, sf_dir).select("doc_id", "shingles"),
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     shared = (
@@ -1413,7 +1427,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set 436k → ~1.2k with no loss on true subsets, which
     share ALL their shingles at df 2). Exact set math stays the
     VERIFY stage."""
-    sh = rolling_persist(spark, ("cont_sh", sf_dir), _shingled_df(spark, sf_dir))
+    sh = rolling_persist(
+        spark,
+        ("cont_sh", sf_dir),
+        # r10 (guide §2.3): only (doc_id, shingles) is read downstream
+        _shingled_df(spark, sf_dir).select("doc_id", "shingles"),
+    )
     ex = sh.select("doc_id", F.explode("shingles").alias("g"))
     rare = ex.join(
         ex.groupBy("g")
@@ -2113,7 +2132,10 @@ def dedup_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_lsh; pair mass is the LSH collision set, never n².
     """
     sh = rolling_persist(
-        spark, ("fidelity_sh", sf_dir), _shingled_df(spark, sf_dir)
+        spark,
+        ("fidelity_sh", sf_dir),
+        # r10 (guide §2.3): only (doc_id, shingles) is read downstream
+        _shingled_df(spark, sf_dir).select("doc_id", "shingles"),
     )
     sigs = sh.select(
         "doc_id",
@@ -2252,7 +2274,11 @@ def dedup_band_collision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(buckets) and the stats are exact integers.
     """
     sh = rolling_persist(
-        spark, ("minhash_sh", sf_dir), _shingled_df(spark, sf_dir)
+        spark,
+        ("minhash_sh", sf_dir),
+        # r10 (guide §2.3): same narrow projection as the primary
+        # minhash_sh callsite — only (doc_id, shingles) is read.
+        _shingled_df(spark, sf_dir).select("doc_id", "shingles"),
     )
     sigs = sh.select(
         "doc_id",

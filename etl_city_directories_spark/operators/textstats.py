@@ -729,7 +729,11 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bands + both verify sides read it; rolling: released on re-entry
     sh = rolling_persist(
-        spark, ("deconf_sh", sf_dir), _shingled_df(spark, sf_dir)
+        spark,
+        ("deconf_sh", sf_dir),
+        # r10 (guide §2.3): norm/lang unused downstream — persist only
+        # (doc_id, source, shingles).
+        _shingled_df(spark, sf_dir).select("doc_id", "source", "shingles"),
     )
     sigs = sh.select(
         "doc_id",
