@@ -705,11 +705,23 @@ def graph_pagerank_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (symmetrized), so the pair generation stays O(band
     collisions)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # r10 (guide §1.2 don't compute twice): symmetrize via one explode
+    # of a 2-struct array instead of a 2-branch union — the union plan
+    # contained the chain's band-join + verify tail TWICE (sh/bands
+    # persists only cover the stages below it), the explode form
+    # contains it once. Row multiset is identical.
     sym = pairs.select(
-        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("s"), F.col("doc_a").alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
     sym = rolling_persist(spark, ("pr_edges", sf_dir), sym)
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
     # Degree is static across iterations: attach it to the edge list
@@ -2373,25 +2385,32 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(p) for p in SWEEP_PCTS])).alias("cut_pct")
     )
     hit = F.col("jaccard") * 100 >= F.col("cut_pct")
-    joined = pairs.crossJoin(F.broadcast(cuts))
-    per_cut = joined.groupBy("cut_pct").agg(
-        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_pairs"),
-        F.countDistinct(F.when(hit, F.col("doc_a"))).alias("da"),
-        F.countDistinct(F.when(hit, F.col("doc_b"))).alias("db"),
-    )
-    docs = joined.filter(hit).select(
-        "cut_pct", F.explode(F.array("doc_a", "doc_b")).alias("doc")
-    )
-    affected = docs.groupBy("cut_pct").agg(
-        F.countDistinct("doc").cast("bigint").alias("n_docs_affected")
+    # r10 (guide §1.2 don't compute twice): the pair-level rollup and
+    # the affected-doc distinct previously aggregated TWO copies of the
+    # pairs×cuts subtree (each re-running the chain's band-join +
+    # verify tail above the persisted sh/bands). One unfiltered doc
+    # explode feeds a single aggregate: each pair contributes two
+    # endpoint rows, so n_pairs = hits/2 exactly, and the hit-gated
+    # countDistinct yields 0 for all-miss cuts — identical output in
+    # every case, including the empty-pairs corpus (no group rows, as
+    # before).
+    exploded = pairs.crossJoin(F.broadcast(cuts)).select(
+        "cut_pct", hit.alias("hit"), F.explode(F.array("doc_a", "doc_b")).alias("doc")
     )
     return (
-        per_cut.select("cut_pct", "n_pairs")
-        .join(affected, "cut_pct", "left")
+        exploded.groupBy("cut_pct")
+        .agg(
+            (F.sum(F.when(F.col("hit"), 1).otherwise(0)) / 2)
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.countDistinct(F.when(F.col("hit"), F.col("doc")))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
         .select(
             F.col("cut_pct").cast("bigint").alias("cut_pct"),
             "n_pairs",
-            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            "n_docs_affected",
         )
         .orderBy("cut_pct")
     )
