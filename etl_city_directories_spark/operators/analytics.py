@@ -1414,14 +1414,31 @@ def q_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("click_us").alias("c"),
         F.first("purchase_us").alias("p"),
     )
-    gaps = per_user.select(
-        F.lit("signup_to_click").alias("step"),
-        ((F.col("c") - F.col("s")) / 1_000_000).cast("long").alias("secs"),
-    ).filter(F.col("secs").isNotNull()).unionByName(
+    # r10 (guide §1.2 don't compute twice): the 2-branch union embedded
+    # the staged window chain + per-user aggregate TWICE; one explode
+    # of a 2-struct array yields the identical row multiset with the
+    # subtree appearing once.
+    gaps = (
         per_user.select(
-            F.lit("click_to_purchase").alias("step"),
-            ((F.col("p") - F.col("c")) / 1_000_000).cast("long").alias("secs"),
-        ).filter(F.col("secs").isNotNull())
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("signup_to_click").alias("step"),
+                        ((F.col("c") - F.col("s")) / 1_000_000)
+                        .cast("long")
+                        .alias("secs"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("step"),
+                        ((F.col("p") - F.col("c")) / 1_000_000)
+                        .cast("long")
+                        .alias("secs"),
+                    ),
+                )
+            ).alias("g")
+        )
+        .select("g.step", "g.secs")
+        .filter(F.col("secs").isNotNull())
     )
     wr = Window.partitionBy("step").orderBy("secs")
     wn = Window.partitionBy("step")
@@ -3670,13 +3687,27 @@ def q_queue_little_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = spans.agg(
         F.min("start_d").alias("lo"), F.max("end_d").alias("hi")
     )
+    # r10 (guide §1.2 don't compute twice): the 2-branch union embedded
+    # the spans subtree (fact rollup + orders join) twice — the explode
+    # of a 2-struct array emits the identical (d, delta) multiset from
+    # one pass. (bounds above is spans' other consumer; its scalar
+    # min/max cannot ride the per-day grouping, so 3 subtree
+    # evaluations become 2.)
     deltas = (
-        spans.select(F.col("start_d").alias("d"), F.lit(1).alias("delta"))
-        .unionByName(
-            spans.select(
-                F.date_add("end_d", 1).alias("d"), F.lit(-1).alias("delta")
-            )
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.date_add("end_d", 1).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.d", "e.delta")
         .groupBy("d")
         .agg(F.sum("delta").alias("delta"))
     )
