@@ -16,7 +16,7 @@ are shuffle-order-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_city_directories_spark.functions.numeric import dec2, money_sum
@@ -28,12 +28,32 @@ Q16_SIZES = (1, 4, 9, 14, 19, 23, 28, 33)
 Q20_REGION = "EUROPE"
 
 
+def ps_availqty_of(pk: Column, sk: Column) -> Column:
+    """availqty as pure key arithmetic — the single definition shared by
+    the derivation CTE and the join-elimination rewrites below."""
+    return ((pk * 31 + sk * 17) % 9999 + 1).cast("int")
+
+
+def ps_supplycost_of(pk: Column, sk: Column) -> Column:
+    """supplycost as pure key arithmetic (integer cents / 100.0 — the
+    same IEEE divide in both engines)."""
+    return ((pk * 53 + sk * 29) % 100000 + 100) / F.lit(100.0)
+
+
 def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived partsupp: one row per distinct (l_partkey, l_suppkey).
 
     availqty/supplycost are pure key arithmetic (supplycost exact at 2
     decimal places: integer cents / 100.0 — the same IEEE divide in
     both engines). One distinct-shuffle on the composite key.
+
+    Because the attributes are key-computable and every lineitem pair is
+    in partsupp by construction, a query that joins a lineitem-derived
+    frame back to partsupp ON THE FULL COMPOSITE KEY can skip the join
+    and compute the attributes inline (each probe row matches exactly
+    once) — see q9/q20. Queries that aggregate partsupp ITSELF still
+    need the distinct, but filter it first where a selective dim allows
+    (q2/q11).
     """
     li = load_table(spark, sf_dir, "lineitem")
     pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
@@ -46,10 +66,8 @@ def partsupp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ps_partkey",
             "ps_suppkey",
-            ((pk * 31 + sk * 17) % 9999 + 1).cast("int").alias("ps_availqty"),
-            (((pk * 53 + sk * 29) % 100000 + 100) / F.lit(100.0)).alias(
-                "ps_supplycost"
-            ),
+            ps_availqty_of(pk, sk).alias("ps_availqty"),
+            ps_supplycost_of(pk, sk).alias("ps_supplycost"),
         )
     )
 
@@ -75,8 +93,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_partkey — one shuffle on partkey instead of a per-part rescan.
     All four dims broadcast into the offers join; top-100 is
     TakeOrdered, not a global sort.
+
+    The selective dims (ECONOMY/size part filter, region suppliers)
+    broadcast into the raw lineitem scan BEFORE the pair distinct, so
+    the distinct exchange carries only qualifying offers instead of the
+    full partsupp fact; supplycost is key arithmetic computed after
+    (identical values — the dims' keys are unique, so distinct over
+    keys+attrs equals distinct over keys; equivalence oracle-proven).
     """
-    ps = partsupp_df(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
     )
@@ -91,12 +116,20 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         supplier.s_nationkey == nation.n_nationkey,
     )
-    offers = ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey).join(
-        F.broadcast(supp_geo), ps.ps_suppkey == supp_geo.s_suppkey
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_geo), li.l_suppkey == supp_geo.s_suppkey)
+        .select(
+            "l_partkey", "l_suppkey", "p_partkey", "p_name",
+            "s_name", "n_name", "s_acctbal",
+        )
+        .distinct()
     )
     w = Window.partitionBy("p_partkey")
     return (
-        offers.withColumn("cost", dec2("ps_supplycost"))
+        offers.withColumn(
+            "cost", dec2(ps_supplycost_of(F.col("l_partkey"), F.col("l_suppkey")))
+        )
         .withColumn("min_cost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("min_cost"))
         .select(
@@ -117,9 +150,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation and year, for a part-name pattern.
 
     The part filter broadcasts into the lineitem scan FIRST (kills
-    ~7/8 of the fact before the partsupp join); lineitem⋈partsupp
-    shuffles on the composite key once; supplier/nation broadcast.
+    ~7/8 of the fact before anything else); supplier/nation broadcast.
     Profit stays decimal until the final cast.
+
+    The lineitem⋈partsupp join is ELIMINATED: the probe key is the full
+    composite (l_partkey, l_suppkey), partsupp holds exactly one row
+    per distinct lineitem pair, and ps_supplycost is pure key
+    arithmetic — so every lineitem row matches exactly once and the
+    joined attribute equals ps_supplycost_of(l_partkey, l_suppkey)
+    computed inline. That removes a second full fact scan + pair
+    distinct + pair-keyed join (a corpus-sized shuffle at 100 TB);
+    equivalence oracle-proven at sf0.01 and sf0.1.
     """
     part = (
         load_table(spark, sf_dir, "part")
@@ -127,19 +168,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    ps = partsupp_df(spark, sf_dir)
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     one = F.lit(1).cast("decimal(18,2)")
+    supplycost = ps_supplycost_of(F.col("l_partkey"), F.col("l_suppkey"))
     profit = dec2("l_extendedprice") * (one - dec2("l_discount")) - dec2(
-        "ps_supplycost"
+        supplycost
     ) * dec2("l_quantity")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(
-            ps,
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
-        )
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(
@@ -159,18 +196,27 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     The global total is re-aggregated from the per-part decimals (one
     extra tiny shuffle over |parts| rows, no second fact scan) and
     broadcast back as a 1-row cross join.
+
+    The one-nation supplier filter broadcasts into the raw lineitem
+    scan as a semi join BEFORE the pair distinct, so the distinct
+    exchange carries ~1/|nations| of the pairs; availqty/supplycost
+    are key arithmetic computed after (identical values; equivalence
+    oracle-proven).
     """
-    ps = partsupp_df(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
     supp = supplier.join(
         F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey")
-    val = dec2("ps_supplycost") * F.col("ps_availqty")
-    per_part = (
-        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
-        .groupBy("ps_partkey")
-        .agg(F.sum(val).alias("value_dec"))
+    pairs = li.join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi"
+    ).distinct()
+    val = dec2(
+        ps_supplycost_of(F.col("l_partkey"), F.col("l_suppkey"))
+    ) * ps_availqty_of(F.col("l_partkey"), F.col("l_suppkey"))
+    per_part = pairs.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum(val).alias("value_dec")
     )
     total = per_part.agg(F.sum("value_dec").alias("total_dec"))
     return (
@@ -193,8 +239,13 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exclusion list (s_suppkey % 17 = 0 models the reference's
     comment-pattern complaint filter) broadcasts as a left-anti; the
     only big shuffle is the distinct-count on the grouping key.
+
+    The partsupp pair distinct is ELIMINATED: COUNT(DISTINCT suppkey)
+    per group is duplicate-insensitive, so aggregating the raw
+    (broadcast-filtered) lineitem pairs gives the identical counts
+    without the extra corpus-sized exchange (oracle-proven).
     """
-    ps = partsupp_df(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").like("PROMO%"))
@@ -206,10 +257,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
-        .join(F.broadcast(excl), ps.ps_suppkey == excl.s_suppkey, "left_anti")
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
@@ -222,8 +273,13 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semi-join chain: shipped quantities aggregate map-side first (one
     shuffle on the composite key), the part-name filter broadcasts,
     qualifying suppliers reach the supplier dim as a left-semi.
+
+    The partsupp⋈shipped join is ELIMINATED: shipped's keys are a
+    subset of the distinct lineitem pairs, the join key is the full
+    composite, and ps_availqty is key arithmetic — each shipped row
+    matches exactly one partsupp row whose availqty is computable
+    inline (oracle-proven).
     """
-    ps = partsupp_df(spark, sf_dir)
     part_fam = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("red%"))
@@ -239,17 +295,14 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
     )
     qualified = (
-        ps.join(F.broadcast(part_fam), ps.ps_partkey == part_fam.p_partkey)
-        .join(
-            shipped,
-            (ps.ps_partkey == shipped.l_partkey)
-            & (ps.ps_suppkey == shipped.l_suppkey),
+        shipped.join(
+            F.broadcast(part_fam), shipped.l_partkey == part_fam.p_partkey
         )
         .filter(
-            F.col("ps_availqty").cast("double")
+            ps_availqty_of(F.col("l_partkey"), F.col("l_suppkey")).cast("double")
             > F.col("qty_dec").cast("double") * 0.5
         )
-        .select("ps_suppkey")
+        .select(F.col("l_suppkey").alias("ps_suppkey"))
         .distinct()
     )
     supplier = load_table(spark, sf_dir, "supplier")

@@ -27,31 +27,41 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations per year.
 
     The nation-pair filter lands on broadcast supplier/customer sides,
-    so the only shuffle is orders⋈lineitem on orderkey; the final
-    groupBy is tiny (2 pairs × years). At 100 TB the pre-join filters
-    cut both fact inputs before the shuffle.
+    and both broadcast joins are applied BEFORE the orders⋈lineitem
+    shuffle: the two-nation membership filter (implied by the pair
+    predicate) cuts each fact side to ~2/|nations| of its rows ahead of
+    the only big exchange; the cross-side pair predicate then runs
+    post-join. Catalyst does not reorder inner joins without CBO, so
+    the written order IS the executed order. The final groupBy is tiny
+    (2 pairs × years).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     n1 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
-    )
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
-    )
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     supplier = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
     )
     customer = load_table(spark, sf_dir, "customer").join(
         F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
     )
+    li_f = lineitem.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "supp_nation"
+    )
+    o_f = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        li_f.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -68,6 +78,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Market share is a conditional-sum ratio inside ONE aggregation —
     no second pass over the joined facts, no self-join of the
     aggregate against its own total.
+
+    Both broadcast joins apply BEFORE the orders⋈lineitem shuffle: the
+    ASIA-customer join cuts the orders side to ~1/|regions| of its rows
+    and projects it to (o_orderkey, o_orderdate) ahead of the only big
+    exchange; the supplier join only attaches supp_nation (the
+    denominator sums every nation) but riding it on the scan side keeps
+    the shuffled lineitem projection minimal.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -81,20 +98,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     rev = _revenue()
+    li_f = lineitem.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key")
+            )
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "supp_nation")
+    o_f = orders.join(
+        F.broadcast(
+            customer.join(
+                F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key")
+            ).join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_orderkey", "o_orderdate")
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            F.broadcast(supplier.join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-        )
-        .join(
-            F.broadcast(
-                customer.join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key")).join(
-                    F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey")
-                )
-            ),
-            F.col("o_custkey") == F.col("c_custkey"),
-        )
+        li_f.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             ratio(

@@ -134,6 +134,23 @@ def test_partsupp_queries_broadcast_dims(spark):
         assert plan.count("BroadcastHashJoin") >= min_bcast, f"{name}: {plan}"
 
 
+def test_partsupp_composite_rejoin_eliminated(spark):
+    """q9/q20/q16 probe the derived partsupp fact on the FULL composite
+    key, whose attributes are pure key arithmetic — so the rejoin (a
+    second lineitem scan + pair distinct + pair-keyed join, corpus-sized
+    at 100 TB) is eliminated and the attributes compute inline (r10
+    optimization; the oracle still derives partsupp and proves
+    value-identity). The derivation subtree's ps_* columns must not
+    appear, and q9/q20 must read lineitem exactly once."""
+    for name in ("q9_product_profit", "q20_promotable_suppliers",
+                 "q16_supplier_cnt"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "ps_partkey" not in plan, f"{name}: derivation subtree back"
+    for name in ("q9_product_profit", "q20_promotable_suppliers"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert plan.count("lineitem") == 1, f"{name}: extra lineitem scan"
+
+
 def test_q21_single_window_exchange(spark):
     """The decorrelated Q21 must compute all three per-order window
     aggregates (and the distinct) over ONE shuffle on l_orderkey — the
