@@ -23,6 +23,36 @@ import __spark_entry__ as entry_mod
 from etl_city_directories_spark.session import get_spark
 
 
+def _drop_process_memos() -> None:
+    """SPARK_GRAFT_BENCH_COLD=1: forget within-process materialized
+    state between attempts so best-of-N never times a warm reuse.
+
+    Two stores survive ``spark.catalog.clearCache()`` (VERDICT r10
+    "What's wrong" #2): ``functions.memo._MEMO`` pins index artifacts
+    as localCheckpoint blocks, and ``operators.ingest._SINK_CACHE``
+    reuses written sink/fixture dirs per data stamp. Both are disclosed,
+    within-process-only reuse — but they make attempt 2 of best-of-N
+    partially warm for ~a dozen keys. This hook (OFF by default, so the
+    driver's bench methodology is unchanged) unpersists the checkpoint
+    blocks and deletes+forgets the sink dirs before every attempt;
+    tools/simlogs/r11_bench_cold_probe.* quantifies the per-key delta.
+    """
+    import shutil
+
+    from etl_city_directories_spark.functions import memo as _memo
+    from etl_city_directories_spark.operators import ingest as _ingest
+
+    for df in list(_memo._MEMO.values()):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _memo._MEMO.clear()
+    for path in list(_ingest._SINK_CACHE.values()):
+        shutil.rmtree(path, ignore_errors=True)
+    _ingest._SINK_CACHE.clear()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -48,6 +78,7 @@ def main() -> None:
         jvm_gc = lambda: None  # noqa: E731
     # Optional subset for smoke runs: comma-separated queries() keys.
     only = os.environ.get("SPARK_GRAFT_BENCH_KEYS", "")
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") == "1"
     timings: dict[str, float] = {}
     # warm the JVM + parquet footer cache once, outside timed region
     entry_mod.entry(spark).collect()
@@ -66,6 +97,8 @@ def main() -> None:
             # each attempt pays its own persist cost; no cross-query
             # cache subsidies
             spark.catalog.clearCache()
+            if cold:
+                _drop_process_memos()
             t0 = time.perf_counter()
             try:
                 queries[name](spark, sf_dir).collect()
