@@ -28,6 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -50,6 +51,30 @@ from etl_city_directories_spark.sources import tables
 
 SESSION_GAP_MIN = 30  # must match operators.windows.SESSION_GAP_MIN
 _GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+
+# State-store / per-batch-merge shuffle width for the FINITE replay.
+# Streaming state partitioning is fixed by shuffle.partitions at the
+# first batch; every HDFS-backed store costs per-batch commit files and
+# a scheduled task whether or not it holds state, so the replay
+# right-sizes this down from the session's core count (r05: 32 -> 8
+# measured 6.8 s -> 2.8 s on the two-sided join). A production
+# deployment sets cluster width here instead (the env override is the
+# parameterization hook); the conf is restored after every run
+# (_run_to_table / the foreachBatch operators).
+#
+# r11 split (interleaved A/B, tools/simlogs/r11_sp_interleave.json +
+# the 4-vs-2 / 8-vs-4 confirmation probes): JVM-stateful replays are
+# commit-file/task-quantum bound — 8 -> 2 cut the 8-key JVM basket
+# 13.6 -> 11.4 s best / 16.4 -> 12.1 s median — while the four
+# applyInPandasWithState/TWS operators are PYTHON-WORKER bound (state
+# partitions are their only parallelism axis), where 8 beats 4
+# (14.8 vs 16.2 s best). Hence two knobs, both env-parameterized.
+REPLAY_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+)
+PY_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PY_STATE_PARTITIONS", "8")
+)
 
 def _events_schema(sf_dir: str) -> StructType:
     """Stream-source schema matching the file's actual ``ts`` encoding.
@@ -145,7 +170,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    _run_to_table(agg, "stream_tumbling_agg_sink", "complete", state_partitions=8)
+    _run_to_table(agg, "stream_tumbling_agg_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table("stream_tumbling_agg_sink")
 
 
@@ -221,7 +246,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    _run_to_table(sessions, "stream_sessionize_sink", "update", state_partitions=8)
+    _run_to_table(
+        sessions, "stream_sessionize_sink", "update",
+        state_partitions=PY_STATE_PARTITIONS,
+    )
     # The memory sink in update mode APPENDS each microbatch's emits:
     # with a multi-file source (or maxFilesPerTrigger) a session that
     # spans microbatches appears once per batch, earlier rows being
@@ -270,7 +298,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
         ).alias("text_hash")
     ).dropDuplicates(["text_hash"])
-    _run_to_table(hashes, "stream_dedup_exact_sink", "append", state_partitions=8)
+    _run_to_table(hashes, "stream_dedup_exact_sink", "append", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table("stream_dedup_exact_sink")
 
 
@@ -293,7 +321,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_table(agg, "stream_sliding_agg_sink", "complete", state_partitions=8)
+    _run_to_table(agg, "stream_sliding_agg_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table("stream_sliding_agg_sink")
 
 
@@ -302,7 +330,7 @@ _WM_US = WATERMARK_DELAY_MIN * 60 * 1_000_000
 _HOUR_US = 3_600_000_000
 
 
-def _build_late_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+def _build_late_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Three-microbatch replay fixture for watermark semantics.
 
     File 1: events below the corpus midpoint — after this batch the
@@ -318,26 +346,29 @@ def _build_late_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int
 
     The fixture derivation is deterministic, so the files are written
     once per (process, sf_dir, events stamp) and reused across the
-    three operators that replay them (ingest.cached_sink_dir); the
-    split/watermark scalars recompute per call (two tiny aggregates).
-    Returns (dir, split_us, w1_us).
+    operators that replay them (ingest.cached_sink_dir). The whole
+    derivation — including the split/watermark scalar aggregates —
+    lives INSIDE the write closure (r11, guide §1.2): the scalars exist
+    only to build the files, so recomputing them per call charged every
+    cached-path invocation two full-corpus aggregate jobs for values it
+    never used. Returns the fixture dir.
     """
     import os
     import shutil
 
     from etl_city_directories_spark.operators.ingest import cached_sink_dir
 
-    events = load_table_events_us(spark, sf_dir)
-    lo, hi = events.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    split_us = (lo + hi) // 2
-    f1 = events.filter(F.col("ts_us") < split_us)
-    w1_us = f1.agg(F.max("ts_us")).collect()[0][0] - _WM_US
-    f2 = events.filter(F.col("ts_us") >= split_us)
-    late = f1.filter(
-        (F.col("ts_us") < w1_us - _HOUR_US) & (F.col("event_id") % 97 == 0)
-    )
-
     def _write_all(out: str) -> None:
+        events = load_table_events_us(spark, sf_dir)
+        lo, hi = events.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        split_us = (lo + hi) // 2
+        f1 = events.filter(F.col("ts_us") < split_us)
+        w1_us = f1.agg(F.max("ts_us")).collect()[0][0] - _WM_US
+        f2 = events.filter(F.col("ts_us") >= split_us)
+        late = f1.filter(
+            (F.col("ts_us") < w1_us - _HOUR_US) & (F.col("event_id") % 97 == 0)
+        )
+
         def _write(df, name: str, mtime: int) -> None:
             tmp = os.path.join(out, f"_stage_{name}")
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -351,8 +382,7 @@ def _build_late_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, int, int
         _write(f2, "batch2.parquet", 1_000_000_100)
         _write(late, "batch3.parquet", 1_000_000_200)
 
-    out = cached_sink_dir("late_fixture", sf_dir, ("events",), _write_all)
-    return out, split_us, w1_us
+    return cached_sink_dir("late_fixture", sf_dir, ("events",), _write_all)
 
 
 def load_table_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +414,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    path, _split_us, _w1_us = _build_late_fixture(spark, sf_dir)
+    path = _build_late_fixture(spark, sf_dir)
     schema = StructType(
         [
             StructField("event_id", LongType()),
@@ -408,7 +438,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_table(agg, "stream_late_data_sink", "append", state_partitions=8)
+    _run_to_table(agg, "stream_late_data_sink", "append", state_partitions=REPLAY_STATE_PARTITIONS)
     result = spark.table("stream_late_data_sink")
     rows = result.count()  # materialized in the memory sink
     assert rows >= 0
@@ -422,7 +452,7 @@ def _run_dedup_within_watermark(
     fixture; returns (emitted table, per-batch progress metrics)."""
     import shutil
 
-    path, _split_us, _w1_us = _build_late_fixture(spark, sf_dir)
+    path = _build_late_fixture(spark, sf_dir)
     schema = StructType(
         [
             StructField("event_id", LongType()),
@@ -442,7 +472,9 @@ def _run_dedup_within_watermark(
         .select("event_id", "ts_us", "event_type")
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
+    )
     try:
         q = (
             dd.writeStream.format("memory")
@@ -504,7 +536,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("total_value"),
         )
     )
-    _run_to_table(agg, "stream_static_join_sink", "complete", state_partitions=8)
+    _run_to_table(agg, "stream_static_join_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table("stream_static_join_sink")
 
 
@@ -557,7 +589,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("p_ts_us"),
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
-    _run_to_table(joined, "stream_stream_join_sink", "append", state_partitions=8)
+    _run_to_table(joined, "stream_stream_join_sink", "append", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table("stream_stream_join_sink")
 
 
@@ -593,7 +625,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _run_to_table(
-        sessions, "stream_session_window_sink", "complete", state_partitions=8
+        sessions, "stream_session_window_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS
     )
     return spark.table("stream_session_window_sink")
 
@@ -603,27 +635,29 @@ def _purchase_replay_source(spark: SparkSession, sf_dir: str) -> str:
     multi-microbatch fixture for the foreachBatch merge and the
     StatefulProcessor operator (``maxFilesPerTrigger=1`` gives each
     file its own microbatch, so cross-batch state provably
-    accumulates). Written once per (process, sf_dir, events stamp)."""
+    accumulates). Written once per (process, sf_dir, events stamp);
+    the split-point aggregate lives inside the write closure (r11) so
+    a cached-path call costs zero Spark jobs."""
     import os
     import shutil
 
     from etl_city_directories_spark.operators.ingest import cached_sink_dir
     from etl_city_directories_spark.sources.tables import load_table
 
-    purchases = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_id",
-            dec2("value").cast("double").alias("value"),
-        )
-    )
-    lo, hi = purchases.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    split_us = (lo + hi) // 2
-
     def _write_all(src_dir: str) -> None:
+        purchases = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                dec2("value").cast("double").alias("value"),
+            )
+        )
+        lo, hi = purchases.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        split_us = (lo + hi) // 2
+
         def _write(df: DataFrame, name: str, mtime: int) -> None:
             tmp = os.path.join(src_dir, f"_stage_{name}")
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -678,7 +712,9 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
+    )
     try:
         # phase 1: only b1 visible; run to completion and STOP
         shutil.copy(os.path.join(fixture, "b1.parquet"), src_dir)
@@ -760,7 +796,9 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = _row_count(f"{sf_dir}/events.parquet")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
+    )
     try:
         # availableNow would freeze the bound at the FIRST latestOffset
         # call (one giant batch); a processing-time trigger lets the
@@ -912,7 +950,7 @@ def stream_stateful_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     _run_to_table(
-        result, "stream_stateful_processor_sink", "update", state_partitions=8
+        result, "stream_stateful_processor_sink", "update", state_partitions=PY_STATE_PARTITIONS
     )
     emitted = spark.table("stream_stateful_processor_sink")
     return (
@@ -966,7 +1004,7 @@ def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _run_to_table(
-        daily, "stream_chained_windows_sink", "append", state_partitions=8
+        daily, "stream_chained_windows_sink", "append", state_partitions=REPLAY_STATE_PARTITIONS
     )
     return spark.table("stream_chained_windows_sink")
 
@@ -1049,7 +1087,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right-size the per-batch merge shuffle for the finite replay
     # (same rationale as _run_to_table's state_partitions)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
+    )
     try:
         q = (
             spark.readStream.schema(stream_schema)
@@ -1109,7 +1149,7 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_table(agg, "stream_topk_sink", "complete", state_partitions=8)
+    _run_to_table(agg, "stream_topk_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS)
     wr = W.partitionBy("bucket_start_us").orderBy(
         F.desc("n_events"), F.asc("event_type")
     )
@@ -1410,7 +1450,7 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
-    _run_to_table(agg, "stream_ohlc_bars_sink", "complete", state_partitions=8)
+    _run_to_table(agg, "stream_ohlc_bars_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table("stream_ohlc_bars_sink")
 
 
@@ -1451,24 +1491,24 @@ def _cdc_replay_source(spark: SparkSession, sf_dir: str) -> str:
     from etl_city_directories_spark.operators.scale_ops import _CDC_OPS
     from etl_city_directories_spark.sources.tables import load_table
 
-    op = F.create_map(*[F.lit(x) for kv in _CDC_OPS.items() for x in kv])[
-        F.col("event_type")
-    ]
-    feed = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(*_CDC_OPS))
-        .select(
-            "user_id",
-            F.unix_micros("ts").alias("ts_us"),
-            "event_id",
-            F.round("value", 2).alias("value"),
-            op.alias("op"),
-        )
-    )
-    lo, hi = feed.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-    split_us = (lo + hi) // 2
-
     def _write_all(src_dir: str) -> None:
+        op = F.create_map(*[F.lit(x) for kv in _CDC_OPS.items() for x in kv])[
+            F.col("event_type")
+        ]
+        feed = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin(*_CDC_OPS))
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                F.round("value", 2).alias("value"),
+                op.alias("op"),
+            )
+        )
+        lo, hi = feed.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        split_us = (lo + hi) // 2
+
         def _write(df: DataFrame, name: str, mtime: int) -> None:
             tmp = os.path.join(src_dir, f"_stage_{name}")
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1569,7 +1609,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
+    )
     try:
         q = (
             spark.readStream.schema(stream_schema)
@@ -1718,7 +1760,7 @@ def stream_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     _run_to_table(
-        result, "stream_new_vs_returning_sink", "update", state_partitions=8
+        result, "stream_new_vs_returning_sink", "update", state_partitions=PY_STATE_PARTITIONS
     )
     emitted = spark.table("stream_new_vs_returning_sink").distinct()
     return (
@@ -1789,7 +1831,7 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         agg,
         "stream_windowed_distinct_users_sink",
         "complete",
-        state_partitions=8,
+        state_partitions=REPLAY_STATE_PARTITIONS,
     )
     return spark.table("stream_windowed_distinct_users_sink").orderBy(
         "bucket_start_us"
@@ -1872,7 +1914,10 @@ def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    _run_to_table(result, "stream_zscore_alerts_sink", "update", state_partitions=8)
+    _run_to_table(
+        result, "stream_zscore_alerts_sink", "update",
+        state_partitions=PY_STATE_PARTITIONS,
+    )
     emitted = spark.table("stream_zscore_alerts_sink")
     return (
         emitted.groupBy("user_id")
@@ -2019,7 +2064,7 @@ def stream_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("p_user", "p_id", "p_ts")
     _run_to_table(
-        joined, "stream_funnel_conversions_sink", "append", state_partitions=8
+        joined, "stream_funnel_conversions_sink", "append", state_partitions=REPLAY_STATE_PARTITIONS
     )
     emitted = spark.table("stream_funnel_conversions_sink")
     return (
@@ -2061,7 +2106,7 @@ def stream_error_share_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _run_to_table(
-        agg, "stream_error_share_hourly_sink", "complete", state_partitions=8
+        agg, "stream_error_share_hourly_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS
     )
     return (
         spark.table("stream_error_share_hourly_sink")
@@ -2133,7 +2178,7 @@ def stream_max_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _run_to_table(
-        agg, "stream_max_event_time_sink", "complete", state_partitions=8
+        agg, "stream_max_event_time_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS
     )
     sink = spark.table("stream_max_event_time_sink")
     frontier = sink.agg(F.max("max_ts_us").alias("frontier_us"))
@@ -2208,7 +2253,7 @@ def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vwap"),
         )
     )
-    _run_to_table(agg, "stream_vwap_sink", "complete", state_partitions=8)
+    _run_to_table(agg, "stream_vwap_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS)
     return spark.table("stream_vwap_sink")
 
 
@@ -2255,7 +2300,7 @@ def stream_entropy_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _run_to_table(agg, "stream_entropy_hourly_sink", "complete",
-                  state_partitions=8)
+                  state_partitions=REPLAY_STATE_PARTITIONS)
     sink = spark.table("stream_entropy_hourly_sink")
     from pyspark.sql import Window as W
 
@@ -2315,7 +2360,7 @@ def stream_moments_jb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _run_to_table(agg, "stream_moments_jb_sink", "complete",
-                  state_partitions=8)
+                  state_partitions=REPLAY_STATE_PARTITIONS)
     return (
         spark.table("stream_moments_jb_sink")
         .selectExpr(*_JB_SELECT)
@@ -2369,7 +2414,7 @@ def stream_daily_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg((F.sum(dec2("value")) * 100).cast("bigint").alias("cents"))
     _run_to_table(agg, "stream_daily_drawdown_sink", "complete",
-                  state_partitions=8)
+                  state_partitions=REPLAY_STATE_PARTITIONS)
     sink = spark.table("stream_daily_drawdown_sink")
     from pyspark.sql import Window as W
 
@@ -2427,7 +2472,7 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(arm_a, 1).otherwise(0)).alias("na"),
         F.sum(F.when(arm_a, 0).otherwise(1)).alias("nb"),
     )
-    _run_to_table(agg, "stream_srm_monitor_sink", "complete", state_partitions=8)
+    _run_to_table(agg, "stream_srm_monitor_sink", "complete", state_partitions=REPLAY_STATE_PARTITIONS)
     from etl_city_directories_spark.operators.forecast import _SRM_SELECT
 
     return spark.table("stream_srm_monitor_sink").selectExpr(*_SRM_SELECT)
@@ -2513,7 +2558,9 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(REPLAY_STATE_PARTITIONS)
+    )
     try:
         q = (
             spark.readStream.schema(stream_schema)

@@ -173,8 +173,8 @@ def test_late_data_fixture_drop_is_load_bearing(spark):
         _build_late_fixture,
     )
 
-    p1, _, _ = _build_late_fixture(spark, SF)
-    p2, _, _ = _build_late_fixture(spark, SF)
+    p1 = _build_late_fixture(spark, SF)
+    p2 = _build_late_fixture(spark, SF)
     assert p1 == p2 and os.path.isdir(p1)
 
 
