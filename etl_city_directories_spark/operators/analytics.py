@@ -35,8 +35,10 @@ MIX_BUDGET_X = 2  # total char budget = MIX_BUDGET_X * corpus chars
 
 
 def _basket_graph(spark: SparkSession, sf_dir: str):
-    """Shared pair-graph build: (items, support, pairs) where pairs are
-    the part pairs co-occurring in >= MIN_PAIR_ORDERS orders.
+    """Shared pair-graph build: (baskets_all, items, support, pairs)
+    where pairs are the part pairs co-occurring in >= MIN_PAIR_ORDERS
+    orders and baskets_all is one row per order with its distinct item
+    array (the persisted root every other frame derives from).
 
     Pair generation collapses each (pruned) order to a sorted item
     array, then expands the upper-triangle pairs with a higher-order
@@ -46,13 +48,27 @@ def _basket_graph(spark: SparkSession, sf_dir: str):
     dropping globally-infrequent items first.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # The distinct item set fans out three ways (support, the pruned
-    # basket build, the order count); persist once so the fact scan +
-    # distinct shuffle are paid a single time instead of per branch.
-    items = rolling_persist(
+    # r11 (guide §2.4 remove shuffles outright): ONE exchange on the
+    # ORDER key builds per-order distinct item arrays; the former
+    # separate distinct-on-(order, part) exchange is the same dedup
+    # done inside the array. Everything downstream derives from the
+    # persisted arrays WITHOUT re-shuffling the fact: the explode is a
+    # generator (partitioning preserved), support's broadcast build is
+    # the only other exchange, and the pruned-basket regroup reuses the
+    # order-key partitioning the persist already established — so the
+    # build is 3 exchanges (order, part, pair) instead of 4, at every
+    # scale. items = exactly the distinct (order, part) pairs.
+    baskets_all = rolling_persist(
         spark,
-        ("market_basket_items", sf_dir),
-        li.select("l_orderkey", "l_partkey").distinct(),
+        ("market_basket_baskets", sf_dir),
+        li.groupBy("l_orderkey").agg(
+            F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+                "parts"
+            )
+        ),
+    )
+    items = baskets_all.select(
+        "l_orderkey", F.explode("parts").alias("l_partkey")
     )
     support = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     frequent = support.filter(F.col("n_item") >= MIN_PAIR_ORDERS)
@@ -75,7 +91,7 @@ def _basket_graph(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= MIN_PAIR_ORDERS)
     )
-    return items, support, pairs
+    return baskets_all, items, support, pairs
 
 
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,8 +106,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized (O(parts)). Lift is computed from exact integer
     counts with one final double divide.
     """
-    items, support, pairs = _basket_graph(spark, sf_dir)
-    totals = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    baskets_all, items, support, pairs = _basket_graph(spark, sf_dir)
+    # one row per distinct order by construction — COUNT(*) over the
+    # persisted basket arrays IS COUNT(DISTINCT l_orderkey), without
+    # re-exploding and re-shuffling the item set (r11)
+    totals = baskets_all.agg(F.count(F.lit(1)).alias("n_orders"))
     sup_a = F.broadcast(
         support.select(
             F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
@@ -365,7 +384,7 @@ def _oriented_graph(spark: SparkSession, sf_dir: str):
     intermediates are memoized via rolling_persist, so triangle count
     and neighbor-Jaccard share one build.
     """
-    _, _, pairs = _basket_graph(spark, sf_dir)
+    _, _, _, pairs = _basket_graph(spark, sf_dir)
     pairs_p = rolling_persist(
         spark, ("triangle_pairs", sf_dir), pairs.select("part_a", "part_b")
     )

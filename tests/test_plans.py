@@ -146,9 +146,42 @@ def test_partsupp_composite_rejoin_eliminated(spark):
                  "q16_supplier_cnt"):
         plan = plan_of(QUERIES[name](spark, SF))
         assert "ps_partkey" not in plan, f"{name}: derivation subtree back"
-    for name in ("q9_product_profit", "q20_promotable_suppliers"):
+    # q16's pair-distinct drop makes it single-scan too (judge ADVICE r10)
+    for name in ("q9_product_profit", "q20_promotable_suppliers",
+                 "q16_supplier_cnt"):
         plan = plan_of(QUERIES[name](spark, SF))
         assert plan.count("lineitem") == 1, f"{name}: extra lineitem scan"
+
+
+def test_q7_q8_dims_filter_before_fact_join(spark):
+    """q7/q8 attach their selective broadcast dims per fact side BEFORE
+    the orderkey join (r10 §G): the nation/region predicate must reach
+    the dim SCAN as a pushed filter (i.e. sit below everything), and
+    each fact is read exactly once. Pins the 100 TB shape — shuffle
+    ~2/25 (q7) / ~1/5 (q8) of each fact side, never the raw facts —
+    against a Catalyst/AQE version bump silently reverting it."""
+    plan = plan_of(QUERIES["q7_nation_volume"](spark, SF))
+    assert "In(n_name, [NATION_1,NATION_2" in plan, plan
+    assert plan.count("lineitem") == 1, "q7: extra lineitem scan"
+    plan = plan_of(QUERIES["q8_market_share"](spark, SF))
+    assert "EqualTo(r_name,ASIA)" in plan, plan
+    assert plan.count("lineitem") == 1, "q8: extra lineitem scan"
+
+
+def test_q2_q11_dims_filter_before_pair_distinct(spark):
+    """q2/q11 broadcast their selective dims into the raw lineitem scan
+    BEFORE the pair distinct (r10 §G): the dim predicates must be
+    pushed scan filters, so the distinct exchange carries only the
+    filtered pairs at any scale."""
+    plan = plan_of(QUERIES["q2_min_cost_supplier"](spark, SF))
+    assert "EqualTo(p_type,ECONOMY)" in plan, plan
+    assert "EqualTo(r_name,EUROPE)" in plan, plan
+    assert plan.count("lineitem") == 1, "q2: extra lineitem scan"
+    plan = plan_of(QUERIES["q11_important_stock"](spark, SF))
+    assert "EqualTo(n_name,NATION_3)" in plan, plan
+    # two fact reads by design (per-supplier values + the total-value
+    # threshold scalar); both must be nation-filtered pre-distinct
+    assert plan.count("EqualTo(n_name,NATION_3)") >= 2, plan
 
 
 def test_q21_single_window_exchange(spark):
