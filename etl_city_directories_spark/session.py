@@ -52,6 +52,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
         )
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Shuffle codec, env-parameterized (guide §2.3/§9): lz4 is
+        # Spark's default; zstd trades CPU for ratio. Probed at a 10×
+        # corpus (tools/simlogs/r11_zstd_probe.md) — see
+        # OPTIMIZATION_r11.md for the ship/reject decision.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # Harmless fallback for events.parquet generations that store
         # ts as INT64 TIMESTAMP(NANOS) (the conf is a no-op for
         # micros/millis files). sources.tables.load_table inspects the
