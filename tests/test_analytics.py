@@ -183,7 +183,7 @@ def test_triangle_count_matches_bruteforce(spark):
     )
 
     row = graph_triangle_count(spark, SF).collect()[0]
-    _, _, pairs = _basket_graph(spark, SF)
+    _, _, _, pairs = _basket_graph(spark, SF)
     edges = {(r.part_a, r.part_b) for r in pairs.collect()}
     adj = {}
     for a, b in edges:
